@@ -1,0 +1,103 @@
+"""Scalar expression helpers (reference F1-F16, SURVEY.md §2.8).
+
+All helpers return Column expressions built from built-in
+``pyspark.sql.functions`` — they stay inside whole-stage codegen; none
+drop to Python at row level. The reference needed zero UDFs for its
+logic (SURVEY.md §2.9) and so does this engine.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Mapping
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def trim_chars(c: Column | str, chars: str = '"') -> Column:
+    """Strip any of ``chars`` from both ends (reference F1).
+
+    The reference data arrives with literal double-quotes embedded in
+    string values (``'"M"'``, 2_data_importing_cleaning.R:67-69,192) and
+    strips them with Snowflake ``TRIM(col, '"')``. Implemented as a
+    regexp so the char-set semantics match SQL TRIM(BOTH ... FROM ...).
+    """
+    cls = re.escape(chars)
+    return F.regexp_replace(_col(c), f"^[{cls}]+|[{cls}]+$", "")
+
+
+def strip_ends(c: Column | str, n: int = 1) -> Column:
+    """Drop the first and last ``n`` chars (reference F2, str_sub(x,2,-2)
+    on quote-wrapped ZIP3, 2_data_importing_cleaning.R:655)."""
+    col = _col(c)
+    return F.substring(col, n + 1, F.length(col) - 2 * n)
+
+
+def recode(c: Column | str, mapping: Mapping[str, str],
+           default: Column | str | None = None) -> Column:
+    """Value remap (reference F3: dplyr ``recode`` of RACE/SEX labels,
+    2_data_importing_cleaning.R:644-653).
+
+    Chained when/otherwise — Catalyst folds this into a CaseWhen that
+    whole-stage-codegens; unmapped values keep their original value
+    unless ``default`` is given.
+    """
+    col = _col(c)
+    expr: Column | None = None
+    for old, new in mapping.items():
+        expr = F.when(col == old, F.lit(new)) if expr is None \
+            else expr.when(col == old, F.lit(new))
+    if expr is None:
+        return col
+    if default is None:
+        return expr.otherwise(col)
+    return expr.otherwise(_col(default) if isinstance(default, Column) else F.lit(default))
+
+
+def flag(cond: Column) -> Column:
+    """0/1 indicator (reference F4: ``ifelse(cond, 1, 0)``,
+    3_blood_pressure.R:276).
+
+    NOTE: R's ifelse propagates NA; Spark's otherwise() maps NULL
+    conditions to 0. Use :func:`null_safe_flag` when inputs may be NULL
+    and the R NA-propagating behavior must be made deterministic first
+    (SURVEY.md §2.10-1).
+    """
+    return F.when(cond, F.lit(1)).otherwise(F.lit(0))
+
+
+def null_safe_flag(cond: Column) -> Column:
+    """Indicator that is deterministic 0/1 even when the condition is
+    NULL: NULL is treated as not satisfying the condition.
+
+    Mirrors the engine decision for the e-phenotype flags
+    (4_hypertension_phenotype_main.R:150-160 + SURVEY.md §2.10-1): the
+    reference NA-fills only two of three inputs; we normalize all.
+    """
+    return F.when(F.coalesce(cond, F.lit(False)), F.lit(1)).otherwise(F.lit(0))
+
+
+def year_of(c: Column | str) -> Column:
+    """Year extraction (reference F6: ``format(d,'%Y')`` / SQL YEAR)."""
+    return F.year(_col(c))
+
+
+def age_from_birth_year(c: Column | str, ref_year: int = 2023) -> Column:
+    """Derived age column (reference F7: ``age = 2023 - YEAR_OF_BIRTH``,
+    2_data_importing_cleaning.R:643)."""
+    return F.lit(ref_year) - _col(c)
+
+
+def round_half_even(c: Column | str, scale: int = 1) -> Column:
+    """Round half-to-even, matching R's ``round`` (reference F8).
+
+    R rounds half-to-even while Spark's ``F.round`` is HALF_UP;
+    ``F.bround`` restores R semantics on .x5 boundary means
+    (SURVEY.md §2.10-3).
+    """
+    return F.bround(_col(c), scale)

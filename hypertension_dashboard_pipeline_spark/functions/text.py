@@ -1,0 +1,159 @@
+"""Text-analysis expressions (beyond-reference extension surface).
+
+Large-scale training-data pipeline primitives over a ``text`` column —
+language ID, quality scoring, token counting, fingerprinting, shingling.
+All are built-in-function compositions (split/regexp/transform/
+aggregate) that stay JVM-side inside whole-stage codegen; no Python
+UDFs, so they scale like any other projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokenization → array<string> (empty array for blank)."""
+    t = F.trim(_col(c))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(c: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(c))
+
+
+def bpe_ish_token_count(c: Column | str) -> Column:
+    """Rough subword-token estimate: count of word/number/punct chunks
+    via a BPE-ish regex (letters runs, digit runs, single punct)."""
+    col = _col(c)
+    # regexp_count of chunk pattern: letter runs, digit runs, other non-space singles
+    return F.regexp_count(col, F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"))
+
+
+def char_count(c: Column | str) -> Column:
+    return F.length(_col(c))
+
+
+def punct_ratio_raw(c: Column | str) -> Column:
+    """Punctuation chars / total chars (unrounded); 0 for empty text."""
+    col = _col(c)
+    n = F.length(col)
+    p = F.regexp_count(col, F.lit(r"[^\w\s]"))
+    return F.when(n > 0, p.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def punct_ratio(c: Column | str, scale: int = 6) -> Column:
+    return F.round(punct_ratio_raw(c), scale)
+
+
+STOPWORDS_EN = (
+    "the a an and or of to in is are was for on with as at by it this that",
+)
+
+
+def stopword_ratio_raw(c: Column | str, stopwords: str | None = None) -> Column:
+    """Fraction of tokens that are (English) stopwords (unrounded)."""
+    words = (stopwords or STOPWORDS_EN[0]).split()
+    toks = tokens(F.lower(_col(c)))
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: t.isin(words)))
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(c: Column | str, stopwords: str | None = None,
+                   scale: int = 6) -> Column:
+    return F.round(stopword_ratio_raw(c, stopwords), scale)
+
+
+def quality_score(c: Column | str, scale: int = 6) -> Column:
+    """Composite quality heuristic in [0,1]: rewards mid-length docs and
+    stopword presence, penalizes punctuation soup. Deterministic
+    arithmetic, rounded once at the end — expressible identically in
+    ANSI SQL for the oracle."""
+    col = _col(c)
+    n_tok = token_count(col).cast("double")
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio_raw(col) * 4, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio_raw(col) * 5)
+    return F.round((len_score + stop_score + punct_pen) / 3, scale)
+
+
+# language-ID marker words per language (synthetic-friendly: common
+# function words; ties broken by fixed language order)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+}
+
+
+def lang_marker_hits(c: Column | str, lang: str) -> Column:
+    """Number of tokens matching the language's marker-word set."""
+    toks = tokens(F.lower(_col(c)))
+    words = list(LANG_MARKERS[lang])
+    return F.size(F.filter(toks, lambda t: t.isin(words)))
+
+
+def lang_id(c: Column | str) -> Column:
+    """Heuristic language ID: argmax of marker-word hits, 'und' when no
+    marker matches. Fixed evaluation order makes ties deterministic."""
+    col = _col(c)
+    hits = {lang: lang_marker_hits(col, lang) for lang in LANG_MARKERS}
+    best = F.greatest(*hits.values())
+    expr = F.when(best == 0, F.lit("und"))
+    for lang in LANG_MARKERS:  # first max wins (insertion order)
+        expr = expr.when(hits[lang] == best, F.lit(lang))
+    return expr
+
+
+def fingerprint(c: Column | str) -> Column:
+    """Canonical document fingerprint: md5 of the normalized text
+    (lowercase, alphanumerics+single spaces). md5 rather than xxhash so
+    independent engines agree."""
+    norm = F.regexp_replace(
+        F.trim(F.regexp_replace(F.lower(_col(c)), r"[^a-z0-9]+", " ")), r" +", " "
+    )
+    return F.md5(norm)
+
+
+def word_shingles(c: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles → array<string>; empty array when the
+    document has fewer than k tokens."""
+    toks = tokens(_col(c))
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _seeded_hasher(prefix: str):
+    # single-arg lambda is required: a 2-arg callable would make
+    # F.transform pass the array index as the second argument
+    return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
+    """MinHash signature as an array of n lexicographic-min md5 digests,
+    one per seed. md5-string min is engine-agnostic (plain ASCII
+    ordering), so oracles can reproduce signatures exactly."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, _seeded_hasher(f"seed{i}:")))
+            for i in range(n_hashes)
+        ]
+    )

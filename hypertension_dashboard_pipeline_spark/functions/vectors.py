@@ -1,0 +1,39 @@
+"""Vector expressions over array<float|double> embedding columns.
+
+Dot products / norms / cosine as built-in higher-order functions
+(zip_with + aggregate) — JVM-side, no Python boundary. The fold in
+``F.aggregate`` is sequential over the array, so results are
+bit-deterministic for a given row (unlike a parallel reduction), which
+is what lets a DuckDB oracle reproduce them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def as_double_array(c: Column | str) -> Column:
+    """Cast array<float> → array<double> so arithmetic is double-precision
+    end-to-end (float32 intermediates would diverge across engines)."""
+    return _col(c).cast("array<double>")
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    products = F.zip_with(as_double_array(a), as_double_array(b), lambda x, y: x * y)
+    return F.aggregate(products, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str, scale: int | None = None) -> Column:
+    """Cosine similarity; optionally rounded for stable cross-engine
+    comparison (recommended when the value feeds a threshold/rank)."""
+    sim = dot(a, b) / (norm(a) * norm(b))
+    return F.round(sim, scale) if scale is not None else sim

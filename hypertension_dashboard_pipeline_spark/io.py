@@ -1,0 +1,114 @@
+"""Sources and sinks.
+
+Replaces the reference's three I/O layers — ODBC table pulls
+(2_data_importing_cleaning.R:61-76), CSV checkpoint round-trips
+(2_data_importing_cleaning.R:169, 3_blood_pressure.R:191-192), and Excel
+codelist imports (2_data_importing_cleaning.R:208-269) — with Parquet as
+the source of record and explicit-schema CSV for interchange.
+
+Scale notes:
+* Checkpoints are Parquet, not CSV: columnar, compressed, type-exact,
+  splittable — a 100 TB stage boundary is readable in parallel by every
+  executor, unlike a CSV file on one analyst's disk.
+* ``write_partitioned`` writes event/measurement-shaped tables
+  partitioned by year so year filters (the reference's only time
+  predicate, 3_blood_pressure.R:100) become partition pruning instead
+  of full scans.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+# --------------------------------------------------------------------------
+# sources  (reference S1/S3/S4, SURVEY.md §2.1)
+# --------------------------------------------------------------------------
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Engine source of record. Columnar scan with pushdown/pruning."""
+    return spark.read.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """CSV source with a mandatory explicit schema.
+
+    The reference infers CSV schemas and then patches types by hand
+    (dates at 3_blood_pressure.R:255-257, numeric flags at
+    4_hypertension_phenotype_main.R:140-144); requiring a StructType
+    here makes that impossible to get wrong.
+    """
+    return spark.read.csv(path, header=True, schema=schema)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table (TESTDATA.md).
+
+    The events table carries nanosecond parquet timestamps, which Spark
+    rejects by default; they are read as long nanos and converted to
+    microsecond timestamps (integer DIV — no double round-trip).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   tables: tuple[str, ...] = TESTDATA_TABLES) -> None:
+    """Register testdata tables as temp views for spark.sql queries."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# --------------------------------------------------------------------------
+# sinks  (reference S2: CSV checkpoints after every stage)
+# --------------------------------------------------------------------------
+
+def checkpoint(df: DataFrame, path: str) -> DataFrame:
+    """Materialize a stage boundary and read it back.
+
+    Spark-native replacement for the reference's export/import CSV
+    checkpoints: breaks lineage for iteration speed while preserving
+    types exactly.
+    """
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Final-export CSV (the reference's output format), header included."""
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_partitioned(df: DataFrame, path: str, date_col: str,
+                      mode: str = "overwrite") -> None:
+    """Write partitioned by year(date_col) for dynamic partition pruning.
+
+    At 100 TB the measurement/condition tables are the bulk of the data
+    and every reference query filters them by year
+    (2_data_importing_cleaning.R:301, 3_blood_pressure.R:100); a year=
+    directory layout turns those filters into pruned scans.
+    """
+    (
+        df.withColumn("year", F.year(F.col(date_col)))
+        .write.mode(mode)
+        .partitionBy("year")
+        .parquet(path)
+    )

@@ -1,0 +1,109 @@
+"""Aggregation operators (reference A1-A11, SURVEY.md §2.4).
+
+All are single-shuffle hash aggregations with map-side partial
+aggregation — the groupBy key is the patient key, which is
+high-cardinality/low-skew, so these scale linearly. None of them
+collect to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def count_distinct_per_key(df: DataFrame, key: str | Sequence[str],
+                           cols: Sequence[str]) -> DataFrame:
+    """Reference A1/A2: per-patient n_distinct over identity columns to
+    detect mis-bridged records (2_data_importing_cleaning.R:93-139).
+
+    Output columns are named ``<col>_count`` like the reference.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    aggs = [F.countDistinct(c).alias(f"{c}_count") for c in cols]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def consistent_keys(df: DataFrame, key: str, cols: Sequence[str]) -> DataFrame:
+    """Keys whose identity columns are all internally consistent
+    (reference: filter(yob_count==1 & sex_count==1 & race_count==1),
+    2_data_importing_cleaning.R:134-139)."""
+    counted = count_distinct_per_key(df, key, cols)
+    cond = None
+    for c in cols:
+        p = F.col(f"{c}_count") == 1
+        cond = p if cond is None else cond & p
+    return counted.filter(cond).select(key)
+
+
+def same_day_avg(df: DataFrame, key: str, date_col: str, value_col: str,
+                 out_col: str | None = None, scale: int = 1) -> DataFrame:
+    """Reference A3: average same-day readings, rounded like R
+    (half-to-even via bround, SURVEY.md §2.10-3)
+    (3_blood_pressure.R:168-174)."""
+    out = out_col or f"{value_col}_avg"
+    return (
+        df.groupBy(key, date_col)
+        .agg(F.bround(F.avg(value_col), scale).alias(out))
+    )
+
+
+def sum_indicator(df: DataFrame, key: str, flag_col: str,
+                  out_col: str = "n") -> DataFrame:
+    """Reference A4: count of flagged days per patient
+    (3_blood_pressure.R:286-288). F.sum ignores NULLs natively, matching
+    ``sum(x, na.rm=TRUE)``."""
+    return df.groupBy(key).agg(F.sum(flag_col).alias(out_col))
+
+
+def freq_table(df: DataFrame, col: str, pct_scale: int = 6) -> DataFrame:
+    """Reference A6: janitor ``tabyl`` — counts and percents per value
+    (4_hypertension_phenotype_main.R:182-186).
+
+    The percent denominator is a window total over an empty partition
+    spec — a single-stage computation, no driver round-trip.
+    """
+    w = Window.partitionBy()
+    return (
+        df.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "percent",
+            F.round(F.lit(100.0) * F.col("n") / F.sum("n").over(w), pct_scale),
+        )
+    )
+
+
+def freq_table_with_total(df: DataFrame, col: str) -> DataFrame:
+    """Reference A7: frequency table with an appended totals row
+    (janitor ``adorn_totals``) — the one grouping-sets-shaped op in the
+    reference. ``rollup`` emits the NULL-key total row natively."""
+    return df.rollup(col).agg(F.count(F.lit(1)).alias("n"))
+
+
+def dedup_deterministic(df: DataFrame, key: str | Sequence[str],
+                        order_by: Sequence) -> DataFrame:
+    """Reference A9: ``distinct(key, .keep_all=TRUE)`` with a
+    deterministic survivor.
+
+    dplyr keeps an arbitrary first row; Spark's dropDuplicates survivor
+    varies per run. The engine picks the survivor by an explicit total
+    order so result hashes are stable (SURVEY.md §2.10-4). The window
+    shuffles once on the key — same cost as dropDuplicates.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def attrition_pct(before: int, after: int, denom: int | None = None) -> float:
+    """Reference A11: attrition percentage arithmetic over stage counts
+    (2_data_importing_cleaning.R:403-405)."""
+    d = denom if denom is not None else before
+    return 100.0 * (before - after) / d

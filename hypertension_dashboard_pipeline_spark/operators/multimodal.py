@@ -1,0 +1,72 @@
+"""Multimodal column plumbing (extension surface).
+
+Images/audio/video ride through the engine as opaque ``binary`` columns
+plus typed metadata. The Spark-side machinery here is real and tested —
+schema, Arrow-batched ``mapInPandas``, partition-preserving transforms;
+the actual media decode is stubbed because no image/audio libraries
+exist in this container (clearly marked below).
+
+At scale: decode/feature-extract is embarrassingly parallel per row, so
+``mapInPandas`` (Arrow batches, vectorized pandas ops, no per-row
+Python) is the right shape — executors stream batches through the
+Python worker without collecting anything.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_SCHEMA = (
+    "doc_id long, n_bytes long, fake_width int, fake_height int"
+)
+
+
+def _decode_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic fake decoder.
+
+    STUB: a real deployment would decode image bytes here (PIL/ffmpeg
+    are not in this container). The fake derives stable "dimensions"
+    from the payload length so results are reproducible and
+    oracle-checkable; the Arrow plumbing around it is production-real.
+    """
+    try:  # real decoder would be used if present
+        import PIL.Image  # noqa: F401
+
+        raise NotImplementedError(
+            "real image decode intentionally not implemented in this build"
+        )
+    except ImportError:
+        pass
+    n_bytes = batch["payload"].map(len).astype("int64")
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"].astype("int64"),
+            "n_bytes": n_bytes,
+            "fake_width": (n_bytes % 640 + 1).astype("int32"),
+            "fake_height": (n_bytes * 7 % 480 + 1).astype("int32"),
+        }
+    )
+
+
+def decode_metadata(df: DataFrame, id_col: str = "doc_id",
+                    payload_col: str = "payload") -> DataFrame:
+    """Run the (stub) decoder over a binary column via mapInPandas."""
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield _decode_batch(batch)
+
+    return src.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def documents_as_binary(df: DataFrame) -> DataFrame:
+    """Treat document text as an opaque binary payload — the multimodal
+    ingestion shape (real pipelines read image/audio bytes from parquet
+    binary columns the same way)."""
+    return df.select("doc_id", F.encode("text", "UTF-8").alias("payload"))

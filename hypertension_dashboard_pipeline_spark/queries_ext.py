@@ -1,0 +1,359 @@
+"""Extension-surface queries: training-data-pipeline operators over the
+``documents`` and ``embeddings`` tables (BASELINE.json north star),
+plus streaming and multimodal plumbing.
+
+Oracle strategy: everything hash-based uses md5 (not engine-native
+hashes like xxhash64/duckdb hash), folds sequentially, and rounds any
+float that feeds a threshold or rank — so DuckDB can reproduce results
+bit-for-bit. The few genuinely non-SQL ops (streaming state, pandas
+plumbing) register without an oracle and get the driver's rows-only
+check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import text as tx
+from .io import load_table
+from .operators import dedup as dd
+from .operators import multimodal as mm
+from .operators import similarity as sim
+from .registry import register
+from .streaming.daily_window import run_available_now
+
+# --------------------------------------------------------------------------
+# DuckDB oracle building blocks (kept next to the queries they verify)
+# --------------------------------------------------------------------------
+
+# whitespace tokens; [] for blank text (matches functions.text.tokens)
+_DK_TOKENS = (
+    "CASE WHEN trim({c}) = '' THEN []::VARCHAR[] "
+    "ELSE regexp_split_to_array(trim({c}), '\\s+') END"
+)
+
+
+def _dk_list(words: list[str]) -> str:
+    inner = ", ".join(f"'{w}'" for w in words)
+    return f"[{inner}]"
+
+
+_DK_NORM = (
+    "regexp_replace(trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g')),"
+    " ' +', ' ', 'g')"
+)
+
+# distinct k-word shingles (k=3), [] when fewer than k tokens
+_DK_SHINGLES = (
+    "CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform("
+    "range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))) "
+    "ELSE []::VARCHAR[] END"
+)
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len({_DK_TOKENS.format(c='text')}) AS n_tokens,
+           LENGTH(text) AS n_chars_calc
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token + char counting (extension: token accounting for
+    training-data pipelines)."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        tx.char_count("text").alias("n_chars_calc"),
+    )
+
+
+_STOPS = tx.STOPWORDS_EN[0].split()
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               len({_DK_TOKENS.format(c='text')})::DOUBLE AS n_tok,
+               CASE WHEN len({_DK_TOKENS.format(c='text')}) > 0 THEN
+                   len(list_filter({_DK_TOKENS.format(c='lower(text)')},
+                        t -> list_contains({_dk_list(_STOPS)}, t)))::DOUBLE
+                   / len({_DK_TOKENS.format(c='text')})
+               ELSE 0.0 END AS stop_raw,
+               CASE WHEN LENGTH(text) > 0 THEN
+                   len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE / LENGTH(text)
+               ELSE 0.0 END AS punct_raw
+        FROM documents
+    )
+    SELECT doc_id,
+           ROUND((LEAST(n_tok / 100.0, 1.0)
+                  + LEAST(stop_raw * 4, 1.0)
+                  + GREATEST(0.0, 1.0 - punct_raw * 5)) / 3, 6) AS quality
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality heuristic (length / stopword / punctuation
+    signals), one pass, no UDF."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", tx.quality_score("text").alias("quality")
+    )
+
+
+def _langid_oracle() -> str:
+    toks = _DK_TOKENS.format(c="lower(text)")
+    hit_cols = ",\n               ".join(
+        f"len(list_filter({toks}, t -> list_contains({_dk_list(list(ws))}, t)))"
+        f" AS hits_{lang}"
+        for lang, ws in tx.LANG_MARKERS.items()
+    )
+    best = "GREATEST(" + ", ".join(f"hits_{m}" for m in tx.LANG_MARKERS) + ")"
+    cases = "\n                ".join(
+        f"WHEN hits_{lang} = {best} THEN '{lang}'" for lang in tx.LANG_MARKERS
+    )
+    return f"""
+    WITH h AS (
+        SELECT doc_id,
+               {hit_cols}
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN {best} = 0 THEN 'und'
+                {cases}
+           END AS lang_pred
+    FROM h
+    """
+
+
+@register("text_lang_id", oracle=_langid_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language identification: marker-word argmax with a
+    deterministic tie order (extension: language filtering)."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", tx.lang_id("text").alias("lang_pred")
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id, md5({_DK_NORM.format(c='text')}) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical content fingerprint: md5 over normalized text —
+    engine-agnostic by construction."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", tx.fingerprint("text").alias("fingerprint")
+    )
+
+
+# --------------------------------------------------------------------------
+# deduplication
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-digest groups with deterministic survivor.
+    One shuffle on the digest; at 100 TB the digest groupBy is the
+    canonical first dedup pass."""
+    return dd.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id AS id, {_DK_SHINGLES} AS shingles
+        FROM (SELECT doc_id, {_DK_TOKENS.format(c='text')} AS ws FROM documents)
+        WHERE len(ws) >= 3
+    ), ex AS (
+        SELECT id, unnest(shingles) AS shingle FROM sh
+    ), cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM ex a JOIN ex b USING (shingle) WHERE a.id < b.id
+    )
+    SELECT id_a, id_b,
+           ROUND(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                 / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
+    FROM cand JOIN sh sa ON cand.id_a = sa.id JOIN sh sb ON cand.id_b = sb.id
+    WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+          / len(list_distinct(sa.shingles || sb.shingles)) >= 0.0999995
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-word-shingle Jaccard ≥ 0.1. Candidates
+    come from an inverted-index self-join (docs sharing ≥1 shingle) —
+    never a cross join, so it scales with shared-shingle density."""
+    return dd.shingle_pairs_jaccard(
+        load_table(spark, sf_dir, "documents"), threshold=0.1
+    )
+
+
+def _minhash_oracle(n_hashes: int = 16, bands: int = 4) -> str:
+    rows = n_hashes // bands
+    sig_items = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('seed{i}:' || s)))"
+        for i in range(n_hashes)
+    )
+    band_items = ", ".join(
+        f"md5(array_to_string(sig[{b * rows + 1}:{b * rows + rows}], '|'))"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id AS id, {_DK_SHINGLES} AS shingles
+        FROM (SELECT doc_id, {_DK_TOKENS.format(c='text')} AS ws FROM documents)
+        WHERE len(ws) >= 3
+    ), sigs AS (
+        SELECT id, [{sig_items}] AS sig FROM sh
+    ), banded AS (
+        SELECT id, sig, unnest(generate_series(0, {bands - 1})) AS band,
+               unnest([{band_items}]) AS bucket
+        FROM sigs
+    ), cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               a.sig AS sig_a, b.sig AS sig_b
+        FROM banded a JOIN banded b USING (band, bucket)
+        WHERE a.id < b.id
+    )
+    SELECT id_a, id_b,
+           ROUND(len(list_filter(range(1, {n_hashes + 1}),
+                                 i -> sig_a[i] = sig_b[i]))::DOUBLE
+                 / {n_hashes}, 6) AS est_jaccard
+    FROM cand
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: 16-hash signature, 4 bands × 4
+    rows, bucket self-join, signature-agreement Jaccard estimate. The
+    banding bounds the join fan-out, which is what makes this the
+    100 TB dedup path."""
+    return dd.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), n_hashes=16, bands=4
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding similarity
+# --------------------------------------------------------------------------
+
+_DK_DOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+)
+
+
+def _cosine_oracle_topk() -> str:
+    dot_vq = _DK_DOT.format(a="e.v", b="q.qv")
+    dot_vv = _DK_DOT.format(a="e.v", b="e.v")
+    dot_qq = _DK_DOT.format(a="q.qv", b="q.qv")
+    return f"""
+    WITH q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    )
+    SELECT e.vec_id,
+           ROUND({dot_vq} / (sqrt({dot_vv}) * sqrt({dot_qq})), 6) AS cos_sim
+    FROM e, q
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """
+
+
+@register("sim_cosine_topk", oracle=_cosine_oracle_topk())
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against a query vector (the embedding of
+    vec_id=0): the exact ANN baseline. One scan + TakeOrdered — at
+    scale this is the per-query cost floor that the LSH variant
+    undercuts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return sim.brute_force_topk(emb, [float(x) for x in qv], k=10)
+
+
+def _near_dup_oracle(threshold: float = 0.4) -> str:
+    dot_ab = _DK_DOT.format(a="a.v", b="b.v")
+    dot_aa = _DK_DOT.format(a="a.v", b="a.v")
+    dot_bb = _DK_DOT.format(a="b.v", b="b.v")
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb})), 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND({dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb})), 6) >= {threshold}
+    """
+
+
+@register("sim_cosine_near_dup", oracle=_near_dup_oracle())
+def sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.4 over all pairs (exact
+    variant, n_planes=0, so the oracle is exhaustive). The LSH-blocked
+    scale path is exercised by sim_lsh_bucket_topk."""
+    return sim.cosine_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=0
+    )
+
+
+@register("sim_lsh_bucket_topk")
+def sim_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: score only the query's hyperplane-sign bucket
+    (md5-derived deterministic hyperplanes). No oracle — approximate by
+    design; the test suite checks recall against the exact baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return sim.lsh_bucket_topk(emb, [float(x) for x in qv], k=10, n_planes=4)
+
+
+# --------------------------------------------------------------------------
+# multimodal + streaming
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_decode_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS fake_width,
+           CAST(octet_length(encode(text)) * 7 % 480 + 1 AS INTEGER) AS fake_height
+    FROM documents
+    """,
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing: text→binary payload →
+    Arrow-batched mapInPandas stub decoder emitting typed metadata. The
+    pandas boundary is the real thing; only the pixel decode is faked
+    (no media libs in container)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.decode_metadata(mm.documents_as_binary(docs))
+
+
+@register("streaming_daily_window")
+def streaming_daily_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-day aggregation with watermark
+    (availableNow over the static events table). Non-SQL-expressible
+    (stateful streaming semantics: only watermark-closed windows emit);
+    the batch-equivalence test pins correctness instead."""
+    return run_available_now(spark, sf_dir)

@@ -1,0 +1,81 @@
+"""Streaming variant of the same-day aggregation (reference A3).
+
+The reference's same-day BP averaging (3_blood_pressure.R:168-174) as
+an incremental Structured Streaming job: event-time tumbling windows
+with a watermark for late data. Batch and streaming share the
+aggregation semantics, so a backfill (batch over history) and the live
+stream produce consistent numbers.
+
+Determinism note: in append mode only windows the watermark has closed
+are emitted, so with ``availableNow`` over a static file the output is
+a deterministic prefix of the batch answer (final windows stay in
+state) — the matching oracle encodes the same cutoff.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark.sql import types as T
+
+
+def daily_value_stats(events: DataFrame) -> DataFrame:
+    """The shared (batch == streaming) aggregation: tumbling 1-day
+    event-time windows over the value column."""
+    return (
+        events.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("value_avg"),
+        )
+        .select(F.col("w.start").cast("date").alias("day"), "n_events", "value_avg")
+    )
+
+
+def run_available_now(spark: SparkSession, sf_dir: str,
+                      name: str = "daily_window_stream") -> DataFrame:
+    """Process the events table as a bounded stream (availableNow) into
+    a memory sink and return the emitted rows.
+
+    In production the source would be a live directory/Kafka stream and
+    the sink a parquet/Delta table; memory sink keeps the test
+    self-contained.
+    """
+    # events carries nanosecond parquet timestamps: stream them as long
+    # nanos and convert (same normalization as io.load_table)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    # the file stream source requires a directory path; select just the
+    # events file from the shared testdata dir with a glob filter
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    out = daily_value_stats(src)
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_stream_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
