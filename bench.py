@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes through a noop sink so the full plan runs (scan →
+shuffle → result) without driver-side collection skewing the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from hypertension_dashboard_pipeline_spark import registry
+from hypertension_dashboard_pipeline_spark.session import build_session, cpu_count
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the flagship pipeline + the heaviest operator from each
+# family (agg, join, window, dedup/LSH, similarity, text).
+HEADLINE = [
+    "flagship_cohort_pipeline",
+    "a3_same_day_avg",
+    "a9_dedup_deterministic",
+    "j1_left_enrich",
+    "w1_latest_per_key",
+    "u1_evidence_key_union",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "sim_cosine_topk",
+    "text_quality_score",
+]
+
+
+def run_once(spark, name: str) -> float:
+    df = registry.QUERIES[name](spark, SF_DIR)
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    registry.load_all()
+    spark = build_session(app_name="bench", shuffle_partitions=cpu_count())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up JVM/codegen paths once, untimed
+    run_once(spark, "flagship_cohort_pipeline")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run_once(spark, name), 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -126,17 +126,21 @@ def fingerprint(c: Column | str) -> Column:
 
 
 def word_shingles(c: Column | str, k: int = 3) -> Column:
-    """Distinct k-word shingles → array<string>; empty array when the
-    document has fewer than k tokens."""
+    """k-word shingles (with positional duplicates) → array<string>;
+    empty array when the document has fewer than k tokens.
+
+    Deliberately NOT per-row-distinct: array_distinct is O(n²) per row
+    and dominates runtime on long documents. Callers that need set
+    semantics dedup after exploding (distributed hash distinct) or
+    aggregate with duplicate-insensitive functions (MIN for MinHash).
+    """
     toks = tokens(_col(c))
     n = F.size(toks)
     return F.when(
         n >= k,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - (k - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-            )
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
 

@@ -3,15 +3,22 @@
 Large-scale training-data dedup over the ``documents`` table:
 
 * exact         — md5-hash groupBy; one shuffle on the digest.
-* n-gram Jaccard— inverted-index candidate join on shared shingles,
-                  exact Jaccard on candidates only (never a cross join).
-* MinHash + LSH — signature → bands → bucket self-join; candidates
-                  shrink from O(n²) to near-linear. Signatures use
-                  lexicographic-min md5 per seed so an independent SQL
-                  engine reproduces them exactly.
-* embedding     — cosine near-dup over embeddings (see similarity.py).
+* n-gram Jaccard— inverted-index candidate join on shared shingles;
+                  |A∩B| comes from the join's per-pair match count and
+                  |A∪B| from per-doc shingle counts, so no arrays are
+                  carried through the shuffle and no cross join exists.
+* MinHash + LSH — one md5 per shingle → 32-bit base hash → 16 linear
+                  permutations min-aggregated in a single groupBy
+                  (map-side partial agg), then banded bucket self-join.
+                  All arithmetic is exact BIGINT mod a 31-bit prime, so
+                  an independent SQL engine reproduces signatures
+                  bit-for-bit.
 
-Everything is built-in expressions — shingling/hashing stays JVM-side.
+Scale notes: every step is explode → hash-aggregate → equi-join; the
+only quadratic surface is per-bucket candidate pairs, which banding
+(MinHash) / shared-shingle blocking (Jaccard) keeps near-linear. For
+web-scale corpora add a document-frequency cut on shingles before the
+self-join (``max_df``) to bound hot-bucket fan-out.
 """
 
 from __future__ import annotations
@@ -19,7 +26,54 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import minhash_signature, word_shingles
+from ..functions.text import word_shingles
+
+# 31-bit Mersenne prime: (a*x+b) % P stays < 2^62 — no BIGINT overflow
+# in any engine.
+MINHASH_PRIME = 2147483647
+
+
+def perm_params(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic LCG-derived (a, b) pairs for the minhash
+    permutations h_i(x) = (a_i*x + b_i) mod P. Fixed constants — not an
+    RNG — so signatures are reproducible across engines and runs."""
+    params = []
+    for i in range(n_hashes):
+        a = (1103515245 * (i + 1) + 12345) % MINHASH_PRIME
+        b = (1103515245 * (i + 17) + 54321) % MINHASH_PRIME
+        params.append((a or 1, b))
+    return params
+
+
+def exploded_shingles(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 3,
+                      distinct: bool = True) -> DataFrame:
+    """(id, shingle) rows — the shared first stage of the near-dup
+    operators. ``distinct=True`` dedups positional repeats with a
+    distributed hash distinct (cheap) rather than per-row
+    array_distinct (O(n²) per document); pass False for consumers
+    whose aggregation is duplicate-insensitive (e.g. MIN)."""
+    # tokens materialize as their own projection: expressions captured
+    # inside higher-order-function lambdas are re-evaluated per array
+    # element, so tokenizing inline would re-split the document once
+    # per shingle. As a materialized column it binds as an attribute
+    # (evaluated once per row); multiple non-cheap references also stop
+    # CollapseProject from inlining it back.
+    from ..functions.text import tokens
+
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") >= k)
+    ex = toked.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, k)),
+            )
+        ).alias("shingle"),
+    )
+    return ex.distinct() if distinct else ex
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text",
@@ -45,40 +99,49 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 def shingle_pairs_jaccard(df: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", k: int = 3,
-                          threshold: float = 0.5,
-                          scale: int = 6) -> DataFrame:
+                          threshold: float = 0.5, scale: int = 6,
+                          max_df: int | None = None) -> DataFrame:
     """Near-duplicate pairs by exact k-word-shingle Jaccard.
 
-    Candidate generation is an inverted-index self-join (explode
-    shingles → join on shingle → distinct pairs), so only documents
-    sharing at least one shingle are ever compared — the scalable
-    alternative to an O(n²) cross join. Exact |A∩B|/|A∪B| is then
-    computed on candidates only.
-    """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), k).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    |A∩B| = per-pair row count of the inverted-index self-join;
+    |A∪B| = |A| + |B| − |A∩B| from per-doc shingle counts. Only
+    (id, shingle) and small count rows ever move through shuffles.
 
-    exploded = sh.select("id", F.explode("shingles").alias("shingle"))
-    cand = (
-        exploded.alias("a")
-        .join(exploded.alias("b"), on="shingle")
+    ``max_df`` (optional) drops shingles appearing in more than that
+    many documents before the self-join — the standard hot-shingle
+    guard at corpus scale (changes semantics: pairs sharing only
+    ultra-common shingles are missed).
+    """
+    ex = exploded_shingles(df, id_col, text_col, k)
+    if max_df is not None:
+        rare = (
+            ex.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        ex = ex.join(rare, "shingle", "left_semi")
+
+    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), on="shingle")
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
 
-    a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     scored = (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
+        inter.join(sizes.select(F.col("id").alias("id_a"),
+                                F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"),
+                           F.col("n_sh").alias("n_b")), "id_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b")),
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
                 scale,
             ),
         )
@@ -88,14 +151,31 @@ def shingle_pairs_jaccard(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _base_hash() -> F.Column:
+    """32-bit base hash of a shingle: first 8 hex digits of md5, mod P.
+    Engine-agnostic (DuckDB: ('0x'||substr(md5(s),1,8))::BIGINT)."""
+    return (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+        % MINHASH_PRIME
+    )
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 3,
                        n_hashes: int = 16) -> DataFrame:
-    """Per-document MinHash signature (array of md5-min digests)."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(word_shingles(F.col(text_col), k), n_hashes).alias("sig"),
-    ).filter(F.col("sig")[0].isNotNull())
+    """Wide MinHash signature (columns h0..h{n-1}) via a single
+    explode → groupBy with n min-aggregates. One md5 per shingle total;
+    partial aggregation keeps the shuffle at one row per doc per map
+    partition. Positional duplicate shingles are harmless under MIN, so
+    the distinct shuffle is skipped entirely."""
+    ex = exploded_shingles(df, id_col, text_col, k, distinct=False).withColumn(
+        "x", _base_hash()
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_PRIME).alias(f"h{i}")
+        for i, (a, b) in enumerate(perm_params(n_hashes))
+    ]
+    return ex.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -104,54 +184,56 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       scale: int = 6) -> DataFrame:
     """LSH candidate pairs with estimated Jaccard.
 
-    Signature is banded (``bands`` bands of n_hashes/bands rows); docs
-    colliding in any band become candidates (bucket equi-join on the
-    band digest — near-linear, shuffle on band hash). The estimate is
-    the fraction of agreeing signature positions.
+    The signature is banded (``bands`` bands of n_hashes/bands rows);
+    docs colliding in any band become candidates via a bucket
+    equi-join carrying only (id, band, bucket). Signatures are joined
+    back onto the surviving pairs, so the wide rows never enter the
+    candidate shuffle. Estimate = fraction of agreeing positions.
     """
     rows = n_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, k, n_hashes)
+
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                )
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
     banded = sigs.select(
-        "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws("|", F.slice(F.col("sig"), b * rows + 1, rows))
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket")
+        "id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", "bb.band", "bb.bucket")
 
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), on=["band", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    return cand.select(
-        "id_a",
-        "id_b",
-        F.round(
-            F.size(
-                F.filter(
-                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                    lambda m: m,
-                )
-            ).cast("double")
-            / F.lit(float(n_hashes)),
-            scale,
-        ).alias("est_jaccard"),
+
+    sig_a = sigs.select(
+        F.col("id").alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(n_hashes)]
+    )
+    sig_b = sigs.select(
+        F.col("id").alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(n_hashes)]
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    return (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(matches.cast("double") / F.lit(float(n_hashes)), scale).alias(
+                "est_jaccard"
+            ),
+        )
     )

@@ -177,31 +177,39 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-    WITH sh AS (
+# shared oracle CTE: one (id, shingle) row per distinct 3-shingle per doc
+_DK_EX = f"""
+    sh AS (
         SELECT doc_id AS id, {_DK_SHINGLES} AS shingles
         FROM (SELECT doc_id, {_DK_TOKENS.format(c='text')} AS ws FROM documents)
         WHERE len(ws) >= 3
     ), ex AS (
         SELECT id, unnest(shingles) AS shingle FROM sh
-    ), cand AS (
-        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    )"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_DK_EX}, sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM ex GROUP BY id
+    ), inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
         FROM ex a JOIN ex b USING (shingle) WHERE a.id < b.id
+        GROUP BY 1, 2
     )
     SELECT id_a, id_b,
-           ROUND(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-                 / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
-    FROM cand JOIN sh sa ON cand.id_a = sa.id JOIN sh sb ON cand.id_b = sb.id
-    WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-          / len(list_distinct(sa.shingles || sb.shingles)) >= 0.0999995
+           ROUND(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON inter.id_a = sa.id
+               JOIN sizes sb ON inter.id_b = sb.id
+    WHERE ROUND(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.1
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 3-word-shingle Jaccard ≥ 0.1. Candidates
-    come from an inverted-index self-join (docs sharing ≥1 shingle) —
-    never a cross join, so it scales with shared-shingle density."""
+    come from an inverted-index self-join (docs sharing ≥1 shingle),
+    with ∩ from per-pair match counts and ∪ from per-doc sizes — no
+    cross join, no arrays through the shuffle."""
     return dd.shingle_pairs_jaccard(
         load_table(spark, sf_dir, "documents"), threshold=0.1
     )
@@ -209,45 +217,48 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_oracle(n_hashes: int = 16, bands: int = 4) -> str:
     rows = n_hashes // bands
-    sig_items = ", ".join(
-        f"list_min(list_transform(shingles, s -> md5('seed{i}:' || s)))"
-        for i in range(n_hashes)
+    p = dd.MINHASH_PRIME
+    mins = ",\n               ".join(
+        f"MIN(({a} * x + {b}) % {p}) AS h{i}"
+        for i, (a, b) in enumerate(dd.perm_params(n_hashes))
     )
-    band_items = ", ".join(
-        f"md5(array_to_string(sig[{b * rows + 1}:{b * rows + rows}], '|'))"
+    band_selects = "\n        UNION ALL\n        ".join(
+        f"SELECT id, {b} AS band, md5("
+        + " || '|' || ".join(f"h{b * rows + r}::VARCHAR" for r in range(rows))
+        + ") AS bucket FROM sigs"
         for b in range(bands)
     )
+    match_sum = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(n_hashes)
+    )
     return f"""
-    WITH sh AS (
-        SELECT doc_id AS id, {_DK_SHINGLES} AS shingles
-        FROM (SELECT doc_id, {_DK_TOKENS.format(c='text')} AS ws FROM documents)
-        WHERE len(ws) >= 3
+    WITH {_DK_EX}, xs AS (
+        SELECT id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT % {p} AS x
+        FROM ex
     ), sigs AS (
-        SELECT id, [{sig_items}] AS sig FROM sh
+        SELECT id,
+               {mins}
+        FROM xs GROUP BY id
     ), banded AS (
-        SELECT id, sig, unnest(generate_series(0, {bands - 1})) AS band,
-               unnest([{band_items}]) AS bucket
-        FROM sigs
+        {band_selects}
     ), cand AS (
-        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-               a.sig AS sig_a, b.sig AS sig_b
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
         FROM banded a JOIN banded b USING (band, bucket)
         WHERE a.id < b.id
     )
     SELECT id_a, id_b,
-           ROUND(len(list_filter(range(1, {n_hashes + 1}),
-                                 i -> sig_a[i] = sig_b[i]))::DOUBLE
-                 / {n_hashes}, 6) AS est_jaccard
-    FROM cand
+           ROUND(({match_sum})::DOUBLE / {n_hashes}, 6) AS est_jaccard
+    FROM cand JOIN sigs sa ON cand.id_a = sa.id
+              JOIN sigs sb ON cand.id_b = sb.id
     """
 
 
 @register("dedup_minhash_lsh", oracle=_minhash_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates: 16-hash signature, 4 bands × 4
-    rows, bucket self-join, signature-agreement Jaccard estimate. The
-    banding bounds the join fan-out, which is what makes this the
-    100 TB dedup path."""
+    """MinHash+LSH near-dup candidates: 16 integer permutation hashes
+    min-aggregated in one groupBy (one md5 per shingle), 4 bands × 4
+    rows, bucket self-join on (band, digest) carrying ids only. The
+    banding bounds join fan-out — the 100 TB dedup path."""
     return dd.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), n_hashes=16, bands=4
     )
