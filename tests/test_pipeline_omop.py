@@ -1,0 +1,161 @@
+"""End-to-end pipeline tests on OMOP-shaped fixtures with golden
+patients (FIXTURES.md), mirroring the reference's manual QC idioms:
+stage row counts, named-patient flag spot-checks, and recompute-by-hand
+aggregates (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fixtures_omop import CODELISTS, EXPECTED_COHORT, build_tables
+from hypertension_dashboard_pipeline_spark.plans import (
+    bp as bp_plan,
+)
+from hypertension_dashboard_pipeline_spark.plans.cohort import (
+    adults,
+    base_population,
+    build_cohort,
+    drop_misbridged,
+)
+from hypertension_dashboard_pipeline_spark.plans.phenotype import (
+    build_phenotype,
+    phenotype_stats,
+)
+
+YEAR = 2023
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return build_tables(spark)
+
+
+@pytest.fixture(scope="module")
+def cohort(spark, tables):
+    df = build_cohort(
+        tables["person"], tables["condition"], tables["measurement"],
+        tables["observation"], tables["procedure"], CODELISTS, YEAR,
+    )
+    df.cache()
+    return df
+
+
+@pytest.fixture(scope="module")
+def bp_flags(cohort, tables):
+    df = bp_plan.build_bp_flags(cohort, tables["measurement"], YEAR)
+    df.cache()
+    return df
+
+
+@pytest.fixture(scope="module")
+def phenotype(bp_flags, tables):
+    df = build_phenotype(bp_flags, tables["condition"],
+                         tables["drug_exposure"], CODELISTS, YEAR)
+    df.cache()
+    return df
+
+
+def _by_key(df, cols):
+    return {r["PATIENT_LINKAGE"]: tuple(r[c] for c in cols) for r in df.collect()}
+
+
+# ---------------------------------------------------------------- cohort
+
+def test_base_population_drops_null_keys(tables):
+    pop = base_population(tables["person"])
+    assert pop.filter(F.col("PATIENT_LINKAGE").isNull()).count() == 0
+    # quote-trim applied (reference F1): raw '"M"' becomes 'M'
+    sexes = {r["SEX"] for r in pop.select("SEX").distinct().collect()}
+    assert sexes <= {"M", "F"}
+
+
+def test_misbridge_dedup(tables):
+    pop = drop_misbridged(base_population(tables["person"]))
+    keys = [r["PATIENT_LINKAGE"] for r in pop.collect()]
+    assert "P08" not in keys          # YOB conflict -> dropped entirely
+    assert keys.count("P13") == 1     # state-only conflict -> one survivor
+    # deterministic survivor: FL < GA in the explicit ordering
+    assert pop.filter("PATIENT_LINKAGE = 'P13'").first()["STATE"] == "FL"
+
+
+def test_adult_filter(tables):
+    pop = adults(drop_misbridged(base_population(tables["person"])), YEAR)
+    keys = {r["PATIENT_LINKAGE"] for r in pop.collect()}
+    assert "P10" not in keys
+
+
+def test_cohort_membership(cohort):
+    keys = {r["PATIENT_LINKAGE"] for r in cohort.collect()}
+    assert keys == EXPECTED_COHORT
+    # excluded golden patients
+    for gone in ("P07", "P08", "P10", "P11", "P12"):
+        assert gone not in keys
+
+
+def test_cohort_labels(cohort):
+    rows = {r["PATIENT_LINKAGE"]: r for r in cohort.collect()}
+    p20 = rows["P20"]
+    assert p20["race"] == "Black"           # recode (F3)
+    assert p20["sex"] == "Female"
+    assert p20["age"] == YEAR - 1988        # derived age (F7)
+    assert p20["zip3"] == "303"             # quotes stripped (F2)
+
+
+# -------------------------------------------------------------------- bp
+
+def test_same_day_average(tables):
+    paired = bp_plan.paired_daily_bp(tables["measurement"], YEAR)
+    row = paired.filter(
+        "PATIENT_LINKAGE = 'P03' AND MEASUREMENT_DATE = DATE'2023-06-01'"
+    ).first()
+    assert row is not None
+    assert row["SBP"] == 122.0  # (118+121+127)/3, golden recompute
+    assert row["DBP"] == 70.0
+
+
+def test_pairing_drops_unpaired_and_implausible(bp_flags):
+    flags = _by_key(bp_flags, ["has_bp"])
+    assert flags["P14"] == (0,)  # SBP-only day never pairs
+    assert flags["P18"] == (0,)  # wrong unit
+    assert flags["P19"] == (0,)  # noise concept
+    assert flags["P15"] == (1,)  # implausible day dropped, valid day pairs
+
+
+def test_htn_flags(bp_flags):
+    flags = _by_key(bp_flags, ["HTN140_90", "HTN130_80"])
+    assert flags["P01"] == (1, 1)   # GOLD_HTN140
+    assert flags["P02"] == (0, 1)   # GOLD_HTN130_ONLY
+    assert flags["P17"] == (0, 0)   # single high day: >=2 rule
+    assert flags["P09"] == (0, 0)   # GOLD_LOOKBACK_ONLY: deterministic 0
+    assert flags["P20"] == (0, 0)
+
+
+def test_lookback_only_in_denominator(bp_flags):
+    assert _by_key(bp_flags, ["has_bp"])["P09"] == (1,)
+
+
+def test_control_flags(bp_flags):
+    flags = _by_key(bp_flags, ["HTN140_90", "HTNcontrol140"])
+    assert flags["P04"] == (1, 1)   # GOLD_CONTROL: latest visit controlled
+    assert flags["P01"] == (1, 0)   # still high at latest visit
+
+
+# ------------------------------------------------------------- phenotype
+
+def test_phenotype_flags(phenotype):
+    flags = _by_key(phenotype, ["HTN_DX", "HTN_MEDS", "hypertension_140"])
+    assert flags["P05"] == (1, 0, 1)   # GOLD_DX_ONLY
+    assert flags["P06"] == (0, 1, 1)   # GOLD_MEDS_ONLY
+    assert flags["P01"] == (0, 0, 1)   # BP evidence alone
+    assert flags["P20"] == (0, 0, 0)
+    assert flags["P09"] == (0, 0, 0)   # look-back only: deterministic 0
+
+
+def test_phenotype_stats_rollup(phenotype):
+    stats = {r["hypertension_140"]: r["n"]
+             for r in phenotype_stats(phenotype).collect()}
+    n_pos = phenotype.filter("hypertension_140 = 1").count()
+    assert stats[1] == n_pos
+    assert stats[None] == len(EXPECTED_COHORT)  # totals row

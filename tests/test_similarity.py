@@ -1,0 +1,51 @@
+"""Similarity-search behavior tests: the approximate paths are judged
+against the exact baseline (recall), since no SQL oracle can pin an
+approximation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hypertension_dashboard_pipeline_spark.io import load_table
+from hypertension_dashboard_pipeline_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = load_table(spark, sf_dir, "embeddings")
+    df.cache()
+    return df
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+
+def test_brute_force_topk_self_first(emb, qvec):
+    top = sim.brute_force_topk(emb, qvec, k=10).collect()
+    assert len(top) == 10
+    # the query vector itself must rank first with cosine 1
+    assert top[0]["vec_id"] == 0
+    assert abs(top[0]["cos_sim"] - 1.0) < 1e-9
+    # descending order
+    sims = [r["cos_sim"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_bucket_contains_query_and_overlaps_exact(emb, qvec):
+    exact = {r["vec_id"] for r in sim.brute_force_topk(emb, qvec, k=10).collect()}
+    approx_rows = sim.lsh_bucket_topk(emb, qvec, k=10, n_planes=4).collect()
+    approx = {r["vec_id"] for r in approx_rows}
+    assert 0 in approx                     # query's own bucket contains it
+    assert len(approx_rows) == 10
+    # same-bucket vectors skew similar: expect meaningful recall of the
+    # true top-10 even with 1/16 of the table scored
+    assert len(exact & approx) >= 3
+
+
+def test_near_dup_pairs_threshold(emb):
+    pairs = sim.cosine_near_dup_pairs(emb, threshold=0.4, n_planes=0).collect()
+    assert all(r["cos_sim"] >= 0.4 for r in pairs)
+    assert all(r["id_a"] < r["id_b"] for r in pairs)
