@@ -151,6 +151,108 @@ def shingle_pairs_jaccard(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def exploded_tokens(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(id, token) rows, distinct per doc — the SimHash feature set."""
+    from ..functions.text import tokens
+
+    return (
+        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select("id", F.explode("toks").alias("token"))
+        .distinct()
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       n_bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-document SimHash: each distinct token votes ±1 on every bit
+    of its 32-bit md5-derived hash; bit b of the signature is 1 when
+    the vote sum is ≥ 0.
+
+    Same scalable shape as MinHash: one explode, one hash per token,
+    n_bits SUM aggregates in a single groupBy (map-side combinable).
+    Engine-agnostic (md5 + integer shifts), so a SQL oracle reproduces
+    signatures exactly.
+    """
+    ex = exploded_tokens(df, id_col, text_col).withColumn(
+        "x",
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("x"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(n_bits)
+    ]
+    sums = ex.groupBy("id").agg(*votes)
+    sig = None
+    for b in range(n_bits):
+        bit = F.when(F.col(f"s{b}") >= 0, F.lit(2 ** b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = bit if sig is None else sig + bit
+    return sums.select("id", sig.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", max_hamming: int = 6,
+                  n_bits: int = SIMHASH_BITS, chunks: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Blocking: signatures are cut into ``chunks`` bit-chunks; by
+    pigeonhole any pair within distance < chunks must agree on at least
+    one chunk, so the candidate join is per-chunk equality — near-
+    linear — and exact Hamming (bit_count of xor) filters candidates.
+    (max_hamming ≥ chunks trades recall for speed, as in production
+    SimHash dedup.)
+    """
+    width = n_bits // chunks
+    mask = (1 << width) - 1
+    sigs = simhash_signatures(df, id_col, text_col, n_bits)
+    chunked = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * width)
+                        .bitwiseAND(mask)
+                        .alias("piece"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cp"),
+    ).select("id", "simhash", "cp.chunk", "cp.piece")
+
+    cand = (
+        chunked.alias("a")
+        .join(chunked.alias("b"), on=["chunk", "piece"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def _base_hash() -> F.Column:
     """32-bit base hash of a shingle: first 8 hex digits of md5, mod P.
     Engine-agnostic (DuckDB: ('0x'||substr(md5(s),1,8))::BIGINT)."""

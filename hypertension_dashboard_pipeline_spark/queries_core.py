@@ -625,6 +625,42 @@ def u1_evidence_key_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jn.evidence_union("o_custkey", a, b)
 
 
+@register(
+    "u2_intersect_keys",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1996
+    """,
+)
+def u2_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op completeness (SURVEY.md §2.7: the reference has no
+    intersect; built-in in Spark): customers active in both years."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = flt.year_in(orders, "o_orderdate", [1995]).select("o_custkey")
+    b = flt.year_in(orders, "o_orderdate", [1996]).select("o_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "u3_except_keys",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1995
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1996
+    """,
+)
+def u3_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op completeness: customers active in 1995 but not 1996
+    (the anti-join J5 expressed as a set difference)."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = flt.year_in(orders, "o_orderdate", [1995]).select("o_custkey")
+    b = flt.year_in(orders, "o_orderdate", [1996]).select("o_custkey")
+    # subtract = SQL EXCEPT (set semantics); exceptAll would keep keys
+    # that merely appear more often on the left
+    return a.subtract(b)
+
+
 # --------------------------------------------------------------------------
 # scalar functions  (F1-F14)
 # --------------------------------------------------------------------------

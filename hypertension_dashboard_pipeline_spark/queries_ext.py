@@ -264,6 +264,83 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DK_TOKEN_ROWS = f"""
+    tk AS (
+        SELECT DISTINCT id, token FROM (
+            SELECT doc_id AS id,
+                   unnest({_DK_TOKENS.format(c='text')}) AS token
+            FROM documents
+        )
+    )"""
+
+
+def _simhash_sig_cte(n_bits: int = 32) -> str:
+    sums = ",\n               ".join(
+        f"SUM(CASE WHEN (x >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(n_bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{b} >= 0 THEN {2 ** b}::BIGINT ELSE 0 END)"
+        for b in range(n_bits)
+    )
+    return f"""
+    WITH {_DK_TOKEN_ROWS}, xs AS (
+        SELECT id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS x FROM tk
+    ), sums AS (
+        SELECT id,
+               {sums}
+        FROM xs GROUP BY id
+    ), sigs AS (
+        SELECT id, {sig} AS simhash FROM sums
+    )"""
+
+
+@register(
+    "text_simhash",
+    oracle=_simhash_sig_cte() + "\n    SELECT id, simhash FROM sigs",
+)
+def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash signature: distinct tokens vote ±1
+    per bit of their md5-derived hash; one explode + one groupBy with
+    map-side-combinable SUMs."""
+    return dd.simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_pairs_oracle(n_bits: int = 32, chunks: int = 4,
+                          max_hamming: int = 6) -> str:
+    width = n_bits // chunks
+    mask = (1 << width) - 1
+    chunk_selects = "\n        UNION ALL\n        ".join(
+        f"SELECT id, simhash, {c} AS chunk, (simhash >> {c * width}) & {mask}"
+        f" AS piece FROM sigs"
+        for c in range(chunks)
+    )
+    return (
+        _simhash_sig_cte(n_bits)
+        + f""", chunked AS (
+        {chunk_selects}
+    ), cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               a.simhash AS sig_a, b.simhash AS sig_b
+        FROM chunked a JOIN chunked b USING (chunk, piece)
+        WHERE a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+    """
+    )
+
+
+@register("dedup_simhash_pairs", oracle=_simhash_pairs_oracle())
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 4×8-bit chunk blocking (pigeonhole
+    guarantees distance<4 pairs collide on a chunk), exact Hamming via
+    bit_count(xor) on candidates only."""
+    return dd.simhash_pairs(load_table(spark, sf_dir, "documents"),
+                            max_hamming=6)
+
+
 # --------------------------------------------------------------------------
 # embedding similarity
 # --------------------------------------------------------------------------

@@ -1,0 +1,76 @@
+"""Source/sink and catalog coverage (reference S1-S7, SURVEY.md §2.1):
+CSV round-trips with explicit schemas, Parquet checkpoints preserving
+types, year-partitioned writes enabling partition pruning, catalog
+introspection."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from hypertension_dashboard_pipeline_spark import io as eio
+from hypertension_dashboard_pipeline_spark import schemas as S
+from hypertension_dashboard_pipeline_spark.schemas import TESTDATA_TABLES
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="spark_graft_io_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_csv_roundtrip_explicit_schema(spark, tmpdir):
+    """S2+S3: the reference loses dates/flag types through CSV
+    (3_blood_pressure.R:255-257); explicit schemas must not."""
+    df = spark.createDataFrame(
+        [("P01", dt.date(2023, 3, 1), 4152194, '"d"', 150.0, 8876, '"mmHg"')],
+        S.MEASUREMENT,
+    )
+    eio.write_csv(df, f"{tmpdir}/m.csv")
+    back = eio.read_csv(spark, f"{tmpdir}/m.csv", S.MEASUREMENT)
+    assert back.schema == S.MEASUREMENT
+    row = back.first()
+    assert row["MEASUREMENT_DATE"] == dt.date(2023, 3, 1)  # still a date
+    assert row["VALUE_AS_NUMBER"] == 150.0                 # still a double
+
+
+def test_parquet_checkpoint_preserves_schema(spark, tmpdir):
+    df = spark.createDataFrame(
+        [("P01", dt.date(2023, 3, 1), 4152194, '"d"', 150.0, 8876, '"mmHg"')],
+        S.MEASUREMENT,
+    )
+    back = eio.checkpoint(df, f"{tmpdir}/ckpt")
+    assert back.schema == S.MEASUREMENT
+    assert back.count() == 1
+
+
+def test_year_partitioned_write_prunes(spark, tmpdir):
+    df = spark.createDataFrame(
+        [
+            ("P01", dt.date(2022, 1, 1), 1, '"d"', 1.0, 8876, '"u"'),
+            ("P02", dt.date(2023, 1, 1), 1, '"d"', 2.0, 8876, '"u"'),
+        ],
+        S.MEASUREMENT,
+    )
+    eio.write_partitioned(df, f"{tmpdir}/part", "MEASUREMENT_DATE")
+    back = spark.read.parquet(f"{tmpdir}/part")
+    pruned = back.filter(F.col("year") == 2023)
+    assert pruned.count() == 1
+    # the year filter must be a partition filter, not a data filter
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(year" in plan
+
+
+def test_catalog_introspection(spark, sf_smoke):
+    """S6: odbcListObjects/odbcListColumns equivalents."""
+    eio.register_views(spark, sf_smoke, TESTDATA_TABLES)
+    names = {t.name for t in spark.catalog.listTables()}
+    assert set(TESTDATA_TABLES) <= names
+    cols = [c.name for c in spark.catalog.listColumns("customer")]
+    assert cols == ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                    "c_mktsegment"]

@@ -1,0 +1,37 @@
+"""Streaming/batch equivalence: the availableNow streaming run must
+produce exactly the batch answer restricted to watermark-closed
+windows — the guarantee that lets a batch backfill and the live stream
+share one definition (streaming/daily_window.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from hypertension_dashboard_pipeline_spark.io import load_table
+from hypertension_dashboard_pipeline_spark.streaming.daily_window import (
+    daily_value_stats,
+    run_available_now,
+)
+
+
+def test_streaming_matches_batch_prefix(spark, sf_smoke):
+    stream_rows = {
+        r["day"]: (r["n_events"], r["value_avg"])
+        for r in run_available_now(spark, sf_smoke, name="equiv_test").collect()
+    }
+
+    events = load_table(spark, sf_smoke, "events")
+    batch = daily_value_stats(events)  # withWatermark is a no-op in batch
+    max_ts = events.agg(F.max("ts")).first()[0]
+    cutoff = max_ts - dt.timedelta(days=1)
+    batch_rows = {
+        r["day"]: (r["n_events"], r["value_avg"])
+        for r in batch.collect()
+        # append-mode emits a window only once the watermark passes its end
+        if dt.datetime.combine(r["day"], dt.time()) + dt.timedelta(days=1) <= cutoff
+    }
+
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
