@@ -102,6 +102,30 @@ def dedup_deterministic(df: DataFrame, key: str | Sequence[str],
     )
 
 
+def salted_counts(df: DataFrame, key: str, value_col: str,
+                  salt_buckets: int = 16) -> DataFrame:
+    """Two-phase skew-safe count/sum: rows are salted into
+    ``salt_buckets`` sub-keys, partially aggregated, then merged.
+
+    For a low-cardinality hot key (e.g. 3 distinct values across
+    billions of rows) a plain groupBy concentrates each key's entire
+    input on one reducer; salting spreads phase 1 across
+    key×salt_buckets reducers and phase 2 only merges
+    ``salt_buckets`` partial rows per key. Exact for algebraic
+    aggregates (count/sum/min/max). AQE's skew handling covers joins;
+    this is the aggregation-side equivalent.
+    """
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(value_col)), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy(key, "__salt").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum(value_col).alias("__s")
+    )
+    return partial.groupBy(key).agg(
+        F.sum("__n").alias("n"), F.sum("__s").alias("total")
+    )
+
+
 def attrition_pct(before: int, after: int, denom: int | None = None) -> float:
     """Reference A11: attrition percentage arithmetic over stage counts
     (2_data_importing_cleaning.R:403-405)."""

@@ -65,6 +65,45 @@ def decode_metadata(df: DataFrame, id_col: str = "doc_id",
     return src.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_hash string"
+
+
+def sample_frames(df: DataFrame, id_col: str = "doc_id",
+                  payload_col: str = "payload") -> DataFrame:
+    """Frame-sampling plumbing: one input row fans out to N output rows
+    (the video-frame / audio-chunk extraction shape) via mapInPandas.
+
+    STUB decoder: frame count is derived from payload length
+    (n_bytes % 4 + 1) and each "frame" is identified by a stable digest
+    — a real deployment would emit decoded frame bytes. The 1→N
+    Arrow-batched fan-out is the production-real part: output row count
+    is independent of input batch boundaries.
+    """
+    import hashlib
+
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                n_frames = len(payload) % 4 + 1
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(
+                        hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "frame_idx": pd.Series(idxs, dtype="int32"),
+                 "frame_hash": pd.Series(hashes, dtype="object")}
+            )
+
+    return src.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
 def documents_as_binary(df: DataFrame) -> DataFrame:
     """Treat document text as an opaque binary payload — the multimodal
     ingestion shape (real pipelines read image/audio bytes from parquet

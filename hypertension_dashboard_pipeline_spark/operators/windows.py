@@ -52,3 +52,34 @@ def top_k_per_key(df: DataFrame, key: str | Sequence[str],
     if rank_col:
         return out.withColumnRenamed("__rn", rank_col)
     return out.drop("__rn")
+
+
+def sessionize(df: DataFrame, key: str, ts_col: str,
+               gap_seconds: int = 1800) -> DataFrame:
+    """Assign session ids: a new session starts when the gap to the
+    previous event exceeds ``gap_seconds`` (beyond-reference extension:
+    lag + running sum over one per-key window — a single shuffle, the
+    batch analog of Spark's session_window).
+
+    Timestamps compare at full microsecond precision (epoch-double
+    arithmetic), never truncated to seconds.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col)
+    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
+    new_session = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    running = Window.partitionBy(key).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("__new", new_session).withColumn(
+        "session_id", F.sum("__new").over(running)
+    ).drop("__new")
+
+
+def session_stats(df: DataFrame, key: str, ts_col: str,
+                  gap_seconds: int = 1800) -> DataFrame:
+    """Per-key session summary: number of sessions and events."""
+    s = sessionize(df, key, ts_col, gap_seconds)
+    return s.groupBy(key).agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -415,6 +415,123 @@ def sim_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# sessionization, skew-safe aggregation, pandas surfaces
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+        SELECT user_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization (30-min gap rule) via lag + running-sum
+    windows — one shuffle on the user key."""
+    from .operators.windows import session_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_stats(ev, "user_id", "ts", gap_seconds=1800)
+
+
+@register(
+    "a12_salted_skew_agg",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS total
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a12_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation: l_returnflag has 3 hot values —
+    salting spreads phase 1 over key×16 reducers; the result is exactly
+    the plain GROUP BY (which is the oracle)."""
+    from .operators.aggregates import salted_counts
+
+    return salted_counts(load_table(spark, sf_dir, "lineitem"),
+                         "l_returnflag", "l_quantity", salt_buckets=16)
+
+
+@register(
+    "p12b_strict_integer_band",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n
+    FROM (SELECT l_returnflag, l_quantity / 2 AS v FROM lineitem)
+    WHERE v IS NOT NULL AND v BETWEEN 5 AND 20 AND v = FLOOR(v)
+    GROUP BY l_returnflag
+    """,
+)
+def p12b_strict_integer_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 strict variant: R's ``%in% 30:300`` integer-set semantics —
+    values in band AND integral (SURVEY.md §2.10-2's faithful mode)."""
+    from .operators.filters import plausibility_band
+
+    df = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", (F.col("l_quantity") / 2).alias("v")
+    )
+    banded = plausibility_band(df, "v", 5, 20, strict_integers=True)
+    return banded.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "udf_pandas_token_count",
+    oracle=f"""
+    SELECT doc_id, len({_DK_TOKENS.format(c='text')}) AS py_n_tokens
+    FROM documents
+    """,
+)
+def udf_pandas_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas_udf (the engine's sanctioned slow
+    path — never row-at-a-time Python). Matches the JVM-side token
+    count bit-for-bit, which the oracle pins."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # note: no type annotations — the module-level `from __future__
+    # import annotations` would stringify them, which pandas_udf rejects
+    @pandas_udf("int")
+    def py_tokens(s):
+        return s.str.split().map(len)
+
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", py_tokens(F.col("text")).alias("py_n_tokens")
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           md5(doc_id::VARCHAR || ':' || frame_idx::VARCHAR) AS frame_hash
+    FROM (
+        SELECT doc_id,
+               unnest(range(0, octet_length(encode(text)) % 4 + 1)) AS frame_idx
+        FROM documents
+    )
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N frame-sampling fan-out through mapInPandas (video/audio
+    chunking shape); frame identity is a stable digest so the oracle
+    reproduces the fan-out exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.sample_frames(mm.documents_as_binary(docs))
+
+
+# --------------------------------------------------------------------------
 # multimodal + streaming
 # --------------------------------------------------------------------------
 
