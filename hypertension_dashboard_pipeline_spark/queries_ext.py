@@ -532,6 +532,128 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# embedding centroids + the curation flagship
+# --------------------------------------------------------------------------
+
+
+@register(
+    "emb_label_centroids",
+    oracle="""
+    SELECT label, pos, ROUND(AVG(v), 4) AS centroid_val
+    FROM (
+        SELECT label,
+               unnest(embedding::DOUBLE[]) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components (the IVF coarse-quantizer build
+    step): posexplode + one (label, pos) hash aggregation — fully
+    distributed, no vector ever collected. Rounded so cross-engine
+    float-sum ordering can't flip a digit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("p", "v"),
+        )
+        .groupBy("label", (F.col("p") + 1).alias("pos"))
+        .agg(F.round(F.avg("v"), 4).alias("centroid_val"))
+    )
+
+
+def _curation_oracle() -> str:
+    lang_toks = _DK_TOKENS.format(c="lower(text)")
+    hits = {
+        lang: f"len(list_filter({lang_toks}, t -> list_contains({_dk_list(list(ws))}, t)))"
+        for lang, ws in tx.LANG_MARKERS.items()
+    }
+    best = "GREATEST(" + ", ".join(hits.values()) + ")"
+    lang_case = (
+        f"CASE WHEN {best} = 0 THEN 'und' "
+        + " ".join(
+            f"WHEN {hits[lang]} = {best} THEN '{lang}'" for lang in tx.LANG_MARKERS
+        )
+        + " END"
+    )
+    toks = _DK_TOKENS.format(c="text")
+    quality = f"""
+        ROUND((LEAST(len({toks})::DOUBLE / 100.0, 1.0)
+               + LEAST(CASE WHEN len({toks}) > 0 THEN
+                       len(list_filter({lang_toks},
+                            t -> list_contains({_dk_list(_STOPS)}, t)))::DOUBLE
+                       / len({toks}) ELSE 0.0 END * 4, 1.0)
+               + GREATEST(0.0, 1.0 - CASE WHEN LENGTH(text) > 0 THEN
+                       len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE
+                       / LENGTH(text) ELSE 0.0 END * 5)) / 3, 6)
+    """
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, text, source,
+               {lang_case} AS lang_pred,
+               {quality} AS quality
+        FROM documents
+    ), kept AS (
+        SELECT * FROM scored WHERE lang_pred = 'en' AND quality >= 0.5
+    ), exact_survivors AS (
+        SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+    ), kd AS (
+        SELECT k.* FROM kept k JOIN exact_survivors s USING (doc_id)
+    ), sh AS (
+        SELECT doc_id AS id, {_DK_SHINGLES} AS shingles
+        FROM (SELECT doc_id, {_DK_TOKENS.format(c='text')} AS ws FROM kd)
+        WHERE len(ws) >= 3
+    ), ex AS (
+        SELECT id, unnest(shingles) AS shingle FROM sh
+    ), sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM ex GROUP BY id
+    ), inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+        FROM ex a JOIN ex b USING (shingle) WHERE a.id < b.id
+        GROUP BY 1, 2
+    ), near_dup AS (
+        SELECT DISTINCT id_b AS doc_id
+        FROM inter JOIN sizes sa ON inter.id_a = sa.id
+                   JOIN sizes sb ON inter.id_b = sb.id
+        WHERE ROUND(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+    )
+    SELECT source, COUNT(*) AS n_docs, ROUND(AVG(quality), 4) AS avg_quality
+    FROM kd WHERE doc_id NOT IN (SELECT doc_id FROM near_dup)
+    GROUP BY source
+    """
+
+
+@register("curation_pipeline", oracle=_curation_oracle())
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation flagship: language filter (predicted en) →
+    quality threshold → exact dedup (min-id survivor) → near-dup
+    removal (3-shingle Jaccard ≥ 0.5, higher id dropped) → per-source
+    survivor stats. Every stage is an engine operator; the composition
+    is one lazy plan end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.select(
+        "doc_id", "text", "source",
+        tx.lang_id("text").alias("lang_pred"),
+        tx.quality_score("text").alias("quality"),
+    ).filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
+
+    kd = dd.exact_dedup(kept, "text", "doc_id")
+    near = (
+        dd.shingle_pairs_jaccard(kd, threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = kd.join(near, "doc_id", "left_anti")
+    return survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
+
+
+# --------------------------------------------------------------------------
 # multimodal + streaming
 # --------------------------------------------------------------------------
 
