@@ -98,6 +98,60 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     return scored.filter(F.col("cos_sim") >= threshold)
 
 
+def label_centroids(df: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding",
+                    scale: int = 4) -> DataFrame:
+    """Per-label centroid components (label, pos, centroid_val) —
+    posexplode + one hash aggregation; the IVF coarse quantizer.
+    Components round so downstream ranking is engine-reproducible."""
+    return (
+        df.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("p", "v"),
+        )
+        .groupBy("label", (F.col("p") + 1).alias("pos"))
+        .agg(F.round(F.avg("v"), scale).alias("centroid_val"))
+    )
+
+
+def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             n_probe: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding", label_col: str = "label",
+             scale: int = 6) -> DataFrame:
+    """IVF-style approximate top-k: rank cluster centroids against the
+    query, then score only vectors in the ``n_probe`` nearest clusters.
+
+    At scale the table is stored partitioned/bucketed by the cluster id,
+    so probing reads ~n_probe/n_clusters of the data — the standard IVF
+    trade: recall vs clusters probed. Here the pre-assigned ``label``
+    column is the coarse assignment; ``label_centroids`` is its
+    quantizer build.
+    """
+    cents = label_centroids(df, label_col, vec_col)
+    # assemble centroid vectors: sorted struct-collect per label
+    cent_vecs = (
+        cents.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))).alias("pv"))
+        .select(
+            "label",
+            F.transform(F.col("pv"), lambda s: s["centroid_val"]).alias("cvec"),
+        )
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probed = (
+        cent_vecs.select(
+            "label", cosine(F.col("cvec"), q, scale=scale).alias("c_sim")
+        )
+        .orderBy(F.col("c_sim").desc(), F.col("label"))
+        .limit(n_probe)
+        .select("label")
+    )
+    scored = df.join(F.broadcast(probed), label_col).select(
+        F.col(id_col), cosine(F.col(vec_col), q, scale=scale).alias("cos_sim")
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
 def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     n_planes: int = 4, scale: int = 6) -> DataFrame:

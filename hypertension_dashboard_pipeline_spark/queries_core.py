@@ -482,6 +482,43 @@ def a8_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a10_grouped_distinct",
+    oracle="SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+)
+def a10_grouped_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: dplyr grouped distinct ≡ all-column distinct (the group
+    annotation is redundant, 2_data_importing_cleaning.R:150-156)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_mktsegment")
+        .distinct()
+    )
+
+
+@register(
+    "f16_profile_stats",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(c_acctbal) AS n_nonnull,
+           ROUND(AVG(c_acctbal), 4) AS bal_avg,
+           MIN(c_acctbal) AS bal_min,
+           MAX(c_acctbal) AS bal_max
+    FROM customer
+    """,
+)
+def f16_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16: the str/skim profiling idiom as a one-row relation
+    (2_data_importing_cleaning.R:77-78) — distributed describe()."""
+    return load_table(spark, sf_dir, "customer").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("c_acctbal").alias("n_nonnull"),
+        F.round(F.avg("c_acctbal"), 4).alias("bal_avg"),
+        F.min("c_acctbal").alias("bal_min"),
+        F.max("c_acctbal").alias("bal_max"),
+    )
+
+
+@register(
     "a9_dedup_deterministic",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate FROM (

@@ -404,6 +404,55 @@ def sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_oracle(n_probe: int = 2, k: int = 10) -> str:
+    def dot(a: str, b: str) -> str:
+        return _DK_DOT.format(a=a, b=b)
+
+    return f"""
+    WITH q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), cents AS (
+        SELECT label, pos, ROUND(AVG(v), 4) AS cv
+        FROM (
+            SELECT label,
+                   unnest(embedding::DOUBLE[]) AS v,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        )
+        GROUP BY label, pos
+    ), cvecs AS (
+        SELECT label, list(cv ORDER BY pos) AS cvec FROM cents GROUP BY label
+    ), probed AS (
+        SELECT label
+        FROM cvecs, q
+        ORDER BY ROUND({dot('cvecs.cvec', 'q.qv')}
+                 / (sqrt({dot('cvecs.cvec', 'cvecs.cvec')})
+                    * sqrt({dot('q.qv', 'q.qv')})), 6) DESC, label
+        LIMIT {n_probe}
+    ), e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    )
+    SELECT e.vec_id,
+           ROUND({dot('e.v', 'q.qv')}
+                 / (sqrt({dot('e.v', 'e.v')}) * sqrt({dot('q.qv', 'q.qv')})), 6)
+               AS cos_sim
+    FROM e JOIN probed USING (label), q
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT {k}
+    """
+
+
+@register("sim_ivf_topk", oracle=_ivf_oracle())
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probe approximate top-k: rank label centroids against the
+    query, score only the 2 nearest clusters (~1/5 of rows here;
+    1/n_clusters·n_probe in general). Fully deterministic, so unlike
+    most ANN this one is oracle-checked end-to-end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return sim.ivf_topk(emb, [float(x) for x in qv], k=10, n_probe=2)
+
+
 @register("sim_lsh_bucket_topk")
 def sim_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: score only the query's hyperplane-sign bucket
@@ -675,6 +724,24 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no media libs in container)."""
     docs = load_table(spark, sf_dir, "documents")
     return mm.decode_metadata(mm.documents_as_binary(docs))
+
+
+@register(
+    "streaming_stateful_counters",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           SUM(CASE WHEN value >= 50 THEN 1 ELSE 0 END) AS n_high
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running counters over the event stream. With the bounded
+    single-file source the final update equals the batch groupBy — the
+    oracle — while exercising real state-store semantics."""
+    from .streaming.stateful import run_available_now as run_stateful
+
+    return run_stateful(spark, sf_dir)
 
 
 @register("streaming_daily_window")
