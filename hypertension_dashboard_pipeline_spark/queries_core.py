@@ -859,6 +859,97 @@ def f17_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "p2_p3_column_prune",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    """,
+)
+def p2_p3_column_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2+P3: column drop (``select(-yob_count, ...)``,
+    2_data_importing_cleaning.R:640) and keep-subset
+    (``select(PATIENT_LINKAGE, age, ...)``, 3_blood_pressure.R:222).
+    Both prune the Parquet ReadSchema — the drop is folded into the scan
+    projection, not applied after a full-width read."""
+    df = load_table(spark, sf_dir, "customer")
+    kept = df.drop("c_address", "c_phone", "c_comment")  # P2 drop
+    return kept.select("c_custkey", "c_name", "c_mktsegment")  # P3 keep
+
+
+@register(
+    "l2_head_inspect",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    ORDER BY c_custkey LIMIT 5
+    """,
+)
+def l2_head_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: head-n inspection (``head``/``slice_head``/``print(n=)``,
+    3_blood_pressure.R:359-360) — made deterministic with an explicit
+    total order on the unique key. Spark plans this as TakeOrderedAndProject
+    (a per-partition top-k + driver merge, no global sort)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+        .limit(5)
+    )
+
+
+@register(
+    "f5_date_parse_formats",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS VARCHAR) AS DATE) AS d_iso,
+           CAST(strptime(strftime(o_orderdate, '%Y/%m/%d'), '%Y/%m/%d')
+                AS DATE) AS d_slash,
+           YEAR(o_orderdate) AS d_year
+    FROM orders
+    """,
+)
+def f5_date_parse_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5+F6: string→date parsing in both shapes the reference needs —
+    ISO default (``as.Date``, 3_blood_pressure.R:256) and the explicit
+    '%Y/%m/%d' format (3_blood_pressure.R:353) — plus year extraction.
+    Checkpoint round-trips in the reference degrade dates to strings
+    and re-cast; here the cast is explicit and type-checked once."""
+    df = load_table(spark, sf_dir, "orders")
+    return df.select(
+        "o_orderkey",
+        F.to_date(F.col("o_orderdate").cast("string")).alias("d_iso"),
+        F.to_date(
+            F.date_format("o_orderdate", "yyyy/MM/dd"), "yyyy/MM/dd"
+        ).alias("d_slash"),
+        F.year("o_orderdate").alias("d_year"),
+    )
+
+
+@register(
+    "f9_f13_cast_sum",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CAST(CASE WHEN l_quantity >= 25 THEN '1' END AS INTEGER))
+               AS n_hi
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def f9_f13_cast_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9+F13: string flag → numeric cast
+    (``as.numeric(HTN_DX)``, 4_hypertension_phenotype_main.R:140) then a
+    null-ignoring grouped sum (``sum(x, na.rm=T)``,
+    3_blood_pressure.R:288). The '1'/NULL string flag reproduces the
+    type degradation the reference's CSV checkpoints cause; F.sum skips
+    NULLs natively, matching na.rm=TRUE."""
+    df = load_table(spark, sf_dir, "lineitem").withColumn(
+        "hi_str", F.when(F.col("l_quantity") >= 25, F.lit("1"))
+    )
+    return (
+        df.withColumn("hi", F.col("hi_str").cast("int"))
+        .groupBy("l_returnflag")
+        .agg(F.sum("hi").alias("n_hi"))
+    )
+
+
 # --------------------------------------------------------------------------
 # flagship: the cohort-shaped end-to-end pipeline (SURVEY.md §7 phase 1)
 # --------------------------------------------------------------------------
