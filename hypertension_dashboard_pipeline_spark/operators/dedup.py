@@ -18,15 +18,30 @@ Scale notes: every step is explode → hash-aggregate → equi-join; the
 only quadratic surface is per-bucket candidate pairs, which banding
 (MinHash) / shared-shingle blocking (Jaccard) keeps near-linear. For
 web-scale corpora add a document-frequency cut on shingles before the
-self-join (``max_df``) to bound hot-bucket fan-out.
+self-join (``max_df``) to bound hot-bucket fan-out, and key the
+inverted-index join on ``xxhash64(shingle)`` instead of the string
+(8-byte shuffle keys; collision odds are ~n²/2⁶⁴ — kept off here so
+the oracle's string-equality semantics hold exactly).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import word_shingles
+
+
+def _maybe_persist(df: DataFrame, persist: bool) -> DataFrame:
+    """Persist a subplan that the near-dup operators reference from
+    multiple join branches. Spark plans each branch independently (no
+    automatic CTE/subplan reuse across differing projections), so
+    without this the tokenize→explode→aggregate chain runs once per
+    branch — 4× for the self-join + size/signature re-joins. MEMORY_AND_DISK
+    spills instead of OOMing; on a cluster-scale corpus the equivalent
+    move is a Parquet checkpoint of the same intermediate."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK) if persist else df
 
 # 31-bit Mersenne prime: (a*x+b) % P stays < 2^62 — no BIGINT overflow
 # in any engine.
@@ -100,7 +115,8 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 def shingle_pairs_jaccard(df: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", k: int = 3,
                           threshold: float = 0.5, scale: int = 6,
-                          max_df: int | None = None) -> DataFrame:
+                          max_df: int | None = None,
+                          persist: bool = True) -> DataFrame:
     """Near-duplicate pairs by exact k-word-shingle Jaccard.
 
     |A∩B| = per-pair row count of the inverted-index self-join;
@@ -122,6 +138,9 @@ def shingle_pairs_jaccard(df: DataFrame, id_col: str = "doc_id",
         )
         ex = ex.join(rare, "shingle", "left_semi")
 
+    # ex feeds both sides of the self-join plus the two size lookups;
+    # persisted it is computed once instead of four times.
+    ex = _maybe_persist(ex, persist)
     sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     inter = (
@@ -201,7 +220,8 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", max_hamming: int = 6,
-                  n_bits: int = SIMHASH_BITS, chunks: int = 4) -> DataFrame:
+                  n_bits: int = SIMHASH_BITS, chunks: int = 4,
+                  persist: bool = True) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
     Blocking: signatures are cut into ``chunks`` bit-chunks; by
@@ -213,7 +233,10 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     width = n_bits // chunks
     mask = (1 << width) - 1
-    sigs = simhash_signatures(df, id_col, text_col, n_bits)
+    # per-doc (id, simhash) rows, read by both sides of the chunk join
+    sigs = _maybe_persist(
+        simhash_signatures(df, id_col, text_col, n_bits), persist
+    )
     chunked = sigs.select(
         "id",
         "simhash",
@@ -283,7 +306,7 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", k: int = 3,
                       n_hashes: int = 16, bands: int = 4,
-                      scale: int = 6) -> DataFrame:
+                      scale: int = 6, persist: bool = True) -> DataFrame:
     """LSH candidate pairs with estimated Jaccard.
 
     The signature is banded (``bands`` bands of n_hashes/bands rows);
@@ -293,7 +316,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     candidate shuffle. Estimate = fraction of agreeing positions.
     """
     rows = n_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, n_hashes)
+    # per-doc signature rows are tiny relative to the corpus (n_docs ×
+    # n_hashes ints) and feed four branches: both banded sides + both
+    # signature re-joins.
+    sigs = _maybe_persist(
+        minhash_signatures(df, id_col, text_col, k, n_hashes), persist
+    )
 
     band_structs = [
         F.struct(

@@ -51,6 +51,12 @@ def build_session(
         builder = builder.master(f"local[{cpus}]")
 
     conf: dict[str, str] = {
+        # --- memory: in local[N] mode the driver JVM hosts every
+        # executor thread; Spark's 1g default heap causes spurious
+        # spills/OOM with 32 threads. Only effective for the first
+        # session in a process (pre-JVM-launch); harmless otherwise.
+        # Cluster submissions override via spark-submit.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         # --- determinism ---
         "spark.sql.session.timeZone": "UTC",
         # --- adaptive execution: runtime re-planning at any scale ---
