@@ -97,6 +97,46 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").csv(path)
 
 
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   num_buckets: int = 32, sort_cols: list[str] | None = None,
+                   mode: str = "overwrite") -> None:
+    """Write a catalog table hash-bucketed (and optionally sorted) by
+    the join/aggregation key.
+
+    The reference's big joins are all patient-keyed equi-joins
+    (SURVEY.md §2.3); at 100 TB each one shuffles both sides on
+    PATIENT_LINKAGE every run. Bucketing the persistent tables by that
+    key pays the shuffle once at write time: subsequent joins and
+    groupBys between same-bucketed tables read co-located buckets and
+    skip the exchange entirely (pinned by
+    tests/test_plans.py::test_bucketed_join_skips_shuffle). ``sort_cols``
+    additionally pre-sorts within buckets so sort-merge joins skip the
+    per-task sort — readers must set
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` to use
+    the stored order (ignored by default since Spark 3.0; safe here
+    because buckets are single-file).
+    """
+    # Repartition on the bucket key first so every bucket is written as
+    # exactly one file: Spark elides the merge-join sort only for
+    # single-file buckets, and one-file-per-bucket also avoids the
+    # small-files problem when many write tasks each touch many buckets.
+    writer = (
+        df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
+        .write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a catalog table (bucket metadata preserved — unlike reading
+    the table's parquet files by path, which drops bucketing)."""
+    return spark.table(table)
+
+
 def write_partitioned(df: DataFrame, path: str, date_col: str,
                       mode: str = "overwrite") -> None:
     """Write partitioned by year(date_col) for dynamic partition pruning.

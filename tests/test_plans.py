@@ -16,6 +16,7 @@ that way):
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from hypertension_dashboard_pipeline_spark import registry
 
@@ -84,3 +85,54 @@ def test_semi_join_carries_no_payload(plan):
     """J6: the semi join must not materialize right-side columns."""
     p = plan("j6_semi_evidence")
     assert "LeftSemi" in p
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path_factory):
+    """Tables bucketed on the join key must sort-merge-join with no
+    Exchange on either side — the write-once-shuffle-never pattern for
+    the 100 TB patient-keyed joins (io.write_bucketed)."""
+    from hypertension_dashboard_pipeline_spark.io import (
+        load_table,
+        read_table,
+        write_bucketed,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    write_bucketed(cust, "bkt_cust", ["c_custkey"], num_buckets=8,
+                   sort_cols=["c_custkey"])
+    write_bucketed(orders, "bkt_orders", ["o_custkey"], num_buckets=8,
+                   sort_cols=["o_custkey"])
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # honor per-bucket sort order (safe: write_bucketed produces
+        # exactly one file per bucket, so no read regression)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+        )
+        try:
+            joined = read_table(spark, "bkt_cust").join(
+                read_table(spark, "bkt_orders"),
+                F.col("c_custkey") == F.col("o_custkey"),
+            )
+            p = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in p
+            assert "Exchange hashpartitioning" not in p
+            assert "SelectedBucketsCount" in p
+            # bucket-local sort order is honored: no per-task re-sort
+            assert "Sort " not in p
+            # and the result is right
+            assert joined.count() == orders.join(
+                cust, F.col("c_custkey") == F.col("o_custkey")
+            ).count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.conf.set(
+                "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_cust")
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
