@@ -1,0 +1,122 @@
+"""Property-based cross-checks for the near-dup operators.
+
+The driver's DuckDB oracle already pins these on the fixed testdata;
+hypothesis additionally drives them with adversarial tiny corpora
+(repeated tokens, identical docs, whitespace noise) and compares
+against an independent brute-force Python implementation — the
+generalization of the reference's recompute-by-hand QC idiom
+(3_blood_pressure.R:177-182, SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hypertension_dashboard_pipeline_spark.operators import dedup as dd
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+
+doc_strategy = st.lists(
+    st.sampled_from(VOCAB), min_size=0, max_size=10
+).map(" ".join)
+
+corpus_strategy = st.lists(doc_strategy, min_size=2, max_size=6)
+
+
+def _tokens(text: str) -> list[str]:
+    return text.split()
+
+
+def _shingles(text: str, k: int = 3) -> set[str]:
+    toks = _tokens(text)
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _base_hash(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _corpus_df(spark, corpus):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(corpus=corpus_strategy)
+def test_jaccard_pairs_match_bruteforce(spark, corpus):
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.shingle_pairs_jaccard(
+            _corpus_df(spark, corpus), threshold=0.0, persist=False
+        ).collect()
+    }
+    want = {}
+    for a in range(len(corpus)):
+        for b in range(a + 1, len(corpus)):
+            sa, sb = _shingles(corpus[a]), _shingles(corpus[b])
+            inter = len(sa & sb)
+            if inter:  # operator only emits pairs sharing >=1 shingle
+                want[(a, b)] = round(inter / len(sa | sb), 6)
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(corpus=corpus_strategy)
+def test_minhash_signatures_match_bruteforce(spark, corpus):
+    n_hashes = 8
+    rows = dd.minhash_signatures(
+        _corpus_df(spark, corpus), n_hashes=n_hashes
+    ).collect()
+    got = {r.id: [r[f"h{i}"] for i in range(n_hashes)] for r in rows}
+    params = dd.perm_params(n_hashes)
+    want = {}
+    for i, text in enumerate(corpus):
+        sh = _shingles(text)
+        if not sh:
+            continue
+        xs = [_base_hash(s) % dd.MINHASH_PRIME for s in sh]
+        want[i] = [
+            min((a * x + b) % dd.MINHASH_PRIME for x in xs) for a, b in params
+        ]
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(corpus=corpus_strategy)
+def test_simhash_signatures_match_bruteforce(spark, corpus):
+    rows = dd.simhash_signatures(_corpus_df(spark, corpus)).collect()
+    got = {r.id: r.simhash for r in rows}
+    want = {}
+    for i, text in enumerate(corpus):
+        toks = set(_tokens(text))
+        if not toks:
+            continue
+        sig = 0
+        for b in range(dd.SIMHASH_BITS):
+            votes = sum(
+                1 if (_base_hash(t) >> b) & 1 else -1 for t in toks
+            )
+            if votes >= 0:
+                sig += 1 << b
+        want[i] = sig
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(corpus=corpus_strategy)
+def test_exact_dedup_keeps_one_per_distinct_text(spark, corpus):
+    out = dd.exact_dedup(_corpus_df(spark, corpus)).collect()
+    # one survivor per distinct text, and it is the min doc_id
+    want_ids = sorted(
+        min(i for i, t in enumerate(corpus) if t == text)
+        for text in set(corpus)
+    )
+    assert sorted(r.doc_id for r in out) == want_ids
