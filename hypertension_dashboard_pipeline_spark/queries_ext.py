@@ -744,6 +744,28 @@ def streaming_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stateful(spark, sf_dir)
 
 
+@register(
+    "streaming_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: the event stream unioned with
+    itself (at-least-once delivery simulation) deduplicated per
+    event_id via dropDuplicatesWithinWatermark — bounded state, rows
+    emitted on first arrival. The distinct events ARE the batch table,
+    which is the oracle."""
+    import itertools
+
+    from .streaming.dedup import run_available_now as run_dedup
+
+    if not hasattr(streaming_dedup, "_seq"):
+        streaming_dedup._seq = itertools.count()
+    # memory sinks need a fresh queryName per run within a session
+    return run_dedup(spark, sf_dir, name=f"dedup_stream_{next(streaming_dedup._seq)}")
+
+
 @register("streaming_daily_window")
 def streaming_daily_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling-day aggregation with watermark

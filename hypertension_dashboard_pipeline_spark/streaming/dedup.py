@@ -1,0 +1,81 @@
+"""Streaming deduplication (beyond-reference extension surface).
+
+Exactly-once event delivery is the streaming face of the dedup family
+(operators/dedup.py): at-least-once sources (Kafka retries, file
+redeliveries) produce duplicate records, and a training-data ingest
+pipeline must drop them before they reach the corpus.
+
+``dropDuplicatesWithinWatermark`` keys state by the id columns and
+expires it once the event-time watermark passes — bounded state, unlike
+an unbounded batch ``distinct`` re-run per ingest. Each record is
+emitted exactly once, on first arrival.
+
+At scale: state is partitioned by key across executors (RocksDB state
+store on a cluster); the watermark horizon bounds memory to one
+retention window regardless of stream length.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def dedup_within_watermark(events: DataFrame, key_cols: list[str],
+                           watermark: str = "2 days") -> DataFrame:
+    """The shared dedup definition: one surviving row per key within
+    the watermark horizon, emitted at first arrival."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over the events table (nanos → micros, as in
+    io.load_table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+
+
+def run_available_now(spark: SparkSession, sf_dir: str,
+                      name: str = "dedup_stream") -> DataFrame:
+    """Dedup a deliberately-duplicated stream (the source unioned with
+    itself — an at-least-once delivery simulation) down to one row per
+    event_id. With the bounded source the emitted rows are exactly the
+    distinct events, so the batch table itself is the oracle."""
+    doubled = _events_stream(spark, sf_dir).unionByName(
+        _events_stream(spark, sf_dir)
+    )
+    out = dedup_within_watermark(doubled, ["event_id"]).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_dedup_stream_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -35,3 +35,16 @@ def test_streaming_matches_batch_prefix(spark, sf_smoke):
 
     assert stream_rows == batch_rows
     assert len(stream_rows) > 0
+
+
+def test_streaming_dedup_drops_redelivered_events(spark, sf_smoke):
+    """A doubled stream (at-least-once redelivery) must come out with
+    exactly one row per event_id (streaming/dedup.py)."""
+    from hypertension_dashboard_pipeline_spark.streaming.dedup import (
+        run_available_now as run_dedup,
+    )
+
+    out = run_dedup(spark, sf_smoke, name="dedup_equiv_test")
+    n_distinct = load_table(spark, sf_smoke, "events").count()
+    assert out.count() == n_distinct
+    assert out.select("event_id").distinct().count() == n_distinct
