@@ -126,6 +126,44 @@ def salted_counts(df: DataFrame, key: str, value_col: str,
     )
 
 
+def grouped_percentiles(df: DataFrame, key: str, value_col: str,
+                        percentiles: Sequence[float] = (0.5, 0.9, 0.99),
+                        scale: int = 4) -> DataFrame:
+    """Exact interpolated percentiles per group (``F.percentile``; same
+    definition as ANSI PERCENTILE_CONT / DuckDB quantile_cont, so the
+    oracle matches to the rounding scale).
+
+    Exact percentiles require the group's values on one reducer; for
+    100 TB hot groups use ``approx_percentiles`` (t-digest sketch,
+    map-side combinable, bounded memory) instead.
+    """
+    aggs = [
+        F.round(F.percentile(F.col(value_col), F.lit(p)), scale).alias(
+            f"p{str(p).replace('0.', '')}"
+        )
+        for p in percentiles
+    ]
+    return df.groupBy(key).agg(*aggs)
+
+
+def approx_distinct_and_percentiles(df: DataFrame, key: str,
+                                    distinct_col: str, value_col: str,
+                                    rsd: float = 0.05) -> DataFrame:
+    """Sketch-based grouped profile: HyperLogLog++ distinct count and
+    t-digest median — both map-side combinable with fixed-size state,
+    the only viable shape for high-cardinality profiling at 100 TB
+    (exact countDistinct shuffles every distinct value; exact
+    percentile shuffles every row).
+
+    Approximate by design → no SQL oracle; tests bound the relative
+    error against exact computation instead.
+    """
+    return df.groupBy(key).agg(
+        F.approx_count_distinct(distinct_col, rsd=rsd).alias("approx_distinct"),
+        F.percentile_approx(value_col, 0.5, 10_000).alias("approx_median"),
+    )
+
+
 def attrition_pct(before: int, after: int, denom: int | None = None) -> float:
     """Reference A11: attrition percentage arithmetic over stage counts
     (2_data_importing_cleaning.R:403-405)."""

@@ -68,3 +68,30 @@ def broadcast_dim(fact: DataFrame, dim: DataFrame,
     engine form of the reference's IN-literal splicing
     (2_data_importing_cleaning.R:209)."""
     return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def salted_join(skewed: DataFrame, other: DataFrame, on: str,
+                salt_buckets: int = 16) -> DataFrame:
+    """Inner equi-join that survives extreme key skew: the skewed side
+    gets a random-but-deterministic salt (hash of its whole row via
+    monotonically increasing id is NOT deterministic — use xxhash64 of
+    all columns), the other side is exploded across all salt values,
+    and the join key becomes (key, salt) — a hot key's rows spread over
+    ``salt_buckets`` reducers instead of one.
+
+    AQE's skew-join split (on by default in session.py) handles most
+    skew by splitting oversized partitions; this manual form remains
+    for the pathological case AQE can't fix — a single join key larger
+    than executor memory — at the cost of replicating the other side
+    ``salt_buckets``×. Exact same result set as a plain inner join
+    (oracle-checked).
+    """
+    skew_salted = skewed.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]),
+               F.lit(salt_buckets)),
+    )
+    other_exploded = other.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return skew_salted.join(other_exploded, on=[on, "__salt"]).drop("__salt")

@@ -515,6 +515,72 @@ def a12_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a13_grouped_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS p5,
+           ROUND(quantile_cont(l_quantity, 0.9), 4) AS p9,
+           ROUND(quantile_cont(l_quantity, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a13_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (F.percentile == PERCENTILE_CONT ==
+    DuckDB quantile_cont, linear interpolation). Beyond-reference:
+    distribution stats for BP-like value columns. The exact form
+    shuffles whole groups — see a14_sketch_profile for the scale path."""
+    from .operators.aggregates import grouped_percentiles
+
+    return grouped_percentiles(
+        load_table(spark, sf_dir, "lineitem"), "l_returnflag", "l_quantity"
+    )
+
+
+@register("a14_sketch_profile")
+def a14_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates: HyperLogLog++ approx distinct + t-digest
+    approx median per group — fixed-size map-side-combinable state, the
+    100 TB replacement for exact countDistinct/percentile on hot
+    groups. Approximate by design → rows-only driver check; the test
+    suite bounds relative error against exact values."""
+    from .operators.aggregates import approx_distinct_and_percentiles
+
+    return approx_distinct_and_percentiles(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_returnflag", "l_partkey", "l_quantity",
+    )
+
+
+@register(
+    "j9_salted_skew_join",
+    oracle="""
+    SELECT d.label, COUNT(*) AS n, SUM(a.l_quantity) AS total_qty
+    FROM lineitem a
+    JOIN (SELECT DISTINCT l_returnflag, 'flag_' || l_returnflag AS label
+          FROM lineitem) d USING (l_returnflag)
+    GROUP BY d.label
+    """,
+)
+def j9_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manually salted skew join: lineitem's 3-value l_returnflag is the
+    pathological hot key; the salt spreads each key across 16 reducers
+    while the dim side replicates 16x. Result is exactly the plain
+    inner join (the oracle)."""
+    from .operators.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    dim = li.select("l_returnflag").distinct().withColumn(
+        "label", F.concat(F.lit("flag_"), F.col("l_returnflag"))
+    )
+    joined = salted_join(li, dim, "l_returnflag", salt_buckets=16)
+    return joined.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("total_qty")
+    )
+
+
+@register(
     "p12b_strict_integer_band",
     oracle="""
     SELECT l_returnflag, COUNT(*) AS n

@@ -1,0 +1,54 @@
+"""Scale-path operators: sketch aggregates (error-bounded) and the
+manually salted skew join (exact-equivalence)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hypertension_dashboard_pipeline_spark.io import load_table
+from hypertension_dashboard_pipeline_spark.operators.aggregates import (
+    approx_distinct_and_percentiles,
+)
+from hypertension_dashboard_pipeline_spark.operators.joins import salted_join
+
+
+def test_sketch_profile_error_bounds(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    approx = {
+        r.l_returnflag: (r.approx_distinct, r.approx_median)
+        for r in approx_distinct_and_percentiles(
+            li, "l_returnflag", "l_partkey", "l_quantity"
+        ).collect()
+    }
+    exact = {
+        r.l_returnflag: (r.nd, r.med)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("nd"),
+            F.percentile(F.col("l_quantity"), F.lit(0.5)).alias("med"),
+        )
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        nd_a, med_a = approx[k]
+        nd_e, med_e = exact[k]
+        # HLL++ at rsd=0.05: allow 3 sigma
+        assert abs(nd_a - nd_e) / nd_e < 0.15, (k, nd_a, nd_e)
+        # t-digest median of 1..50 integers: within one step of exact
+        assert abs(med_a - med_e) <= 1.0, (k, med_a, med_e)
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber"
+    )
+    dim = li.select("l_returnflag").distinct().withColumn(
+        "label", F.concat(F.lit("f_"), F.col("l_returnflag"))
+    )
+    salted = salted_join(li, dim, "l_returnflag", salt_buckets=8)
+    plain = li.join(dim, "l_returnflag")
+    assert salted.count() == plain.count()
+    assert (
+        salted.exceptAll(plain.select(*salted.columns)).count() == 0
+    )
