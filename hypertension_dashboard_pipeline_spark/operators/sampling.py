@@ -1,0 +1,62 @@
+"""Deterministic sampling and dataset splitting (extension surface).
+
+Training-data pipelines need *reproducible* subsetting: re-running the
+pipeline (or running it on another engine) must select the same rows.
+Spark's ``df.sample``/``sampleBy`` are seeded-RNG based — reproducible
+within Spark but partitioning-sensitive and not portable — so these
+operators derive selection from a content hash instead:
+
+    bucket(x) = md5(x) first 8 hex digits, mod ``buckets``
+
+which is engine-agnostic (the DuckDB oracle reproduces it exactly),
+stable under repartitioning, and needs no coordination — each row
+decides membership locally, so sampling a 100 TB table is a pure
+narrow map with full predicate pushdown of everything else.
+
+Splitting by a *group* key (user, document family, patient) rather
+than per-row prevents train/test leakage: all rows of one entity land
+in the same split — the reason sampleBy can't be used for eval splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col: Column | str, buckets: int = 100) -> Column:
+    """Deterministic [0, buckets) bucket from md5 of the column's
+    string form. Engine-agnostic: DuckDB equivalent is
+    ``('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 8))::BIGINT % buckets``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+        .cast("long") % buckets
+    )
+
+
+def deterministic_sample(df: DataFrame, key_col: str, pct: int,
+                         buckets: int = 100) -> DataFrame:
+    """Keep rows whose key hashes into the first ``pct`` of ``buckets``
+    — a reproducible, repartition-stable ~pct% sample."""
+    return df.filter(hash_bucket(key_col, buckets) < pct)
+
+
+def group_split(df: DataFrame, group_col: str,
+                weights: dict[str, int] | None = None) -> DataFrame:
+    """Assign every row a split label by hashing its *group* key, so a
+    group's rows never straddle splits (no train/test leakage).
+
+    ``weights`` maps label → bucket count out of their total (default
+    80/10/10 train/val/test).
+    """
+    weights = weights or {"train": 80, "val": 10, "test": 10}
+    total = sum(weights.values())
+    b = hash_bucket(group_col, total)
+    expr: Column | None = None
+    lo = 0
+    for label, w in weights.items():
+        cond = b < lo + w
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+        lo += w
+    return df.withColumn("split", expr)

@@ -515,6 +515,73 @@ def a12_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_deterministic",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 100 < 10
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% corpus sample by content-hash bucket — stable
+    under repartitioning and portable across engines, unlike seeded-RNG
+    df.sample. A pure narrow map: no shuffle, full pushdown."""
+    from .operators.sampling import deterministic_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    return deterministic_sample(docs, "doc_id", pct=10)
+
+
+@register(
+    "split_by_group",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT DISTINCT user_id,
+                     ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                     % 100 AS b
+              FROM events)
+    )
+    SELECT split, COUNT(*) AS n_users
+    FROM s GROUP BY split
+    """,
+)
+def split_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 80/10/10 split: the split label is a function of the
+    *user* hash, so all of an entity's rows share a split — the eval
+    hygiene rule per-row sampling breaks."""
+    from .operators.sampling import group_split
+
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    return group_split(users, "user_id").groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))
+               AS n_bpe_ish
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-ish token accounting (letter runs / digit runs / single
+    punctuation) — the budget estimator shape for BPE corpora, as a
+    single JVM-side regexp_count."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", tx.bpe_ish_token_count("text").alias("n_bpe_ish")
+    )
+
+
+@register(
     "a13_grouped_percentiles",
     oracle="""
     SELECT l_returnflag,

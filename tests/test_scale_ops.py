@@ -52,3 +52,33 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     assert (
         salted.exceptAll(plain.select(*salted.columns)).count() == 0
     )
+
+
+def test_group_split_no_leakage_and_stability(spark, sf_dir):
+    from hypertension_dashboard_pipeline_spark.operators.sampling import (
+        deterministic_sample,
+        group_split,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    split = group_split(ev, "user_id")
+    # no user straddles splits
+    assert (
+        split.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+        == 0
+    )
+    # every row got a label and all three labels exist
+    assert split.filter(F.col("split").isNull()).count() == 0
+    assert split.select("split").distinct().count() == 3
+
+    # deterministic sample is repartition-stable
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    a = sorted(r.doc_id for r in deterministic_sample(docs, "doc_id", 10).collect())
+    b = sorted(
+        r.doc_id
+        for r in deterministic_sample(docs.repartition(7), "doc_id", 10).collect()
+    )
+    assert a == b and 0 < len(a) < docs.count()
