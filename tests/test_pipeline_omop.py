@@ -159,3 +159,28 @@ def test_phenotype_stats_rollup(phenotype):
     n_pos = phenotype.filter("hypertension_140 = 1").count()
     assert stats[1] == n_pos
     assert stats[None] == len(EXPECTED_COHORT)  # totals row
+
+
+def test_staged_runner_checkpoints_match_direct(spark, tables, phenotype,
+                                                tmp_path):
+    """plans/run.py: the checkpointed staged run must produce exactly
+    the directly-composed phenotype, and each stage boundary must exist
+    on disk as readable Parquet (the reference's CSV-handoff pattern,
+    type-exact)."""
+    import os
+
+    from hypertension_dashboard_pipeline_spark.plans.run import run_pipeline
+
+    out = run_pipeline(spark, tables, CODELISTS, str(tmp_path), YEAR)
+    for stage in ("stage2_cohort", "stage3_bp_flags", "stage4_phenotype",
+                  "stage4_stats"):
+        assert os.path.isdir(tmp_path / stage)
+
+    direct = {r["PATIENT_LINKAGE"]: r for r in phenotype.collect()}
+    staged = {r["PATIENT_LINKAGE"]: r for r in out["phenotype"].collect()}
+    assert staged.keys() == direct.keys()
+    for k in direct:
+        assert staged[k]["hypertension_140"] == direct[k]["hypertension_140"]
+        assert staged[k]["hypertension_130"] == direct[k]["hypertension_130"]
+    # checkpoint round-trip preserved types (no CSV-style degradation)
+    assert dict(out["phenotype"].dtypes) == dict(phenotype.dtypes)
