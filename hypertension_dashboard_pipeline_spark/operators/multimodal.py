@@ -104,6 +104,63 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id",
     return src.mapInPandas(run, schema=FRAMES_SCHEMA)
 
 
+FEATURES_SCHEMA = "doc_id long, features array<double>"
+FEATURE_DIM = 8
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id",
+                     payload_col: str = "payload") -> DataFrame:
+    """Fixed-dimension feature vector per payload via Arrow-batched
+    mapInPandas — the embedding-model-inference shape.
+
+    STUB featurizer: dimension i is the i-th 16-bit word of the
+    payload's md5, scaled to [0, 1] (a real deployment would run the
+    encoder model here). Deterministic and engine-agnostic, so the
+    whole Arrow pipeline — batch in, fixed-width vector column out —
+    is oracle-checkable end to end. Exact IEEE division (no rounding)
+    keeps cross-engine floats bit-identical.
+    """
+    import hashlib
+
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            feats = [
+                [
+                    int(hashlib.md5(p).hexdigest()[4 * i : 4 * i + 4], 16)
+                    / 65535.0
+                    for i in range(FEATURE_DIM)
+                ]
+                for p in batch["payload"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].astype("int64"),
+                 "features": pd.Series(feats, dtype="object")}
+            )
+
+    return src.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def resize_meta(decoded: DataFrame, target_w: int = 224,
+                target_h: int = 224) -> DataFrame:
+    """Aspect-preserving fit-inside resize arithmetic over decoded
+    dimensions — pure JVM-side expressions (the pixel resample itself
+    would live in the decode UDF; the geometry never needs Python)."""
+    scale = F.least(
+        F.lit(float(target_w)) / F.col("fake_width"),
+        F.lit(float(target_h)) / F.col("fake_height"),
+    )
+    return decoded.select(
+        "doc_id",
+        "fake_width",
+        "fake_height",
+        F.floor(F.col("fake_width") * scale).cast("int").alias("out_w"),
+        F.floor(F.col("fake_height") * scale).cast("int").alias("out_h"),
+    )
+
+
 def documents_as_binary(df: DataFrame) -> DataFrame:
     """Treat document text as an opaque binary payload — the multimodal
     ingestion shape (real pipelines read image/audio bytes from parquet

@@ -841,6 +841,62 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_extract_features",
+    oracle="""
+    SELECT doc_id,
+           list_transform(range(0, 8),
+               i -> ('0x' || substr(md5(text), i*4 + 1, 4))::BIGINT / 65535.0)
+               AS features
+    FROM documents
+    """,
+)
+def multimodal_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads
+    (mapInPandas → fixed-width array<double> column) with a
+    deterministic stub featurizer — the embedding-inference plumbing,
+    oracle-checked end to end including the vector column."""
+    from .operators.multimodal import documents_as_binary, extract_features
+
+    docs = documents_as_binary(load_table(spark, sf_dir, "documents"))
+    return extract_features(docs)
+
+
+@register(
+    "multimodal_resize_meta",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER)
+                   AS fake_width,
+               CAST(octet_length(encode(text)) * 7 % 480 + 1 AS INTEGER)
+                   AS fake_height
+        FROM documents
+    )
+    SELECT doc_id, fake_width, fake_height,
+           CAST(FLOOR(fake_width * LEAST(224.0 / fake_width,
+                                         224.0 / fake_height)) AS INTEGER)
+               AS out_w,
+           CAST(FLOOR(fake_height * LEAST(224.0 / fake_width,
+                                          224.0 / fake_height)) AS INTEGER)
+               AS out_h
+    FROM d
+    """,
+)
+def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize geometry over decoded dimensions:
+    decode in Python (Arrow batches), geometry JVM-side — the
+    split that keeps Python out of per-pixel work."""
+    from .operators.multimodal import (
+        decode_metadata,
+        documents_as_binary,
+        resize_meta,
+    )
+
+    docs = documents_as_binary(load_table(spark, sf_dir, "documents"))
+    return resize_meta(decode_metadata(docs))
+
+
+@register(
     "multimodal_decode_meta",
     oracle="""
     SELECT doc_id,
