@@ -125,6 +125,21 @@ def fingerprint(c: Column | str) -> Column:
     return F.md5(norm)
 
 
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def scrub_pii(c: Column | str) -> Column:
+    """Redact emails and URLs with typed placeholders — the minimal PII
+    pass a training corpus gets before anything else. Pure
+    regexp_replace (global by default in Spark; the oracle needs the
+    'g' flag in DuckDB), so it runs JVM-side at full scan speed."""
+    col = _col(c)
+    return F.regexp_replace(
+        F.regexp_replace(col, EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+    )
+
+
 def word_shingles(c: Column | str, k: int = 3) -> Column:
     """k-word shingles (with positional duplicates) → array<string>;
     empty array when the document has fewer than k tokens.

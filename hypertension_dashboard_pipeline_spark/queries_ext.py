@@ -515,6 +515,63 @@ def a12_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_scrub_pii",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(
+                   text || ' contact: user' || doc_id ||
+                   '@example.com see http://ex.com/' || doc_id,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+               'https?://[^\s]+', '<URL>', 'g') AS scrubbed
+    FROM documents
+    """,
+)
+def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails/URLs → typed placeholders) over text with
+    injected contact strings, so the redaction provably fires. JVM-side
+    regexp_replace — full scan speed, no UDF."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact: user"), F.col("doc_id"),
+            F.lit("@example.com see http://ex.com/"), F.col("doc_id"),
+        ).alias("dirty"),
+    )
+    return docs.select("doc_id", tx.scrub_pii("dirty").alias("scrubbed"))
+
+
+@register(
+    "pack_token_budget",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, doc_id,
+               len({_DK_TOKENS.format(c='text')}) AS n_tokens
+        FROM documents
+    )
+    SELECT source, doc_id, n_tokens,
+           SUM(n_tokens) OVER w AS cum_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER w - n_tokens) / 512.0) AS BIGINT)
+               AS chunk_id
+    FROM t
+    WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents accumulate into ~512-token chunks
+    per source via a running-total window — the distributed packing
+    variant (one shuffle on the group key; chunks overshoot by at most
+    one document)."""
+    from .operators.packing import pack_by_token_budget
+
+    return pack_by_token_budget(
+        load_table(spark, sf_dir, "documents"), "source", "doc_id"
+    )
+
+
+@register(
     "sample_deterministic",
     oracle="""
     SELECT doc_id, lang, source FROM documents
