@@ -49,3 +49,33 @@ def test_near_dup_pairs_threshold(emb):
     pairs = sim.cosine_near_dup_pairs(emb, threshold=0.4, n_planes=0).collect()
     assert all(r["cos_sim"] >= 0.4 for r in pairs)
     assert all(r["id_a"] < r["id_b"] for r in pairs)
+
+
+def test_lsh_recall_on_clustered_corpus(spark):
+    """On data with cluster structure (the case ANN exists for), the
+    sign-bucket LSH must recover nearly all true neighbors: same-cluster
+    vectors share hyperplane signs, so the probed bucket contains the
+    cluster. Quantified recall@10 >= 0.8 vs the exact baseline.
+    (On structureless uniform data recall degrades toward the probed
+    fraction — that is inherent to LSH, not this implementation.)"""
+    dim, per_cluster = 8, 40
+    # 4 well-separated axis clusters with small deterministic jitter
+    rows = []
+    vid = 0
+    for c in range(4):
+        for i in range(per_cluster):
+            base = [0.0] * dim
+            base[c * 2] = 1.0
+            jitter = [((vid * 13 + d * 7) % 11 - 5) / 100.0 for d in range(dim)]
+            rows.append((vid, [b + j for b, j in zip(base, jitter)]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    recalls = []
+    for qid in (0, per_cluster, 2 * per_cluster, 3 * per_cluster):
+        qv = rows[qid][1]
+        exact = {r.vec_id for r in sim.brute_force_topk(emb, qv, k=10).collect()}
+        approx = {r.vec_id for r in sim.lsh_bucket_topk(emb, qv, k=10,
+                                                        n_planes=4).collect()}
+        recalls.append(len(exact & approx) / 10)
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
