@@ -367,3 +367,60 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
             ),
         )
     )
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iterations: int = 20) -> DataFrame:
+    """Resolve near-dup *pairs* into transitive duplicate *groups*:
+    (id, component) where component is the minimum id reachable through
+    any chain of pairs — the step every dedup pipeline needs between
+    pairwise candidates and keep-one-per-group.
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(graph diameter) rounds (near-dup families are shallow — a few
+    rounds in practice). Each round is one groupBy shuffle;
+    localCheckpoint truncates the growing lineage. Driver involvement
+    is one small convergence count per round, never row data.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b"))
+        )
+        .distinct()
+    )
+    edges = _maybe_persist(edges, True)
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels

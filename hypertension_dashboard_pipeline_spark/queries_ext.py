@@ -215,6 +215,43 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_DK_EX}, sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM ex GROUP BY id
+    ), inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+        FROM ex a JOIN ex b USING (shingle) WHERE a.id < b.id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b
+        FROM inter JOIN sizes sa ON inter.id_a = sa.id
+                   JOIN sizes sb ON inter.id_b = sb.id
+        WHERE ROUND(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.1
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+        SELECT a AS id, a AS r FROM edges
+        UNION
+        SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+    )
+    SELECT id, MIN(r) AS component FROM reach GROUP BY id
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate groups from near-dup pairs: iterative
+    min-label propagation (one groupBy per round, O(diameter) rounds,
+    localCheckpoint between) — the pairs→clusters step every dedup
+    pipeline needs before keep-one-per-group. Oracle: recursive-CTE
+    closure computing min reachable id per node."""
+    pairs = dd.shingle_pairs_jaccard(
+        load_table(spark, sf_dir, "documents"), threshold=0.1
+    )
+    return dd.connected_components(pairs)
+
+
 def _minhash_oracle(n_hashes: int = 16, bands: int = 4) -> str:
     rows = n_hashes // bands
     p = dd.MINHASH_PRIME

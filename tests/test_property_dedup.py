@@ -120,3 +120,37 @@ def test_exact_dedup_keeps_one_per_distinct_text(spark, corpus):
         for text in set(corpus)
     )
     assert sorted(r.doc_id for r in out) == want_ids
+
+
+edge_strategy = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda e: e[0] != e[1]),
+    min_size=1, max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(edges=edge_strategy)
+def test_connected_components_match_union_find(spark, edges):
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {
+        r.id: r.component for r in dd.connected_components(pairs).collect()
+    }
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
