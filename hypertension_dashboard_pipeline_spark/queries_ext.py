@@ -215,6 +215,73 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DK_EX_DUPS = f"""
+    shd AS (
+        SELECT doc_id AS id,
+               list_transform(range(1, len(ws) - 1),
+                              i -> array_to_string(ws[i:i+2], ' ')) AS shingles
+        FROM (SELECT doc_id, {_DK_TOKENS.format(c='text')} AS ws FROM documents)
+        WHERE len(ws) >= 3
+    ), exd AS (
+        SELECT id, unnest(shingles) AS shingle FROM shd
+    )"""
+
+
+@register(
+    "text_repetition_ratio",
+    oracle=f"""
+    WITH {_DK_EX_DUPS}, cnt AS (
+        SELECT id, shingle, COUNT(*) AS c FROM exd GROUP BY 1, 2
+    )
+    SELECT id AS doc_id,
+           ROUND(MAX(c)::DOUBLE / SUM(c), 6) AS rep_ratio
+    FROM cnt GROUP BY id
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/repetition signal: the most frequent 3-shingle's
+    share of all (positional) shingles per doc — near 1.0 for looping
+    generated text, low for natural prose. Two map-side-combinable
+    aggregations, no arrays through the shuffle."""
+    ex = dd.exploded_shingles(
+        load_table(spark, sf_dir, "documents"), distinct=False
+    )
+    cnt = ex.groupBy("id", "shingle").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        cnt.groupBy("id")
+        .agg(
+            F.round(
+                F.max("c").cast("double") / F.sum("c"), 6
+            ).alias("rep_ratio")
+        )
+        .withColumnRenamed("id", "doc_id")
+    )
+
+
+@register(
+    "text_top_ngrams",
+    oracle=f"""
+    WITH {_DK_EX_DUPS}
+    SELECT shingle, COUNT(*) AS n
+    FROM exd GROUP BY shingle
+    ORDER BY n DESC, shingle LIMIT 20
+    """,
+)
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide most frequent 3-shingles (contamination/boilerplate
+    audit): one partial-aggregated count + TakeOrdered(20) with a
+    deterministic tie-break — no global sort."""
+    ex = dd.exploded_shingles(
+        load_table(spark, sf_dir, "documents"), distinct=False
+    )
+    return (
+        ex.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("shingle"))
+        .limit(20)
+    )
+
+
 @register(
     "dedup_components",
     oracle=f"""
