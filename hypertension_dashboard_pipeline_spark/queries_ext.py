@@ -1116,6 +1116,31 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_dedup(spark, sf_dir, name=f"dedup_stream_{next(streaming_dedup._seq)}")
 
 
+@register(
+    "streaming_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.value, u.user_n_events
+    FROM events e
+    JOIN (SELECT user_id, COUNT(*) AS user_n_events
+          FROM events GROUP BY user_id) u USING (user_id)
+    """,
+)
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrich: each micro-batch of the event
+    stream joins a static per-user profile (no state store; the static
+    side re-plans per batch). Bounded availableNow run equals the batch
+    join — the oracle."""
+    import itertools
+
+    from .streaming.dedup import run_stream_static_join
+
+    if not hasattr(streaming_static_join, "_seq"):
+        streaming_static_join._seq = itertools.count()
+    return run_stream_static_join(
+        spark, sf_dir, name=f"enrich_stream_{next(streaming_static_join._seq)}"
+    )
+
+
 @register("streaming_daily_window")
 def streaming_daily_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling-day aggregation with watermark

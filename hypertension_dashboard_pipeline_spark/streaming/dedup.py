@@ -56,6 +56,36 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def run_stream_static_join(spark: SparkSession, sf_dir: str,
+                           name: str = "enrich_stream") -> DataFrame:
+    """Stream-static join: enrich the live event stream with a static
+    dimension (per-user event-type profile computed from the batch
+    table). The static side is re-planned per micro-batch against the
+    stream — no state store involved, the standard dimension-enrich
+    shape. With availableNow over the bounded source the result equals
+    the batch join, which is the oracle."""
+    stream = _events_stream(spark, sf_dir)  # also sets the nanos conf
+    static_dim = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("user_n_events"))
+    )
+    out = stream.select("event_id", "user_id", "value").join(
+        static_dim, "user_id"
+    )
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_enrich_stream_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def run_available_now(spark: SparkSession, sf_dir: str,
                       name: str = "dedup_stream") -> DataFrame:
     """Dedup a deliberately-duplicated stream (the source unioned with
