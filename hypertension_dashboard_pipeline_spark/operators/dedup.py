@@ -424,3 +424,27 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         if changed == 0:
             break
     return labels
+
+
+def incremental_ingest(existing: DataFrame, incoming: DataFrame,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Dedup-on-append for a continuously growing corpus: keep only
+    incoming rows whose content fingerprint is absent from the existing
+    corpus AND unique within the batch (min-id survivor).
+
+    Both checks are fingerprint-keyed: the anti-join against existing
+    touches only the (small) digest column — with the existing side
+    stored as a bucketed digest table the ingest never reshuffles the
+    corpus — and the within-batch dedup is one groupBy on the digest.
+    This is the batch twin of streaming/dedup.py's watermark dedup.
+    """
+    from ..functions.text import fingerprint
+
+    inc = incoming.withColumn("__fp", fingerprint(text_col))
+    seen = existing.select(fingerprint(text_col).alias("__fp"))
+    fresh = inc.join(seen, "__fp", "left_anti")
+    survivors = fresh.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return (
+        fresh.join(survivors, ["__fp", id_col], "left_semi").drop("__fp")
+    )

@@ -82,3 +82,28 @@ def test_group_split_no_leakage_and_stability(spark, sf_dir):
         for r in deterministic_sample(docs.repartition(7), "doc_id", 10).collect()
     )
     assert a == b and 0 < len(a) < docs.count()
+
+
+def test_incremental_ingest_dedups_against_corpus_and_batch(spark):
+    from hypertension_dashboard_pipeline_spark.operators.dedup import (
+        incremental_ingest,
+    )
+
+    existing = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta eps zeta")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma"),   # dup of existing -> dropped
+            (11, "Alpha,  beta GAMMA"), # normalized dup of existing -> dropped
+            (12, "new content here"),   # fresh -> kept
+            (13, "new content here"),   # batch dup of 12 -> dropped
+            (14, "other novel text"),   # fresh -> kept
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id for r in incremental_ingest(existing, incoming).collect()
+    )
+    assert kept == [12, 14]
