@@ -215,6 +215,44 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_incremental_ingest",
+    oracle=f"""
+    WITH inc AS (
+        SELECT doc_id + 100000 AS doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN text
+                    ELSE text || ' v' || doc_id END AS text
+        FROM documents
+    ), incfp AS (
+        SELECT doc_id, text, md5({_DK_NORM.format(c='text')}) AS fp FROM inc
+    ), seen AS (
+        SELECT DISTINCT md5({_DK_NORM.format(c='text')}) AS fp FROM documents
+    ), fresh AS (
+        SELECT * FROM incfp WHERE fp NOT IN (SELECT fp FROM seen)
+    ), surv AS (
+        SELECT fp, MIN(doc_id) AS doc_id FROM fresh GROUP BY fp
+    )
+    SELECT f.doc_id, f.text
+    FROM fresh f JOIN surv USING (fp, doc_id)
+    """,
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-on-append: an incoming batch (half exact re-deliveries of
+    corpus documents, half novel revisions) is reduced to only the rows
+    whose normalized fingerprint is new — digest-keyed anti-join
+    against the corpus plus min-id batch dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" v"), F.col("doc_id")))
+        .alias("text"),
+    )
+    return dd.incremental_ingest(
+        docs.select("doc_id", "text"), incoming
+    ).select("doc_id", "text")
+
+
 _DK_EX_DUPS = f"""
     shd AS (
         SELECT doc_id AS id,
