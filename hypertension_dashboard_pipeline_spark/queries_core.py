@@ -925,6 +925,29 @@ def f5_date_parse_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w2_rowwise_flag_no_window",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity >= 40 THEN 1 ELSE 0 END AS hi_flag
+    FROM lineitem
+    """,
+)
+def w2_rowwise_flag_no_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: the reference groups by (patient, date) and then computes a
+    purely row-wise ifelse flag (3_blood_pressure.R:275-277) — the
+    grouping is decorative. The engine form is a plain withColumn with
+    NO window/shuffle (a naive port would wrongly add one; SURVEY.md
+    §2.5). The plan is a single narrow projection over the scan."""
+    from .functions.expressions import flag
+
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        flag(F.col("l_quantity") >= 40).alias("hi_flag"),
+    )
+
+
+@register(
     "f9_f13_cast_sum",
     oracle="""
     SELECT l_returnflag,
