@@ -419,7 +419,8 @@ def a3_same_day_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a4_sum_indicator",
     oracle="""
-    SELECT l_suppkey, SUM(CASE WHEN l_quantity >= 45 THEN 1 ELSE 0 END) AS n_hi
+    SELECT l_suppkey,
+           CAST(SUM(CASE WHEN l_quantity >= 45 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
     FROM lineitem GROUP BY l_suppkey
     """,
 )
@@ -545,9 +546,11 @@ def a9_dedup_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a11_attrition_stats",
     oracle="""
     SELECT COUNT(*) AS n_total,
-           SUM(CASE WHEN l_quantity BETWEEN 10 AND 40 THEN 1 ELSE 0 END) AS n_kept,
-           ROUND(100.0 * (COUNT(*) - SUM(CASE WHEN l_quantity BETWEEN 10 AND 40
-                                         THEN 1 ELSE 0 END)) / COUNT(*), 6)
+           CAST(SUM(CASE WHEN l_quantity BETWEEN 10 AND 40 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           ROUND(100.0 * (COUNT(*) - CAST(SUM(CASE WHEN l_quantity BETWEEN 10
+                                              AND 40 THEN 1 ELSE 0 END)
+                                          AS BIGINT)) / COUNT(*), 6)
                AS pct_excluded
     FROM lineitem
     """,
@@ -809,8 +812,8 @@ def f10_null_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f11_bool_or_flag",
     oracle="""
     SELECT l_returnflag,
-           SUM(CASE WHEN l_quantity >= 45 OR l_discount >= 0.09
-                    THEN 1 ELSE 0 END) AS n_hi
+           CAST(SUM(CASE WHEN l_quantity >= 45 OR l_discount >= 0.09
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -951,8 +954,8 @@ def w2_rowwise_flag_no_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f9_f13_cast_sum",
     oracle="""
     SELECT l_returnflag,
-           SUM(CAST(CASE WHEN l_quantity >= 25 THEN '1' END AS INTEGER))
-               AS n_hi
+           CAST(SUM(CAST(CASE WHEN l_quantity >= 25 THEN '1' END AS INTEGER))
+                AS BIGINT) AS n_hi
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -1003,8 +1006,10 @@ WITH cohort AS (
 )
 SELECT c.segment,
        COUNT(*) AS n_cust,
-       SUM(CASE WHEN COALESCE(p.n_hi, 0) >= 2 THEN 1 ELSE 0 END) AS n_flagged,
-       ROUND(100.0 * SUM(CASE WHEN COALESCE(p.n_hi, 0) >= 2 THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN COALESCE(p.n_hi, 0) >= 2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged,
+       ROUND(100.0 * CAST(SUM(CASE WHEN COALESCE(p.n_hi, 0) >= 2
+                              THEN 1 ELSE 0 END) AS BIGINT)
              / COUNT(*), 6) AS pct_flagged
 FROM cohort c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
 GROUP BY c.segment

@@ -622,8 +622,9 @@ def sim_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), sessions AS (
         SELECT user_id,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                      ROWS UNBOUNDED PRECEDING) AS session_id
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS session_id
         FROM flagged
     )
     SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
@@ -693,7 +694,7 @@ def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT source, doc_id, n_tokens,
-           SUM(n_tokens) OVER w AS cum_tokens,
+           CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
            CAST(FLOOR((SUM(n_tokens) OVER w - n_tokens) / 512.0) AS BIGINT)
                AS chunk_id
     FROM t
@@ -1118,7 +1119,7 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_stateful_counters",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,
-           SUM(CASE WHEN value >= 50 THEN 1 ELSE 0 END) AS n_high
+           CAST(SUM(CASE WHEN value >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
     FROM events GROUP BY user_id
     """,
 )

@@ -13,6 +13,7 @@ import datetime as dt
 import math
 
 import duckdb
+import pyarrow as pa
 import pytest
 
 import __spark_entry__ as entrymod
@@ -55,6 +56,33 @@ def _norm(v):
     return v
 
 
+def _canon_arrow_type(t: pa.DataType) -> str:
+    """Canonical Arrow type label for cross-engine dtype comparison.
+
+    The driver's value hash is Arrow-typed: DuckDB ``SUM(int)`` yields
+    HUGEINT → ``decimal128(38,0)`` while Spark yields ``int64`` — values
+    equal, hash not (the round-1 failure mode).  Only representation-
+    identical aliases are collapsed (large_string/string, large_list/
+    list); width and decimal-ness differences must FAIL here so the
+    oracle gets an explicit CAST before the driver ever runs it.
+    """
+    if pa.types.is_integer(t):
+        # Driver-proven tolerance: text_token_count was hash-green in r01
+        # with Spark int32 vs DuckDB int64 — the driver's hash sees the
+        # integer VALUE, not its width.  decimal128 is NOT collapsed.
+        return "int"
+    if pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return f"list<{_canon_arrow_type(t.value_type)}>"
+    if pa.types.is_timestamp(t):
+        # Both engines emit microsecond timestamps; only tz *metadata*
+        # differs (Spark stamps the session tz, DuckDB leaves it unset) —
+        # the underlying int64 micros are identical, so collapse it.
+        return f"timestamp[{t.unit}]"
+    return str(t)
+
+
 def _canon(cols, rows):
     """Sort columns by name (driver behavior), then rows."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -68,14 +96,25 @@ def _canon(cols, rows):
 def test_query_matches_oracle(name, spark, sf_dir, duck):
     sdf = QUERIES[name](spark, sf_dir)
     spark_cols = sdf.columns
+    spark_tbl = sdf.toArrow()
     spark_rows = [tuple(r) for r in sdf.collect()]
 
-    res = duck.execute(ORACLES[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    duck_tbl = duck.execute(ORACLES[name]).arrow()
+    duck_cols = list(duck_tbl.schema.names)
+    duck_rows = [tuple(d.values()) for d in duck_tbl.to_pylist()]
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column names differ: spark={spark_cols} duck={duck_cols}"
+    )
+
+    # Arrow-level dtype parity: the driver hashes *typed* values, so a
+    # DuckDB HUGEINT/DECIMAL vs Spark BIGINT mismatch fails its gate even
+    # when every value is equal.  Catch that here, not in a round report.
+    spark_types = {f.name: _canon_arrow_type(f.type) for f in spark_tbl.schema}
+    duck_types = {f.name: _canon_arrow_type(f.type) for f in duck_tbl.schema}
+    assert spark_types == duck_types, (
+        f"{name}: Arrow dtypes differ (driver hash would mismatch): "
+        f"spark={spark_types} duck={duck_types}"
     )
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count differs: spark={len(spark_rows)} duck={len(duck_rows)}"
