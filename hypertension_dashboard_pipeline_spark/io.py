@@ -53,16 +53,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md).
 
     The events table carries nanosecond parquet timestamps, which Spark
-    rejects by default; they are read as long nanos and converted to
-    microsecond timestamps (integer DIV — no double round-trip).
+    rejects by default; declaring ``ts`` as LONG in an explicit schema
+    reads the raw nanos with no session-conf side effect, then converts
+    to microsecond timestamps (integer DIV — no double round-trip).
     """
+    from .schemas import EVENTS_RAW
+
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return df
+        df = spark.read.schema(EVENTS_RAW).parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return spark.read.parquet(path)
 
 

@@ -115,8 +115,17 @@ def salted_counts(df: DataFrame, key: str, value_col: str,
     aggregates (count/sum/min/max). AQE's skew handling covers joins;
     this is the aggregation-side equivalent.
     """
+    # Salt from per-row entropy (partition id + within-partition row
+    # number), NOT from data columns: a hot key whose rows all share one
+    # value would hash to a single salt bucket — precisely the skew the
+    # salt exists to break.  The salt never affects the merged result,
+    # so nondeterminism across runs is harmless.
     salted = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.col(value_col)), F.lit(salt_buckets))
+        "__salt",
+        F.pmod(
+            F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
+            F.lit(salt_buckets),
+        ),
     )
     partial = salted.groupBy(key, "__salt").agg(
         F.count(F.lit(1)).alias("__n"), F.sum(value_col).alias("__s")

@@ -33,6 +33,20 @@ from pyspark.storagelevel import StorageLevel
 from ..functions.text import word_shingles
 
 
+# Live persisted intermediates from the last near-dup call.  Persisted
+# subplans can't be unpersisted before the (lazy) consumer acts, so each
+# operator instead releases the PREVIOUS call's blocks on entry — across
+# an 88-query driver or bench session at most one operator's
+# intermediates occupy executor storage at a time.
+_PERSISTED: list[DataFrame] = []
+
+
+def release_persisted() -> None:
+    """Unpersist every intermediate persisted by a prior near-dup call."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
+
 def _maybe_persist(df: DataFrame, persist: bool) -> DataFrame:
     """Persist a subplan that the near-dup operators reference from
     multiple join branches. Spark plans each branch independently (no
@@ -41,7 +55,11 @@ def _maybe_persist(df: DataFrame, persist: bool) -> DataFrame:
     branch — 4× for the self-join + size/signature re-joins. MEMORY_AND_DISK
     spills instead of OOMing; on a cluster-scale corpus the equivalent
     move is a Parquet checkpoint of the same intermediate."""
-    return df.persist(StorageLevel.MEMORY_AND_DISK) if persist else df
+    if not persist:
+        return df
+    handle = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(handle)
+    return handle
 
 # 31-bit Mersenne prime: (a*x+b) % P stays < 2^62 — no BIGINT overflow
 # in any engine.
@@ -112,10 +130,13 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     return df.join(keep, id_col, "left_semi")
 
 
+DEFAULT_MAX_DF = 256
+
+
 def shingle_pairs_jaccard(df: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", k: int = 3,
                           threshold: float = 0.5, scale: int = 6,
-                          max_df: int | None = None,
+                          max_df: int | None = DEFAULT_MAX_DF,
                           persist: bool = True) -> DataFrame:
     """Near-duplicate pairs by exact k-word-shingle Jaccard.
 
@@ -123,10 +144,15 @@ def shingle_pairs_jaccard(df: DataFrame, id_col: str = "doc_id",
     |A∪B| = |A| + |B| − |A∩B| from per-doc shingle counts. Only
     (id, shingle) and small count rows ever move through shuffles.
 
-    ``max_df`` (optional) drops shingles appearing in more than that
-    many documents before the self-join — the standard hot-shingle
-    guard at corpus scale (changes semantics: pairs sharing only
-    ultra-common shingles are missed).
+    ``max_df`` drops shingles appearing in more than that many
+    documents before the self-join — the hot-shingle guard that keeps
+    the inverted index near-linear.  A shingle in D docs contributes
+    ~D²/2 candidate pairs: at web scale one boilerplate shingle in 10⁶
+    docs is a 10¹²-pair bucket, while carrying near-zero information
+    about any single pair.  Default 256 caps any one shingle at ~32k
+    pairs; sizes are computed AFTER the cut so Jaccard stays a true
+    ratio over the filtered shingle space.  ``max_df=None`` disables
+    the guard (exhaustive semantics — small corpora only).
     """
     ex = exploded_shingles(df, id_col, text_col, k)
     if max_df is not None:

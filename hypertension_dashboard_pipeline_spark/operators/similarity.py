@@ -66,27 +66,57 @@ def brute_force_topk(df: DataFrame, query_vec: list[float], k: int = 10,
 
 def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                           id_col: str = "vec_id", vec_col: str = "embedding",
-                          n_planes: int = 8, probe_mirrors: bool = True,
+                          n_tables: int = 4, planes_per_table: int = 4,
                           scale: int = 6) -> DataFrame:
-    """Pairs with cosine ≥ threshold.
+    """Pairs with cosine ≥ threshold via banded random-hyperplane LSH.
 
-    Blocking: vectors are bucketed by hyperplane-sign signature; only
-    same-bucket pairs are scored. With 8 planes a 0.95-cosine pair
-    collides with probability ~(1 - θ/π)^8 ≈ 0.66 per table of planes —
-    good recall for near-dup screening while cutting candidates by
-    ~2^8. (Exact variant: set n_planes=0 to score all pairs.)
+    OR-amplified blocking (same banding idea as MinHash LSH): each
+    vector gets ``n_tables`` sign signatures of ``planes_per_table``
+    bits each; a pair is a candidate if it agrees on ALL bits of ANY
+    table.  For cosine c, per-table collision is (1 - θ/π)^r with
+    θ = arccos(c), so recall amplifies as 1-(1-p^r)^B — tunable without
+    giving up blocking.  Candidates are deduped as ids-only pairs, then
+    vectors are re-joined for scoring, so the wide rows never fan out
+    through the bucket join.
+
+    The hyperplanes are md5-derived constants, so the SAME blocking is
+    reproducible in any engine — the DuckDB oracle applies it verbatim
+    and the result stays exactly checkable despite being approximate.
+
+    ``n_tables=0`` is the exact all-pairs variant — O(n²) crossJoin,
+    test-baseline ONLY (recall measurement); never register it.
     """
     # vector dimension from a cheap first-row probe
     first = df.select(F.size(F.col(vec_col)).alias("d")).first()
     d = int(first["d"])
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    if n_planes > 0:
-        planes = [_hyperplane(j, d) for j in range(n_planes)]
-        base = base.withColumn("bucket", sign_bucket(F.col("v"), planes))
-        a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")
-        b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")
-        cand = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    if n_tables > 0:
+        sigs = []
+        for t in range(n_tables):
+            planes = [
+                _hyperplane(t * planes_per_table + j, d)
+                for j in range(planes_per_table)
+            ]
+            sigs.append(
+                F.struct(
+                    F.lit(t).alias("t"),
+                    sign_bucket(F.col("v"), planes).alias("b"),
+                )
+            )
+        tagged = base.select("id", F.explode(F.array(*sigs)).alias("tb"))
+        cand = (
+            tagged.select(F.col("id").alias("id_a"), "tb")
+            .join(tagged.select(F.col("id").alias("id_b"), "tb"), "tb")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        cand = cand.join(
+            base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a"
+        ).join(
+            base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b"
+        )
     else:
         a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
         b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))

@@ -66,15 +66,20 @@ def drop_misbridged(pop: DataFrame) -> DataFrame:
 
     A patient key appearing with conflicting YEAR_OF_BIRTH / SEX / RACE
     is a bad linkage → dropped entirely (n_distinct != 1 on any).
-    Conflicts only in STATE/ZIP3 are tolerated → collapsed to one
-    deterministic row (the reference keeps an arbitrary one;
-    SURVEY.md §2.10-4).
+    Rows with missing STATE or ZIP3 are then removed
+    (2_data_importing_cleaning.R:147-148, ``filter(!is.na(STATE) &
+    !is.na(ZIP3))``) — a patient whose every row lacks location leaves
+    the cohort here, exactly as in the reference.  Remaining STATE/ZIP3
+    conflicts are tolerated → collapsed to one deterministic row (the
+    reference keeps an arbitrary one; SURVEY.md §2.10-4).
     """
     consistent = agg.consistent_keys(pop, KEY, ["YEAR_OF_BIRTH", "SEX", "RACE"])
     kept = jn.has_evidence(pop, consistent, KEY)
+    located = kept.filter(
+        F.col("STATE").isNotNull() & F.col("ZIP3").isNotNull()
+    )
     return agg.dedup_deterministic(
-        kept, KEY,
-        [F.col("STATE").asc_nulls_last(), F.col("ZIP3").asc_nulls_last()],
+        located, KEY, [F.col("STATE").asc(), F.col("ZIP3").asc()]
     )
 
 

@@ -188,14 +188,29 @@ _DK_EX = f"""
     )"""
 
 
+def _dk_max_df(src: str = "ex", out: str = "exf") -> str:
+    """Oracle twin of shingle_pairs_jaccard's hot-shingle guard: drop
+    shingles whose document frequency exceeds DEFAULT_MAX_DF before any
+    pairing, mirroring the operator's default semantics."""
+    import textwrap
+
+    return textwrap.dedent(f"""\
+        rare AS (
+            SELECT shingle FROM {src} GROUP BY shingle
+            HAVING COUNT(*) <= {dd.DEFAULT_MAX_DF}
+        ), {out} AS (
+            SELECT {src}.id, {src}.shingle FROM {src} JOIN rare USING (shingle)
+        )""")
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH {_DK_EX}, sizes AS (
-        SELECT id, COUNT(*) AS n_sh FROM ex GROUP BY id
+    WITH {_DK_EX}, {_dk_max_df()}, sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM exf GROUP BY id
     ), inter AS (
         SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
-        FROM ex a JOIN ex b USING (shingle) WHERE a.id < b.id
+        FROM exf a JOIN exf b USING (shingle) WHERE a.id < b.id
         GROUP BY 1, 2
     )
     SELECT id_a, id_b,
@@ -207,9 +222,11 @@ _DK_EX = f"""
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 3-word-shingle Jaccard ≥ 0.1. Candidates
-    come from an inverted-index self-join (docs sharing ≥1 shingle),
-    with ∩ from per-pair match counts and ∪ from per-doc sizes — no
-    cross join, no arrays through the shuffle."""
+    come from an inverted-index self-join (docs sharing ≥1 shingle) with
+    the default max_df hot-shingle cut, ∩ from per-pair match counts
+    and ∪ from per-doc sizes — no cross join, no arrays through the
+    shuffle, no unbounded bucket."""
+    dd.release_persisted()
     return dd.shingle_pairs_jaccard(
         load_table(spark, sf_dir, "documents"), threshold=0.1
     )
@@ -228,7 +245,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), seen AS (
         SELECT DISTINCT md5({_DK_NORM.format(c='text')}) AS fp FROM documents
     ), fresh AS (
-        SELECT * FROM incfp WHERE fp NOT IN (SELECT fp FROM seen)
+        -- NOT EXISTS, not NOT IN: a NULL fp (NULL text) must behave like
+        -- Spark's left_anti (keep the row), not void the whole predicate
+        SELECT * FROM incfp
+        WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.fp = incfp.fp)
     ), surv AS (
         SELECT fp, MIN(doc_id) AS doc_id FROM fresh GROUP BY fp
     )
@@ -323,11 +343,11 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_components",
     oracle=f"""
-    WITH RECURSIVE {_DK_EX}, sizes AS (
-        SELECT id, COUNT(*) AS n_sh FROM ex GROUP BY id
+    WITH RECURSIVE {_DK_EX}, {_dk_max_df()}, sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM exf GROUP BY id
     ), inter AS (
         SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
-        FROM ex a JOIN ex b USING (shingle) WHERE a.id < b.id
+        FROM exf a JOIN exf b USING (shingle) WHERE a.id < b.id
         GROUP BY 1, 2
     ), pairs AS (
         SELECT id_a, id_b
@@ -351,6 +371,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint between) — the pairs→clusters step every dedup
     pipeline needs before keep-one-per-group. Oracle: recursive-CTE
     closure computing min reachable id per node."""
+    dd.release_persisted()
     pairs = dd.shingle_pairs_jaccard(
         load_table(spark, sf_dir, "documents"), threshold=0.1
     )
@@ -401,6 +422,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-aggregated in one groupBy (one md5 per shingle), 4 bands × 4
     rows, bucket self-join on (band, digest) carrying ids only. The
     banding bounds join fan-out — the 100 TB dedup path."""
+    dd.release_persisted()
     return dd.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), n_hashes=16, bands=4
     )
@@ -445,6 +467,7 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 32-bit SimHash signature: distinct tokens vote ±1
     per bit of their md5-derived hash; one explode + one groupBy with
     map-side-combinable SUMs."""
+    dd.release_persisted()
     return dd.simhash_signatures(load_table(spark, sf_dir, "documents"))
 
 
@@ -479,6 +502,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 4×8-bit chunk blocking (pigeonhole
     guarantees distance<4 pairs collide on a chunk), exact Hamming via
     bit_count(xor) on candidates only."""
+    dd.release_persisted()
     return dd.simhash_pairs(load_table(spark, sf_dir, "documents"),
                             max_hamming=6)
 
@@ -521,28 +545,57 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.brute_force_topk(emb, [float(x) for x in qv], k=10)
 
 
-def _near_dup_oracle(threshold: float = 0.4) -> str:
+def _near_dup_oracle(threshold: float = 0.4, n_tables: int = 4,
+                     planes_per_table: int = 4, dim: int = 64) -> str:
+    """Banded-LSH near-dup oracle: the hyperplanes are md5-derived
+    constants (operators/similarity.py:_hyperplane), so DuckDB can apply
+    the IDENTICAL blocking — the approximate operator stays exactly
+    oracle-checkable instead of degrading to a rows-only check."""
+    from .operators.similarity import _hyperplane
+
+    table_buckets = []
+    for t in range(n_tables):
+        bits = []
+        for j in range(planes_per_table):
+            comps = _hyperplane(t * planes_per_table + j, dim)
+            lit = "[" + ",".join(repr(c) for c in comps) + "]::DOUBLE[]"
+            dotp = _DK_DOT.format(a="v", b=f"({lit})")
+            bits.append(f"(CASE WHEN {dotp} >= 0 THEN '1' ELSE '0' END)")
+        table_buckets.append(
+            f"SELECT {t} AS t, vec_id, {' || '.join(bits)} AS b FROM e"
+        )
+    sigs = " UNION ALL ".join(table_buckets)
+
     dot_ab = _DK_DOT.format(a="a.v", b="b.v")
     dot_aa = _DK_DOT.format(a="a.v", b="a.v")
     dot_bb = _DK_DOT.format(a="b.v", b="b.v")
     return f"""
     WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), sigs AS (
+        {sigs}
+    ), cand AS (
+        SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+        FROM sigs x JOIN sigs y ON x.t = y.t AND x.b = y.b
+                                AND x.vec_id < y.vec_id
     )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    SELECT c.id_a, c.id_b,
            ROUND({dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb})), 6) AS cos_sim
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    FROM cand c JOIN e a ON c.id_a = a.vec_id JOIN e b ON c.id_b = b.vec_id
     WHERE ROUND({dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb})), 6) >= {threshold}
     """
 
 
 @register("sim_cosine_near_dup", oracle=_near_dup_oracle())
 def sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ 0.4 over all pairs (exact
-    variant, n_planes=0, so the oracle is exhaustive). The LSH-blocked
-    scale path is exercised by sim_lsh_bucket_topk."""
+    """Embedding near-dup pairs, cosine ≥ 0.4, via banded hyperplane
+    LSH (4 tables × 4 planes, OR-amplified) — candidate generation is a
+    bucket equi-join, never all-pairs.  The oracle applies the same
+    deterministic blocking, so equality is exact; recall vs the
+    exhaustive baseline is pinned in tests/test_similarity.py."""
     return sim.cosine_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=0
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4,
+        n_tables=4, planes_per_table=4,
     )
 
 
@@ -990,11 +1043,11 @@ def _curation_oracle() -> str:
         WHERE len(ws) >= 3
     ), ex AS (
         SELECT id, unnest(shingles) AS shingle FROM sh
-    ), sizes AS (
-        SELECT id, COUNT(*) AS n_sh FROM ex GROUP BY id
+    ), {_dk_max_df()}, sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM exf GROUP BY id
     ), inter AS (
         SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
-        FROM ex a JOIN ex b USING (shingle) WHERE a.id < b.id
+        FROM exf a JOIN exf b USING (shingle) WHERE a.id < b.id
         GROUP BY 1, 2
     ), near_dup AS (
         SELECT DISTINCT id_b AS doc_id
@@ -1015,6 +1068,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     removal (3-shingle Jaccard ≥ 0.5, higher id dropped) → per-source
     survivor stats. Every stage is an engine operator; the composition
     is one lazy plan end-to-end."""
+    dd.release_persisted()
     docs = load_table(spark, sf_dir, "documents")
     kept = docs.select(
         "doc_id", "text", "source",

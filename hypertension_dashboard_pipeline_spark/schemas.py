@@ -181,6 +181,21 @@ EVENTS = T.StructType(
     ]
 )
 
+# events.parquet as physically stored: nanosecond INT64 timestamps.
+# Reading with ts declared LONG sidesteps Spark's nanos rejection with
+# NO session conf (`spark.sql.legacy.parquet.nanosAsLong`) — readers
+# convert `ts DIV 1000` → timestamp_micros themselves.
+EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
 DOCUMENTS = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -14,13 +14,13 @@ state) — the matching oracle encodes the same cutoff.
 
 from __future__ import annotations
 
-import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyspark.sql import types as T
+from ..schemas import EVENTS_RAW
 
 
 def daily_value_stats(events: DataFrame) -> DataFrame:
@@ -46,36 +46,31 @@ def run_available_now(spark: SparkSession, sf_dir: str,
     the sink a parquet/Delta table; memory sink keeps the test
     self-contained.
     """
-    # events carries nanosecond parquet timestamps: stream them as long
-    # nanos and convert (same normalization as io.load_table)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    # the file stream source requires a directory path; select just the
-    # events file from the shared testdata dir with a glob filter
+    # events carries nanosecond parquet timestamps: the explicit
+    # ts-as-LONG schema reads them with no session-conf side effect
+    # (same normalization as io.load_table).  The file stream source
+    # requires a directory path; select just the events file from the
+    # shared testdata dir with a glob filter.
     src = (
-        spark.readStream.schema(raw_schema)
+        spark.readStream.schema(EVENTS_RAW)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
         .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
     out = daily_value_stats(src)
     ckpt = tempfile.mkdtemp(prefix="spark_graft_stream_")
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # memory-sink rows live on the driver; offsets/state in the
+        # checkpoint dir are single-use for this bounded run
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)

@@ -17,22 +17,13 @@ retention window regardless of stream length.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from ..schemas import EVENTS_RAW
 
 
 def dedup_within_watermark(events: DataFrame, key_cols: list[str],
@@ -45,11 +36,11 @@ def dedup_within_watermark(events: DataFrame, key_cols: list[str],
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-stream over the events table (nanos → micros, as in
-    io.load_table)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-stream over the events table (nanos → micros via the
+    explicit ts-as-LONG schema, as in io.load_table — no session-conf
+    side effect)."""
     return (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(EVENTS_RAW)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
         .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
@@ -74,15 +65,18 @@ def run_stream_static_join(spark: SparkSession, sf_dir: str,
         static_dim, "user_id"
     )
     ckpt = tempfile.mkdtemp(prefix="spark_graft_enrich_stream_")
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -99,13 +93,16 @@ def run_available_now(spark: SparkSession, sf_dir: str,
         "event_id", "user_id", "event_type", "value"
     )
     ckpt = tempfile.mkdtemp(prefix="spark_graft_dedup_stream_")
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)

@@ -74,34 +74,29 @@ def run_available_now(spark: SparkSession, sf_dir: str,
     user emits exactly one (final) row — making the result equal to the
     batch groupBy, which the oracle pins.
     """
+    import shutil
     import tempfile
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
+    from ..schemas import EVENTS_RAW
+
     src = (
-        spark.readStream.schema(raw_schema)
+        spark.readStream.schema(EVENTS_RAW)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
         .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
     out = running_user_counters(src)
     ckpt = tempfile.mkdtemp(prefix="spark_graft_state_")
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)

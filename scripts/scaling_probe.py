@@ -64,6 +64,67 @@ OPS = {
 }
 
 
+def with_hot_shingle(df):
+    """Append one shared boilerplate sentence to EVERY document — the
+    pathological web-corpus case (site chrome, license footers) where a
+    single shingle's document frequency equals the corpus size."""
+    return df.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" common boilerplate footer shared everywhere")
+        ).alias("text"),
+    )
+
+
+def hot_shingle_probe(spark, base) -> list[str]:
+    """Time Jaccard near-dup on a corpus where every doc shares
+    boilerplate shingles: the default max_df guard must keep time at
+    the clean-corpus level, while the unguarded variant degenerates
+    toward all-pairs (measured via its candidate-pair count, not run to
+    completion at scale)."""
+    hot = with_hot_shingle(base)
+    n_docs = hot.count()
+
+    t0 = time.perf_counter()
+    n_guarded = dd.shingle_pairs_jaccard(hot, threshold=0.1).count()
+    t_guarded = time.perf_counter() - t0
+    spark.catalog.clearCache()
+    dd.release_persisted()
+
+    # unguarded: count candidate pairs only (the quadratic surface);
+    # df=n_docs shingles alone contribute n*(n-1)/2 pairs
+    ex = dd.exploded_shingles(hot, "doc_id", "text", 3)
+    t0 = time.perf_counter()
+    n_cand = (
+        ex.alias("a")
+        .join(ex.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id"), F.col("b.id"))
+        .distinct()
+        .count()
+    )
+    t_unguarded = time.perf_counter() - t0
+    print(
+        f"hot-shingle: guarded {t_guarded:.2f}s ({n_guarded} pairs); "
+        f"unguarded candidate set {n_cand:,} pairs in {t_unguarded:.2f}s"
+    )
+    return [
+        "",
+        "## Hot-shingle pathology (boilerplate in every document)",
+        "",
+        f"One sentence appended to all {n_docs:,} docs (df = corpus size):",
+        "",
+        f"- `max_df=256` (default): near-dup completes in "
+        f"**{t_guarded:.2f}s**, {n_guarded:,} pairs — the hot shingles",
+        "  are cut before the self-join, so time matches the clean corpus.",
+        f"- guard off: the candidate set alone is **{n_cand:,} pairs**",
+        f"  (≈ n²/2 = {n_docs * (n_docs - 1) // 2:,}; {t_unguarded:.2f}s",
+        "  just to enumerate at this toy scale) — at 10⁶ docs that is a",
+        "  10¹²-pair bucket before any scoring. The guard is therefore",
+        "  ON by default; `max_df=None` restores exhaustive semantics.",
+    ]
+
+
 def main() -> None:
     spark = build_session(app_name="scaling_probe",
                           shuffle_partitions=cpu_count())
@@ -86,6 +147,8 @@ def main() -> None:
                 spark.catalog.clearCache()
                 results[name][k] = (elapsed, n_out)
                 print(f"{name} @ {k}x: {elapsed:.2f}s, {n_out} rows")
+                dd.release_persisted()
+        hot_lines = hot_shingle_probe(spark, base)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -112,6 +175,7 @@ def main() -> None:
         "LSH banding, shared-shingle inverted indexing, and SimHash chunk",
         "blocking bound the quadratic surface to within-bucket pairs.",
     ]
+    lines += hot_lines
     with open("SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote SCALING.md")

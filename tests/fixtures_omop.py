@@ -70,6 +70,13 @@ PERSON_ROWS = [
     _person_row("P18", 1986),                       # wrong-unit high readings
     _person_row("P19", 1987),                       # noise concept only
     _person_row("P20", 1988, race="AFRICAN AMERICAN", sex="F"),  # clean, no evidence
+    # GOLD_NULL_STATE: every row lacks STATE -> dropped by the
+    # !is.na(STATE) & !is.na(ZIP3) stage (2_data_importing_cleaning.R:147-148)
+    _person_row("P21", 1989, state=None),
+    # GOLD_NULL_ZIP_PARTIAL: one located row + one null-ZIP3 row ->
+    # the null row is removed, the patient survives on the located row
+    _person_row("P22", 1991, state="FL"),
+    ("P22", 1991, q("CAUCASIAN"), q("M"), 8507, None, "GA"),
 ]
 
 # (key, date, concept, value, unit) -> expanded to full measurement rows
@@ -156,11 +163,12 @@ DRUG_ROWS = [
     ("P20", 9501, D(2021, 5, 10)),  # wrong year
 ]
 
-# cohort membership after all exclusions (15 patients)
+# cohort membership after all exclusions (15 patients; P21 drops on
+# all-null location, P22 survives via its located row)
 EXPECTED_COHORT = {
     "P01", "P02", "P03", "P04", "P05", "P06", "P09", "P13", "P14",
-    "P15", "P17", "P18", "P19", "P20",
-} | {"P13"}
+    "P15", "P17", "P18", "P19", "P20", "P22",
+}
 
 
 def build_tables(spark: SparkSession) -> dict:

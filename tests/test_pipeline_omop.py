@@ -78,6 +78,13 @@ def test_misbridge_dedup(tables):
     assert keys.count("P13") == 1     # state-only conflict -> one survivor
     # deterministic survivor: FL < GA in the explicit ordering
     assert pop.filter("PATIENT_LINKAGE = 'P13'").first()["STATE"] == "FL"
+    # null-location semantics (2_data_importing_cleaning.R:147-148):
+    # all rows missing STATE -> patient gone entirely
+    assert "P21" not in keys
+    # partial: the null-ZIP3 row is removed, the located row survives
+    assert keys.count("P22") == 1
+    p22 = pop.filter("PATIENT_LINKAGE = 'P22'").first()
+    assert p22["STATE"] == "FL" and p22["ZIP3"] is not None
 
 
 def test_adult_filter(tables):

@@ -136,3 +136,24 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_cust")
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+
+def test_no_registered_query_plans_a_cartesian_product(spark, sf_dir):
+    """No registered query may fall back to an all-pairs join in its
+    default configuration — at 100 TB a CartesianProduct /
+    BroadcastNestedLoopJoin over a fact table is a non-starter.  The
+    exact all-pairs variants exist only as un-registered test baselines.
+
+    Streaming queries are skipped: they run a real availableNow stream
+    inside the query function (their physical plan is per-microbatch),
+    and their batch-side joins are covered by their own tests.
+    """
+    offenders = []
+    for name, fn in registry.QUERIES.items():
+        if name.startswith("streaming_"):
+            continue
+        df = fn(spark, sf_dir)
+        p = df._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p:
+            offenders.append(name)
+    assert not offenders, f"all-pairs join in default plan: {offenders}"

@@ -107,3 +107,39 @@ def test_incremental_ingest_dedups_against_corpus_and_batch(spark):
         r.doc_id for r in incremental_ingest(existing, incoming).collect()
     )
     assert kept == [12, 14]
+
+
+def test_salted_counts_spreads_single_value_hot_key(spark):
+    """The salt must come from per-row entropy, not data columns: a hot
+    key whose rows all carry ONE value must still spread across all salt
+    buckets (a value-derived salt would collapse it into one reducer —
+    exactly the skew salting exists to break)."""
+    from pyspark.sql import functions as F
+
+    from hypertension_dashboard_pipeline_spark.operators.aggregates import (
+        salted_counts,
+    )
+
+    n, buckets = 4096, 16
+    hot = spark.range(n).select(
+        F.lit("hot").alias("k"), F.lit(1).alias("v")
+    )
+    # result stays exact
+    out = salted_counts(hot, "k", "v", salt_buckets=buckets).collect()
+    assert len(out) == 1 and out[0]["n"] == n and out[0]["total"] == n
+
+    # and the phase-1 salt really fans out: replicate the operator's
+    # salt expression and count distinct buckets for the constant value
+    salts = (
+        hot.withColumn(
+            "__salt",
+            F.pmod(
+                F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
+                F.lit(buckets),
+            ),
+        )
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert salts == buckets

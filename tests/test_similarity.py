@@ -46,9 +46,36 @@ def test_lsh_bucket_contains_query_and_overlaps_exact(emb, qvec):
 
 
 def test_near_dup_pairs_threshold(emb):
-    pairs = sim.cosine_near_dup_pairs(emb, threshold=0.4, n_planes=0).collect()
+    # n_tables=0 = exhaustive all-pairs: the TEST-ONLY baseline (the
+    # registered operator always uses banded LSH blocking)
+    pairs = sim.cosine_near_dup_pairs(emb, threshold=0.4, n_tables=0).collect()
     assert all(r["cos_sim"] >= 0.4 for r in pairs)
     assert all(r["id_a"] < r["id_b"] for r in pairs)
+
+
+def test_near_dup_lsh_is_subset_of_exact_with_recall(emb):
+    """The banded-LSH near-dup pairs must be a strict subset of the
+    exhaustive pairs (no false positives — every candidate is scored
+    exactly), with nonzero amplified recall at the 0.9 band where
+    near-dup detection actually operates."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in sim.cosine_near_dup_pairs(emb, threshold=0.4, n_tables=0).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in sim.cosine_near_dup_pairs(
+            emb, threshold=0.4, n_tables=4, planes_per_table=4
+        ).collect()
+    }
+    assert set(blocked) <= set(exact)
+    for k, v in blocked.items():
+        assert v == exact[k]
+    # recall on the high-similarity band: 1-(1-p^4)^4 with
+    # p = 1 - arccos(0.9)/pi ≈ 0.86 gives ≈ 0.96 expected
+    hi = {k for k, v in exact.items() if v >= 0.9}
+    if hi:
+        assert len(hi & set(blocked)) / len(hi) >= 0.7
 
 
 def test_lsh_recall_on_clustered_corpus(spark):
