@@ -1097,22 +1097,28 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_extract_features",
     oracle="""
-    SELECT doc_id,
-           list_transform(range(0, 8),
-               i -> ('0x' || substr(md5(text), i*4 + 1, 4))::BIGINT / 65535.0)
-               AS features
-    FROM documents
+    SELECT doc_id, CAST(i AS INTEGER) AS pos,
+           ('0x' || substr(md5(text), i*4 + 1, 4))::BIGINT / 65535.0 AS value
+    FROM documents, range(0, 8) t(i)
     """,
 )
 def multimodal_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads
     (mapInPandas → fixed-width array<double> column) with a
-    deterministic stub featurizer — the embedding-inference plumbing,
-    oracle-checked end to end including the vector column."""
+    deterministic stub featurizer — the embedding-inference plumbing.
+
+    The operator returns (doc_id, features array<double>); the gate
+    query registers the EXPLODED (doc_id, pos, value) form because the
+    driver's canonicalizer sorts on object columns and cannot hash
+    list values. Exact IEEE division keeps cross-engine floats
+    bit-identical, so every vector component is still oracle-checked."""
     from .operators.multimodal import documents_as_binary, extract_features
 
     docs = documents_as_binary(load_table(spark, sf_dir, "documents"))
-    return extract_features(docs)
+    feats = extract_features(docs)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("pos", "value")
+    )
 
 
 @register(

@@ -23,6 +23,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..io import load_table
 from ..schemas import EVENTS_RAW
 
 
@@ -55,9 +56,12 @@ def run_stream_static_join(spark: SparkSession, sf_dir: str,
     stream — no state store involved, the standard dimension-enrich
     shape. With availableNow over the bounded source the result equals
     the batch join, which is the oracle."""
-    stream = _events_stream(spark, sf_dir)  # also sets the nanos conf
+    stream = _events_stream(spark, sf_dir)
+    # load_table, not a raw parquet read: the events table carries
+    # nanosecond timestamps, which the default reader rejects
+    # (PARQUET_TYPE_ILLEGAL) — load_table reads ts as LONG and converts.
     static_dim = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
+        load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("user_n_events"))
     )
