@@ -103,7 +103,8 @@ def dedup_deterministic(df: DataFrame, key: str | Sequence[str],
 
 
 def salted_counts(df: DataFrame, key: str, value_col: str,
-                  salt_buckets: int = 16) -> DataFrame:
+                  salt_buckets: int = 16,
+                  salt_cols: Sequence[str] | None = None) -> DataFrame:
     """Two-phase skew-safe count/sum: rows are salted into
     ``salt_buckets`` sub-keys, partially aggregated, then merged.
 
@@ -114,19 +115,28 @@ def salted_counts(df: DataFrame, key: str, value_col: str,
     ``salt_buckets`` partial rows per key. Exact for algebraic
     aggregates (count/sum/min/max). AQE's skew handling covers joins;
     this is the aggregation-side equivalent.
+
+    ``salt_cols`` (a high-cardinality id column / composite key) makes
+    the salt a pure function of row content — the safe default shape:
+    under stage retry or speculative re-execution a recomputed map task
+    reproduces exactly the salt assignments reducers already fetched.
+    Without it the salt falls back to per-row execution entropy
+    (partition id + row position), which breaks skew even when the hot
+    key's rows are bit-identical, but carries the same known exposure
+    as the classic rand()-salting idiom (SPARK-23207 class): a map
+    task recomputed after shuffle-fetch failure may re-bucket rows.
+    Prefer ``salt_cols`` whenever any unique-ish column exists.
     """
-    # Salt from per-row entropy (partition id + within-partition row
-    # number), NOT from data columns: a hot key whose rows all share one
-    # value would hash to a single salt bucket — precisely the skew the
-    # salt exists to break.  The salt never affects the merged result,
-    # so nondeterminism across runs is harmless.
-    salted = df.withColumn(
-        "__salt",
-        F.pmod(
+    if salt_cols:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt_buckets)
+        )
+    else:
+        salt = F.pmod(
             F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
             F.lit(salt_buckets),
-        ),
-    )
+        )
+    salted = df.withColumn("__salt", salt)
     partial = salted.groupBy(key, "__salt").agg(
         F.count(F.lit(1)).alias("__n"), F.sum(value_col).alias("__s")
     )

@@ -35,14 +35,21 @@ from ..functions.text import word_shingles
 
 # Live persisted intermediates from the last near-dup call.  Persisted
 # subplans can't be unpersisted before the (lazy) consumer acts, so each
-# operator instead releases the PREVIOUS call's blocks on entry — across
-# an 88-query driver or bench session at most one operator's
-# intermediates occupy executor storage at a time.
+# persisting operator instead releases the PREVIOUS call's blocks on
+# entry (``release=True`` default) — across an 88-query driver or bench
+# session at most one operator's intermediates occupy executor storage
+# at a time, with no call-site discipline required.  Composed pipelines
+# pass ``release=False`` to inner calls whose input plan still
+# references an earlier call's persisted subplan (unpersisting would
+# stay CORRECT — Spark recomputes — but forfeits the reuse the persist
+# exists for).  Queries in the registry run sequentially; concurrent
+# direct users should pass ``persist=False`` instead.
 _PERSISTED: list[DataFrame] = []
 
 
 def release_persisted() -> None:
-    """Unpersist every intermediate persisted by a prior near-dup call."""
+    """Unpersist every intermediate persisted by a prior near-dup call.
+    Idempotent; also safe mid-plan (consumers recompute)."""
     while _PERSISTED:
         _PERSISTED.pop().unpersist()
 
@@ -137,7 +144,8 @@ def shingle_pairs_jaccard(df: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", k: int = 3,
                           threshold: float = 0.5, scale: int = 6,
                           max_df: int | None = DEFAULT_MAX_DF,
-                          persist: bool = True) -> DataFrame:
+                          persist: bool = True,
+                          release: bool = True) -> DataFrame:
     """Near-duplicate pairs by exact k-word-shingle Jaccard.
 
     |A∩B| = per-pair row count of the inverted-index self-join;
@@ -154,6 +162,8 @@ def shingle_pairs_jaccard(df: DataFrame, id_col: str = "doc_id",
     ratio over the filtered shingle space.  ``max_df=None`` disables
     the guard (exhaustive semantics — small corpora only).
     """
+    if release:
+        release_persisted()
     ex = exploded_shingles(df, id_col, text_col, k)
     if max_df is not None:
         rare = (
@@ -209,54 +219,80 @@ def exploded_tokens(df: DataFrame, id_col: str = "doc_id",
     )
 
 
-SIMHASH_BITS = 32
+# 64-bit signatures (r2 verdict): 32-bit SimHash over a homogeneous
+# corpus produced near-quadratic candidate output — 8-bit chunk pieces
+# collide constantly when documents share a template.  Doubling the
+# width cuts per-chunk collision probability by ~2^8 per chunk and,
+# with chunks=8 > max_hamming=6, makes the blocking LOSSLESS by
+# pigeonhole (6 differing bits cannot touch all 8 chunks).
+SIMHASH_BITS = 64
 
 
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
                        n_bits: int = SIMHASH_BITS) -> DataFrame:
     """Per-document SimHash: each distinct token votes ±1 on every bit
-    of its 32-bit md5-derived hash; bit b of the signature is 1 when
+    of its 64-bit md5-derived hash; bit b of the signature is 1 when
     the vote sum is ≥ 0.
 
     Same scalable shape as MinHash: one explode, one hash per token,
     n_bits SUM aggregates in a single groupBy (map-side combinable).
     Engine-agnostic (md5 + integer shifts), so a SQL oracle reproduces
     signatures exactly.
+
+    The token hash is the first 16 md5 hex digits read as a big-endian
+    64-bit value, carried as two 32-bit halves (``x_hi`` = digits 1-8,
+    ``x_lo`` = digits 9-16) so neither engine ever parses an unsigned
+    64-bit literal: bits 0-31 come from the low half, 32-63 from the
+    high.  The signature itself is assembled with ``shiftleft`` on
+    LONG — bit 63 lands as the sign bit (two's complement), which both
+    engines treat identically under xor/bit_count.
     """
-    ex = exploded_tokens(df, id_col, text_col).withColumn(
-        "x",
-        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long"),
+    md5 = F.md5(F.col("token"))
+    ex = exploded_tokens(df, id_col, text_col).select(
+        "id",
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("x_hi"),
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("x_lo"),
     )
     votes = [
         F.sum(
-            F.when(F.shiftright(F.col("x"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(
+                    F.col("x_lo") if b < 32 else F.col("x_hi"), b % 32
+                ).bitwiseAND(1)
+                == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"s{b}")
         for b in range(n_bits)
     ]
     sums = ex.groupBy("id").agg(*votes)
     sig = None
     for b in range(n_bits):
-        bit = F.when(F.col(f"s{b}") >= 0, F.lit(2 ** b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        # shiftleft(1L, 63) = Long.MIN_VALUE: adding disjoint bit terms
+        # is bitwise OR, so the sum stays in signed-64 range throughout.
+        bit = F.when(
+            F.col(f"s{b}") >= 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
         sig = bit if sig is None else sig + bit
     return sums.select("id", sig.alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", max_hamming: int = 6,
-                  n_bits: int = SIMHASH_BITS, chunks: int = 4,
-                  persist: bool = True) -> DataFrame:
+                  n_bits: int = SIMHASH_BITS, chunks: int = 8,
+                  persist: bool = True, release: bool = True) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
     Blocking: signatures are cut into ``chunks`` bit-chunks; by
     pigeonhole any pair within distance < chunks must agree on at least
     one chunk, so the candidate join is per-chunk equality — near-
     linear — and exact Hamming (bit_count of xor) filters candidates.
-    (max_hamming ≥ chunks trades recall for speed, as in production
-    SimHash dedup.)
+    With the 64-bit default (8 chunks × 8 bits, max_hamming 6 < 8) the
+    blocking loses NO qualifying pair: recall is exactly 1.
     """
+    if release:
+        release_persisted()
     width = n_bits // chunks
     mask = (1 << width) - 1
     # per-doc (id, simhash) rows, read by both sides of the chunk join
@@ -332,7 +368,8 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", k: int = 3,
                       n_hashes: int = 16, bands: int = 4,
-                      scale: int = 6, persist: bool = True) -> DataFrame:
+                      scale: int = 6, persist: bool = True,
+                      release: bool = True) -> DataFrame:
     """LSH candidate pairs with estimated Jaccard.
 
     The signature is banded (``bands`` bands of n_hashes/bands rows);
@@ -341,6 +378,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     back onto the surviving pairs, so the wide rows never enter the
     candidate shuffle. Estimate = fraction of agreeing positions.
     """
+    if release:
+        release_persisted()
     rows = n_hashes // bands
     # per-doc signature rows are tiny relative to the corpus (n_docs ×
     # n_hashes ints) and feed four branches: both banded sides + both
@@ -397,7 +436,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iterations: int = 20) -> DataFrame:
+                         max_iterations: int = 20,
+                         release: bool = True) -> DataFrame:
     """Resolve near-dup *pairs* into transitive duplicate *groups*:
     (id, component) where component is the minimum id reachable through
     any chain of pairs — the step every dedup pipeline needs between
@@ -410,6 +450,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     localCheckpoint truncates the growing lineage. Driver involvement
     is one small convergence count per round, never row data.
     """
+    if release:
+        release_persisted()
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .unionByName(

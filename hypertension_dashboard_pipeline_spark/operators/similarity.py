@@ -67,7 +67,7 @@ def brute_force_topk(df: DataFrame, query_vec: list[float], k: int = 10,
 def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                           id_col: str = "vec_id", vec_col: str = "embedding",
                           n_tables: int = 4, planes_per_table: int = 4,
-                          scale: int = 6) -> DataFrame:
+                          scale: int = 6, dim: int | None = None) -> DataFrame:
     """Pairs with cosine ≥ threshold via banded random-hyperplane LSH.
 
     OR-amplified blocking (same banding idea as MinHash LSH): each
@@ -85,10 +85,14 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
 
     ``n_tables=0`` is the exact all-pairs variant — O(n²) crossJoin,
     test-baseline ONLY (recall measurement); never register it.
+
+    Pass ``dim`` (the embedding width, known to any real caller from
+    the encoder config or table metadata) to avoid the fallback
+    first-row probe, which costs one extra Spark job per invocation.
     """
-    # vector dimension from a cheap first-row probe
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    d = int(first["d"])
+    d = dim if dim is not None else int(
+        df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    )
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if n_tables > 0:

@@ -1,6 +1,11 @@
 """Hand-crafted OMOP-shaped fixtures implementing FIXTURES.md's golden
 patients — every expected value below is computable by hand, mirroring
 the reference's named-patient QC idiom (SURVEY.md §5.2).
+
+Lives in the package (not tests/) because the driver-gated end-to-end
+pipeline query (queries_core.omop_pipeline_e2e) builds its OMOP input
+tables from these same literals — and its DuckDB oracle is GENERATED
+from them, so Spark input and oracle input cannot drift apart.
 """
 
 from __future__ import annotations

@@ -226,7 +226,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the default max_df hot-shingle cut, ∩ from per-pair match counts
     and ∪ from per-doc sizes — no cross join, no arrays through the
     shuffle, no unbounded bucket."""
-    dd.release_persisted()
     return dd.shingle_pairs_jaccard(
         load_table(spark, sf_dir, "documents"), threshold=0.1
     )
@@ -371,11 +370,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint between) — the pairs→clusters step every dedup
     pipeline needs before keep-one-per-group. Oracle: recursive-CTE
     closure computing min reachable id per node."""
-    dd.release_persisted()
     pairs = dd.shingle_pairs_jaccard(
         load_table(spark, sf_dir, "documents"), threshold=0.1
     )
-    return dd.connected_components(pairs)
+    # release=False: the pairs plan still references the persisted
+    # shingle intermediate; dropping it here would recompute it 4x.
+    return dd.connected_components(pairs, release=False)
 
 
 def _minhash_oracle(n_hashes: int = 16, bands: int = 4) -> str:
@@ -422,7 +422,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-aggregated in one groupBy (one md5 per shingle), 4 bands × 4
     rows, bucket self-join on (band, digest) carrying ids only. The
     banding bounds join fan-out — the 100 TB dedup path."""
-    dd.release_persisted()
     return dd.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), n_hashes=16, bands=4
     )
@@ -438,18 +437,30 @@ _DK_TOKEN_ROWS = f"""
     )"""
 
 
-def _simhash_sig_cte(n_bits: int = 32) -> str:
+def _simhash_sig_cte(n_bits: int = 64) -> str:
+    # 64-bit token hash carried as two 32-bit halves (md5 hex digits
+    # 1-8 = high word, 9-16 = low word) so no unsigned-64 literal is
+    # ever parsed; bit 63 of the signature is the BIGINT sign bit, so
+    # its term is -2^63 (two's complement) — written as an expression
+    # because the bare literal would parse as HUGEINT.
     sums = ",\n               ".join(
-        f"SUM(CASE WHEN (x >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        f"SUM(CASE WHEN ({'x_lo' if b < 32 else 'x_hi'} >> {b % 32}) & 1 = 1"
+        f" THEN 1 ELSE -1 END) AS s{b}"
         for b in range(n_bits)
     )
     sig = " + ".join(
-        f"(CASE WHEN s{b} >= 0 THEN {2 ** b}::BIGINT ELSE 0 END)"
+        "(CASE WHEN s63 >= 0 THEN (-9223372036854775807 - 1)::BIGINT"
+        " ELSE 0 END)"
+        if b == 63
+        else f"(CASE WHEN s{b} >= 0 THEN {2 ** b}::BIGINT ELSE 0 END)"
         for b in range(n_bits)
     )
     return f"""
     WITH {_DK_TOKEN_ROWS}, xs AS (
-        SELECT id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS x FROM tk
+        SELECT id,
+               ('0x' || substr(md5(token), 1, 8))::BIGINT AS x_hi,
+               ('0x' || substr(md5(token), 9, 8))::BIGINT AS x_lo
+        FROM tk
     ), sums AS (
         SELECT id,
                {sums}
@@ -464,14 +475,14 @@ def _simhash_sig_cte(n_bits: int = 32) -> str:
     oracle=_simhash_sig_cte() + "\n    SELECT id, simhash FROM sigs",
 )
 def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document 32-bit SimHash signature: distinct tokens vote ±1
+    """Per-document 64-bit SimHash signature: distinct tokens vote ±1
     per bit of their md5-derived hash; one explode + one groupBy with
     map-side-combinable SUMs."""
     dd.release_persisted()
     return dd.simhash_signatures(load_table(spark, sf_dir, "documents"))
 
 
-def _simhash_pairs_oracle(n_bits: int = 32, chunks: int = 4,
+def _simhash_pairs_oracle(n_bits: int = 64, chunks: int = 8,
                           max_hamming: int = 6) -> str:
     width = n_bits // chunks
     mask = (1 << width) - 1
@@ -499,10 +510,10 @@ def _simhash_pairs_oracle(n_bits: int = 32, chunks: int = 4,
 
 @register("dedup_simhash_pairs", oracle=_simhash_pairs_oracle())
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 4×8-bit chunk blocking (pigeonhole
-    guarantees distance<4 pairs collide on a chunk), exact Hamming via
+    """SimHash near-dup pairs: 8×8-bit chunk blocking over 64-bit
+    signatures (pigeonhole: max_hamming 6 < 8 chunks, so every
+    qualifying pair collides on a chunk — lossless), exact Hamming via
     bit_count(xor) on candidates only."""
-    dd.release_persisted()
     return dd.simhash_pairs(load_table(spark, sf_dir, "documents"),
                             max_hamming=6)
 
@@ -592,10 +603,11 @@ def sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH (4 tables × 4 planes, OR-amplified) — candidate generation is a
     bucket equi-join, never all-pairs.  The oracle applies the same
     deterministic blocking, so equality is exact; recall vs the
-    exhaustive baseline is pinned in tests/test_similarity.py."""
+    exhaustive baseline is pinned in tests/test_similarity.py. dim
+    passed explicitly — no per-call first-row probe job."""
     return sim.cosine_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=0.4,
-        n_tables=4, planes_per_table=4,
+        n_tables=4, planes_per_table=4, dim=64,
     )
 
 
@@ -648,11 +660,52 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(emb, [float(x) for x in qv], k=10, n_probe=2)
 
 
-@register("sim_lsh_bucket_topk")
+def _lsh_bucket_topk_oracle(k: int = 10, n_planes: int = 4,
+                            dim: int = 64) -> str:
+    """Bucket-probe top-k oracle: the hyperplanes are md5-derived
+    constants (same ones as table 0 of the near-dup blocking), so the
+    bucket assignment — and therefore the approximate result set — is
+    exactly reproducible in SQL. 'Approximate' here means approximate
+    W.R.T. the exhaustive baseline, not nondeterministic."""
+    from .operators.similarity import _hyperplane
+
+    def bits(vec: str) -> str:
+        parts = []
+        for j in range(n_planes):
+            comps = _hyperplane(j, dim)
+            lit = "[" + ",".join(repr(c) for c in comps) + "]::DOUBLE[]"
+            dotp = _DK_DOT.format(a=vec, b=f"({lit})")
+            parts.append(f"(CASE WHEN {dotp} >= 0 THEN '1' ELSE '0' END)")
+        return " || ".join(parts)
+
+    dot_vq = _DK_DOT.format(a="eb.v", b="q.qv")
+    dot_vv = _DK_DOT.format(a="eb.v", b="eb.v")
+    dot_qq = _DK_DOT.format(a="q.qv", b="q.qv")
+    return f"""
+    WITH q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), qb AS (
+        SELECT {bits('qv')} AS b FROM q
+    ), e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), eb AS (
+        SELECT vec_id, v, {bits('v')} AS b FROM e
+    )
+    SELECT eb.vec_id,
+           ROUND({dot_vq} / (sqrt({dot_vv}) * sqrt({dot_qq})), 6) AS cos_sim
+    FROM eb JOIN qb USING (b), q
+    ORDER BY cos_sim DESC, eb.vec_id
+    LIMIT {k}
+    """
+
+
+@register("sim_lsh_bucket_topk", oracle=_lsh_bucket_topk_oracle())
 def sim_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: score only the query's hyperplane-sign bucket
-    (md5-derived deterministic hyperplanes). No oracle — approximate by
-    design; the test suite checks recall against the exact baseline."""
+    (md5-derived deterministic hyperplanes). Approximate vs the
+    exhaustive baseline (recall pinned in tests/test_similarity.py) yet
+    fully deterministic, so the oracle applies the identical bucket
+    filter and the result is exactly hash-checked."""
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     return sim.lsh_bucket_topk(emb, [float(x) for x in qv], k=10, n_planes=4)
@@ -703,11 +756,14 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a12_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase aggregation: l_returnflag has 3 hot values —
     salting spreads phase 1 over key×16 reducers; the result is exactly
-    the plain GROUP BY (which is the oracle)."""
+    the plain GROUP BY (which is the oracle). The salt derives from the
+    (l_orderkey, l_linenumber) row identity, so retried map tasks
+    re-bucket deterministically."""
     from .operators.aggregates import salted_counts
 
     return salted_counts(load_table(spark, sf_dir, "lineitem"),
-                         "l_returnflag", "l_quantity", salt_buckets=16)
+                         "l_returnflag", "l_quantity", salt_buckets=16,
+                         salt_cols=["l_orderkey", "l_linenumber"])
 
 
 @register(
@@ -1068,7 +1124,6 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     removal (3-shingle Jaccard ≥ 0.5, higher id dropped) → per-source
     survivor stats. Every stage is an engine operator; the composition
     is one lazy plan end-to-end."""
-    dd.release_persisted()
     docs = load_table(spark, sf_dir, "documents")
     kept = docs.select(
         "doc_id", "text", "source",
@@ -1240,10 +1295,36 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_daily_window")
+@register(
+    "streaming_daily_window",
+    oracle="""
+    WITH wm AS (
+        SELECT MAX(ts) - INTERVAL 1 DAY AS w FROM events
+    ), daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               COUNT(*) AS n_events,
+               ROUND(AVG(value), 4) AS value_avg
+        FROM events GROUP BY 1
+    )
+    SELECT day, n_events, value_avg
+    FROM daily, wm
+    WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= wm.w
+    """,
+)
 def streaming_daily_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming tumbling-day aggregation with watermark
-    (availableNow over the static events table). Non-SQL-expressible
-    (stateful streaming semantics: only watermark-closed windows emit);
-    the batch-equivalence test pins correctness instead."""
-    return run_available_now(spark, sf_dir)
+    """Structured Streaming tumbling-day aggregation with watermark,
+    availableNow over the static events table.
+
+    Deterministic and therefore oracle-checkable: with a bounded
+    source the final watermark is max(ts) - 1 day, and append mode
+    emits exactly the windows that watermark has closed (window end ≤
+    watermark — the trailing unclosed window(s) stay in state on both
+    sides). The oracle is the batch day-groupBy with the same cutoff."""
+    import itertools
+
+    if not hasattr(streaming_daily_window, "_seq"):
+        streaming_daily_window._seq = itertools.count()
+    # memory sinks need a fresh queryName per run within a session
+    return run_available_now(
+        spark, sf_dir, name=f"daily_window_{next(streaming_daily_window._seq)}"
+    )

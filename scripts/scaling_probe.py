@@ -132,6 +132,7 @@ def main() -> None:
     base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
 
     results: dict[str, dict[int, tuple[float, int]]] = {n: {} for n in OPS}
+    hot_lines: list[str] = []
     workdir = tempfile.mkdtemp(prefix="spark_graft_scaling_")
     try:
         for k in FACTORS:

@@ -9,7 +9,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from fixtures_omop import CODELISTS, EXPECTED_COHORT, build_tables
+from hypertension_dashboard_pipeline_spark.plans.fixtures import CODELISTS, EXPECTED_COHORT, build_tables
 from hypertension_dashboard_pipeline_spark.plans import (
     bp as bp_plan,
 )

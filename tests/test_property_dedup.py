@@ -39,6 +39,12 @@ def _base_hash(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
 
 
+def _hash64(s: str) -> int:
+    """First 16 md5 hex digits as a big-endian unsigned 64-bit value —
+    the SimHash token hash (operators/dedup.py simhash_signatures)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
+
+
 def _corpus_df(spark, corpus):
     return spark.createDataFrame(
         [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
@@ -101,10 +107,13 @@ def test_simhash_signatures_match_bruteforce(spark, corpus):
         sig = 0
         for b in range(dd.SIMHASH_BITS):
             votes = sum(
-                1 if (_base_hash(t) >> b) & 1 else -1 for t in toks
+                1 if (_hash64(t) >> b) & 1 else -1 for t in toks
             )
             if votes >= 0:
                 sig += 1 << b
+        # signatures come back as signed 64-bit (bit 63 = sign bit)
+        if sig >= 1 << 63:
+            sig -= 1 << 64
         want[i] = sig
     assert got == want
 
