@@ -42,28 +42,37 @@ HEADLINE = [
 ]
 
 
-def run_once(spark, name: str) -> float:
-    # the timer wraps the query-function call too: streaming queries
-    # execute their bounded run inside it, and batch probe .first()
-    # calls (query-vector lookups) are real per-query work
+def run_once(spark, name: str) -> tuple[float, float]:
+    # TIMER CONTRACT (fixed since r2 — do not change, deltas must stay
+    # comparable round-over-round): the timer wraps the query-function
+    # call too. Streaming queries execute their bounded run inside it,
+    # and batch probe .first() calls (query-vector lookups) are real
+    # per-query work. The construction part is also reported separately
+    # so plan-execution regressions are attributable: r1 timed only the
+    # sink write, which is why every r1→r2 delta shifted ~+0.1s
+    # (construction) without any plan change.
     t0 = time.perf_counter()
     df = registry.QUERIES[name](spark, SF_DIR)
+    t1 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    return time.perf_counter() - t0, t1 - t0
 
 
-def run_steady(spark, name: str) -> float:
+def run_steady(spark, name: str, n: int = 3) -> tuple[float, float]:
     """Steady-state latency: one untimed warm-up (JIT/codegen for this
-    query's expression shapes), then drop every cached intermediate so
-    the timed run re-materializes its own persisted subplans — cache
-    work is counted, one-time JVM compilation is not."""
+    query's expression shapes), then best of ``n`` timed runs, dropping
+    every cached intermediate between runs so each timed run
+    re-materializes its own persisted subplans — cache work is counted,
+    one-time JVM compilation is not."""
     run_once(spark, name)
     spark.catalog.clearCache()
-    best = float("inf")
-    for _ in range(2):
-        best = min(best, run_once(spark, name))
+    best, best_construct = float("inf"), 0.0
+    for _ in range(n):
+        total, construct = run_once(spark, name)
+        if total < best:
+            best, best_construct = total, construct
         spark.catalog.clearCache()
-    return best
+    return best, best_construct
 
 
 def main() -> None:
@@ -72,8 +81,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    construct: dict[str, float] = {}
     for name in HEADLINE:
-        timings[name] = round(run_steady(spark, name), 4)
+        total, c = run_steady(spark, name)
+        timings[name] = round(total, 4)
+        construct[name] = round(c, 4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -87,6 +99,9 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "construct_sec": construct,
+                "timer": "constructor+noop-sink, warm-up then best-of-3,"
+                         " cache cleared between runs (fixed since r2)",
                 "sf": sf_val,
             }
         )

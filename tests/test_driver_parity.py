@@ -84,10 +84,18 @@ def _canon_arrow_type(t: pa.DataType) -> str:
 
 
 def _canon(cols, rows):
-    """Sort columns by name (driver behavior), then rows."""
+    """Sort columns by name (driver behavior), then rows.
+
+    Rows sort by a null-safe key ((is_none, str) per element): the
+    driver's pandas canonicalizer orders NULLs without complaint, but
+    Python's tuple sort would raise on None-vs-value (rollup totals
+    rows) — any consistent total order works, since the engines' value
+    sets are compared elementwise afterwards.
+    """
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     canon_rows = sorted(
-        tuple(_norm(r[i]) for i in order) for r in rows
+        (tuple(_norm(r[i]) for i in order) for r in rows),
+        key=lambda row: tuple((v is None, str(v)) for v in row),
     )
     return [cols[i] for i in order], canon_rows
 
