@@ -118,6 +118,41 @@ def test_simhash_signatures_match_bruteforce(spark, corpus):
     assert got == want
 
 
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(corpus=corpus_strategy)
+def test_simhash_pairs_match_bruteforce(spark, corpus):
+    """The chunk-pair blocking is lossless (max_hamming < chunks), so
+    the emitted set must EQUAL the exhaustive hamming filter — checked
+    against an independent all-pairs computation."""
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dd.simhash_pairs(
+            _corpus_df(spark, corpus), persist=False
+        ).collect()
+    }
+    sig = {}
+    for i, text in enumerate(corpus):
+        toks = set(_tokens(text))
+        if not toks:
+            continue
+        s = 0
+        for b in range(dd.SIMHASH_BITS):
+            votes = sum(1 if (_hash64(t) >> b) & 1 else -1 for t in toks)
+            if votes >= 0:
+                s += 1 << b
+        sig[i] = s
+    want = {}
+    ids = sorted(sig)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            h = bin(sig[a] ^ sig[b]).count("1")
+            if h <= 6:
+                want[(a, b)] = h
+    assert got == want
+
+
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(corpus=corpus_strategy)
