@@ -278,6 +278,47 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
     return sums.select("id", sig.alias("simhash"))
 
 
+def near_signature_pairs(usig: DataFrame, max_hamming: int = 6,
+                         n_bits: int = SIMHASH_BITS,
+                         chunks: int = 8) -> DataFrame:
+    """(sa, sb, hamming) pairs of DISTINCT signature values within
+    Hamming ``max_hamming``, via lossless chunk-pair blocking (see
+    ``simhash_pairs`` for why the blocking is exact). Input is one
+    column ``simhash`` of distinct values; the self-join runs on the
+    distinct-signature set, so signature multiplicity (template
+    families) never inflates the candidate shuffle."""
+    width = n_bits // chunks
+    mask = (1 << width) - 1
+
+    def piece(c: int) -> F.Column:
+        return F.shiftright(F.col("simhash"), c * width).bitwiseAND(mask)
+
+    combo_structs = [
+        F.struct(
+            F.lit(i * chunks + j).alias("combo"),
+            piece(i).alias("p1"),
+            piece(j).alias("p2"),
+        )
+        for i in range(chunks)
+        for j in range(i + 1, chunks)
+    ]
+    keyed = usig.select(
+        "simhash", F.explode(F.array(*combo_structs)).alias("k")
+    ).select("simhash", "k.combo", "k.p1", "k.p2")
+
+    return (
+        keyed.alias("a")
+        .join(keyed.alias("b"), on=["combo", "p1", "p2"])
+        .filter(F.col("a.simhash") < F.col("b.simhash"))
+        .select(
+            F.col("a.simhash").alias("sa"), F.col("b.simhash").alias("sb")
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", max_hamming: int = 6,
                   n_bits: int = SIMHASH_BITS, chunks: int = 8,
@@ -309,41 +350,13 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     if release:
         release_persisted()
-    width = n_bits // chunks
-    mask = (1 << width) - 1
     # per-doc (id, simhash) rows: read by the same-sig expansion join
     # and both sides of the cross-sig expansion
     sigs = _maybe_persist(
         simhash_signatures(df, id_col, text_col, n_bits), persist
     )
-    usig = sigs.select("simhash").distinct()
-
-    def piece(c: int) -> F.Column:
-        return F.shiftright(F.col("simhash"), c * width).bitwiseAND(mask)
-
-    combo_structs = [
-        F.struct(
-            F.lit(i * chunks + j).alias("combo"),
-            piece(i).alias("p1"),
-            piece(j).alias("p2"),
-        )
-        for i in range(chunks)
-        for j in range(i + 1, chunks)
-    ]
-    keyed = usig.select(
-        "simhash", F.explode(F.array(*combo_structs)).alias("k")
-    ).select("simhash", "k.combo", "k.p1", "k.p2")
-
-    near_sigs = (
-        keyed.alias("a")
-        .join(keyed.alias("b"), on=["combo", "p1", "p2"])
-        .filter(F.col("a.simhash") < F.col("b.simhash"))
-        .select(
-            F.col("a.simhash").alias("sa"), F.col("b.simhash").alias("sb")
-        )
-        .distinct()
-        .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
-        .filter(F.col("hamming") <= max_hamming)
+    near_sigs = near_signature_pairs(
+        sigs.select("simhash").distinct(), max_hamming, n_bits, chunks
     )
 
     cross = (
@@ -372,6 +385,54 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
         )
     )
     return cross.unionByName(same)
+
+
+def simhash_groups(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", max_hamming: int = 6,
+                   n_bits: int = SIMHASH_BITS, chunks: int = 8,
+                   max_iterations: int = 20, persist: bool = True,
+                   release: bool = True) -> DataFrame:
+    """Group-output SimHash near-dup: (id, group_id) for EVERY document,
+    where group_id is the min doc id over the transitive closure of
+    signature-level near-duplicate edges — the scale-safe alternative
+    to ``simhash_pairs`` when the consumer wants survivors, not pairs.
+
+    ``simhash_pairs``'s output contract is *all pairs*: a template
+    family of F identical-signature documents inherently emits F²/2
+    rows — at 100 TB with a 10⁶-doc boilerplate family the output
+    itself is the scale-killer, regardless of how candidates are
+    blocked.  This operator never materializes that expansion:
+
+    * nodes are DISTINCT signature values (a 10⁶-doc family is ONE
+      node), edges come from the same lossless chunk-pair blocking;
+    * ``connected_components`` runs on the signature graph (tiny:
+      |distinct sigs| nodes, near-linear edges);
+    * documents join their signature's component once, and the min doc
+      id per component becomes the group label — output is exactly n
+      rows.
+
+    Singleton signatures (no near neighbor) keep themselves as their
+    component, so every document lands in a group; hamming-0 duplicates
+    collapse via signature equality with no pair ever emitted.
+    """
+    if release:
+        release_persisted()
+    sigs = _maybe_persist(
+        simhash_signatures(df, id_col, text_col, n_bits), persist
+    )
+    near = near_signature_pairs(
+        sigs.select("simhash").distinct(), max_hamming, n_bits, chunks
+    )
+    # signature-level components; release=False — sigs is persisted and
+    # still referenced below
+    comp = connected_components(
+        near, "sa", "sb", max_iterations=max_iterations, release=False
+    ).select(F.col("id").alias("simhash"), F.col("component").alias("__comp"))
+    with_comp = sigs.join(comp, "simhash", "left").select(
+        "id", F.coalesce(F.col("__comp"), F.col("simhash")).alias("__comp")
+    )
+    gid = with_comp.groupBy("__comp").agg(F.min("id").alias("group_id"))
+    return with_comp.join(gid, "__comp").select("id", "group_id")
 
 
 def _base_hash() -> F.Column:
@@ -473,7 +534,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
                          max_iterations: int = 20,
-                         release: bool = True) -> DataFrame:
+                         release: bool = True,
+                         halving_after: int = 8,
+                         require_convergence: bool = False,
+                         stats: dict | None = None) -> DataFrame:
     """Resolve near-dup *pairs* into transitive duplicate *groups*:
     (id, component) where component is the minimum id reachable through
     any chain of pairs — the step every dedup pipeline needs between
@@ -487,11 +551,26 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     is one small convergence count every SECOND round (the count is a
     full job over the labels; checking half as often halves that
     overhead at the price of at most one extra propagation round),
-    never row data.  A pointer-halving variant (component ←
-    label(component)) was measured and rejected: it adds a self-join
-    shuffle per round, which costs more than it saves on the shallow
-    diameters near-dup graphs actually have.
+    never row data.
+
+    **Deep-graph fallback**: plain propagation needs diameter rounds —
+    pathological for chain-shaped graphs.  From round ``halving_after``
+    on, each round appends a pointer-halving step (component ←
+    label(component), one extra self-join shuffle), which roughly
+    doubles the distance a label travels per round → O(log diameter)
+    total.  It stays OFF for the first rounds because on the shallow
+    diameters near-dup graphs actually have the extra shuffle costs
+    more than it saves (measured — see commit f8522d2); a graph still
+    unconverged after ``halving_after`` rounds is exactly the deep case
+    the step exists for.
+
+    Non-convergence within ``max_iterations`` warns (or raises with
+    ``require_convergence=True``) — partial labelings must never be
+    consumed silently.  Pass ``stats={}`` to receive
+    ``{"iterations": n, "converged": bool}``.
     """
+    import warnings
+
     if release:
         release_persisted()
     edges = (
@@ -507,23 +586,37 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    converged = False
+    rounds = 0
     for it in range(max_iterations):
+        rounds = it + 1
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["id"])
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        updated = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
+        updated = labels.join(neighbor_min, "id", "left").select(
+            "id",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_min"), F.col("component")),
+            ).alias("component"),
+        )
+        if it >= halving_after:
+            # pointer-halving: adopt my label's own label. Labels are
+            # node ids, so the lookup is a self-join on the label set.
+            parent = updated.select(
+                F.col("id").alias("component"),
+                F.col("component").alias("__root"),
+            )
+            updated = updated.join(parent, "component", "left").select(
                 "id",
                 F.least(
                     F.col("component"),
-                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                    F.coalesce(F.col("__root"), F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
-        )
+        updated = updated.localCheckpoint(eager=True)
         check_now = it % 2 == 1 or it == max_iterations - 1
         if check_now:
             changed = (
@@ -534,8 +627,20 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             )
             if changed == 0:
                 labels = updated
+                converged = True
                 break
         labels = updated
+    if stats is not None:
+        stats.update({"iterations": rounds, "converged": converged})
+    if not converged:
+        msg = (
+            f"connected_components did not converge within "
+            f"{max_iterations} iterations — labels may be partial "
+            f"(graph diameter too deep; raise max_iterations)"
+        )
+        if require_convergence:
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
 
 

@@ -89,12 +89,28 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     Pass ``dim`` (the embedding width, known to any real caller from
     the encoder config or table metadata) to avoid the fallback
     first-row probe, which costs one extra Spark job per invocation.
+    A declared ``dim`` is verified in-plan: any row whose vector width
+    differs raises instead of silently projecting onto wrong-width
+    hyperplanes (the check rides the existing scan — no extra job).
     """
     d = dim if dim is not None else int(
         df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
     )
 
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    vec = F.col(vec_col)
+    if dim is not None:
+        # the when-branch makes the assertion part of the consumed
+        # value, so column pruning cannot drop it
+        vec = F.when(F.size(vec) == d, vec).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"cosine_near_dup_pairs: declared dim={d} but "
+                          f"{vec_col} has width "),
+                    F.size(F.col(vec_col)).cast("string"),
+                )
+            )
+        )
+    base = df.select(F.col(id_col).alias("id"), vec.alias("v"))
     if n_tables > 0:
         sigs = []
         for t in range(n_tables):
@@ -181,6 +197,59 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
         .select("label")
     )
     scored = df.join(F.broadcast(probed), label_col).select(
+        F.col(id_col), cosine(F.col(vec_col), q, scale=scale).alias("cos_sim")
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def query_sign_bits(query_vec: list[float], n_planes: int) -> str:
+    """The query vector's sign-bucket id, computed driver-side (the
+    planes are deterministic constants; no Spark job)."""
+    planes = [_hyperplane(j, len(query_vec)) for j in range(n_planes)]
+    return "".join(
+        "1" if sum(c * x for c, x in zip(plane, query_vec)) >= 0 else "0"
+        for plane in planes
+    )
+
+
+def build_lsh_index(df: DataFrame, path: str, n_planes: int = 4,
+                    vec_col: str = "embedding",
+                    dim: int | None = None) -> None:
+    """Materialize the ANN index: the table rewritten with a
+    ``bucket=<sign bits>`` partition directory layout.
+
+    ``lsh_bucket_topk`` computes buckets at query time — a full scan
+    per query, fine for one-off batch jobs but not for a served index.
+    This pays the bucketing once at write time; every subsequent probe
+    is a partition-pruned scan of ~1/2^n_planes of the data (pinned by
+    tests/test_plans.py::test_lsh_index_probe_prunes_partitions).
+    Incremental growth works because the planes are md5-derived
+    constants: new vectors append into the same bucket directories."""
+    d = dim if dim is not None else int(
+        df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    )
+    planes = [_hyperplane(j, d) for j in range(n_planes)]
+    (
+        df.withColumn("bucket", sign_bucket(F.col(vec_col), planes))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def lsh_bucket_topk_indexed(spark, index_path: str, query_vec: list[float],
+                            k: int = 10, id_col: str = "vec_id",
+                            vec_col: str = "embedding", n_planes: int = 4,
+                            scale: int = 6) -> DataFrame:
+    """Approximate top-k over a materialized sign-bucket index
+    (``build_lsh_index``): the bucket equality lands in the scan's
+    PartitionFilters, so only the query's bucket directory is read —
+    the claimed 1/2^planes scan made real rather than computed on the
+    fly. Same result set as ``lsh_bucket_topk`` by construction."""
+    qbits = query_sign_bits(query_vec, n_planes)
+    bucketed = spark.read.parquet(index_path).filter(F.col("bucket") == qbits)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = bucketed.select(
         F.col(id_col), cosine(F.col(vec_col), q, scale=scale).alias("cos_sim")
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)

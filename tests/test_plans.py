@@ -157,3 +157,15 @@ def test_no_registered_query_plans_a_cartesian_product(spark, sf_dir):
         if "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p:
             offenders.append(name)
     assert not offenders, f"all-pairs join in default plan: {offenders}"
+
+
+def test_lsh_index_probe_prunes_partitions(plan):
+    """The materialized ANN index's bucket equality must land in the
+    scan's PartitionFilters — only the query's bucket directory is
+    read, which is the entire point of materializing the index."""
+    p = plan("sim_lsh_bucket_topk_indexed")
+    scan = next(l for l in p.splitlines() if "FileScan" in l)
+    assert "PartitionFilters:" in scan
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)", scan).group(1)
+    assert "bucket" in pf and "=" in pf, scan

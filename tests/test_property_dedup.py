@@ -198,3 +198,96 @@ def test_connected_components_match_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {x: find(x) for x in parent}
     assert got == want
+
+
+def test_connected_components_chain_pointer_halving(spark):
+    """A 1000-link chain is the worst case for plain min-label
+    propagation (diameter rounds); the pointer-halving step that
+    switches on after ``halving_after`` rounds must converge in
+    O(log n) total rounds AND produce the exact labeling."""
+    n = 1000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    stats = {}
+    got = {
+        r.id: r.component
+        for r in dd.connected_components(
+            pairs, max_iterations=25, halving_after=2, stats=stats
+        ).collect()
+    }
+    assert stats["converged"], "chain did not converge"
+    # log2(1000) ~ 10; allow slack for the pre-halving warm-up rounds
+    # and the alternating-round convergence check
+    assert stats["iterations"] <= 20, stats
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_connected_components_warns_when_not_converged(spark):
+    import warnings
+
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    # halving disabled and too few rounds for a 30-link chain
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dd.connected_components(
+            pairs, max_iterations=3, halving_after=99
+        ).collect()
+    assert any("did not converge" in str(x.message) for x in w)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(
+            pairs, max_iterations=3, halving_after=99,
+            require_convergence=True,
+        )
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(corpus=corpus_strategy)
+def test_simhash_groups_match_bruteforce(spark, corpus):
+    """Group output must equal: brute-force signatures -> hamming<=6
+    graph over distinct signatures -> transitive closure -> min doc id
+    per family, with EVERY doc (incl. singletons) labeled."""
+    got = {
+        r.id: r.group_id
+        for r in dd.simhash_groups(
+            _corpus_df(spark, corpus), persist=False
+        ).collect()
+    }
+    sig = {}
+    for i, text in enumerate(corpus):
+        toks = set(_tokens(text))
+        if not toks:
+            continue
+        s = 0
+        for b in range(dd.SIMHASH_BITS):
+            votes = sum(1 if (_hash64(t) >> b) & 1 else -1 for t in toks)
+            if votes >= 0:
+                s += 1 << b
+        sig[i] = s
+
+    # union-find over DOCS joined when signature hamming <= 6 (identical
+    # signatures => hamming 0, also joined)
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(sig)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if bin(sig[a] ^ sig[b]).count("1") <= 6:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in ids}
+    assert got == want

@@ -106,3 +106,32 @@ def test_lsh_recall_on_clustered_corpus(spark):
                                                         n_planes=4).collect()}
         recalls.append(len(exact & approx) / 10)
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_near_dup_wrong_dim_raises(emb):
+    """A declared dim that disagrees with the stored vector width must
+    fail the job, not silently project onto wrong-width hyperplanes."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception),
+                       match="declared dim"):
+        sim.cosine_near_dup_pairs(emb, threshold=0.4, dim=32).collect()
+
+
+def test_indexed_lsh_probe_matches_on_the_fly(spark, emb, qvec, tmp_path):
+    """The materialized-index probe must return exactly the on-the-fly
+    bucket probe's rows (same planes, same bucket, same scoring)."""
+    path = str(tmp_path / "lsh_index")
+    sim.build_lsh_index(emb, path, n_planes=4, dim=64)
+    direct = [
+        (r["vec_id"], r["cos_sim"])
+        for r in sim.lsh_bucket_topk(emb, qvec, k=10, n_planes=4).collect()
+    ]
+    indexed = [
+        (r["vec_id"], r["cos_sim"])
+        for r in sim.lsh_bucket_topk_indexed(
+            spark, path, qvec, k=10, n_planes=4
+        ).collect()
+    ]
+    assert indexed == direct
