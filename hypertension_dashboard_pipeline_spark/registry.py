@@ -48,84 +48,80 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #
 #   1. _FRONT lists exactly the externally-gated window (<= 50 names),
 #      in registration order; everything else registers after it.
-#   2. Any query whose implementation OR oracle changes in a round MUST
-#      be inside _FRONT that round — green driver rows carry forward
-#      across rounds only on byte-identical code.
+#   2. Any query whose behavior changed since the last externally-
+#      verified snapshot MUST be inside _FRONT that round.  "Changed"
+#      is detected MECHANICALLY: manifest.query_fingerprints() hashes
+#      each query's source, its transitive in-package callees, and its
+#      oracle text; tests/query_manifest.json pins the fingerprints of
+#      the tree the driver last verified.  Drift (or absence from the
+#      snapshot) outside the window fails the contract test.
 #   3. Queries outside _FRONT rely on the local full sweep
 #      (tests/test_driver_parity.py runs EVERY registered query against
 #      its oracle — the authoritative gate; the driver window is a
 #      sampled re-verification of it).
-#   4. The window stays otherwise stable round-over-round so external
-#      rows remain comparable; rotations are deliberate swaps, recorded
-#      here: r3 swapped s1_scan_project_alias + p12_plausibility_band
-#      (both r1+r2 green, unchanged since) out for the two new
-#      end-to-end OMOP pipeline queries.
-#
-# Current composition: the flagship, the full extension surface
-# (dedup / LSH / similarity / text / packing / multimodal / streaming),
-# the real-pipeline OMOP queries, and one representative core query per
-# SURVEY §2 family not otherwise covered.
+#   4. Rotation history:
+#      r3 swapped s1_scan_project_alias + p12_plausibility_band out for
+#      the two end-to-end OMOP pipeline queries.
+#      r4 is the big re-verification rotation: the whole stable
+#      extension surface (r2/r3 green, fingerprint-unchanged) rotated
+#      out; ALL 39 core queries last externally verified in r1/r2
+#      rotated in, alongside the 9 queries that drifted in r4 and the
+#      flagship + curation pipelines.
 _FRONT: list[str] = [
-    # flagship + round-1 hash-fail queries whose oracles changed
+    # flagship + headline extension pipeline (always externally gated)
     "flagship_cohort_pipeline",
-    "a4_sum_indicator",
-    "a11_attrition_stats",
-    "f11_bool_or_flag",
-    "f9_f13_cast_sum",
-    # deduplication family
     "curation_pipeline",
-    "dedup_exact_groups",
-    "dedup_incremental_ingest",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_components",
-    "text_simhash",
-    "dedup_simhash_pairs",
-    # similarity / embeddings
-    "sim_cosine_topk",
-    "sim_cosine_near_dup",
-    "sim_ivf_topk",
-    "sim_lsh_bucket_topk",
-    "emb_label_centroids",
-    # text analysis
-    "text_token_count",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_repetition_ratio",
-    "text_top_ngrams",
-    "text_bpe_token_count",
-    "text_scrub_pii",
-    "udf_pandas_token_count",
-    # packing / sampling / splits / sessionization
-    "pack_token_budget",
-    "sample_deterministic",
-    "split_by_group",
-    "sessionize_events",
-    # skew-safe aggregation + sketches
-    "a12_salted_skew_agg",
-    "j9_salted_skew_join",
-    "a13_grouped_percentiles",
+    # aged core queries: last external rows r1/r2, byte-unchanged since
+    # (fingerprint-verified) — rotated in for fresh CORRECTNESS rows
+    "s1_scan_project_alias",
+    "p2_p3_column_prune",
+    "p4_literal_evidence_flag",
+    "p5_not_null_filter",
+    "p6_p7_range_conjunction",
+    "p9_codelist_isin",
+    "p10_year_filter",
+    "p12_plausibility_band",
+    "j1_left_enrich",
+    "j2_inner_join",
+    "j3_pair_composite_key",
+    "j4_full_outer_evidence",
+    "j5_anti_exclude",
+    "j6_semi_evidence",
+    "j7_outer_join_demoted",
+    "a1_count_distinct_per_key",
+    "a2_consistent_keys",
+    "a3_same_day_avg",
+    "a5_global_count",
+    "a6_freq_table",
+    "a7_rollup_total",
+    "a8_distinct",
+    "a9_dedup_deterministic",
+    "a10_grouped_distinct",
+    "l1_order_limit",
+    "l2_head_inspect",
+    "u2_intersect_keys",
+    "u3_except_keys",
+    "f1_trim_chars",
+    "f2_strip_ends",
+    "f3_recode",
+    "f5_date_parse_formats",
+    "f7_arith_derived",
+    "f8_round_half_even",
+    "f10_null_fill",
+    "f14_collect_concat",
+    "f16_profile_stats",
+    "f17_json_extract",
+    "w2_rowwise_flag_no_window",
+    # queries that drifted since the r3-verified tree (mechanical set)
     "a14_sketch_profile",
-    "p12b_strict_integer_band",
-    # multimodal plumbing
-    "multimodal_decode_meta",
-    "multimodal_extract_features",
-    "multimodal_resize_meta",
-    "multimodal_frame_sample",
-    # structured streaming
-    "streaming_stateful_counters",
-    "streaming_dedup",
-    "streaming_static_join",
+    "dedup_components",
+    "dedup_simhash_pairs",
+    "dedup_simhash_groups",
+    "sim_cosine_near_dup",
+    "sim_lsh_bucket_topk_indexed",
     "streaming_daily_window",
-    # the real OMOP pipeline, end-to-end (r3)
     "omop_pipeline_e2e",
     "omop_phenotype_stats",
-    # one core representative per §2 family not covered above
-    "j8_broadcast_codelist_join", # J: joins
-    "w1_latest_per_key",          # W: windows
-    "l3_topk_per_group",          # L: top-k / limit
-    "u1_evidence_key_union",      # U: set ops
 ]
 
 # Driver window size (observed: the external gate samples the first 50

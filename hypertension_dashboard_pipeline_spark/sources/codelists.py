@@ -56,6 +56,31 @@ def load_codelists_csv(spark: SparkSession, paths: Mapping[str, str]) -> dict[st
     return out
 
 
+def load_codelists_xlsx(paths: Mapping[str, str]) -> dict[str, list[int]]:
+    """Load codelists directly from Excel workbooks, matching the
+    reference's ingestion shape (2_data_importing_cleaning.R:204-269:
+    ``rio::import`` reads the first sheet with a header row, ``x[[1]]``
+    takes the first column of concept IDs).
+
+    Pure driver-side work over tiny files — the cluster only ever sees
+    the resulting int lists (IN-literal or broadcast semi-join via
+    ``operators.filters.codelist_filter``), so there is no distributed
+    xlsx parsing to worry about at 100 TB.
+    """
+    from .xlsx import read_xlsx_rows
+
+    out: dict[str, list[int]] = {}
+    for name, path in paths.items():
+        rows = read_xlsx_rows(path)
+        codes: list[int] = []
+        for row in rows[1:]:  # skip header row, take first column
+            if not row or row[0] is None:
+                continue
+            codes.append(int(row[0]))
+        out[name] = codes
+    return out
+
+
 def as_dataframe(spark: SparkSession, codes: Sequence[int]) -> DataFrame:
     """Codelist as a (broadcastable) single-column DataFrame."""
     return spark.createDataFrame([(int(c),) for c in codes], schema=CODELIST)

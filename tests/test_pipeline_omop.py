@@ -191,3 +191,105 @@ def test_staged_runner_checkpoints_match_direct(spark, tables, phenotype,
         assert staged[k]["hypertension_130"] == direct[k]["hypertension_130"]
     # checkpoint round-trip preserved types (no CSV-style degradation)
     assert dict(out["phenotype"].dtypes) == dict(phenotype.dtypes)
+
+
+# ----------------------------------------------------- attrition bands
+
+
+def test_attrition_proportions_within_reference_bands(spark):
+    """Reference QC idiom #3 (SURVEY.md §5): the exclusion plumbing must
+    reproduce the reference's PUBLISHED attrition rates when evidence is
+    planted at those rates on a scaled population —
+    8.97% of women of reproductive age excluded for pregnancy
+    (2_data_importing_cleaning.R:403-405), 0.18% of all adults for ESRD
+    (:482-484), and ~0.01% for palliative/hospice care.  This pins the
+    exclusion machinery's PROPORTIONS (no over-/under-exclusion, WRA
+    denominator right, domains unioned not double-counted), not just
+    golden-patient membership.
+    """
+    import datetime as dt
+
+    from hypertension_dashboard_pipeline_spark import schemas as S
+    from hypertension_dashboard_pipeline_spark.operators.aggregates import attrition_pct
+    from hypertension_dashboard_pipeline_spark.plans.cohort import (
+        care_exclusion_keys,
+        esrd_exclusion_keys,
+        pregnancy_exclusion_keys,
+    )
+    from hypertension_dashboard_pipeline_spark.plans.fixtures import CODELISTS, q
+    from hypertension_dashboard_pipeline_spark.plans import cohort as co
+    from hypertension_dashboard_pipeline_spark.operators import joins as jn
+
+    N, N_WRA = 10_000, 3_000
+    N_PREG = round(0.0897 * N_WRA)   # 269 -> 8.9667%
+    N_ESRD = round(0.0018 * N)       # 18  -> 0.18%
+    N_CARE = 1                       # 0.01%
+    d23 = dt.date(2023, 6, 1)
+
+    persons, conditions, measurements, observations, procedures = [], [], [], [], []
+    for i in range(N):
+        key = f"A{i:05d}"
+        wra = i < N_WRA
+        persons.append((key, 1990 if wra else 1970, q("CAUCASIAN"),
+                        q("F" if wra else "M"), 8532 if wra else 8507,
+                        q("303"), "GA"))
+    # pregnancy evidence spread over all four domains (union must not
+    # double-count a patient with multi-domain evidence: A00000 has 2)
+    for i in range(N_PREG):
+        key = f"A{i:05d}"
+        dom = i % 4
+        if dom == 0:
+            conditions.append((key, 9001, q("pregnancy"), d23))
+        elif dom == 1:
+            measurements.append((key, d23, 9002, q("preg test"), 1.0, 0, q("")))
+        elif dom == 2:
+            observations.append((key, 9003, d23))
+        else:
+            procedures.append((key, 9004, d23))
+    conditions.append(("A00000", 9001, q("pregnancy again"), d23))
+    # ESRD / care evidence on males only (disjoint from pregnancy set)
+    for i in range(N_WRA, N_WRA + N_ESRD):
+        conditions.append((f"A{i:05d}", 9101, q("esrd"), d23))
+    for i in range(N_WRA + N_ESRD, N_WRA + N_ESRD + N_CARE):
+        observations.append((f"A{i:05d}", 9201, d23))
+
+    person = spark.createDataFrame(persons, S.PERSON)
+    condition = spark.createDataFrame(conditions, S.CONDITION_OCCURRENCE)
+    measurement = spark.createDataFrame(measurements, S.MEASUREMENT)
+    observation = spark.createDataFrame(observations, S.OBSERVATION)
+    procedure = spark.createDataFrame(procedures, S.PROCEDURE_OCCURRENCE)
+
+    grown = co.adults(co.drop_misbridged(co.base_population(person)), YEAR)
+    n_total = grown.count()
+    n_wra = grown.filter(
+        F.col("YEAR_OF_BIRTH").between(YEAR - 44, YEAR - 18)
+        & (F.col("SEX") == "F")
+    ).count()
+    assert (n_total, n_wra) == (N, N_WRA)
+
+    after_preg = jn.exclude(
+        grown,
+        pregnancy_exclusion_keys(grown, condition, measurement, observation,
+                                 procedure, CODELISTS, YEAR),
+        co.KEY,
+    )
+    n1 = after_preg.count()
+    after_esrd = jn.exclude(
+        after_preg,
+        esrd_exclusion_keys(condition, observation, procedure, CODELISTS, YEAR),
+        co.KEY,
+    )
+    n2 = after_esrd.count()
+    n3 = jn.exclude(
+        after_esrd,
+        care_exclusion_keys(observation, procedure, CODELISTS, YEAR),
+        co.KEY,
+    ).count()
+
+    # the reference's printed formulas, with its denominators
+    pct_preg = attrition_pct(n_total, n1, denom=n_wra)
+    pct_esrd = attrition_pct(n1, n2, denom=n_total)
+    pct_care = attrition_pct(n2, n3, denom=n_total)
+    assert abs(pct_preg - 8.97) < 0.5, pct_preg
+    assert abs(pct_esrd - 0.18) < 0.05, pct_esrd
+    assert abs(pct_care - 0.01) < 0.02, pct_care

@@ -7,40 +7,34 @@ changed query out of external verification:
 
 * _FRONT fits the window exactly and contains no duplicates/unknowns;
 * registration order actually starts with _FRONT;
-* queries changed in the current round (tracked by the curated list
-  below) are inside the window.
+* any query whose MECHANICAL fingerprint (own source + transitive
+  in-package callees + oracle text, see
+  hypertension_dashboard_pipeline_spark/manifest.py) drifted from the last
+  externally-verified snapshot (tests/query_manifest.json) is inside
+  the window — no hand-curated changed-list to forget to update.
 
 Queries outside the window are still verified every run by the local
 full sweep (test_driver_parity.py parametrizes over ALL registered
 queries) — the window contract is about keeping the EXTERNAL record
 meaningful, not about local coverage.
+
+Round-boundary workflow: after the driver records CORRECTNESS_r{N} for
+tree T, regenerate the snapshot FROM T (scripts/gen_manifest.py
+docstring shows the git-archive recipe) before making round N+1
+changes.
 """
 
 from __future__ import annotations
 
+import json
+import pathlib
+
 from hypertension_dashboard_pipeline_spark import registry
+from hypertension_dashboard_pipeline_spark.manifest import query_fingerprints
 
 registry.load_all()
 
-# Queries whose implementation or oracle changed in the current round.
-# Update this list whenever a round touches a query — the test below
-# forces the change into the externally-gated window (contract rule 2).
-CHANGED_THIS_ROUND = [
-    "streaming_static_join",
-    "multimodal_extract_features",
-    "text_simhash",
-    "dedup_simhash_pairs",
-    "sim_lsh_bucket_topk",
-    "sim_cosine_near_dup",
-    "a12_salted_skew_agg",
-    "streaming_daily_window",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_components",
-    "curation_pipeline",
-    "omop_pipeline_e2e",
-    "omop_phenotype_stats",
-]
+MANIFEST_PATH = pathlib.Path(__file__).parent / "query_manifest.json"
 
 
 def test_front_fits_window_and_is_well_formed():
@@ -55,18 +49,33 @@ def test_registration_order_starts_with_front():
 
 
 def test_changed_queries_are_externally_gated():
+    """Mechanical drift detection: any query whose fingerprint differs
+    from the last externally-verified snapshot (or is new) must be in
+    the driver window this round."""
+    snapshot = json.loads(MANIFEST_PATH.read_text())["queries"]
+    current = query_fingerprints()
     window = set(list(registry.QUERIES)[: registry.DRIVER_WINDOW])
-    outside = [n for n in CHANGED_THIS_ROUND if n not in window]
+    drifted = sorted(n for n, h in current.items() if snapshot.get(n) != h)
+    outside = [n for n in drifted if n not in window]
     assert not outside, (
-        f"queries changed this round but outside the driver window: "
-        f"{outside} — move them into registry._FRONT"
+        f"queries changed since the verified snapshot but outside the "
+        f"driver window: {outside} — move them into registry._FRONT "
+        f"(or, at a round boundary only, regenerate the snapshot from "
+        f"the driver-verified tree: see scripts/gen_manifest.py)"
     )
+
+
+def test_removed_queries_are_deliberate():
+    """A query present in the verified snapshot must still exist —
+    silent deregistration would quietly shrink coverage."""
+    snapshot = json.loads(MANIFEST_PATH.read_text())["queries"]
+    removed = sorted(set(snapshot) - set(registry.QUERIES))
+    assert not removed, f"queries removed since verified snapshot: {removed}"
 
 
 def test_every_query_has_an_oracle_or_documented_exemption():
-    """Rows-only queries must be the deliberate short list (approximate
-    sketches), not an accidental omission."""
+    """Rows-only queries must be the deliberate short list, not an
+    accidental omission.  (a14_sketch_profile gained an exact-twin
+    oracle in r4, so the exemption list is now empty.)"""
     no_oracle = set(registry.QUERIES) - set(registry.ORACLES)
-    assert no_oracle <= {"a14_sketch_profile"}, (
-        f"unexpected oracle-less queries: {sorted(no_oracle)}"
-    )
+    assert no_oracle == set(), f"unexpected oracle-less queries: {sorted(no_oracle)}"
