@@ -60,6 +60,7 @@ OPS = {
     "dedup_ngram_jaccard": lambda df: dd.shingle_pairs_jaccard(df, threshold=0.1),
     "dedup_minhash_lsh": lambda df: dd.minhash_lsh_pairs(df, n_hashes=16, bands=4),
     "dedup_simhash_pairs": lambda df: dd.simhash_pairs(df),
+    "dedup_simhash_groups": lambda df: dd.simhash_groups(df),
     "dedup_exact_groups": lambda df: dd.exact_dedup_groups(df),
 }
 
@@ -125,6 +126,69 @@ def hot_shingle_probe(spark, base) -> list[str]:
     ]
 
 
+def template_family_probe(spark, base) -> list[str]:
+    """The boilerplate-family pathology for SimHash: add a family of
+    n identical-text documents (one template repeated — the 100 TB
+    "same licence page mirrored everywhere" case).  The *pair* output
+    contract inherently owes C(n,2) rows for that family, no candidate
+    blocking can save it; the *group* output contract owes n rows.
+    Measures both on the same corpus."""
+    n_family = base.count()  # family as large as the distinct corpus
+    one = base.orderBy("doc_id").limit(1).select("text")
+    family = (
+        spark.range(n_family)
+        .select((F.col("id") + 1_000_000).alias("doc_id"))
+        .crossJoin(F.broadcast(one))
+    )
+    corpus = base.select("doc_id", "text").unionByName(family)
+    n_docs = n_family * 2
+
+    t0 = time.perf_counter()
+    n_pairs = dd.simhash_pairs(corpus).count()
+    t_pairs = time.perf_counter() - t0
+    spark.catalog.clearCache()
+    dd.release_persisted()
+
+    t0 = time.perf_counter()
+    n_groups = dd.simhash_groups(corpus).count()
+    t_groups = time.perf_counter() - t0
+    spark.catalog.clearCache()
+    dd.release_persisted()
+
+    print(
+        f"template-family: pairs {n_pairs:,} rows in {t_pairs:.2f}s; "
+        f"groups {n_groups:,} rows in {t_groups:.2f}s"
+    )
+    return [
+        "",
+        "## Template-family pathology (identical-signature boilerplate)",
+        "",
+        f"{n_family:,} distinct docs + a family of {n_family:,} documents",
+        "sharing ONE template text (identical signatures), "
+        f"{n_docs:,} docs total:",
+        "",
+        f"- `simhash_pairs`: **{n_pairs:,} rows in {t_pairs:.2f}s** — the",
+        f"  family alone owes C({n_family:,},2) = "
+        f"{n_family * (n_family - 1) // 2:,} pairs; the output CONTRACT,",
+        "  not candidate generation, is the quadratic term (candidates are",
+        "  still blocked over distinct signatures: one self-join row per",
+        "  colliding signature pair).",
+        f"- `dedup_simhash_groups`: **{n_groups:,} rows in "
+        f"{t_groups:.2f}s** — exactly one row per document (id, group_id),",
+        "  the family collapses to one component regardless of its size.",
+        "  This is the scale-safe contract for 100 TB dedup: output is",
+        "  O(corpus), never O(family²).",
+        "",
+        "At this toy scale the group variant's wall time exceeds the pair",
+        "variant's: its cost is a fixed number of driver-synchronized",
+        "label-propagation rounds, while 13M pairs still fit in one",
+        "shuffle. The crossover is the family size — pair output grows",
+        "with family² (a 10⁶-doc family owes 5·10¹¹ rows; unwritable),",
+        "group output and round count stay flat in family size (identical",
+        "signatures are ONE node in the component graph).",
+    ]
+
+
 def main() -> None:
     spark = build_session(app_name="scaling_probe",
                           shuffle_partitions=cpu_count())
@@ -150,6 +214,7 @@ def main() -> None:
                 print(f"{name} @ {k}x: {elapsed:.2f}s, {n_out} rows")
                 dd.release_persisted()
         hot_lines = hot_shingle_probe(spark, base)
+        hot_lines += template_family_probe(spark, base)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 

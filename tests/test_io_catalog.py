@@ -74,3 +74,39 @@ def test_catalog_introspection(spark, sf_smoke):
     cols = [c.name for c in spark.catalog.listColumns("customer")]
     assert cols == ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
                     "c_mktsegment"]
+
+
+# ------------------------------------------------------------- JDBC (S1)
+
+
+def test_jdbc_scan_options_parallel_read():
+    """The warehouse-scan adapter must emit a range-partitioned read
+    (one query per partition), never a single-task scan, when bounds
+    are given — and carry fetchsize + driver properties through."""
+    opts = eio.jdbc_scan_options(
+        "jdbc:postgresql://wh:5432/omop", "person",
+        partition_column="person_id", lower_bound=0,
+        upper_bound=12_000_000, num_partitions=64,
+        properties={"user": "svc", "driver": "org.postgresql.Driver"},
+    )
+    assert opts["partitionColumn"] == "person_id"
+    assert (opts["lowerBound"], opts["upperBound"]) == ("0", "12000000")
+    assert opts["numPartitions"] == "64"
+    assert opts["fetchsize"] == "10000"
+    assert opts["driver"] == "org.postgresql.Driver"
+    # subquery pushdown shape: dbtable may be a parenthesized subquery
+    sub = eio.jdbc_scan_options(
+        "jdbc:postgresql://wh:5432/omop",
+        "(SELECT person_id FROM person WHERE year_of_birth <= 2005) t",
+    )
+    assert sub["dbtable"].startswith("(SELECT")
+
+
+def test_jdbc_scan_options_validation(spark):
+    with pytest.raises(ValueError, match="requires.*upper_bound"):
+        eio.jdbc_scan_options("jdbc:x", "t", partition_column="id",
+                              lower_bound=0, num_partitions=4)
+    with pytest.raises(ValueError, match="not both"):
+        eio.read_jdbc(spark, "jdbc:x", "t", partition_column="id",
+                      lower_bound=0, upper_bound=1, num_partitions=1,
+                      predicates=["state = 'GA'"])

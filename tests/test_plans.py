@@ -169,3 +169,35 @@ def test_lsh_index_probe_prunes_partitions(plan):
     import re
     pf = re.search(r"PartitionFilters: \[([^\]]*)", scan).group(1)
     assert "bucket" in pf and "=" in pf, scan
+
+
+def test_no_registered_query_uses_row_python_eval(spark, sf_dir):
+    """Python may touch data only through Arrow-vectorized surfaces
+    (pandas_udf / mapInPandas / applyInPandas).  A row-at-a-time
+    BatchEvalPython node pickles every row across the JVM-Python
+    boundary — 10-100x slower than Arrow batches and a plan-killer at
+    100 TB — so NO registered query may contain one.  Arrow nodes are
+    themselves allowed only in the queries declared to use them; the
+    rest of the surface must stay entirely JVM-side.
+    """
+    ARROW_DECLARED = {
+        "udf_pandas_token_count",          # demonstrative pandas_udf
+        "multimodal_decode_meta",          # mapInPandas plumbing
+        "multimodal_extract_features",
+        "multimodal_resize_meta",
+        "multimodal_frame_sample",
+    }
+    ARROW_NODES = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+    row_eval, undeclared_arrow = [], []
+    for name, fn in registry.QUERIES.items():
+        if name.startswith("streaming_"):
+            continue
+        p = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "BatchEvalPython" in p:
+            row_eval.append(name)
+        if any(n in p for n in ARROW_NODES) and name not in ARROW_DECLARED:
+            undeclared_arrow.append(name)
+    assert not row_eval, f"row-at-a-time Python eval in plan: {row_eval}"
+    assert not undeclared_arrow, (
+        f"Arrow Python nodes outside the declared set: {undeclared_arrow}"
+    )
