@@ -49,21 +49,72 @@ def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     return spark.read.csv(path, header=True, schema=schema)
 
 
+def events_read_plan(sf_dir: str) -> tuple[T.StructType, bool]:
+    """Pick the explicit reader schema for ``events.parquet`` by
+    sniffing the parquet footer.
+
+    The driver's generator has shipped ``ts`` in two physical forms
+    across rounds — nanosecond INT64 timestamps (which Spark rejects
+    without a legacy conf) and plain micro/millisecond TIMESTAMP —
+    so the reader adapts instead of assuming either.  Footer-only read:
+    one local metadata fetch, no data scan.
+
+    Returns ``(reader_schema, ts_is_raw_nanos)``; pair with
+    :func:`normalize_events_ts`.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .schemas import EVENTS_NTZ, EVENTS_RAW
+
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):  # directory-shaped dataset: any part file works
+        part = sorted(
+            n for n in os.listdir(path) if n.endswith(".parquet")
+        )[0]
+        path = os.path.join(path, part)
+    ts = pq.read_schema(path).field("ts").type
+    if pa.types.is_timestamp(ts) and ts.unit != "ns":
+        return EVENTS_NTZ, False
+    return EVENTS_RAW, True
+
+
+def normalize_events_ts(df: DataFrame, raw_nanos: bool) -> DataFrame:
+    """Bring ``ts`` to session-tz TIMESTAMP whichever way it was stored:
+    raw nanos → integer DIV to micros (no double round-trip); NTZ micros
+    → plain cast (value-identical under the fixed UTC session tz)."""
+    if raw_nanos:
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md).
 
-    The events table carries nanosecond parquet timestamps, which Spark
-    rejects by default; declaring ``ts`` as LONG in an explicit schema
-    reads the raw nanos with no session-conf side effect, then converts
-    to microsecond timestamps (integer DIV — no double round-trip).
+    The events table needs timestamp normalization (see
+    :func:`events_read_plan` — the physical form of ``ts`` has varied
+    across driver rounds); everything else is a plain columnar scan.
     """
-    from .schemas import EVENTS_RAW
-
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        df = spark.read.schema(EVENTS_RAW).parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        schema, raw_nanos = events_read_plan(sf_dir)
+        df = spark.read.schema(schema).parquet(path)
+        return normalize_events_ts(df, raw_nanos)
     return spark.read.parquet(path)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream source over the events table with the same ts
+    normalization as :func:`load_table` (the file stream source needs a
+    directory path, so the events file is glob-selected from the shared
+    testdata dir)."""
+    schema, raw_nanos = events_read_plan(sf_dir)
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return normalize_events_ts(src, raw_nanos)
 
 
 def read_jdbc(spark: SparkSession, url: str, table: str, *,

@@ -181,14 +181,33 @@ EVENTS = T.StructType(
     ]
 )
 
-# events.parquet as physically stored: nanosecond INT64 timestamps.
-# Reading with ts declared LONG sidesteps Spark's nanos rejection with
-# NO session conf (`spark.sql.legacy.parquet.nanosAsLong`) — readers
-# convert `ts DIV 1000` → timestamp_micros themselves.
+# events.parquet reader schemas: the driver's generator has shipped
+# ``ts`` in two physical forms across rounds (nanosecond INT64 through
+# r3, microsecond TIMESTAMP since r4), so readers sniff the parquet
+# footer (io.events_read_plan) and pick the matching explicit schema —
+# explicit either way so streaming sources stay deterministic and the
+# nanos path needs NO session conf (`spark.sql.legacy.parquet.nanosAsLong`).
+#
+# EVENTS_RAW: ts declared LONG reads raw nanos; readers convert
+# ``ts DIV 1000`` → timestamp_micros themselves.
 EVENTS_RAW = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
         T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+# EVENTS_NTZ: ts declared TIMESTAMP_NTZ for micro/millisecond parquet
+# timestamps (isAdjustedToUTC=false); readers cast to session-tz
+# TIMESTAMP, value-identical under the engine's fixed UTC session tz.
+EVENTS_NTZ = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),

@@ -20,7 +20,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..schemas import EVENTS_RAW
+from ..io import events_stream
 
 
 def daily_value_stats(events: DataFrame) -> DataFrame:
@@ -46,17 +46,7 @@ def run_available_now(spark: SparkSession, sf_dir: str,
     the sink a parquet/Delta table; memory sink keeps the test
     self-contained.
     """
-    # events carries nanosecond parquet timestamps: the explicit
-    # ts-as-LONG schema reads them with no session-conf side effect
-    # (same normalization as io.load_table).  The file stream source
-    # requires a directory path; select just the events file from the
-    # shared testdata dir with a glob filter.
-    src = (
-        spark.readStream.schema(EVENTS_RAW)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    src = events_stream(spark, sf_dir)
     out = daily_value_stats(src)
     ckpt = tempfile.mkdtemp(prefix="spark_graft_stream_")
     try:

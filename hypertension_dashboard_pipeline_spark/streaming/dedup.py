@@ -23,8 +23,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load_table
-from ..schemas import EVENTS_RAW
+from ..io import events_stream, load_table
 
 
 def dedup_within_watermark(events: DataFrame, key_cols: list[str],
@@ -37,15 +36,9 @@ def dedup_within_watermark(events: DataFrame, key_cols: list[str],
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-stream over the events table (nanos → micros via the
-    explicit ts-as-LONG schema, as in io.load_table — no session-conf
-    side effect)."""
-    return (
-        spark.readStream.schema(EVENTS_RAW)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    """File-stream over the events table (ts normalized by the shared
+    footer-sniffing source, io.events_stream)."""
+    return events_stream(spark, sf_dir)
 
 
 def run_stream_static_join(spark: SparkSession, sf_dir: str,
@@ -57,9 +50,8 @@ def run_stream_static_join(spark: SparkSession, sf_dir: str,
     shape. With availableNow over the bounded source the result equals
     the batch join, which is the oracle."""
     stream = _events_stream(spark, sf_dir)
-    # load_table, not a raw parquet read: the events table carries
-    # nanosecond timestamps, which the default reader rejects
-    # (PARQUET_TYPE_ILLEGAL) — load_table reads ts as LONG and converts.
+    # load_table, not a raw parquet read: ts normalization must match
+    # the stream side (see io.events_read_plan).
     static_dim = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")

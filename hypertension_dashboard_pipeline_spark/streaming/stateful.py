@@ -77,14 +77,9 @@ def run_available_now(spark: SparkSession, sf_dir: str,
     import shutil
     import tempfile
 
-    from ..schemas import EVENTS_RAW
+    from ..io import events_stream
 
-    src = (
-        spark.readStream.schema(EVENTS_RAW)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    src = events_stream(spark, sf_dir)
     out = running_user_counters(src)
     ckpt = tempfile.mkdtemp(prefix="spark_graft_state_")
     try:
