@@ -13,7 +13,7 @@ from __future__ import annotations
 from functools import reduce
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -68,6 +68,115 @@ def broadcast_dim(fact: DataFrame, dim: DataFrame,
     engine form of the reference's IN-literal splicing
     (2_data_importing_cleaning.R:209)."""
     return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
+              left_ts: str = "ts", right_ts: str = "ts",
+              payload: Sequence[str] | None = None) -> DataFrame:
+    """Backward as-of join: attach to each left row the most recent
+    right row with ``right_ts <= left_ts`` sharing the key (the
+    time-series "last known value" join Spark has no native operator
+    for; DuckDB/pandas call it ASOF).
+
+    Spark-first formulation — NOT a range-exploded join: both sides are
+    tagged and unioned, then ONE per-key window ordered by
+    ``(ts, side)`` carries the latest right payload forward
+    (``F.last(ignorenulls)`` over an unbounded-preceding frame, a
+    running accumulator Tungsten evaluates in a single pass per key).
+    One shuffle on the key; skew and output size are those of the
+    inputs, never of the match cross-product. Right rows order before
+    left rows at equal ts, giving ``<=`` (not ``<``) semantics,
+    matching ASOF backward.
+
+    The right payload is carried as a STRUCT so a right row whose
+    payload fields are null still matches (``ignorenulls`` skips only
+    rows with no right struct at all, i.e. left rows).
+
+    Left rows with no preceding right row keep null payload (ASOF LEFT
+    JOIN). Right must be unique per ``(key, right_ts)`` for the match
+    to be well-defined; callers pre-aggregate ties away.
+    """
+    keys = list(on)
+    pay = list(payload) if payload is not None else [
+        c for c in right.columns if c not in {*keys, right_ts}
+    ]
+    clash = [c for c in pay if c in left.columns]
+    if clash:
+        raise ValueError(f"payload columns collide with left side: {clash}")
+
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__asof_ts"),
+        F.struct(*[F.col(c) for c in pay]).alias("__asof_pay"),
+        F.lit(0).alias("__asof_side"),
+    )
+    l = left.withColumn("__asof_ts", F.col(left_ts)).withColumn(
+        "__asof_side", F.lit(1)
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__asof_ts").asc(), F.col("__asof_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        l.unionByName(r, allowMissingColumns=True)
+        .withColumn("__asof_m", F.last("__asof_pay", ignorenulls=True).over(w))
+        .filter(F.col("__asof_side") == 1)
+    )
+    return matched.select(
+        *left.columns,
+        *[F.col("__asof_m")[c].alias(c) for c in pay],
+    )
+
+
+def range_join(a: DataFrame, b: DataFrame, on: Sequence[str],
+               ts_a: str = "ts", ts_b: str = "ts",
+               max_gap_sec: int = 120) -> DataFrame:
+    """Band/interval join: all pairs with ``|ts_a - ts_b| <= max_gap``
+    sharing the key, without the naive inequality join's per-key
+    cross-product.
+
+    Each side is binned to ``max_gap``-wide time buckets; side ``b`` is
+    replicated into its bucket and both neighbors, the join is a plain
+    EQUI-join on ``(key, bucket)``, and the exact band predicate
+    filters the residue. Any qualifying pair lands in exactly one
+    bucket equality (a's own bucket vs b's replica), so no dedup pass
+    is needed. Cost scales with rows-per-bucket, not rows-per-key —
+    the standard bounded-band formulation that survives hot keys at
+    100 TB. Result columns: a.* plus ``gap_us`` plus the b payload
+    columns (callers alias collisions away beforehand).
+    """
+    keys = list(on)
+    clash = [c for c in b.columns if c in a.columns and c not in keys]
+    if clash:
+        raise ValueError(f"b columns collide with a: {clash}")
+    gap_us = int(max_gap_sec) * 1_000_000
+
+    a2 = a.withColumn("__us_a", F.unix_micros(F.col(ts_a))).withColumn(
+        "__bucket", F.expr(f"unix_micros({ts_a}) DIV {gap_us}")
+    )
+    b2 = (
+        b.withColumn("__us_b", F.unix_micros(F.col(ts_b)))
+        .withColumn(
+            "__bucket",
+            F.explode(
+                F.array(
+                    F.expr(f"unix_micros({ts_b}) DIV {gap_us} - 1"),
+                    F.expr(f"unix_micros({ts_b}) DIV {gap_us}"),
+                    F.expr(f"unix_micros({ts_b}) DIV {gap_us} + 1"),
+                )
+            ),
+        )
+    )
+    joined = a2.join(b2, on=[*keys, "__bucket"]).filter(
+        F.abs(F.col("__us_b") - F.col("__us_a")) <= gap_us
+    )
+    b_pay = [c for c in b.columns if c not in keys]
+    return joined.select(
+        *[F.col(c) for c in a.columns],
+        (F.col("__us_b") - F.col("__us_a")).alias("gap_us"),
+        *[F.col(c) for c in b_pay],
+    )
 
 
 def salted_join(skewed: DataFrame, other: DataFrame, on: str,

@@ -1457,3 +1457,140 @@ def streaming_daily_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "daily_window_sink"
     spark.catalog.dropTempView(name)
     return run_available_now(spark, sf_dir, name=name)
+
+
+# --------------------------------------------------------------------------
+# temporal joins (beyond the reference surface: as-of + band joins, the
+# two time-series joins Spark has no native operator for)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "j10_asof_join",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts, value AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+        SELECT user_id, ts, ts AS clicked_at, MAX(value) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.purchase_value,
+           c.clicked_at, c.click_value
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def j10_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase is annotated with the user's
+    most recent prior-or-simultaneous click (operators/joins.asof_join
+    — union + one per-key carry-forward window, never a range-exploded
+    join). Oracle: DuckDB's native ASOF LEFT JOIN, an independent
+    implementation of the same semantics."""
+    from .operators import joins as jn
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+        .withColumn("clicked_at", F.col("ts"))
+    )
+    return jn.asof_join(
+        purchases, clicks, on=["user_id"],
+        payload=["clicked_at", "click_value"],
+    )
+
+
+@register(
+    "j11_range_join",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_id AS click_id, ts
+        FROM events WHERE event_type = 'click'
+    ), e AS (
+        SELECT user_id, event_id AS error_id, ts AS err_ts
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT c.user_id, c.click_id, c.ts,
+           CAST(epoch_us(e.err_ts) - epoch_us(c.ts) AS BIGINT) AS gap_us,
+           e.error_id, e.err_ts
+    FROM c JOIN e ON c.user_id = e.user_id
+     AND abs(epoch_us(e.err_ts) - epoch_us(c.ts)) <= 3600000000
+    """,
+)
+def j11_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join: (click, error) pairs by the same user within one
+    hour, via bucketed equi-join (operators/joins.range_join) instead
+    of the inequality join's per-key cross-product. Oracle: the naive
+    inequality join DuckDB can afford at sf0.01."""
+    from .operators import joins as jn
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"),
+        F.col("ts").alias("err_ts"),
+    )
+    return jn.range_join(
+        clicks, errors, on=["user_id"], ts_a="ts", ts_b="err_ts",
+        max_gap_sec=3600,
+    )
+
+
+def _quantized_topk_oracle(k: int = 10) -> str:
+    """Replicates quantized_topk's arithmetic exactly: divide-then-
+    multiply order, floor-to-BIGINT codes, sequential-fold dot product,
+    round-6 de-scaled score (see operators/similarity.quantized_topk)."""
+    maxabs = "list_max(list_transform({v}, x -> abs(x)))"
+    qmax = maxabs.format(v="v")
+    return f"""
+    WITH q AS (
+        SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0
+    ), qs AS (
+        SELECT v, CASE WHEN {qmax} = 0 THEN 1.0 ELSE {qmax} END AS maxq
+        FROM q
+    ), qq AS (
+        SELECT list_transform(v, x -> CAST(floor(x * (127.0 / maxq)) AS BIGINT)) AS qv,
+               maxq
+        FROM qs
+    ), e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), es AS (
+        SELECT vec_id, v,
+               CASE WHEN {qmax} = 0 THEN 1.0 ELSE {qmax} END AS maxc
+        FROM e
+    ), codes AS (
+        SELECT vec_id, maxc,
+               list_transform(v, x -> CAST(floor(x * (127.0 / maxc)) AS BIGINT)) AS cv
+        FROM es
+    ), scored AS (
+        SELECT c.vec_id,
+               CAST(list_sum(list_transform(range(1, len(c.cv) + 1),
+                                            i -> c.cv[i] * q.qv[i])) AS BIGINT) AS qdot,
+               c.maxc, q.maxq
+        FROM codes c, qq q
+    )
+    SELECT vec_id, qdot,
+           ROUND(CAST(qdot AS DOUBLE) * maxc * maxq / 16129.0, 6) AS approx_dot
+    FROM scored
+    ORDER BY approx_dot DESC, vec_id
+    LIMIT {k}
+    """
+
+
+@register("sim_quantized_topk", oracle=_quantized_topk_oracle())
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized inner-product top-k against the vec_id=0
+    query vector: the compressed-index ANN path (4× smaller store than
+    float32; exact BIGINT code dot products). Quantization error is
+    part of the operator contract, so the oracle reproduces it
+    bit-for-bit rather than degrading to a tolerance check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return sim.quantized_topk(emb, [float(x) for x in qv], k=10)

@@ -135,3 +135,35 @@ def test_indexed_lsh_probe_matches_on_the_fly(spark, emb, qvec, tmp_path):
         ).collect()
     ]
     assert indexed == direct
+
+
+def test_quantized_topk_tracks_exact_dot_ranking(emb, qvec):
+    """Int8 quantization must keep high overlap with the EXACT
+    inner-product ranking (the thing it approximates), and the query
+    vector itself must rank first (its code dot with itself is max)."""
+    from hypertension_dashboard_pipeline_spark.functions.vectors import dot
+
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    exact = [
+        r["vec_id"]
+        for r in emb.select(
+            "vec_id", dot(F.col("embedding"), q).alias("d")
+        ).orderBy(F.col("d").desc(), "vec_id").limit(10).collect()
+    ]
+    approx_rows = sim.quantized_topk(emb, qvec, k=10).collect()
+    approx = [r["vec_id"] for r in approx_rows]
+    assert approx[0] == 0  # the query vector itself
+    # recall@10 against exact MIPS: int8 on 64-dim keeps ranking tight
+    assert len(set(exact) & set(approx)) >= 8
+    # scores are descending and qdot is an exact integer
+    scores = [r["approx_dot"] for r in approx_rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(isinstance(r["qdot"], int) for r in approx_rows)
+
+
+def test_quantized_topk_plan_stays_jvm_side(emb, qvec):
+    plan = (
+        sim.quantized_topk(emb, qvec, k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
