@@ -202,6 +202,29 @@ def jdbc_scan_options(url: str, table: str, *,
     return opts
 
 
+def read_jsonl(spark: SparkSession, path: str,
+               schema: T.StructType) -> DataFrame:
+    """JSON-Lines source with a mandatory explicit schema (Spark's
+    ``json`` reader IS line-delimited by default).
+
+    JSONL is the lingua franca of LLM training-data interchange
+    (document dumps, annotation exports); the explicit StructType keeps
+    the same inference-proofing contract as :func:`read_csv`, and lets
+    the reader skip Spark's schema-inference pre-pass — at 100 TB,
+    inference would read every byte TWICE. Corrupt lines land in
+    ``_corrupt_record`` if the schema declares it (PERMISSIVE default)
+    rather than killing the job.
+    """
+    return spark.read.schema(schema).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — the other splittable columnar format warehouses
+    commonly hand over (Hive/Trino deployments); same pushdown/pruning
+    properties as the parquet path."""
+    return spark.read.orc(path)
+
+
 def register_views(spark: SparkSession, sf_dir: str,
                    tables: tuple[str, ...] = TESTDATA_TABLES) -> None:
     """Register testdata tables as temp views for spark.sql queries."""
@@ -231,6 +254,24 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Final-export CSV (the reference's output format), header included."""
     df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite",
+                compression: str | None = "gzip") -> None:
+    """JSON-Lines sink (one JSON object per line, splittable files).
+
+    Compressed by default: JSONL is 5-10× bulkier than parquet, and
+    export jobs at scale are IO-bound. Pass ``compression=None`` for
+    plain text when a downstream tool can't read .gz.
+    """
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
 
 
 def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],

@@ -110,3 +110,58 @@ def test_jdbc_scan_options_validation(spark):
         eio.read_jdbc(spark, "jdbc:x", "t", partition_column="id",
                       lower_bound=0, upper_bound=1, num_partitions=1,
                       predicates=["state = 'GA'"])
+
+
+def test_jsonl_roundtrip_documents(spark, sf_smoke, tmpdir):
+    """JSONL interchange: write the documents table as gzip JSONL, read
+    it back with the explicit schema — types and values must survive
+    (incl. text containing quotes/newlines, which JSON escapes)."""
+    docs = eio.load_table(spark, sf_smoke, "documents")
+    path = f"{tmpdir}/docs_jsonl"
+    eio.write_jsonl(docs, path)
+    back = eio.read_jsonl(spark, path, S.DOCUMENTS)
+    assert back.schema == docs.select(*back.columns).schema
+    a = sorted(docs.collect(), key=lambda r: r["doc_id"])
+    b = sorted(back.collect(), key=lambda r: r["doc_id"])
+    assert a == b
+
+
+def test_jsonl_corrupt_line_lands_in_corrupt_record(spark, tmpdir):
+    """PERMISSIVE contract: a malformed line must not kill the scan
+    when the schema declares _corrupt_record."""
+    import pathlib
+
+    p = pathlib.Path(tmpdir) / "mixed.jsonl"
+    p.write_text('{"doc_id": 1, "text": "ok"}\n{not json at all\n')
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    rows = eio.read_jsonl(spark, str(p), schema).collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(good) == 1 and good[0]["doc_id"] == 1
+    assert len(bad) == 1
+
+
+def test_orc_roundtrip_preserves_types(spark, sf_smoke, tmpdir):
+    """ORC interchange: schema- and value-exact round-trip, including
+    the timestamp column (normalized by load_table)."""
+    ev = eio.load_table(spark, sf_smoke, "events")
+    path = f"{tmpdir}/events_orc"
+    eio.write_orc(ev, path)
+    back = eio.read_orc(spark, path)
+    assert back.schema == ev.schema
+    assert back.count() == ev.count()
+    a = sorted(ev.limit(50).collect(), key=lambda r: r["event_id"])
+    ids = [r["event_id"] for r in a]
+    b = sorted(
+        back.filter(F.col("event_id").isin(ids)).collect(),
+        key=lambda r: r["event_id"],
+    )
+    assert a == b
