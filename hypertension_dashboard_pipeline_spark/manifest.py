@@ -120,10 +120,24 @@ def _resolve(val: Any, key: str, seen: set[str], parts: dict[str, str]) -> None:
     elif isinstance(val, (list, dict, set)):
         if key not in seen:
             seen.add(key)
-            try:
-                parts[key] = repr(sorted(val)) if isinstance(val, set) else repr(val)
-            except TypeError:
-                parts[key] = repr(val)
+            # Hash container CONTENTS only for constant-like containers
+            # (tuning knobs: band lists, stopword sets...).  A container
+            # holding non-constants is runtime state (e.g. the dedup
+            # module's persisted-DataFrame bookkeeping list) — its
+            # contents vary with what already RAN in this process, which
+            # must never change a query's fingerprint.
+            items = list(val.values()) + list(val) if isinstance(val, dict) else list(val)
+            # non-empty AND all-constant: empty is ambiguous (a runtime
+            # list starts empty and must not change hash when it fills)
+            if items and all(isinstance(x, _CONST_TYPES) for x in items):
+                try:
+                    parts[key] = (
+                        repr(sorted(val)) if isinstance(val, set) else repr(val)
+                    )
+                except TypeError:
+                    parts[key] = repr(val)
+            else:
+                parts[key] = "<mutable-runtime-state>"
 
 
 def fingerprint(fn: types.FunctionType, oracle: str | None) -> str:

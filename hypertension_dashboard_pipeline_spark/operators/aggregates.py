@@ -83,6 +83,129 @@ def freq_table_with_total(df: DataFrame, col: str) -> DataFrame:
     return df.rollup(col).agg(F.count(F.lit(1)).alias("n"))
 
 
+def time_rollup(df: DataFrame, ts_col: str = "ts",
+                value_col: str = "value") -> DataFrame:
+    """Multi-granularity time-bucket rollup (hour → day → month) with
+    ONE scan of the fact table — the continuous-aggregate/hypertable
+    pattern: coarser grains re-aggregate the finest partial aggregate,
+    never the raw rows.
+
+    At 100 TB the fact scan dominates everything; the hourly partial is
+    ~5 orders of magnitude smaller (one row per bucket), so deriving
+    day/month from it is effectively free — and because sums are exact
+    DECIMAL, hierarchical re-aggregation is bit-identical to direct
+    aggregation (the commutativity floats would lose).  The hourly
+    partial is localCheckpointed: bounded rows, three consuming
+    branches, no persist bookkeeping.
+
+    Output: (grain, bucket, n_events, value_sum DECIMAL(28,6),
+    value_avg double rounded 4dp).
+    """
+    v = F.col(value_col).cast("decimal(18,6)")
+    hour = (
+        df.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(v).alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    day = hour.groupBy(
+        F.date_trunc("day", F.col("bucket")).alias("bucket")
+    ).agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    month = day.groupBy(
+        F.date_trunc("month", F.col("bucket")).alias("bucket")
+    ).agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+
+    def out(grain: str, g: DataFrame) -> DataFrame:
+        return g.select(
+            F.lit(grain).alias("grain"),
+            "bucket",
+            F.col("n").alias("n_events"),
+            F.col("s").cast("decimal(28,6)").alias("value_sum"),
+            F.round(F.col("s").cast("double") / F.col("n"), 4).alias(
+                "value_avg"
+            ),
+        )
+
+    return (
+        out("hour", hour)
+        .unionByName(out("day", day))
+        .unionByName(out("month", month))
+    )
+
+
+def mergeable_quantile_profile(df: DataFrame, bucket: "F.Column",
+                               value_col: str,
+                               quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+                               rank_tol: float = 0.05) -> DataFrame:
+    """Pre-aggregated quantiles via mergeable KLL sketches: one sketch
+    per bucket (e.g. per day), folded into a single sketch with the
+    pairwise ``kll_sketch_merge`` in deterministic bucket order, then
+    probed for quantiles.
+
+    THE 100 TB pattern this encodes: store the per-bucket sketches
+    (a few KB each) as a profile table; any date-range quantile is a
+    merge of the covered buckets — no rescan of the fact data, and the
+    merge is associative so ranges compose.  Exact percentiles need a
+    full sort-shuffle of every value, every time.
+
+    KLL compaction is randomized (DataSketches), so raw quantile
+    values vary run to run within the rank-error bound.  The returned
+    frame therefore carries, per quantile: the sketch estimate AND the
+    exact values at ranks q ± ``rank_tol`` (one exact percentile pass
+    — the verification harness, not part of the production profile),
+    plus a ``within_bounds`` flag.  The flag is the deterministic,
+    oracle-checkable part; ``rank_tol`` of 5% is >3× the sketch's
+    default normalized rank error.
+    """
+    per_bucket = df.groupBy(bucket.alias("__b")).agg(
+        F.kll_sketch_agg_double(value_col).alias("__sk")
+    )
+    merged = per_bucket.agg(
+        F.sort_array(F.collect_list(F.struct("__b", "__sk"))).alias("__a")
+    ).select(
+        F.expr(
+            "aggregate(slice(__a, 2, size(__a) - 1), __a[0].__sk,"
+            " (acc, x) -> kll_sketch_merge_double(acc, x.__sk))"
+        ).alias("__sk")
+    )
+    probes = merged.select(
+        *[
+            F.kll_sketch_get_quantile_double("__sk", F.lit(q)).alias(f"__q{i}")
+            for i, q in enumerate(quantiles)
+        ]
+    )
+    rank_points = []
+    for q in quantiles:
+        rank_points.append(max(0.0, q - rank_tol))
+        rank_points.append(min(1.0, q + rank_tol))
+    # the exact bounds are fetched eagerly (ONE small aggregate job,
+    # same pattern as the similarity queries' query-vector probe) and
+    # spliced as literals: combining two 1-row frames lazily would be
+    # a cartesian/constant-key join, which the registry-wide plan
+    # invariant rightly forbids
+    bounds = df.agg(
+        F.percentile(
+            value_col, F.array(*[F.lit(p) for p in rank_points])
+        ).alias("__ex")
+    ).first()["__ex"]
+    per_q = [
+        F.struct(
+            F.lit(q).alias("quantile"),
+            F.col(f"__q{i}").alias("approx"),
+            F.lit(bounds[2 * i]).alias("lo"),
+            F.lit(bounds[2 * i + 1]).alias("hi"),
+            (
+                (F.col(f"__q{i}") >= F.lit(bounds[2 * i]))
+                & (F.col(f"__q{i}") <= F.lit(bounds[2 * i + 1]))
+            ).cast("int").alias("within_bounds"),
+        )
+        for i, q in enumerate(quantiles)
+    ]
+    return (
+        probes.select(F.explode(F.array(*per_q)).alias("r"))
+        .select("r.quantile", "r.approx", "r.lo", "r.hi", "r.within_bounds")
+    )
+
+
 def dedup_deterministic(df: DataFrame, key: str | Sequence[str],
                         order_by: Sequence) -> DataFrame:
     """Reference A9: ``distinct(key, .keep_all=TRUE)`` with a

@@ -531,12 +531,61 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _components_local(edges: DataFrame, stats: dict | None = None) -> DataFrame:
+    """Driver-side union-find over a collected symmetric edge list (the
+    ``connected_components`` small-graph fast path).  Union-by-min with
+    path compression keeps every root the minimum id of its set, so the
+    output frame (id, component = min reachable id) is identical to the
+    converged iterative propagation.  Arrow both ways (toPandas /
+    createDataFrame-from-pandas) — no per-row Python serialization."""
+    from pyspark.sql import types as T
+
+    id_type = edges.schema["a"].dataType
+    pdf = edges.toPandas()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pdf["a"].tolist(), pdf["b"].tolist()):
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra  # smaller root wins → root stays the min
+
+    import pandas as pd
+
+    out = pd.DataFrame(
+        {"id": list(parent), "component": [find(n) for n in parent]}
+    )
+    schema = T.StructType(
+        [T.StructField("id", id_type, False),
+         T.StructField("component", id_type, False)]
+    )
+    if stats is not None:
+        stats.update(
+            {"iterations": 0, "converged": True, "mode": "local-union-find"}
+        )
+    return edges.sparkSession.createDataFrame(out, schema=schema)
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
                          max_iterations: int = 20,
                          release: bool = True,
                          halving_after: int = 8,
                          require_convergence: bool = False,
+                         small_graph_threshold: int = 4_000_000,
                          stats: dict | None = None) -> DataFrame:
     """Resolve near-dup *pairs* into transitive duplicate *groups*:
     (id, component) where component is the minimum id reachable through
@@ -564,10 +613,22 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     unconverged after ``halving_after`` rounds is exactly the deep case
     the step exists for.
 
+    **Small-graph fast path**: near-dup edge sets are usually tiny
+    relative to the corpus (candidates are already blocked/filtered).
+    When the symmetric edge list has at most ``small_graph_threshold``
+    rows, it is collected and resolved with a driver-side union-find —
+    one job instead of diameter-many shuffle rounds, the same
+    short-circuit distributed graph libraries apply below their
+    broadcast threshold.  The output contract (id, min reachable id)
+    is IDENTICAL to the iterative path; at the default threshold the
+    collected edges are at most tens of MB of id pairs.  Set
+    ``small_graph_threshold=0`` to force the distributed loop (tests
+    do, to exercise the propagation machinery).
+
     Non-convergence within ``max_iterations`` warns (or raises with
     ``require_convergence=True``) — partial labelings must never be
     consumed silently.  Pass ``stats={}`` to receive
-    ``{"iterations": n, "converged": bool}``.
+    ``{"iterations": n, "converged": bool, "mode": ...}``.
     """
     import warnings
 
@@ -581,6 +642,13 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         .distinct()
     )
     edges = _maybe_persist(edges, True)
+
+    if small_graph_threshold > 0:
+        # the count also materializes the persisted edges, so the
+        # fallback (or the first iteration) reads from cache
+        if edges.count() <= small_graph_threshold:
+            return _components_local(edges, stats=stats)
+
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()
@@ -631,7 +699,10 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                 break
         labels = updated
     if stats is not None:
-        stats.update({"iterations": rounds, "converged": converged})
+        stats.update(
+            {"iterations": rounds, "converged": converged,
+             "mode": "distributed"}
+        )
     if not converged:
         msg = (
             f"connected_components did not converge within "
@@ -642,6 +713,115 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             raise RuntimeError(msg)
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
+
+
+def _bloom_probe(col_name: str, i: int, m_bits: int):
+    """Probe i for a Bloom filter over ``col_name``: bit position
+    ``pmod(xxhash64(col, i), m)`` expressed as (word, mask) against an
+    int64-word bitmap.  xxhash64 with the probe index as an extra
+    hashed column gives k independent deterministic hash functions."""
+    h = f"pmod(xxhash64({col_name}, {i}), {m_bits}L)"
+    return F.expr(
+        f"named_struct('word', {h} DIV 64, "
+        f"'mask', shiftleft(1L, CAST({h} % 64 AS INT)))"
+    )
+
+
+def bloom_bitmap(digests: DataFrame, digest_col: str,
+                 m_bits: int = 1 << 23, k: int = 5) -> DataFrame:
+    """Build a Bloom filter over a digest column as a (word, bits)
+    bitmap DataFrame — Spark exposes no reusable Bloom builder to
+    Python, so the filter is composed from relational primitives:
+    explode k probes per row, one bit_or aggregation.
+
+    The aggregation output is at most ``m_bits/64`` rows (128 MiB of
+    bitmap = 2M rows) regardless of corpus size, with map-side partial
+    combine doing almost all the OR-ing — the corpus is scanned once
+    and never shuffled (only probe words move, pre-combined per task).
+    """
+    probes = digests.select(
+        F.explode(
+            F.array(*[_bloom_probe(digest_col, i, m_bits) for i in range(k)])
+        ).alias("p")
+    )
+    return probes.groupBy(F.col("p.word").alias("word")).agg(
+        F.bit_or(F.col("p.mask")).alias("bits")
+    )
+
+
+def bloom_maybe_contains(bitmap: DataFrame, df: DataFrame, digest_col: str,
+                         m_bits: int = 1 << 23, k: int = 5,
+                         out_col: str = "maybe_in_corpus") -> DataFrame:
+    """Per-distinct-digest Bloom decision: ``out_col`` is false only if
+    the digest is DEFINITELY absent from the corpus the bitmap was
+    built over (no false negatives — the Bloom guarantee); true means
+    "present or false positive".
+
+    The bitmap is broadcast (bounded by construction), so probing is a
+    narrow pass over ``df``'s distinct digests — nothing corpus-sized
+    shuffles.
+    """
+    probes = (
+        df.select(digest_col).distinct()
+        .select(
+            digest_col,
+            F.explode(
+                F.array(
+                    *[_bloom_probe(digest_col, i, m_bits) for i in range(k)]
+                )
+            ).alias("p"),
+        )
+    )
+    joined = probes.join(
+        F.broadcast(bitmap), probes["p.word"] == bitmap["word"], "left"
+    )
+    hit = (
+        bitmap["bits"].isNotNull()
+        & (bitmap["bits"].bitwiseAND(probes["p.mask"]) != 0)
+    ).cast("int")
+    return (
+        joined.groupBy(digest_col)
+        .agg((F.min(hit) == 1).alias(out_col))
+    )
+
+
+def incremental_ingest_bloom(existing: DataFrame, incoming: DataFrame,
+                             text_col: str = "text", id_col: str = "doc_id",
+                             m_bits: int = 1 << 23, k: int = 5) -> DataFrame:
+    """``incremental_ingest`` with a Bloom pre-filter: rows whose
+    fingerprint is definitely-new skip the exact anti-join entirely;
+    only Bloom-positive digests (corpus hits + the ~fp% false
+    positives) reach it.
+
+    Same output as ``incremental_ingest`` by construction (the Bloom
+    filter never produces false negatives, and positives fall through
+    to the exact check) — the oracle is the exact path's SQL.  The win
+    at scale: a small append against a huge corpus costs one corpus
+    scan that reduces to a broadcastable bitmap, instead of shuffling
+    corpus-side digests into an anti-join; with the bitmap persisted
+    between appends the corpus isn't even scanned.
+    """
+    from ..functions.text import fingerprint
+
+    inc = incoming.withColumn("__fp", fingerprint(text_col))
+    corpus_fp = existing.select(fingerprint(text_col).alias("__fp"))
+    bitmap = bloom_bitmap(corpus_fp, "__fp", m_bits, k)
+    # null fingerprints never equi-join: route them around the Bloom
+    # machinery as always-fresh, exactly as the anti-join path keeps
+    # them (null keys match nothing)
+    inc_null = inc.filter(F.col("__fp").isNull())
+    inc_nn = inc.filter(F.col("__fp").isNotNull())
+    decision = bloom_maybe_contains(bitmap, inc_nn, "__fp", m_bits, k)
+    certain_new = inc_nn.join(
+        decision.filter(~F.col("maybe_in_corpus")).select("__fp"), "__fp"
+    )
+    candidates = inc_nn.join(
+        decision.filter(F.col("maybe_in_corpus")).select("__fp"), "__fp"
+    )
+    confirmed_new = candidates.join(corpus_fp, "__fp", "left_anti")
+    fresh = certain_new.unionByName(confirmed_new).unionByName(inc_null)
+    survivors = fresh.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return fresh.join(survivors, ["__fp", id_col], "left_semi").drop("__fp")
 
 
 def incremental_ingest(existing: DataFrame, incoming: DataFrame,

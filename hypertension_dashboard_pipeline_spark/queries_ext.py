@@ -1594,3 +1594,107 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     return sim.quantized_topk(emb, [float(x) for x in qv], k=10)
+
+
+@register(
+    "a15_time_rollup",
+    oracle="""
+    WITH base AS (
+        SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+               date_trunc('month', ts) AS m,
+               CAST(value AS DECIMAL(18,6)) AS v
+        FROM events
+    )
+    SELECT 'hour' AS grain, h AS bucket, COUNT(*) AS n_events,
+           CAST(SUM(v) AS DECIMAL(28,6)) AS value_sum,
+           ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 4) AS value_avg
+    FROM base GROUP BY h
+    UNION ALL
+    SELECT 'day', d, COUNT(*), CAST(SUM(v) AS DECIMAL(28,6)),
+           ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 4)
+    FROM base GROUP BY d
+    UNION ALL
+    SELECT 'month', m, COUNT(*), CAST(SUM(v) AS DECIMAL(28,6)),
+           ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 4)
+    FROM base GROUP BY m
+    """,
+)
+def a15_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate-style rollup: hour/day/month buckets from
+    ONE fact scan, coarser grains derived from the hourly partial
+    (operators/aggregates.time_rollup). Exact DECIMAL sums make the
+    hierarchical re-aggregation bit-identical to the oracle's direct
+    per-grain aggregation — which is the point: the 100 TB plan and
+    the naive plan must agree exactly."""
+    from .operators.aggregates import time_rollup
+
+    return time_rollup(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "dedup_incremental_bloom",
+    oracle=f"""
+    WITH inc AS (
+        SELECT doc_id + 200000 AS doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN text
+                    ELSE text || ' rev' || doc_id END AS text
+        FROM documents
+    ), incfp AS (
+        SELECT doc_id, text, md5({_DK_NORM.format(c='text')}) AS fp FROM inc
+    ), seen AS (
+        SELECT DISTINCT md5({_DK_NORM.format(c='text')}) AS fp FROM documents
+    ), fresh AS (
+        SELECT * FROM incfp
+        WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.fp = incfp.fp)
+    ), surv AS (
+        SELECT fp, MIN(doc_id) AS doc_id FROM fresh GROUP BY fp
+    )
+    SELECT f.doc_id, f.text
+    FROM fresh f JOIN surv USING (fp, doc_id)
+    """,
+)
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered dedup-on-append: definitely-new fingerprints
+    (most of a typical append) skip the exact anti-join; only Bloom
+    positives reach it (operators/dedup.incremental_ingest_bloom —
+    filter built from xxhash64 probes + one bit_or aggregation, no
+    native Bloom API needed). Output is identical to the exact path,
+    so the oracle IS the exact path's SQL — the approximation
+    accelerates, never changes, the result."""
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.select(
+        (F.col("doc_id") + 200_000).alias("doc_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" rev"), F.col("doc_id")))
+        .alias("text"),
+    )
+    return dd.incremental_ingest_bloom(
+        docs.select("doc_id", "text"), incoming
+    ).select("doc_id", "text")
+
+
+@register(
+    "a16_kll_merge_quantiles",
+    oracle="""
+    SELECT CAST(0.5 AS DOUBLE) AS quantile, 1 AS within_bounds
+    UNION ALL SELECT CAST(0.9 AS DOUBLE), 1
+    UNION ALL SELECT CAST(0.99 AS DOUBLE), 1
+    """,
+)
+def a16_kll_merge_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable per-day KLL quantile profile of events.value, folded
+    to global p50/p90/p99 (operators/aggregates.mergeable_quantile_
+    profile) — the store-sketches-not-values pattern that answers
+    arbitrary-range quantiles without rescanning the fact table.
+
+    KLL compaction is randomized, so like a14 the externally-checked
+    contract is the within-bounds flags against an exact twin (exact
+    percentiles at rank q ± 0.05, >3x the sketch's rank error); the
+    approximate values themselves are asserted in
+    tests/test_scale_ops.py."""
+    from .operators.aggregates import mergeable_quantile_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return mergeable_quantile_profile(
+        ev, F.date_trunc("day", F.col("ts")), "value"
+    ).select("quantile", "within_bounds")

@@ -67,6 +67,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      out; ALL 39 core queries last externally verified in r1/r2
 #      rotated in, alongside the 9 queries that drifted in r4 and the
 #      flagship + curation pipelines.
+#      r5 TODO: rotate in the queries that DEBUTED in r4 (never
+#      externally verified): j10_asof_join, j11_range_join,
+#      sim_quantized_topk, a15_time_rollup, a16_kll_merge_quantiles,
+#      dedup_incremental_bloom — plus anything fingerprint-drifted.
 _FRONT: list[str] = [
     # flagship + headline extension pipeline (always externally gated)
     "flagship_cohort_pipeline",

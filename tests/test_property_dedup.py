@@ -180,7 +180,10 @@ def test_connected_components_match_union_find(spark, edges):
         [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
     )
     got = {
-        r.id: r.component for r in dd.connected_components(pairs).collect()
+        r.id: r.component
+        for r in dd.connected_components(
+            pairs, small_graph_threshold=0
+        ).collect()
     }
 
     parent = {}
@@ -213,7 +216,8 @@ def test_connected_components_chain_pointer_halving(spark):
     got = {
         r.id: r.component
         for r in dd.connected_components(
-            pairs, max_iterations=25, halving_after=2, stats=stats
+            pairs, max_iterations=25, halving_after=2, stats=stats,
+            small_graph_threshold=0,
         ).collect()
     }
     assert stats["converged"], "chain did not converge"
@@ -235,13 +239,14 @@ def test_connected_components_warns_when_not_converged(spark):
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         dd.connected_components(
-            pairs, max_iterations=3, halving_after=99
+            pairs, max_iterations=3, halving_after=99,
+            small_graph_threshold=0,
         ).collect()
     assert any("did not converge" in str(x.message) for x in w)
     with pytest.raises(RuntimeError, match="did not converge"):
         dd.connected_components(
             pairs, max_iterations=3, halving_after=99,
-            require_convergence=True,
+            require_convergence=True, small_graph_threshold=0,
         )
 
 
@@ -291,3 +296,42 @@ def test_simhash_groups_match_bruteforce(spark, corpus):
                     parent[max(ra, rb)] = min(ra, rb)
     want = {i: find(i) for i in ids}
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(edges=edge_strategy)
+def test_components_local_fast_path_matches_distributed(spark, edges):
+    """The small-graph union-find short-circuit must be output-
+    identical to the iterative propagation on the same pairs."""
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+    )
+    stats_local, stats_dist = {}, {}
+    local = {
+        r.id: r.component
+        for r in dd.connected_components(pairs, stats=stats_local).collect()
+    }
+    dist = {
+        r.id: r.component
+        for r in dd.connected_components(
+            pairs, small_graph_threshold=0, stats=stats_dist
+        ).collect()
+    }
+    assert stats_local["mode"] == "local-union-find"
+    assert stats_dist["mode"] == "distributed"
+    assert local == dist
+
+
+def test_components_local_string_ids(spark):
+    """The fast path must handle non-numeric id types (simhash_groups
+    runs components over signature values)."""
+    pairs = spark.createDataFrame(
+        [("sig_b", "sig_c"), ("sig_a", "sig_b"), ("sig_x", "sig_y")],
+        "id_a string, id_b string",
+    )
+    got = {r.id: r.component for r in dd.connected_components(pairs).collect()}
+    assert got == {
+        "sig_a": "sig_a", "sig_b": "sig_a", "sig_c": "sig_a",
+        "sig_x": "sig_x", "sig_y": "sig_x",
+    }

@@ -89,3 +89,20 @@ def test_every_query_has_an_oracle_or_documented_exemption():
     oracle in r4, so the exemption list is now empty.)"""
     no_oracle = set(registry.QUERIES) - set(registry.ORACLES)
     assert no_oracle == set(), f"unexpected oracle-less queries: {sorted(no_oracle)}"
+
+
+def test_fingerprints_ignore_runtime_mutable_state():
+    """Running queries mutates module-level bookkeeping (the dedup
+    persist list); fingerprints must depend only on committed code,
+    never on what already executed in this process — otherwise the
+    contract test fails exactly when the full suite runs queries
+    before it."""
+    from hypertension_dashboard_pipeline_spark.operators import dedup as dd
+
+    before = query_fingerprints()
+    dd._PERSISTED.append(object())  # simulate a prior query's run
+    try:
+        after = query_fingerprints()
+    finally:
+        dd._PERSISTED.clear()
+    assert before == after

@@ -143,3 +143,21 @@ def test_salted_counts_spreads_single_value_hot_key(spark):
         .count()
     )
     assert salts == buckets
+
+
+def test_kll_merge_quantile_profile_bounds(spark, sf_dir):
+    """Per-day KLL sketches folded to global quantiles: every estimate
+    must land between the exact values at rank q ± 0.05 (the profile's
+    advertised bound), and the harness columns must agree."""
+    from hypertension_dashboard_pipeline_spark.operators.aggregates import (
+        mergeable_quantile_profile,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = mergeable_quantile_profile(
+        ev, F.date_trunc("day", F.col("ts")), "value"
+    ).collect()
+    assert [r.quantile for r in rows] == [0.5, 0.9, 0.99]
+    for r in rows:
+        assert r.lo <= r.approx <= r.hi, (r.quantile, r.lo, r.approx, r.hi)
+        assert r.within_bounds == 1
