@@ -179,14 +179,154 @@ def template_family_probe(spark, base) -> list[str]:
         "  This is the scale-safe contract for 100 TB dedup: output is",
         "  O(corpus), never O(family²).",
         "",
-        "At this toy scale the group variant's wall time exceeds the pair",
-        "variant's: its cost is a fixed number of driver-synchronized",
-        "label-propagation rounds, while 13M pairs still fit in one",
-        "shuffle. The crossover is the family size — pair output grows",
-        "with family² (a 10⁶-doc family owes 5·10¹¹ rows; unwritable),",
-        "group output and round count stay flat in family size (identical",
-        "signatures are ONE node in the component graph).",
+        "At this toy scale the two variants' wall times are comparable:",
+        "since r4 the pairs→groups step short-circuits to a driver-side",
+        "union-find when the (distinct-signature) edge list is below the",
+        "broadcast threshold, removing the former fixed cost of",
+        "driver-synchronized propagation rounds. What matters at 100 TB",
+        "is the contract: pair output grows with family² (a 10⁶-doc",
+        "family owes 5·10¹¹ rows; unwritable), group output stays",
+        "O(corpus) — identical signatures are ONE node in the component",
+        "graph, and the distributed propagation path takes over only",
+        "when the signature graph itself is huge.",
     ]
+
+
+def temporal_join_probe(spark) -> list[str]:
+    """As-of and band joins on the events table replicated k× by
+    user-id shift (more keys, same per-key density — corpus growth,
+    not skew growth). Both must scale near-linearly: as-of is one
+    union + one per-key window; the band join is a bucketed equi-join
+    whose cost tracks rows-per-bucket."""
+    from hypertension_dashboard_pipeline_spark.operators import joins as jn
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    n = ev.count()
+    out: dict[int, tuple[float, int, float, int]] = {}
+    for k in FACTORS:
+        parts = [
+            ev.select(
+                (F.col("event_id") + F.lit(i * n)).alias("event_id"),
+                (F.col("user_id") + F.lit(i * 100_000)).alias("user_id"),
+                "event_type", "ts", "value",
+            )
+            for i in range(k)
+        ]
+        big = parts[0]
+        for p in parts[1:]:
+            big = p.unionByName(big)
+        big = big.localCheckpoint(eager=True)
+
+        clicks = big.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("click_id"), "ts"
+        )
+        errors = big.filter(F.col("event_type") == "error").select(
+            "user_id", F.col("event_id").alias("error_id"),
+            F.col("ts").alias("err_ts"),
+        )
+        t0 = time.perf_counter()
+        n_band = jn.range_join(
+            clicks, errors, on=["user_id"], ts_a="ts", ts_b="err_ts",
+            max_gap_sec=3600,
+        ).count()
+        t_band = time.perf_counter() - t0
+
+        purchases = big.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        quotes = (
+            big.filter(F.col("event_type") == "click")
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias("click_value"))
+        )
+        t0 = time.perf_counter()
+        n_asof = jn.asof_join(
+            purchases, quotes, on=["user_id"], payload=["click_value"]
+        ).count()
+        t_asof = time.perf_counter() - t0
+        out[k] = (t_band, n_band, t_asof, n_asof)
+        print(f"temporal @ {k}x: band {t_band:.2f}s/{n_band:,} rows, "
+              f"asof {t_asof:.2f}s/{n_asof:,} rows")
+        spark.catalog.clearCache()
+
+    r_band = out[FACTORS[-1]][0] / out[FACTORS[0]][0]
+    r_asof = out[FACTORS[-1]][2] / out[FACTORS[0]][2]
+    lines = [
+        "",
+        "## Temporal joins (as-of, band) — events replicated by key shift",
+        "",
+        "| k | band-join time | band rows | as-of time | as-of rows |",
+        "|---|---|---|---|---|",
+    ]
+    for k in FACTORS:
+        t_b, n_b, t_a, n_a = out[k]
+        lines.append(f"| {k}x | {t_b:.2f}s | {n_b:,} | {t_a:.2f}s | {n_a:,} |")
+    lines += [
+        "",
+        f"16x/1x time: band **{r_band:.1f}x**, as-of **{r_asof:.1f}x** —",
+        "both joins add keys without adding per-key work, so neither has",
+        "a quadratic surface: the band join buckets time into gap-wide",
+        "bins (pairs meet exactly one bucket equality), the as-of join is",
+        "a tagged union + one carry-forward window, output = left rows.",
+    ]
+    return lines
+
+
+def bloom_ingest_probe(spark, base, workdir: str) -> list[str]:
+    """Exact vs Bloom-prefiltered ingest dedup with the corpus grown
+    k× and the incoming batch FIXED — the production append shape.
+    Reported honestly at toy scale; the structural win (corpus never
+    shuffles into the anti-join, bitmap size bounded) is pinned by
+    plan/unit tests, not wall clock."""
+    incoming = base.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" inc"), F.col("doc_id")))
+        .alias("text"),
+    ).localCheckpoint(eager=True)
+
+    out: dict[int, tuple[float, float, int]] = {}
+    for k in FACTORS:
+        path = f"{workdir}/corpus_{k}x.parquet"
+        replicate(base, k).write.mode("overwrite").parquet(path)
+        corpus = spark.read.parquet(path)
+        t0 = time.perf_counter()
+        n_exact = dd.incremental_ingest(corpus, incoming).count()
+        t_exact = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        n_bloom = dd.incremental_ingest_bloom(corpus, incoming).count()
+        t_bloom = time.perf_counter() - t0
+        assert n_bloom == n_exact
+        spark.catalog.clearCache()
+        out[k] = (t_exact, t_bloom, n_exact)
+        print(f"ingest @ {k}x corpus: exact {t_exact:.2f}s, "
+              f"bloom {t_bloom:.2f}s, {n_exact:,} rows")
+
+    lines = [
+        "",
+        "## Ingest dedup: exact anti-join vs Bloom pre-filter",
+        "",
+        "Fixed 5,000-row incoming batch, corpus grown k×:",
+        "",
+        "| k | exact anti-join | bloom-prefiltered | surviving rows |",
+        "|---|---|---|---|",
+    ]
+    for k in FACTORS:
+        t_e, t_b, n = out[k]
+        lines.append(f"| {k}x | {t_e:.2f}s | {t_b:.2f}s | {n:,} |")
+    lines += [
+        "",
+        "Both paths produce identical rows (asserted per run). The Bloom",
+        "path's structural property — the corpus reduces to a ≤ m/64-row",
+        "bitmap that BROADCASTS, so no corpus-sized shuffle feeds the",
+        "anti-join, and a persisted bitmap amortizes appends to zero",
+        "corpus scans — is what matters at 100 TB; toy-scale wall time",
+        "is dominated by fixed job overhead either way.",
+    ]
+    return lines
 
 
 def main() -> None:
@@ -215,6 +355,8 @@ def main() -> None:
                 dd.release_persisted()
         hot_lines = hot_shingle_probe(spark, base)
         hot_lines += template_family_probe(spark, base)
+        hot_lines += temporal_join_probe(spark)
+        hot_lines += bloom_ingest_probe(spark, base, workdir)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
