@@ -1698,3 +1698,47 @@ def a16_kll_merge_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mergeable_quantile_profile(
         ev, F.date_trunc("day", F.col("ts")), "value"
     ).select("quantile", "within_bounds")
+
+
+@register(
+    "streaming_session_window",
+    oracle="""
+    WITH wm AS (
+        SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM events
+    ), ord AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         IS NULL
+                     OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+    ), sess AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM ord
+    ), agg AS (
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, n_events
+    FROM agg, wm WHERE session_end <= wm.w
+    """,
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (F.session_window + watermark,
+    state per OPEN session) over the bounded events stream — the
+    incremental twin of the batch lag-based sessionize. Append mode
+    emits exactly the watermark-closed sessions; the oracle recomputes
+    them with the classic gap-break SQL and the same cutoff.
+    Events exactly gap-apart start a NEW session (the merge window
+    [t, t+gap) is half-open), hence the oracle's >= break."""
+    from .streaming.sessions import run_available_now as run_sessions
+
+    name = "session_window_sink"
+    spark.catalog.dropTempView(name)
+    return run_sessions(spark, sf_dir, name=name)

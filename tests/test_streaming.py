@@ -48,3 +48,32 @@ def test_streaming_dedup_drops_redelivered_events(spark, sf_smoke):
     n_distinct = load_table(spark, sf_smoke, "events").count()
     assert out.count() == n_distinct
     assert out.select("event_id").distinct().count() == n_distinct
+
+
+def test_streaming_sessions_match_batch_prefix(spark, sf_smoke):
+    """Session windows: the availableNow run must emit exactly the
+    batch sessionization's watermark-closed sessions (same 30-minute
+    gap, end = last event + gap)."""
+    import datetime as dt
+
+    from hypertension_dashboard_pipeline_spark.streaming.sessions import (
+        run_available_now as run_sessions,
+        user_sessions,
+    )
+
+    stream_rows = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in run_sessions(spark, sf_smoke, name="sess_equiv").collect()
+    }
+
+    events = load_table(spark, sf_smoke, "events")
+    max_ts = events.agg(F.max("ts")).first()[0]
+    cutoff = max_ts - dt.timedelta(hours=1)
+    batch = user_sessions(events)  # watermark is a no-op in batch
+    batch_rows = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in batch.collect()
+        if r["session_end"] <= cutoff
+    }
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
