@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import token_count
+from ..functions.text import token_count, tokens
 
 
 def pack_by_token_budget(df: DataFrame, group_col: str, order_col: str,
@@ -45,4 +45,58 @@ def pack_by_token_budget(df: DataFrame, group_col: str, order_col: str,
             .cast("long"),
         )
         .select(group_col, order_col, "n_tokens", "cum_tokens", "chunk_id")
+    )
+
+
+def chunk_documents(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", chunk_tokens: int = 64,
+                    overlap: int = 8) -> DataFrame:
+    """Split long documents into overlapping fixed-token-budget chunks
+    — the complement of ``pack_by_token_budget`` (that merges short
+    docs; this splits long ones). Standard LLM preprocessing: window
+    ``chunk_tokens`` tokens with ``overlap`` tokens of context carried
+    between consecutive chunks (stride = chunk_tokens - overlap).
+
+    Entirely built-in expressions: tokenize once, ``explode(sequence)``
+    the chunk indices (1→N fan-out, narrow), ``slice`` each token
+    window back out. A document shorter than the budget yields exactly
+    one chunk; empty text yields one empty chunk (the row is preserved
+    — dropping rows is a filter's decision, not a formatter's).
+    Output: (id, chunk_idx, n_chunk_tokens, chunk_text).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # ceil(max(n - overlap, 0) / stride), at least 1
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor(
+            (F.greatest(n - overlap, F.lit(0)) + (stride - 1)) / stride
+        ).cast("int"),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.explode(
+                F.sequence(F.lit(0), n_chunks - 1)
+            ).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.slice(
+                F.col("__toks"),
+                F.col("chunk_idx") * stride + 1,
+                F.lit(chunk_tokens),
+            ).alias("__chunk"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size("__chunk").alias("n_chunk_tokens"),
+            F.array_join("__chunk", " ").alias("chunk_text"),
+        )
     )

@@ -1,0 +1,70 @@
+"""Lexical relevance scoring (BM25) over the documents table.
+
+The retrieval-side text op every training-data pipeline eventually
+needs (mining domain-relevant documents, dedup-aware sampling,
+eval-set construction): score documents against a term query with
+Okapi BM25 and keep the top-k.
+
+Spark-first shape: corpus statistics (N, total token length, per-term
+document frequencies) are ONE small aggregate job whose results are
+spliced into the scoring expression as literals — so the scoring scan
+itself is a single pass of built-in higher-order functions
+(``filter``/``size``), no shuffle, no UDF, and trivially parallel at
+100 TB. On a cluster the stats job is the cheap pass (sum/count +
+k boolean sums with map-side combine); per-query scoring reads each
+row once.
+
+Every arithmetic step is written with the same shape the DuckDB oracle
+uses (divide-then-multiply order, explicit 1-b constants), so scores
+round-trip exactly at 6 dp.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def bm25_topk(docs: DataFrame, query_terms: Sequence[str], k: int = 20,
+              k1: float = 1.2, b: float = 0.75, id_col: str = "doc_id",
+              text_col: str = "text", scale: int = 6) -> DataFrame:
+    """Okapi BM25 top-k for a bag-of-terms query.
+
+    idf uses the standard +1 smoothing, ``ln((N - df + 0.5)/(df + 0.5)
+    + 1)`` — always positive, so common terms rank instead of being
+    zeroed.  Ties break on ``id_col``; scores are rounded to ``scale``
+    before ranking so the rank order is reproducible across engines.
+    """
+    terms = list(dict.fromkeys(query_terms))  # dedup, keep order
+    toks = tokens(F.lower(F.col(text_col)))
+
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(toks)).alias("total_dl"),
+        *[
+            F.sum(F.array_contains(toks, t).cast("int")).alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).first()
+    n_docs = stats["n"]
+    avgdl = stats["total_dl"] / n_docs
+    dfs = [stats[f"df_{i}"] for i in range(len(terms))]
+
+    dl_ratio = F.size(toks) / F.lit(avgdl)
+    score = F.lit(0.0)
+    for t, df_t in zip(terms, dfs):
+        idf = math.log((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+        tf = F.size(F.filter(toks, lambda x: x == F.lit(t)))
+        score = score + F.lit(idf) * (
+            (tf * F.lit(k1 + 1.0))
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl_ratio))
+        )
+    scored = docs.select(
+        F.col(id_col), F.round(score, scale).alias("bm25")
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(k)

@@ -1742,3 +1742,91 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "session_window_sink"
     spark.catalog.dropTempView(name)
     return run_sessions(spark, sf_dir, name=name)
+
+
+@register(
+    "text_chunk_documents",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, {_DK_TOKENS.format(c='text')} AS ws FROM documents
+    ), meta AS (
+        SELECT doc_id, ws,
+               GREATEST(1, (GREATEST(len(ws) - 8, 0) + 55) // 56) AS n_chunks
+        FROM base
+    ), chunks AS (
+        SELECT doc_id, ws, CAST(u.i AS INT) AS chunk_idx
+        FROM meta, UNNEST(range(n_chunks)) AS u(i)
+    )
+    SELECT doc_id, chunk_idx,
+           len(ws[chunk_idx*56+1 : chunk_idx*56+64]) AS n_chunk_tokens,
+           array_to_string(ws[chunk_idx*56+1 : chunk_idx*56+64], ' ')
+               AS chunk_text
+    FROM chunks
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token chunks, 8-token
+    overlap) — the splitting complement of pack_token_budget
+    (operators/packing.chunk_documents): tokenize once, explode the
+    chunk indices, slice each window back out; all built-ins, 1→N
+    narrow fan-out, no Python."""
+    from .operators.packing import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"),
+        chunk_tokens=64, overlap=8,
+    )
+
+
+def _bm25_oracle(terms: list[str], k: int = 20,
+                 k1: float = 1.2, b: float = 0.75) -> str:
+    """Oracle twin of operators/relevance.bm25_topk with IDENTICAL
+    arithmetic shape; the folded constants (k1+1, 1-b) are spliced via
+    repr() so both engines start from the same doubles."""
+    c_num = repr(k1 + 1.0)
+    c_k1 = repr(k1)
+    c_1b = repr(1.0 - b)
+    c_b = repr(b)
+    tok = ("CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[] "
+           "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END")
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN list_contains(ws, '{t}') THEN 1 ELSE 0 END) AS df{i}"
+        for i, t in enumerate(terms)
+    )
+    parts = []
+    for i, t in enumerate(terms):
+        tf = f"len(list_filter(b.ws, x -> x = '{t}'))"
+        idf = f"ln((s.n - s.df{i} + 0.5) / (s.df{i} + 0.5) + 1.0)"
+        parts.append(
+            f"{idf} * (({tf} * {c_num}) / "
+            f"({tf} + {c_k1} * ({c_1b} + {c_b} * (len(b.ws) / s.avgdl))))"
+        )
+    score = " + ".join(["0.0"] + parts)
+    return f"""
+    WITH base AS (
+        SELECT doc_id, {tok} AS ws FROM documents
+    ), stats AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(len(ws)) AS DOUBLE) / COUNT(*) AS avgdl,
+               {df_cols}
+        FROM base
+    )
+    SELECT b.doc_id, ROUND({score}, 6) AS bm25
+    FROM base b, stats s
+    ORDER BY bm25 DESC, b.doc_id
+    LIMIT {k}
+    """
+
+
+@register("text_bm25_topk", oracle=_bm25_oracle(["hash", "join", "scan", "vector"]))
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for the query {hash, join, scan, vector}
+    (operators/relevance.bm25_topk): corpus stats are one small
+    aggregate spliced as literals; the scoring scan is a single pass
+    of built-in higher-order functions — no shuffle, no UDF."""
+    from .operators.relevance import bm25_topk
+
+    return bm25_topk(
+        load_table(spark, sf_dir, "documents"),
+        ["hash", "join", "scan", "vector"], k=20,
+    )

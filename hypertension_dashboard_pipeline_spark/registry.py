@@ -70,8 +70,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      r5 TODO: rotate in the queries that DEBUTED in r4 (never
 #      externally verified): j10_asof_join, j11_range_join,
 #      sim_quantized_topk, a15_time_rollup, a16_kll_merge_quantiles,
-#      dedup_incremental_bloom, streaming_session_window — plus
-#      anything fingerprint-drifted.
+#      dedup_incremental_bloom, streaming_session_window,
+#      text_chunk_documents, text_bm25_topk — plus anything
+#      fingerprint-drifted.
 _FRONT: list[str] = [
     # flagship + headline extension pipeline (always externally gated)
     "flagship_cohort_pipeline",
