@@ -1830,3 +1830,26 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         ["hash", "join", "scan", "vector"], k=20,
     )
+
+
+@register(
+    "a17_hll_union_profile",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+           1 AS within_bounds
+    FROM events GROUP BY event_type
+    """,
+)
+def a17_hll_union_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count profile: per-(event_type, day) HLL
+    sketches unioned register-wise per event_type
+    (operators/aggregates.mergeable_distinct_profile) — range distinct
+    counts from stored sketches, no rescan. HLL union is deterministic
+    (register max, no randomness), and the externally-checked columns
+    are the exact count plus the within-3·rsd flag."""
+    from .operators.aggregates import mergeable_distinct_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return mergeable_distinct_profile(
+        ev, F.date_trunc("day", F.col("ts")), "event_type", "user_id"
+    )

@@ -71,8 +71,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      externally verified): j10_asof_join, j11_range_join,
 #      sim_quantized_topk, a15_time_rollup, a16_kll_merge_quantiles,
 #      dedup_incremental_bloom, streaming_session_window,
-#      text_chunk_documents, text_bm25_topk — plus anything
-#      fingerprint-drifted.
+#      text_chunk_documents, text_bm25_topk, a17_hll_union_profile —
+#      plus anything fingerprint-drifted.
 _FRONT: list[str] = [
     # flagship + headline extension pipeline (always externally gated)
     "flagship_cohort_pipeline",

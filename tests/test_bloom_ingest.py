@@ -86,3 +86,14 @@ def test_bloom_bitmap_is_bounded_and_plan_jvm_side(spark, digests):
     assert bitmap.count() <= (1 << 16) // 64
     plan = bitmap._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bloom_probe_plan_broadcasts_bitmap(spark, digests):
+    """The probe side must join against a BROADCAST bitmap — nothing
+    corpus-sized may shuffle to decide maybe/definitely-new."""
+    bitmap = dd.bloom_bitmap(digests, "fp", m_bits=1 << 16, k=5)
+    dec = dd.bloom_maybe_contains(bitmap, digests, "fp",
+                                  m_bits=1 << 16, k=5)
+    plan = dec._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan

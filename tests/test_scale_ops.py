@@ -161,3 +161,44 @@ def test_kll_merge_quantile_profile_bounds(spark, sf_dir):
     for r in rows:
         assert r.lo <= r.approx <= r.hi, (r.quantile, r.lo, r.approx, r.hi)
         assert r.within_bounds == 1
+
+
+def test_hll_union_of_buckets_equals_single_sketch(spark, sf_dir):
+    """Register-wise HLL union must be EXACTLY the sketch of the full
+    data (register max is merge-order independent, no randomness) —
+    the property that makes stored per-bucket sketches trustworthy."""
+    ev = load_table(spark, sf_dir, "events")
+    unioned = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    single = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    )
+    a = {r["event_type"]: r["est"] for r in unioned.collect()}
+    b = {r["event_type"]: r["est"] for r in single.collect()}
+    assert a == b
+    # and different physical partitioning must not change the estimate
+    c = {
+        r["event_type"]: r["est"]
+        for r in ev.repartition(3)
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    assert a == c
+
+
+def test_mergeable_distinct_profile_bounds(spark, sf_dir):
+    from hypertension_dashboard_pipeline_spark.operators.aggregates import (
+        mergeable_distinct_profile,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = mergeable_distinct_profile(
+        ev, F.date_trunc("day", F.col("ts")), "event_type", "user_id"
+    ).collect()
+    assert len(rows) == 5
+    assert all(r["within_bounds"] == 1 for r in rows)
