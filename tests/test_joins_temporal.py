@@ -154,3 +154,88 @@ def test_range_join_equijoin_plan(band_frames):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# property tests: random frames vs brute-force python reference
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ts_strategy = st.integers(0, 3600)  # seconds within an hour
+_key_strategy = st.sampled_from(["u1", "u2", "u3"])
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    left=st.lists(st.tuples(_key_strategy, _ts_strategy), min_size=1,
+                  max_size=12),
+    right=st.lists(st.tuples(_key_strategy, _ts_strategy), min_size=0,
+                   max_size=12),
+)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    """asof_join == per-row 'latest right ts <= left ts' scan, for any
+    key/ts combination (right deduped per (key, ts) as the operator
+    contract requires)."""
+    lrows = [
+        (i, k, _ts("2024-01-01 00:00:00") + dt.timedelta(seconds=s))
+        for i, (k, s) in enumerate(left)
+    ]
+    rdedup = {}
+    for k, s in right:
+        ts = _ts("2024-01-01 00:00:00") + dt.timedelta(seconds=s)
+        rdedup[(k, ts)] = float(s)
+    rrows = [(k, ts, v) for (k, ts), v in rdedup.items()]
+
+    ldf = spark.createDataFrame(lrows, "row_id long, user string, ts timestamp")
+    rdf = spark.createDataFrame(
+        rrows or [("zz", _ts("1999-01-01 00:00:00"), 0.0)],
+        "user string, ts timestamp, quote double",
+    )
+    got = {
+        r["row_id"]: r["quote"]
+        for r in jn.asof_join(ldf, rdf, on=["user"]).collect()
+    }
+    want = {}
+    for i, k, ts in lrows:
+        cands = [(rts, v) for (rk, rts, v) in rrows if rk == k and rts <= ts]
+        want[i] = max(cands)[1] if cands else None
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    a=st.lists(st.tuples(_key_strategy, _ts_strategy), min_size=1,
+               max_size=10),
+    b=st.lists(st.tuples(_key_strategy, _ts_strategy), min_size=1,
+               max_size=10),
+    gap=st.sampled_from([60, 127, 600]),
+)
+def test_range_join_matches_bruteforce(spark, a, b, gap):
+    """range_join == the filtered cross product |Δt| <= gap, for any
+    bucket alignment (gap chosen to exercise odd strides)."""
+    arows = [
+        (i, k, _ts("2024-01-01 00:00:00") + dt.timedelta(seconds=s))
+        for i, (k, s) in enumerate(a)
+    ]
+    brows = [
+        (1000 + j, k, _ts("2024-01-01 00:00:00") + dt.timedelta(seconds=s))
+        for j, (k, s) in enumerate(b)
+    ]
+    adf = spark.createDataFrame(arows, "a_id long, user string, ts timestamp")
+    bdf = spark.createDataFrame(brows, "b_id long, user string, b_ts timestamp")
+    got = {
+        (r["a_id"], r["b_id"]): r["gap_us"]
+        for r in jn.range_join(
+            adf, bdf, on=["user"], ts_a="ts", ts_b="b_ts", max_gap_sec=gap
+        ).collect()
+    }
+    want = {}
+    for ai, ak, ats in arows:
+        for bj, bk, bts in brows:
+            if ak == bk and abs((bts - ats).total_seconds()) <= gap:
+                want[(ai, bj)] = int((bts - ats).total_seconds() * 1_000_000)
+    assert got == want
