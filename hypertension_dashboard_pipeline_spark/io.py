@@ -274,6 +274,37 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
 
 
+def compact_parquet(spark: SparkSession, src: str, dst: str,
+                    target_file_mb: int = 128) -> int:
+    """Rewrite a parquet directory into ~``target_file_mb`` files and
+    return the output file count.
+
+    The small-files problem is a first-class 100 TB failure mode:
+    streaming sinks and over-parallel writers leave thousands of KB-
+    sized files whose open/footer overhead dominates scans and whose
+    listing stalls planning. Compaction sizes the output from the
+    ACTUAL on-disk bytes (compressed), not row counts, and uses
+    ``coalesce`` — a narrow, shuffle-free repartitioning that only
+    merges existing partitions.
+
+    ``dst`` must differ from ``src``: rewriting in place would delete
+    the input mid-read (Spark scans lazily).
+    """
+    if os.path.abspath(dst) == os.path.abspath(src):
+        raise ValueError("compact_parquet: dst must differ from src")
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(src)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-total // (target_file_mb * 1024 * 1024)))
+    spark.read.parquet(src).coalesce(int(n_files)).write.mode(
+        "overwrite"
+    ).parquet(dst)
+    return int(n_files)
+
+
 def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
                    num_buckets: int = 32, sort_cols: list[str] | None = None,
                    mode: str = "overwrite") -> None:

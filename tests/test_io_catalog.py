@@ -165,3 +165,26 @@ def test_orc_roundtrip_preserves_types(spark, sf_smoke, tmpdir):
         key=lambda r: r["event_id"],
     )
     assert a == b
+
+
+def test_compact_parquet_merges_small_files(spark, sf_smoke, tmpdir):
+    """Many tiny files in, few right-sized files out, content equal."""
+    ev = eio.load_table(spark, sf_smoke, "events")
+    src = f"{tmpdir}/shattered"
+    dst = f"{tmpdir}/compacted"
+    ev.repartition(32).write.parquet(src)
+
+    import glob
+
+    assert len(glob.glob(f"{src}/*.parquet")) == 32
+    n = eio.compact_parquet(spark, src, dst, target_file_mb=128)
+    out_files = glob.glob(f"{dst}/*.parquet")
+    assert len(out_files) == n == 1  # sf0.001 events ≪ 128 MB
+    back = spark.read.parquet(dst)
+    assert back.count() == ev.count()
+    assert sorted(back.columns) == sorted(ev.columns)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="dst must differ"):
+        eio.compact_parquet(spark, src, src)
