@@ -204,3 +204,79 @@ def salted_join(skewed: DataFrame, other: DataFrame, on: str,
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )
     return skew_salted.join(other_exploded, on=[on, "__salt"]).drop("__salt")
+
+
+def merge_upsert(target: DataFrame, source: DataFrame,
+                 on: Sequence[str],
+                 version_col: str | None = None) -> DataFrame:
+    """SCD-type-1 MERGE: upsert ``source`` rows into ``target`` —
+    matched keys take the source row (update), unmatched source keys
+    append (insert), unmatched target keys survive untouched. The
+    DataFrame form of ``MERGE INTO ... WHEN MATCHED THEN UPDATE WHEN
+    NOT MATCHED THEN INSERT`` (Spark has the statement only for
+    catalog tables that support row-level ops).
+
+    Formulation: tag + union + one per-key window keeping the winning
+    row — a single shuffle on the key, no join at all, and the window
+    is a max-1-row-per-key reduction AQE handles like any groupBy.
+    ``version_col`` (when given) orders candidates newest-first before
+    the source-beats-target tie-break, so late-arriving stale source
+    rows do not clobber a newer target. Both inputs must be unique per
+    key (upstream contract, same as SQL MERGE's cardinality rule).
+
+    At 100 TB the same plan holds: the union is scan-concatenation,
+    the window shuffles each side once on the merge key, and with both
+    sides bucketed on the key it collapses to a shuffle-free
+    per-bucket sort. Pair with partition-overwrite for incremental
+    refresh (only partitions containing source keys rewrite).
+    """
+    keys = list(on)
+    if set(target.columns) != set(source.columns):
+        raise ValueError("merge_upsert requires identical column sets")
+    tagged = target.withColumn("__src", F.lit(0)).unionByName(
+        source.withColumn("__src", F.lit(1))
+    )
+    order = [F.col("__src").desc()]
+    if version_col is not None:
+        order.insert(0, F.col(version_col).desc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+
+
+def fuzzy_join_blocked(a: DataFrame, b: DataFrame, col_a: str, col_b: str,
+                       max_dist: int = 2, block_chars: int = 8) -> DataFrame:
+    """Edit-distance fuzzy equi-candidate join: pairs whose string
+    columns are within ``max_dist`` Levenshtein edits, found without a
+    cross join by BLOCKING — candidates must share their first
+    ``block_chars`` characters and have lengths within ``max_dist``.
+
+    The blocking predicate is an EQUI-join on the prefix (hash/sort-
+    merge joinable, skew bounded by the hottest prefix), the length
+    band and exact ``levenshtein`` evaluate only on candidates.
+    This is the standard record-linkage blocking compromise: recall
+    misses pairs whose edits fall inside the prefix, in exchange for
+    never materializing |a|×|b|. Callers needing full recall at small
+    distance use multi-pass blocking (prefix + suffix passes).
+
+    Output: ``(s_left, s_right, dist)`` — the two matched strings and
+    their edit distance; join keys/payloads are the caller's to carry.
+    """
+    la = a.select(F.col(col_a).alias("s_left")).filter(
+        F.col("s_left").isNotNull()
+    ).distinct().withColumn("__blk", F.substring("s_left", 1, block_chars))
+    lb = b.select(F.col(col_b).alias("s_right")).filter(
+        F.col("s_right").isNotNull()
+    ).distinct().withColumn("__blk", F.substring("s_right", 1, block_chars))
+    return (
+        la.join(lb, "__blk")
+        .filter(
+            F.abs(F.length("s_left") - F.length("s_right")) <= max_dist
+        )
+        .withColumn("dist", F.levenshtein("s_left", "s_right"))
+        .filter(F.col("dist") <= max_dist)
+        .drop("__blk")
+    )

@@ -42,6 +42,58 @@ def deterministic_sample(df: DataFrame, key_col: str, pct: int,
     return df.filter(hash_bucket(key_col, buckets) < pct)
 
 
+def temperature_mix(df: DataFrame, domain_col: str, key_col: str,
+                    sample_frac: float = 0.5,
+                    buckets: int = 100_000) -> DataFrame:
+    """Temperature-flattened domain mixing (extension surface): sample
+    ``sample_frac`` of the corpus so the sampled distribution over
+    ``domain_col`` is proportional to ``n_d^0.5`` instead of ``n_d`` —
+    the α=0.5 temperature re-weighting used for multilingual /
+    multi-source LLM training mixes (Conneau & Lample 2019 §3.1), which
+    up-weights small domains and down-weights dominant ones.
+
+    Mechanics: per-domain target ``t_d = frac·N·√n_d / Σ√n_d``, keep
+    probability ``p_d = min(1, t_d/n_d)``, realized deterministically
+    as ``hash_bucket(key) < floor(p_d·buckets)`` — the same
+    content-hash selection as ``deterministic_sample``, so membership
+    is reproducible and repartition-stable.
+
+    α is fixed at 0.5 (√) rather than a general ``pow(n, α)``: sqrt is
+    IEEE-correctly-rounded in every engine, so the oracle reproduces
+    the thresholds bit-for-bit; libm ``pow`` is not, and a 1-ulp
+    threshold difference flips bucket-boundary rows.
+
+    100 TB shape: the per-domain count is one tiny-cardinality partial
+    agg; rates broadcast back; the selection itself is a narrow map —
+    no data-sized shuffle anywhere.
+    """
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n_d"))
+    tot = counts.agg(
+        F.sum(F.sqrt(F.col("__n_d"))).alias("__z"),
+        F.sum("__n_d").alias("__n_total"),
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__p_d",
+            F.least(
+                F.lit(1.0),
+                F.lit(float(sample_frac)) * F.col("__n_total")
+                * F.sqrt(F.col("__n_d")) / F.col("__z") / F.col("__n_d"),
+            ),
+        )
+        .select(
+            domain_col,
+            F.floor(F.col("__p_d") * buckets).cast("long").alias("__thresh"),
+        )
+    )
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(hash_bucket(key_col, buckets) < F.col("__thresh"))
+        .drop("__thresh")
+    )
+
+
 def group_split(df: DataFrame, group_col: str,
                 weights: dict[str, int] | None = None) -> DataFrame:
     """Assign every row a split label by hashing its *group* key, so a

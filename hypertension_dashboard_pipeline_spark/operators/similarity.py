@@ -326,3 +326,61 @@ def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10,
         F.col(id_col), cosine(F.col(vec_col), q, scale=scale).alias("cos_sim")
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def semdedup_pairs(df: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", cluster_col: str = "label",
+                   threshold: float = 0.95, scale: int = 6) -> DataFrame:
+    """Within-cluster cosine near-dup pairs — the candidate stage of
+    SemDeDup (Abbas et al. 2023): semantic dedup never compares across
+    clusters, so the quadratic pair space is bounded per cluster
+    instead of per corpus.
+
+    ``cluster_col`` is a precomputed cluster id (k-means assignment in
+    the paper; any partitioning column works). The self-join is an
+    equi-join on the cluster id, so at 100 TB each cluster's pairs are
+    generated inside one shuffle partition group; cluster size is the
+    knob that bounds cost (SemDeDup uses ~10^4 clusters for 10^8 docs;
+    oversized clusters get split upstream — same discipline as the
+    hot-shingle guard in text dedup).
+    """
+    base = df.select(
+        F.col(cluster_col).alias("c"),
+        F.col(id_col).alias("id"),
+        as_double_array(F.col(vec_col)).alias("v"),
+    )
+    return (
+        base.alias("a")
+        .join(base.alias("b"), "c")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("c").alias(cluster_col),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v"), scale=scale).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def semdedup_survivors(df: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       cluster_col: str = "label",
+                       threshold: float = 0.95, scale: int = 6) -> DataFrame:
+    """SemDeDup survivor set: within each cluster, drop every vector
+    that has a LOWER-id neighbor with cosine ≥ threshold — the
+    deterministic form of "keep one representative per semantic
+    duplicate neighborhood" (min-id plays the paper's keep-choice
+    rule; any total order works, it just has to be stable).
+
+    Note the policy is greedy-by-id, not connected-components: a
+    vector is dropped iff some kept-or-dropped lower id is its near
+    neighbor. That matches SemDeDup's per-point max-similarity test
+    and needs only the pair list + one distinct — no iteration.
+    """
+    removed = (
+        semdedup_pairs(df, id_col, vec_col, cluster_col, threshold, scale)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(removed, id_col, "left_anti")

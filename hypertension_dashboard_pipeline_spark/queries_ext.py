@@ -1853,3 +1853,185 @@ def a17_hll_union_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mergeable_distinct_profile(
         ev, F.date_trunc("day", F.col("ts")), "event_type", "user_id"
     )
+
+
+# --------------------------------------------------------------------------
+# r5 extension surface: decontamination, domain mixing, merge, fuzzy
+# join, semantic dedup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+    WITH {_DK_EX},
+    bench AS (SELECT DISTINCT shingle FROM ex WHERE id % 13 = 0),
+    corp AS (SELECT * FROM ex WHERE id % 13 <> 0),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM corp GROUP BY id),
+    hits AS (
+        SELECT id, COUNT(*) AS n_hit FROM corp
+        WHERE shingle IN (SELECT shingle FROM bench) GROUP BY id
+    )
+    SELECT s.id AS doc_id, s.n_sh, COALESCE(h.n_hit, 0) AS n_hit,
+           ROUND(COALESCE(h.n_hit, 0)::DOUBLE / s.n_sh, 6) AS overlap_ratio,
+           (ROUND(COALESCE(h.n_hit, 0)::DOUBLE / s.n_sh, 6) >= 0.2)::INT
+               AS contaminated
+    FROM sizes s LEFT JOIN hits h USING (id)
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination scores (extension: the GPT-3 appendix-C
+    n-gram overlap protocol). Every 13th document plays the held-out
+    eval set; each remaining document is scored by the fraction of its
+    distinct 3-gram shingles that appear anywhere in the benchmark.
+    The benchmark shingle set is BROADCAST — at 100 TB the corpus side
+    stays a narrow scan + one per-doc groupBy, with no self-join."""
+    from .operators.decontam import contamination_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 13 == 0)
+    corpus = docs.filter(F.col("doc_id") % 13 != 0)
+    return contamination_scores(corpus, bench, threshold=0.2).select(
+        F.col("id").alias("doc_id"), "n_sh", "n_hit", "overlap_ratio",
+        "contaminated",
+    )
+
+
+@register(
+    "sample_temperature_mix",
+    oracle="""
+    WITH counts AS (SELECT lang, COUNT(*) AS n_d FROM documents GROUP BY lang),
+    tot AS (SELECT SUM(sqrt(n_d)) AS z, SUM(n_d) AS n_total FROM counts),
+    rates AS (
+        SELECT lang,
+               FLOOR(LEAST(1.0, 0.5 * n_total * sqrt(n_d) / z / n_d)
+                     * 100000) AS thresh
+        FROM counts, tot
+    )
+    SELECT d.doc_id, d.lang FROM documents d JOIN rates USING (lang)
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 100000 < thresh
+    """,
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=0.5 temperature-flattened language mix at ~50% overall rate:
+    dominant `en` is down-sampled, tail languages kept near-whole
+    (Conneau & Lample 2019 §3.1). Selection is the content-hash bucket
+    — deterministic, repartition-stable, reproduced bit-for-bit by the
+    oracle. Per-domain rates come from one tiny-cardinality agg that
+    broadcasts back; the sample itself is a narrow map."""
+    from .operators.sampling import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mix(docs, "lang", "doc_id", sample_frac=0.5).select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "j13_merge_upsert",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ), s AS (
+        SELECT o_orderkey, 'U' AS o_orderstatus,
+               o_totalprice + 100 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'N', o_totalprice
+        FROM orders WHERE o_orderkey % 1000 = 0
+    ), u AS (
+        SELECT *, 0 AS src FROM t UNION ALL SELECT *, 1 AS src FROM s
+    ), r AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY o_orderkey ORDER BY src DESC) AS rn
+        FROM u
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM r WHERE rn = 1
+    """,
+)
+def j13_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 MERGE INTO as a DataFrame operator: a source batch of
+    updates (every 10th order re-priced, status U) and inserts (every
+    1000th key offset past the table) upserts into orders — matched
+    keys take the source row, unmatched keys pass through. One shuffle
+    on the merge key, no join (tag + union + per-key window)."""
+    from .operators import joins as jn
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 100).alias("o_totalprice"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    return jn.merge_upsert(
+        orders, updates.unionByName(inserts), on=["o_orderkey"]
+    )
+
+
+@register(
+    "j12_fuzzy_join_blocked",
+    oracle="""
+    WITH la AS (
+        SELECT DISTINCT p_name AS s_left FROM part WHERE p_name IS NOT NULL
+    ), lb AS (
+        SELECT DISTINCT substr(p_name, 1, length(p_name) - 1) AS s_right
+        FROM part WHERE p_name IS NOT NULL
+    )
+    SELECT s_left, s_right, levenshtein(s_left, s_right) AS dist
+    FROM la JOIN lb ON substr(s_left, 1, 8) = substr(s_right, 1, 8)
+    WHERE abs(length(s_left) - length(s_right)) <= 2
+      AND levenshtein(s_left, s_right) <= 2
+    """,
+)
+def j12_fuzzy_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage fuzzy join: part names vs a corrupted copy (last
+    char dropped), matched within 2 Levenshtein edits. Candidates come
+    from an EQUI-join on the 8-char prefix block + length band — never
+    |a|×|b| — with exact edit distance only on candidates."""
+    from .operators import joins as jn
+
+    part = load_table(spark, sf_dir, "part")
+    corrupted = part.select(
+        F.expr("substring(p_name, 1, length(p_name) - 1)").alias("p_name")
+    )
+    return jn.fuzzy_join_blocked(part, corrupted, "p_name", "p_name",
+                                 max_dist=2, block_chars=8)
+
+
+def _semdedup_oracle(threshold: float = 0.4) -> str:
+    dot_ab = _DK_DOT.format(a="a.v", b="b.v")
+    dot_aa = _DK_DOT.format(a="a.v", b="a.v")
+    dot_bb = _DK_DOT.format(a="b.v", b="b.v")
+    return f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), removed AS (
+        SELECT DISTINCT b.vec_id
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ROUND({dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb})), 6)
+              >= {threshold}
+    )
+    SELECT e.vec_id, e.label FROM e
+    WHERE NOT EXISTS (SELECT 1 FROM removed r WHERE r.vec_id = e.vec_id)
+    """
+
+
+@register("sim_semdedup", oracle=_semdedup_oracle())
+def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): within each precomputed cluster
+    (the `label` column plays the k-means assignment), drop every
+    vector with a lower-id neighbor at cosine ≥ 0.4; survivors keep
+    one representative per semantic neighborhood. The pair space is
+    bounded per cluster — the operator never compares across clusters,
+    which is what makes semantic dedup tractable at 100 TB."""
+    return sim.semdedup_survivors(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    ).select("vec_id", "label")
