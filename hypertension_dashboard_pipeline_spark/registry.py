@@ -62,26 +62,51 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #   4. Rotation history:
 #      r3 swapped s1_scan_project_alias + p12_plausibility_band out for
 #      the two end-to-end OMOP pipeline queries.
-#      r4 is the big re-verification rotation: the whole stable
-#      extension surface (r2/r3 green, fingerprint-unchanged) rotated
-#      out; ALL 39 core queries last externally verified in r1/r2
-#      rotated in, alongside the 9 queries that drifted in r4 and the
-#      flagship + curation pipelines.
-#      r5 TODO: rotate in the queries that DEBUTED in r4 (never
-#      externally verified): j10_asof_join, j11_range_join,
-#      sim_quantized_topk, a15_time_rollup, a16_kll_merge_quantiles,
-#      dedup_incremental_bloom, streaming_session_window,
-#      text_chunk_documents, text_bm25_topk, a17_hll_union_profile —
-#      plus anything fingerprint-drifted.
+#      r4 was planned as the big core re-verification rotation, but
+#      the external gate never ran that round (no CORRECTNESS_r04 /
+#      BENCH_r04 were recorded), so the r3 snapshot remains the last
+#      externally-verified tree and the r4 window was never consumed.
+#      r5 window (this round) therefore prioritizes:
+#        (a) the queries that DEBUTED in r4/r5 and have NEVER been
+#            externally verified (15);
+#        (b) everything fingerprint-drifted since the r3 snapshot (9);
+#        (c) the two flagship pipelines;
+#        (d) 24 of the 39 aged core queries — joins/aggregates/
+#            predicates first (the 15 rotated back out are single-
+#            expression scalar/projection queries, r1-verified,
+#            byte-unchanged, still swept locally every run).
 _FRONT: list[str] = [
     # flagship + headline extension pipeline (always externally gated)
     "flagship_cohort_pipeline",
     "curation_pipeline",
-    # aged core queries: last external rows r1/r2, byte-unchanged since
-    # (fingerprint-verified) — rotated in for fresh CORRECTNESS rows
-    "s1_scan_project_alias",
-    "p2_p3_column_prune",
-    "p4_literal_evidence_flag",
+    # external DEBUT: registered in r4/r5, never driver-verified
+    "j10_asof_join",
+    "j11_range_join",
+    "j12_fuzzy_join_blocked",
+    "j13_merge_upsert",
+    "sim_quantized_topk",
+    "sim_semdedup",
+    "a15_time_rollup",
+    "a16_kll_merge_quantiles",
+    "a17_hll_union_profile",
+    "dedup_incremental_bloom",
+    "streaming_session_window",
+    "text_chunk_documents",
+    "text_bm25_topk",
+    "text_decontaminate",
+    "sample_temperature_mix",
+    # queries that drifted since the r3-verified tree (mechanical set)
+    "a14_sketch_profile",
+    "dedup_components",
+    "dedup_simhash_pairs",
+    "dedup_simhash_groups",
+    "sim_cosine_near_dup",
+    "sim_lsh_bucket_topk_indexed",
+    "streaming_daily_window",
+    "omop_pipeline_e2e",
+    "omop_phenotype_stats",
+    # aged core queries (r1-verified, byte-unchanged): the join/agg/
+    # predicate families — the highest-value subset of the 39
     "p5_not_null_filter",
     "p6_p7_range_conjunction",
     "p9_codelist_isin",
@@ -104,30 +129,8 @@ _FRONT: list[str] = [
     "a9_dedup_deterministic",
     "a10_grouped_distinct",
     "l1_order_limit",
-    "l2_head_inspect",
-    "u2_intersect_keys",
-    "u3_except_keys",
-    "f1_trim_chars",
-    "f2_strip_ends",
-    "f3_recode",
-    "f5_date_parse_formats",
     "f7_arith_derived",
     "f8_round_half_even",
-    "f10_null_fill",
-    "f14_collect_concat",
-    "f16_profile_stats",
-    "f17_json_extract",
-    "w2_rowwise_flag_no_window",
-    # queries that drifted since the r3-verified tree (mechanical set)
-    "a14_sketch_profile",
-    "dedup_components",
-    "dedup_simhash_pairs",
-    "dedup_simhash_groups",
-    "sim_cosine_near_dup",
-    "sim_lsh_bucket_topk_indexed",
-    "streaming_daily_window",
-    "omop_pipeline_e2e",
-    "omop_phenotype_stats",
 ]
 
 # Driver window size (observed: the external gate samples the first 50
