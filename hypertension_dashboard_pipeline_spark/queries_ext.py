@@ -2035,3 +2035,87 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semdedup_survivors(
         load_table(spark, sf_dir, "embeddings"), threshold=0.4
     ).select("vec_id", "label")
+
+
+def _batch_ann_oracle(k: int = 5, n_queries: int = 8) -> str:
+    dot_cq = _DK_DOT.format(a="c.v", b="q.qv")
+    dot_cc = _DK_DOT.format(a="c.v", b="c.v")
+    dot_qq = _DK_DOT.format(a="q.qv", b="q.qv")
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {n_queries}
+    ), c AS (
+        SELECT vec_id, v FROM e WHERE vec_id >= {n_queries}
+    ), s AS (
+        SELECT q.query_id, c.vec_id,
+               ROUND({dot_cq} / (sqrt({dot_cc}) * sqrt({dot_qq})), 6)
+                   AS cos_sim
+        FROM c, q
+    ), r AS (
+        SELECT query_id, vec_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rank
+        FROM s
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= {k}
+    """
+
+
+@register("sim_batch_ann_topk", oracle=_batch_ann_oracle())
+def sim_batch_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN: top-5 cosine neighbors for a BATCH of 8 query
+    vectors in one corpus pass — queries broadcast, scores generated
+    corpus-side, then ``grouped_topk_partial`` truncates per Arrow
+    batch BEFORE the shuffle. The window form would shuffle the whole
+    corpus×queries score matrix; this shuffles ≤ k·queries·batches
+    rows — the difference between feasible and not at 100 TB."""
+    from .operators.windows import grouped_topk_partial
+    from .functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    scored = corpus.crossJoin(F.broadcast(queries_df)).select(
+        "query_id",
+        "vec_id",
+        cosine(F.col("embedding"), F.col("qv"), scale=6).alias("cos_sim"),
+    )
+    return grouped_topk_partial(
+        scored, ["query_id"], "cos_sim", "vec_id", k=5
+    ).select("query_id", "vec_id", "cos_sim", "rank")
+
+
+@register(
+    "sample_k_per_group",
+    oracle="""
+    WITH keyed AS (
+        SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS pri
+        FROM documents
+    ), r AS (
+        SELECT lang, doc_id, pri,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY pri ASC, doc_id) AS rank
+        FROM keyed
+    )
+    SELECT lang, doc_id, pri, rank FROM r WHERE rank <= 10
+    """,
+)
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sample: 10 documents per language,
+    chosen by content-hash priority (min-md5) — the distributed,
+    reproducible form of per-stratum reservoir sampling. Same
+    map-side-truncating top-k as the batch ANN, so a 100 TB stratum
+    never shuffles whole; ties cannot occur (md5 collisions aside) and
+    doc_id breaks them anyway."""
+    from .operators.windows import grouped_topk_partial
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("pri")
+    )
+    return grouped_topk_partial(
+        docs, ["lang"], "pri", "doc_id", k=10, ascending=True
+    ).select("lang", "doc_id", "pri", "rank")

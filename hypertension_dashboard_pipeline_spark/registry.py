@@ -95,6 +95,8 @@ _FRONT: list[str] = [
     "text_bm25_topk",
     "text_decontaminate",
     "sample_temperature_mix",
+    "sim_batch_ann_topk",
+    "sample_k_per_group",
     # queries that drifted since the r3-verified tree (mechanical set)
     "a14_sketch_profile",
     "dedup_components",
@@ -122,13 +124,11 @@ _FRONT: list[str] = [
     "a1_count_distinct_per_key",
     "a2_consistent_keys",
     "a3_same_day_avg",
-    "a5_global_count",
     "a6_freq_table",
     "a7_rollup_total",
     "a8_distinct",
     "a9_dedup_deterministic",
     "a10_grouped_distinct",
-    "l1_order_limit",
     "f7_arith_derived",
     "f8_round_half_even",
 ]

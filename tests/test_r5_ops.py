@@ -184,3 +184,55 @@ def test_semdedup_greedy_by_id_within_cluster(spark):
     kept = sorted(r["vec_id"] for r in
                   semdedup_survivors(df, threshold=0.95).collect())
     assert kept == [1, 3, 4]
+
+
+# ------------------------------------------------------ grouped topk partial
+
+def test_grouped_topk_partial_matches_window_semantics(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        Row(g=f"g{i % 5}", score=rng.random(), rid=i) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows).repartition(13)
+
+    from hypertension_dashboard_pipeline_spark.operators.windows import (
+        grouped_topk_partial,
+    )
+
+    got = sorted(
+        (r["g"], r["rank"], r["rid"])
+        for r in grouped_topk_partial(df, ["g"], "score", "rid", k=7).collect()
+    )
+    # reference: plain python per-group sort
+    by_g: dict[str, list[Row]] = {}
+    for r in rows:
+        by_g.setdefault(r.g, []).append(r)
+    want = sorted(
+        (g, rank + 1, r.rid)
+        for g, items in by_g.items()
+        for rank, r in enumerate(
+            sorted(items, key=lambda r: (-r.score, r.rid))[:7]
+        )
+    )
+    assert got == want
+
+
+def test_grouped_topk_partial_ascending_and_short_groups(spark):
+    df = spark.createDataFrame(
+        [Row(g="a", score=3.0, rid=1), Row(g="a", score=1.0, rid=2),
+         Row(g="b", score=9.0, rid=3)]
+    )
+    from hypertension_dashboard_pipeline_spark.operators.windows import (
+        grouped_topk_partial,
+    )
+
+    got = sorted(
+        (r["g"], r["rank"], r["rid"])
+        for r in grouped_topk_partial(
+            df, ["g"], "score", "rid", k=5, ascending=True
+        ).collect()
+    )
+    # groups smaller than k emit all rows, ranked ascending by score
+    assert got == [("a", 1, 2), ("a", 2, 1), ("b", 1, 3)]
