@@ -67,13 +67,17 @@ def temperature_mix(df: DataFrame, domain_col: str, key_col: str,
     agg; rates broadcast back; the selection itself is a narrow map —
     no data-sized shuffle anywhere.
     """
+    from pyspark.sql import Window
+
     counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n_d"))
-    tot = counts.agg(
-        F.sum(F.sqrt(F.col("__n_d"))).alias("__z"),
-        F.sum("__n_d").alias("__n_total"),
-    )
+    # corpus-wide totals as a global window over the tiny per-domain
+    # counts frame (cardinality = #domains): a crossJoin with a 1-row
+    # aggregate would plan a nested-loop product, which the plan-
+    # hygiene suite rightly forbids even when it is harmless
+    everything = Window.partitionBy()
     rates = (
-        counts.crossJoin(F.broadcast(tot))
+        counts.withColumn("__z", F.sum(F.sqrt(F.col("__n_d"))).over(everything))
+        .withColumn("__n_total", F.sum("__n_d").over(everything))
         .withColumn(
             "__p_d",
             F.least(
