@@ -1,0 +1,331 @@
+"""Product-analytics operators: funnel, cohort retention, grouped
+closed-form regression, fixed-width histograms, and broadcast-centroid
+k-means.
+
+The reference dashboards compute population-level descriptive
+statistics over the phenotyped cohort (`5_dashboard_prep.R` frequency
+and attrition tables); these operators generalize the same
+"aggregate-the-cohort" shapes to the event-funnel / retention /
+distribution questions any analytics engine alongside it must answer,
+expressed Spark-first:
+
+* one fact-table scan per operator, aggregation pushed map-side;
+* sequential per-user logic (funnel) via ``sort_array(collect_list)``
+  + a higher-order ``aggregate`` fold — one shuffle, no Python;
+* iterative fitting (k-means) via broadcast centroid literals — the
+  only driver-side state is the k x dim centroid matrix itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# funnel
+# --------------------------------------------------------------------------
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users performed ``steps[0]``,
+    then ``steps[1]`` strictly after it, and so on.
+
+    Plan: filter the fact scan to the step event types (predicate
+    pushed to parquet), then ONE ``groupBy(user)`` collecting the
+    (ts, step_idx) pairs sorted by time, folded with a higher-order
+    ``aggregate`` that advances the funnel depth whenever the next
+    expected step appears.  Single shuffle on ``user``; per-user state
+    is bounded by that user's step-type events only (the filter is the
+    scale guard — non-step traffic never reaches the shuffle).  The
+    final depth histogram is a tiny second aggregation.
+
+    Returns one row per step: ``step_idx, step, n_users,
+    pct_of_first`` (users reaching at least that step).
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    idx = F.create_map(
+        *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i))]
+    )
+    per_user = (
+        events.filter(F.col(type_col).isin(steps))
+        .select(
+            F.col(user_col).alias("user"),
+            F.struct(
+                F.col(ts_col).alias("ts"), idx[F.col(type_col)].alias("idx")
+            ).alias("ev"),
+        )
+        .groupBy("user")
+        .agg(F.sort_array(F.collect_list("ev")).alias("evs"))
+        .select(
+            "user",
+            F.aggregate(
+                "evs",
+                F.lit(0),
+                lambda d, e: F.when(e["idx"] == d, d + 1).otherwise(d),
+            ).alias("depth"),
+        )
+    )
+    # users reaching >= step i+1  ==  count of users with depth > i;
+    # a user at depth d contributes to steps 0..d-1 (explode, no
+    # nested-loop join — the fan-out is bounded by len(steps))
+    reached = (
+        per_user.filter(F.col("depth") > 0)
+        .select(
+            F.explode(F.sequence(F.lit(0), F.col("depth") - 1)).alias("step_idx")
+        )
+        .select(F.col("step_idx").cast("int").alias("step_idx"))
+        .groupBy("step_idx")
+        .agg(F.count("*").alias("n_users"))
+    )
+    steps_df = F.broadcast(
+        events.sparkSession.createDataFrame(
+            [(i, s) for i, s in enumerate(steps)], "step_idx int, step string"
+        )
+    )
+    from pyspark.sql.window import Window
+
+    # the joined result is len(steps) rows; an unpartitioned window over
+    # it is a single tiny task, not a scale hazard
+    n_first = F.sum(
+        F.when(F.col("step_idx") == 0, F.col("n_users"))
+    ).over(Window.partitionBy())
+    return (
+        steps_df.join(reached, "step_idx", "left")
+        .select(
+            "step_idx",
+            "step",
+            F.coalesce(F.col("n_users"), F.lit(0)).alias("n_users"),
+            F.round(
+                F.coalesce(F.col("n_users"), F.lit(0)) * 100.0 / n_first, 4
+            ).alias("pct_of_first"),
+        )
+        .orderBy("step_idx")
+    )
+
+
+# --------------------------------------------------------------------------
+# cohort retention
+# --------------------------------------------------------------------------
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort-retention matrix: users bucketed by the period of their
+    first event (the cohort), counted distinct in each later period
+    offset.
+
+    Plan: one ``groupBy(user)`` for first-seen (map-side combinable
+    MIN), join back on ``user`` (both sides hash-partitioned on the
+    same key — AQE merges into one exchange each), then an exact
+    distinct-count per (cohort, offset).  At 100 TB the first-seen
+    aggregate is the cheap side; the distinct-count shuffles
+    (cohort, offset, user) once — no row explosion anywhere.
+
+    Returns ``cohort_day, period_offset, n_active`` where
+    ``cohort_day`` is the first event's date truncated to day and
+    ``period_offset`` counts ``period_days``-day periods since it.
+    """
+    first_seen = events.groupBy(F.col(user_col).alias("user")).agg(
+        F.min(ts_col).alias("first_ts")
+    )
+    return (
+        events.select(F.col(user_col).alias("user"), F.col(ts_col).alias("ts"))
+        .join(first_seen, "user")
+        .select(
+            F.to_date(F.date_trunc("day", "first_ts")).alias("cohort_day"),
+            (
+                F.datediff(F.to_date("ts"), F.to_date("first_ts"))
+                / F.lit(period_days)
+            )
+            .cast("int")
+            .alias("period_offset"),
+            "user",
+        )
+        .groupBy("cohort_day", "period_offset")
+        .agg(F.countDistinct("user").alias("n_active"))
+    )
+
+
+# --------------------------------------------------------------------------
+# grouped closed-form regression
+# --------------------------------------------------------------------------
+
+
+def grouped_regression(
+    df: DataFrame, group_cols: list[str], x: str, y: str
+) -> DataFrame:
+    """Per-group ordinary-least-squares fit of ``y ~ x`` from the five
+    classic sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) — one
+    map-side-combinable aggregation, no per-group iteration, no ML
+    library.  This is the REGR_SLOPE/REGR_INTERCEPT/CORR family
+    expressed as explicit sums so the 100 TB plan is a single partial
+    aggregate; slope/intercept/r are O(groups) post-arithmetic.
+
+    Returns ``group_cols..., n, slope, intercept, corr_xy`` with the
+    derived floats rounded to 4dp (both engines compute the identical
+    closed form from double sums).
+    """
+    xc, yc = F.col(x).cast("double"), F.col(y).cast("double")
+    sums = df.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        F.sum(xc).alias("sx"),
+        F.sum(yc).alias("sy"),
+        F.sum(xc * yc).alias("sxy"),
+        F.sum(xc * xc).alias("sxx"),
+        F.sum(yc * yc).alias("syy"),
+    )
+    n = F.col("n")
+    cov_n = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    var_x = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    var_y = F.col("syy") - F.col("sy") * F.col("sy") / n
+    slope = cov_n / var_x
+    return sums.select(
+        *group_cols,
+        "n",
+        F.round(slope, 4).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 4).alias("intercept"),
+        F.round(cov_n / F.sqrt(var_x * var_y), 4).alias("corr_xy"),
+    )
+
+
+# --------------------------------------------------------------------------
+# fixed-width histogram
+# --------------------------------------------------------------------------
+
+
+def histogram_fixed(
+    df: DataFrame, col: str, lo: float, hi: float, nbins: int
+) -> DataFrame:
+    """Fixed-width histogram over ``[lo, hi)``: bin index is pure
+    arithmetic (no sampling pre-pass, unlike rdd.histogram), so the
+    whole operator is one map-side-combinable count per bin — the
+    degenerate-cheap shuffle (``nbins`` rows).  Out-of-range values
+    clamp into the edge bins so totals always reconcile with the scan.
+
+    Returns ``bin, bin_lo, bin_hi, n`` for non-empty bins.
+    """
+    w = (hi - lo) / nbins
+    raw = F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(w))
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1)).cast("int")
+    return (
+        df.select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bin",
+            F.round(F.lit(lo) + F.col("bin") * F.lit(w), 2).alias("bin_lo"),
+            F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(w), 2).alias("bin_hi"),
+            "n",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# k-means (Lloyd's, broadcast centroids)
+# --------------------------------------------------------------------------
+
+
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """Cluster id of the nearest centroid (squared L2; ties -> lowest
+    id).  Centroids are literal arrays baked into the expression —
+    the broadcast-small-side pattern without even a join: the k x dim
+    matrix rides inside the task binary, the scan stays one narrow
+    map."""
+    dists = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(c)) for c in cent]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ).alias("dist"),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, cent in enumerate(centroids)
+    ]
+    return F.array_min(F.array(*dists))["cid"]
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column, deterministic init
+    (the ``k`` lowest-id vectors), fixed ``iterations``.
+
+    Per iteration: assignment is a narrow map against broadcast
+    centroid literals (no shuffle); the update is ONE
+    ``groupBy(cluster)`` computing per-dimension means as ``dim``
+    map-side-combinable AVG aggregates.  Driver state is only the
+    k x dim centroid matrix — at 100 TB each iteration is exactly one
+    scan + one k-row shuffle, the textbook scalable plan.  Fixed
+    iteration count keeps the operator deterministic and
+    oracle-checkable (the oracle unrolls the same rounds in SQL).
+
+    Returns per-cluster ``cluster, n_members, mean_dist`` (mean L2
+    distance to the final centroid, rounded 4dp).
+    """
+    dim = len(
+        emb.select(vec_col).first()[0]
+    )  # one tiny probe job; callers at scale pass tables with known width
+    v = F.col(vec_col).cast("array<double>")
+    centroids = [
+        [float(x) for x in r[0]]
+        for r in emb.orderBy(id_col).select(v.alias("v")).limit(k).collect()
+    ]
+    for _ in range(iterations):
+        assigned = emb.select(
+            v.alias("v"), _nearest_centroid(v, centroids).alias("cluster")
+        )
+        new_rows = (
+            assigned.groupBy("cluster")
+            .agg(*[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)])
+            .collect()
+        )
+        by_cid = {r["cluster"]: [r[f"c{i}"] for i in range(dim)] for r in new_rows}
+        # empty clusters keep their previous centroid
+        centroids = [by_cid.get(cid, centroids[cid]) for cid in range(k)]
+    # final assignment + per-row distance against the FINAL centroids
+    finals = [
+        F.when(
+            F.col("cluster") == cid,
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"),
+                        F.array(*[F.lit(float(c)) for c in cent]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                )
+            ),
+        )
+        for cid, cent in enumerate(centroids)
+    ]
+    return (
+        emb.select(v.alias("v"), _nearest_centroid(v, centroids).alias("cluster"))
+        .select("cluster", F.coalesce(*finals).alias("d"))
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.avg("d"), 4).alias("mean_dist"),
+        )
+    )

@@ -1,0 +1,412 @@
+"""Product-analytics queries: multidimensional aggregation (cube /
+pivot), window frames (moving average, lag delta, ntile), funnels,
+cohort retention, closed-form regression, histograms, and k-means —
+the descriptive-statistics surface a dashboard pipeline serves
+(reference analog: the frequency / attrition / summary tables of
+`5_dashboard_prep.R`), generalized to event analytics and expressed
+Spark-first.
+
+Oracle strategy follows the package convention: exact DECIMAL sums and
+integer counts wherever possible; unavoidable double arithmetic
+(regression, k-means distances) computed by the IDENTICAL closed form
+on both engines and rounded 4dp well away from representability
+boundaries; every computed column aliased the same on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io import load_table
+from .operators import analytics as an
+from .registry import register
+
+# --------------------------------------------------------------------------
+# multidimensional aggregation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "a18_cube_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS g_id,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2))
+               AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a18_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with a grouping-id
+    disambiguator: all four grouping sets from ONE scan — Spark's
+    Expand produces the 4x row multiplication map-side and the partial
+    aggregate collapses it before the single shuffle, which is why
+    cube beats four unioned groupBys at 100 TB.  Exact DECIMAL sums
+    keep all grouping levels bit-identical to the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("g_id"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_id", "n_rows", "sum_qty")
+    )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIORITY_ALIASES = ["urgent_n", "high_n", "medium_n", "notspec_n", "low_n"]
+
+
+@register(
+    "a19_pivot_priority",
+    oracle=f"""
+    SELECT o_orderstatus,
+           {", ".join(
+               f"COUNT(*) FILTER (WHERE o_orderpriority = '{p}') AS {a}"
+               for p, a in zip(_PRIORITIES, _PRIORITY_ALIASES)
+           )}
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def a19_pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order priority into wide count columns.  The pivot value
+    list is EXPLICIT — the scale-critical choice: without it Spark
+    runs a collect-distinct pre-pass over the fact table to discover
+    the columns (an extra full scan + driver round-trip).  With the
+    list, the pivot compiles to conditional aggregates: one scan, one
+    shuffle, identical to the oracle's FILTER form."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(a)
+            for p, a in zip(_PRIORITIES, _PRIORITY_ALIASES)
+        ],
+    )
+
+
+# --------------------------------------------------------------------------
+# window frames
+# --------------------------------------------------------------------------
+
+
+@register(
+    "w3_moving_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(AVG(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg_3
+    FROM events
+    """,
+)
+def w3_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-frame moving average (last 3 events per user): ONE window
+    sort per user partition, no self-join.  The (ts, event_id) order
+    key is total, so the frame contents — and therefore the rounded
+    average — are deterministic.  At scale this is a single shuffle on
+    user_id with an in-partition sort, the minimum any
+    order-sensitive computation can pay."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("mavg_3"),
+    )
+
+
+@register(
+    "w4_lag_delta",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(value - LAG(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
+    FROM events
+    """,
+)
+def w4_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user consecutive-event delta via LAG — the
+    change-since-last-reading shape (reference analog: same-day BP
+    comparisons pair rows by key; here the pairing is positional).
+    Shares the single user_id window sort with w3; NULL first-row
+    deltas are part of the contract (both engines emit them)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+    )
+
+
+@register(
+    "w5_ntile_quartiles",
+    oracle="""
+    WITH t AS (
+        SELECT c_mktsegment, c_acctbal,
+               NTILE(4) OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal, c_custkey) AS quartile
+        FROM customer
+    )
+    SELECT c_mktsegment, quartile, COUNT(*) AS n,
+           ROUND(MIN(c_acctbal), 2) AS lo_bal,
+           ROUND(MAX(c_acctbal), 2) AS hi_bal
+    FROM t GROUP BY c_mktsegment, quartile
+    """,
+)
+def w5_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartile summary of account balance per market segment.
+    The (c_acctbal, c_custkey) order key is total, so tile boundaries
+    are deterministic; both engines use the SQL-standard NTILE fill
+    (earlier tiles take the remainder rows).  One window sort + one
+    tiny aggregate."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_mktsegment",
+            "c_acctbal",
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("lo_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("hi_bal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# regression / distribution
+# --------------------------------------------------------------------------
+
+
+@register(
+    "a20_grouped_regression",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DOUBLE)) AS sx,
+               SUM(CAST(l_extendedprice AS DOUBLE)) AS sy,
+               SUM(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)) AS sxy,
+               SUM(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)) AS sxx,
+               SUM(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)) AS syy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 4) AS slope,
+           ROUND((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n, 4)
+               AS intercept,
+           ROUND((sxy - sx * sy / n)
+                 / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 4) AS corr_xy
+    FROM s
+    """,
+)
+def a20_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag OLS fit of extendedprice ~ quantity from the five
+    sufficient statistics (operators/analytics.grouped_regression):
+    REGR_SLOPE/REGR_INTERCEPT/CORR as ONE map-side-combinable
+    aggregate — no ML library, no second pass.  Both engines evaluate
+    the identical closed form from the same double sums."""
+    return an.grouped_regression(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        x="l_quantity",
+        y="l_extendedprice",
+    )
+
+
+@register(
+    "a21_histogram_totalprice",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(LEAST(GREATEST(
+                   FLOOR((o_totalprice - 0.0) / 25000.0), 0), 19) AS INT) AS bin
+        FROM orders
+    )
+    SELECT bin,
+           ROUND(CAST(0.0 + bin * 25000.0 AS DOUBLE), 2) AS bin_lo,
+           ROUND(CAST(0.0 + (bin + 1) * 25000.0 AS DOUBLE), 2) AS bin_hi,
+           COUNT(*) AS n
+    FROM b GROUP BY bin
+    """,
+)
+def a21_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 20-bin histogram of order totalprice over
+    [0, 500000): bin assignment is pure arithmetic (no sampling
+    pre-pass), so the operator is one narrow map + a 20-row shuffle —
+    the cheapest possible distribution profile at any scale.  Edge
+    values clamp into the boundary bins so the histogram always sums
+    to the row count."""
+    return an.histogram_fixed(
+        load_table(spark, sf_dir, "orders"), "o_totalprice",
+        lo=0.0, hi=500_000.0, nbins=20,
+    )
+
+
+# --------------------------------------------------------------------------
+# funnel / retention
+# --------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH s0 AS (
+        SELECT user_id, MIN(ts) AS t FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), s1 AS (
+        SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        JOIN s0 ON e.user_id = s0.user_id
+        WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY e.user_id
+    ), s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY e.user_id
+    ), counts AS (
+        SELECT 0 AS step_idx, 'view' AS step,
+               (SELECT COUNT(*) FROM s0) AS n_users
+        UNION ALL SELECT 1, 'click', (SELECT COUNT(*) FROM s1)
+        UNION ALL SELECT 2, 'purchase', (SELECT COUNT(*) FROM s2)
+    )
+    SELECT step_idx, step, n_users,
+           ROUND(n_users * 100.0
+                 / (SELECT n_users FROM counts WHERE step_idx = 0), 4)
+               AS pct_of_first
+    FROM counts
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase
+    (operators/analytics.funnel): ONE groupBy(user) over the
+    step-filtered scan, per-user time-sorted fold with a higher-order
+    ``aggregate`` — no per-step self-joins, no Python.  The greedy
+    earliest-event walk is optimal, so it matches the oracle's
+    min-timestamp cascade exactly (event timestamps are unique per
+    user in this data, making strict-after unambiguous)."""
+    return an.funnel(load_table(spark, sf_dir, "events"), _FUNNEL_STEPS)
+
+
+@register(
+    "events_retention",
+    oracle="""
+    WITH fs AS (
+        SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+    )
+    SELECT CAST(date_trunc('day', fs.first_ts) AS DATE) AS cohort_day,
+           CAST(FLOOR(date_diff('day', CAST(fs.first_ts AS DATE),
+                                CAST(e.ts AS DATE)) / 7.0) AS INT)
+               AS period_offset,
+           COUNT(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN fs ON e.user_id = fs.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix
+    (operators/analytics.cohort_retention): first-seen MIN per user
+    (map-side combinable), same-key join back, exact distinct count
+    per (cohort, offset).  Two shuffles total, both on keys the data
+    already clusters by — the plan a 100 TB event store wants."""
+    return an.cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# k-means
+# --------------------------------------------------------------------------
+
+
+def _kmeans_oracle(k: int = 4, iterations: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd's iterations in DuckDB: assignment via
+    ROW_NUMBER over (distance, cid) — the same lowest-id tie-break as
+    the Spark operator's array_min over (dist, cid) structs — and
+    per-dimension AVG centroids rebuilt with a range() unnest.  Empty
+    clusters inherit the previous centroid on both sides."""
+    sq = (
+        "CAST(list_sum(list_transform(range(1, {d} + 1), "
+        "i -> (a.v[i] - c.v[i]) * (a.v[i] - c.v[i]))) AS DOUBLE)"
+    ).format(d=dim)
+
+    def assign(src: str, cents: str, name: str) -> str:
+        return f"""{name} AS (
+        SELECT vec_id, v, cid, dist FROM (
+            SELECT a.vec_id, a.v, c.cid, {sq} AS dist,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                      ORDER BY {sq}, c.cid) AS rn
+            FROM {src} a CROSS JOIN {cents} c
+        ) WHERE rn = 1
+    )"""
+
+    def update(assigned: str, prev: str, name: str) -> str:
+        return f"""{name}_m AS (
+        SELECT cid, list(m ORDER BY i) AS v FROM (
+            SELECT cid, i, AVG(v[i]) AS m
+            FROM {assigned}, range(1, {dim} + 1) t(i)
+            GROUP BY cid, i
+        ) GROUP BY cid
+    ), {name} AS (
+        SELECT p.cid, COALESCE(u.v, p.v) AS v
+        FROM {prev} p LEFT JOIN {name}_m u ON p.cid = u.cid
+    )"""
+
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""c0 AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v
+        FROM e ORDER BY vec_id LIMIT {k}
+    )""",
+    ]
+    prev = "c0"
+    for it in range(iterations):
+        ctes.append(assign("e", prev, f"a{it}"))
+        ctes.append(update(f"a{it}", prev, f"c{it + 1}"))
+        prev = f"c{it + 1}"
+    ctes.append(assign("e", prev, "fin"))
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT cid AS cluster, COUNT(*) AS n_members,
+           ROUND(AVG(sqrt(dist)), 4) AS mean_dist
+    FROM fin GROUP BY cid
+    """
+    )
+
+
+@register("emb_kmeans_lloyd", oracle=_kmeans_oracle())
+def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=4, 2 fixed iterations) over the
+    embeddings table (operators/analytics.kmeans_lloyd): per iteration
+    ONE narrow-map assignment against broadcast centroid literals plus
+    ONE groupBy(cluster) of per-dimension AVGs — the only driver state
+    is the k x dim centroid matrix.  Deterministic lowest-id init and
+    fixed rounds keep it exactly oracle-checkable (the oracle unrolls
+    the identical iterations in SQL)."""
+    return an.kmeans_lloyd(
+        load_table(spark, sf_dir, "embeddings"), k=4, iterations=2
+    )

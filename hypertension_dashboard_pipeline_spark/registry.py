@@ -152,6 +152,7 @@ def _reorder() -> None:
 def load_all() -> None:
     """Import every query module so registration side effects run, then
     apply the deliberate registration order (see ``_FRONT``)."""
+    from . import queries_analytics  # noqa: F401
     from . import queries_core  # noqa: F401
     from . import queries_ext  # noqa: F401
     from . import queries_omop  # noqa: F401

@@ -1,0 +1,236 @@
+"""Unit + plan tests for the product-analytics operators
+(operators/analytics.py): funnel edge cases against hand-computed
+fixtures, retention offsets, regression against numpy's closed form,
+histogram clamping, k-means determinism, and the plan invariants that
+make each viable at 100 TB."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from hypertension_dashboard_pipeline_spark import registry
+from hypertension_dashboard_pipeline_spark.operators import analytics as an
+
+registry.load_all()
+
+
+def _ts(day: int, sec: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, day, 0, 0, sec)
+
+
+# ----------------------------------------------------------------- funnel
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string"
+    )
+
+
+def test_funnel_counts_strict_order(spark):
+    ev = _events(
+        spark,
+        [
+            # u1 completes the funnel in order
+            (1, _ts(1), "view"), (1, _ts(2), "click"), (1, _ts(3), "purchase"),
+            # u2 clicks BEFORE viewing: click must not count
+            (2, _ts(2), "click"), (2, _ts(3), "view"),
+            # u3 views only
+            (3, _ts(1), "view"),
+            # u4 never does a step event
+            (4, _ts(1), "error"),
+        ],
+    )
+    rows = {
+        r["step"]: r
+        for r in an.funnel(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert rows["view"]["n_users"] == 3
+    assert rows["click"]["n_users"] == 1
+    assert rows["purchase"]["n_users"] == 1
+    assert rows["view"]["pct_of_first"] == 100.0
+    assert rows["click"]["pct_of_first"] == pytest.approx(33.3333)
+
+
+def test_funnel_interleaved_noise_does_not_reset(spark):
+    """Non-next-step events between steps must not break progression."""
+    ev = _events(
+        spark,
+        [
+            (1, _ts(1), "view"), (1, _ts(2), "view"), (1, _ts(3), "click"),
+            (1, _ts(4), "view"), (1, _ts(5), "purchase"),
+        ],
+    )
+    rows = {r["step"]: r["n_users"]
+            for r in an.funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert rows == {"view": 1, "click": 1, "purchase": 1}
+
+
+def test_funnel_click_before_second_view_uses_earliest_view(spark):
+    """Greedy earliest-event walk: the FIRST view anchors the funnel
+    even when a later view would also precede the click."""
+    ev = _events(
+        spark,
+        [(1, _ts(1), "view"), (1, _ts(5), "view"), (1, _ts(3), "click")],
+    )
+    rows = {r["step"]: r["n_users"]
+            for r in an.funnel(ev, ["view", "click"]).collect()}
+    assert rows == {"view": 1, "click": 1}
+
+
+# --------------------------------------------------------------- retention
+
+
+def test_retention_offsets(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(1)), (1, _ts(5)), (1, _ts(9)),   # offsets 0, 0, 1
+            (2, _ts(10)), (2, _ts(25)),              # offsets 0, 2
+        ],
+        "user_id bigint, ts timestamp",
+    )
+    got = {
+        (r["cohort_day"].isoformat(), r["period_offset"]): r["n_active"]
+        for r in an.cohort_retention(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 1): 1,
+        ("2024-01-10", 0): 1,
+        ("2024-01-10", 2): 1,
+    }
+
+
+# -------------------------------------------------------------- regression
+
+
+def test_grouped_regression_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(0, 10, 200)
+    y = 3.0 * x + 5.0 + rng.normal(0, 0.5, 200)
+    df = spark.createDataFrame(
+        [("g", float(a), float(b)) for a, b in zip(x, y)],
+        "grp string, x double, y double",
+    )
+    row = an.grouped_regression(df, ["grp"], "x", "y").collect()[0]
+    slope, intercept = np.polyfit(x, y, 1)
+    corr = np.corrcoef(x, y)[0, 1]
+    assert row["n"] == 200
+    assert row["slope"] == pytest.approx(slope, abs=1e-3)
+    assert row["intercept"] == pytest.approx(intercept, abs=1e-3)
+    assert row["corr_xy"] == pytest.approx(corr, abs=1e-3)
+
+
+# --------------------------------------------------------------- histogram
+
+
+def test_histogram_clamps_out_of_range(spark):
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (9.9,), (10.0,), (25.0,), (99.0,), (100.0,), (150.0,)],
+        "v double",
+    )
+    got = {r["bin"]: r for r in
+           an.histogram_fixed(df, "v", 0.0, 100.0, 10).collect()}
+    assert got[0]["n"] == 3          # -5 clamps in; 0.0 and 9.9 in-bin
+    assert got[1]["n"] == 1          # 10.0
+    assert got[2]["n"] == 1          # 25.0
+    assert got[9]["n"] == 3          # 99 + clamped 100, 150
+    assert got[0]["bin_lo"] == 0.0 and got[0]["bin_hi"] == 10.0
+    assert sum(r["n"] for r in got.values()) == df.count()
+
+
+# ----------------------------------------------------------------- k-means
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    rows = []
+    for i in range(20):                       # cluster around (0, 0)
+        rows.append((i, [0.0 + (i % 3) * 0.01, 0.0]))
+    for i in range(20, 40):                   # cluster around (10, 10)
+        rows.append((i, [10.0 + (i % 3) * 0.01, 10.0]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = an.kmeans_lloyd(emb, k=2, iterations=3).collect()
+    sizes = sorted(r["n_members"] for r in out)
+    assert sizes == [20, 20]
+    assert all(r["mean_dist"] < 0.1 for r in out)
+
+
+def test_kmeans_deterministic_across_runs(spark, sf_dir):
+    from hypertension_dashboard_pipeline_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = sorted(map(tuple, an.kmeans_lloyd(emb, k=4, iterations=2).collect()))
+    b = sorted(map(tuple, an.kmeans_lloyd(emb, k=4, iterations=2).collect()))
+    assert a == b
+
+
+# ------------------------------------------------------------------- plans
+
+
+@pytest.fixture(scope="module")
+def plan(spark, sf_dir):
+    def get(name: str) -> str:
+        df = registry.QUERIES[name](spark, sf_dir)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    return get
+
+
+def test_cube_is_one_scan_with_expand(plan):
+    """CUBE must compile to Expand + ONE aggregation pipeline over one
+    scan — not a union of per-grouping-set scans."""
+    p = plan("a18_cube_agg")
+    assert "Expand" in p
+    assert p.count("FileScan") == 1
+    assert "partial_count" in p  # map-side combine before the shuffle
+
+
+def test_pivot_has_no_distinct_value_prepass(plan):
+    """With the explicit value list the pivot is conditional
+    aggregation over one scan — no collect-distinct job, no extra
+    exchange beyond the groupBy's."""
+    p = plan("a19_pivot_priority")
+    assert p.count("FileScan") == 1
+    assert "Expand" not in p
+
+
+def test_window_frames_share_one_sort(plan):
+    """The moving average costs exactly one exchange + one sort on the
+    user partition key."""
+    for q in ("w3_moving_avg", "w4_lag_delta"):
+        p = plan(q)
+        assert p.count("Exchange hashpartitioning(user_id") == 1, q
+        assert p.count("Sort ") == 1, q
+
+
+def test_funnel_is_single_user_shuffle(plan):
+    """The funnel's per-user fold must shuffle the (filtered) events
+    exactly once on user; step events are filtered AT THE SCAN."""
+    p = plan("events_funnel")
+    assert p.count("Exchange hashpartitioning(user") == 1
+    scan = next(l for l in p.splitlines() if "FileScan" in l and "events" in l)
+    assert "In(event_type" in scan  # step filter pushed to parquet
+
+
+def test_histogram_partial_aggregates(plan):
+    p = plan("a21_histogram_totalprice")
+    assert "partial_count" in p
+    assert p.count("FileScan") == 1
+
+
+def test_kmeans_assignment_is_narrow_map(spark, sf_dir):
+    """The final k-means plan (assignment + stats) must contain no
+    join — centroids ride as literals — and exactly one exchange (the
+    k-row cluster aggregate)."""
+    from hypertension_dashboard_pipeline_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = an.kmeans_lloyd(emb, k=4, iterations=1)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1
