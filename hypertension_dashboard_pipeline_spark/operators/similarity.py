@@ -67,7 +67,9 @@ def brute_force_topk(df: DataFrame, query_vec: list[float], k: int = 10,
 def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                           id_col: str = "vec_id", vec_col: str = "embedding",
                           n_tables: int = 4, planes_per_table: int = 4,
-                          scale: int = 6, dim: int | None = None) -> DataFrame:
+                          scale: int = 6, dim: int | None = None,
+                          persist: bool = True,
+                          release: bool = True) -> DataFrame:
     """Pairs with cosine ≥ threshold via banded random-hyperplane LSH.
 
     OR-amplified blocking (same banding idea as MinHash LSH): each
@@ -110,7 +112,17 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                 )
             )
         )
-    base = df.select(F.col(id_col).alias("id"), vec.alias("v"))
+    if release:
+        from .dedup import release_persisted
+
+        release_persisted()
+    # per-vector norm computed ONCE here instead of per candidate pair:
+    # sqrt is deterministic, so dot/(nrm_a*nrm_b) is bit-identical to
+    # the oracle's per-pair dot/(sqrt(dot_aa)*sqrt(dot_bb)) — but the
+    # pair-scoring stage drops from 3 array folds to 1
+    base = df.select(
+        F.col(id_col).alias("id"), vec.alias("v"), norm(vec).alias("nrm")
+    )
     if n_tables > 0:
         sigs = []
         for t in range(n_tables):
@@ -124,7 +136,13 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                     sign_bucket(F.col("v"), planes).alias("b"),
                 )
             )
-        tagged = base.select("id", F.explode(F.array(*sigs)).alias("tb"))
+        # both self-join sides re-read tagged; persisted, the 16-plane
+        # signature projection runs once, not twice
+        from .dedup import _maybe_persist
+
+        tagged = _maybe_persist(
+            base.select("id", F.explode(F.array(*sigs)).alias("tb")), persist
+        )
         cand = (
             tagged.select(F.col("id").alias("id_a"), "tb")
             .join(tagged.select(F.col("id").alias("id_b"), "tb"), "tb")
@@ -133,17 +151,25 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
             .distinct()
         )
         cand = cand.join(
-            base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a"
+            base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+                        F.col("nrm").alias("nrm_a")), "id_a"
         ).join(
-            base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b"
+            base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+                        F.col("nrm").alias("nrm_b")), "id_b"
         )
     else:
-        a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-        b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+        a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+                        F.col("nrm").alias("nrm_a"))
+        b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+                        F.col("nrm").alias("nrm_b"))
         cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
 
     scored = cand.select(
-        "id_a", "id_b", cosine(F.col("v_a"), F.col("v_b"), scale=scale).alias("cos_sim")
+        "id_a", "id_b",
+        F.round(
+            dot(F.col("v_a"), F.col("v_b")) / (F.col("nrm_a") * F.col("nrm_b")),
+            scale,
+        ).alias("cos_sim"),
     )
     return scored.filter(F.col("cos_sim") >= threshold)
 
