@@ -1,0 +1,170 @@
+"""Declarative data-quality expectations (the Deequ /
+Great-Expectations shape, Spark-first).
+
+The reference pipeline is essentially a hand-rolled QC program:
+plausibility bands on BP values (`3_blood_pressure.R:132-143`),
+mis-bridge detection via per-key distinct counts
+(`2_data_importing_cleaning.R:93-126`), null screens, set-membership
+recodes.  This operator generalizes those idioms into a rule list
+evaluated against a table in AS FEW PASSES AS POSSIBLE:
+
+* row-local rules (not_null / in_range / in_set / matches) compile to
+  conditional-sum aggregates and share ONE scan — adding a rule adds
+  an expression, not a pass;
+* ``unique`` needs its own count-distinct aggregation (same scan
+  feeds it);
+* ``referential`` needs an anti-join probe per referenced table.
+
+Output is one row per rule: ``rule_id, rule, col_name, n_checked,
+n_violations, passed`` — exact integers, so the whole audit is
+hash-stable and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One expectation.  ``kind`` ∈ {not_null, in_range, in_set,
+    matches, unique, referential}."""
+
+    rule_id: str
+    kind: str
+    column: str
+    lo: float | None = None
+    hi: float | None = None
+    values: tuple = field(default=())
+    pattern: str | None = None
+
+    def describe(self) -> str:
+        if self.kind == "in_range":
+            return f"in_range[{self.lo},{self.hi}]"
+        if self.kind == "in_set":
+            return f"in_set({','.join(str(v) for v in self.values)})"
+        if self.kind == "matches":
+            return f"matches({self.pattern})"
+        return self.kind
+
+
+def not_null(rule_id: str, column: str) -> Rule:
+    return Rule(rule_id, "not_null", column)
+
+
+def in_range(rule_id: str, column: str, lo: float, hi: float) -> Rule:
+    return Rule(rule_id, "in_range", column, lo=lo, hi=hi)
+
+
+def in_set(rule_id: str, column: str, values: list) -> Rule:
+    return Rule(rule_id, "in_set", column, values=tuple(values))
+
+
+def matches(rule_id: str, column: str, pattern: str) -> Rule:
+    return Rule(rule_id, "matches", column, pattern=pattern)
+
+
+def unique(rule_id: str, column: str) -> Rule:
+    return Rule(rule_id, "unique", column)
+
+
+def _violation(r: Rule) -> Column:
+    c = F.col(r.column)
+    if r.kind == "not_null":
+        bad = c.isNull()
+    elif r.kind == "in_range":
+        # NULL is not a range violation — pair with not_null to forbid
+        bad = c.isNotNull() & ~c.between(F.lit(r.lo), F.lit(r.hi))
+    elif r.kind == "in_set":
+        bad = c.isNotNull() & ~c.isin(list(r.values))
+    elif r.kind == "matches":
+        bad = c.isNotNull() & ~c.rlike(r.pattern)
+    else:  # pragma: no cover - guarded by expectations()
+        raise ValueError(f"not a row-local rule: {r.kind}")
+    return F.sum(bad.cast("long")).alias(r.rule_id)
+
+
+def expectations(
+    df: DataFrame,
+    rules: list[Rule],
+    referential: list[tuple[str, str, DataFrame, str]] = (),
+) -> DataFrame:
+    """Evaluate *rules* against *df*; ``referential`` entries are
+    ``(rule_id, fk_column, referenced_df, referenced_column)``.
+
+    Plan shape: one scan computes every row-local violation count
+    map-side (a single 1-row partial aggregate — adding rules is
+    free); each ``unique`` rule adds a count-vs-distinct twin over the
+    same scan; each referential rule is one left-anti probe against
+    the (typically broadcastable) referenced keys.  The per-rule
+    1-row results are unioned driver-free into the audit report.
+    """
+    row_local = [r for r in rules if r.kind not in ("unique", "referential")]
+    uniques = [r for r in rules if r.kind == "unique"]
+
+    reports: list[DataFrame] = []
+    total = F.count(F.lit(1)).alias("__n")
+    if row_local:
+        agg = df.agg(total, *[_violation(r) for r in row_local])
+        stack = ", ".join(
+            f"'{r.rule_id}', '{r.describe()}', '{r.column}', `{r.rule_id}`"
+            for r in row_local
+        )
+        reports.append(
+            agg.select(
+                F.expr(
+                    f"stack({len(row_local)}, {stack}) AS "
+                    "(rule_id, rule, col_name, n_violations)"
+                ),
+                F.col("__n").alias("n_checked"),
+            ).select("rule_id", "rule", "col_name", "n_checked", "n_violations")
+        )
+    for r in uniques:
+        rep = df.agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            (F.count(r.column) - F.countDistinct(r.column)).alias("n_violations"),
+        ).select(
+            F.lit(r.rule_id).alias("rule_id"),
+            F.lit("unique").alias("rule"),
+            F.lit(r.column).alias("col_name"),
+            "n_checked",
+            "n_violations",
+        )
+        reports.append(rep)
+    for rule_id, fk, ref_df, ref_col in referential:
+        # ONE pass over the fact side: broadcast LEFT join against the
+        # distinct referenced keys, then count rows and unmatched
+        # non-null keys in the same 1-row aggregate — no anti-join +
+        # count-join recombination (which would need a product of two
+        # 1-row aggregates)
+        hits = F.broadcast(
+            ref_df.select(F.col(ref_col).alias(fk))
+            .distinct()
+            .withColumn("__hit", F.lit(1))
+        )
+        rep = (
+            df.select(F.col(fk))
+            .join(hits, fk, "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_checked"),
+                F.sum(
+                    (F.col(fk).isNotNull() & F.col("__hit").isNull()).cast("long")
+                ).alias("n_violations"),
+            )
+            .select(
+                F.lit(rule_id).alias("rule_id"),
+                F.lit(f"referential({ref_col})").alias("rule"),
+                F.lit(fk).alias("col_name"),
+                "n_checked",
+                "n_violations",
+            )
+        )
+        reports.append(rep)
+
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionByName(rep)
+    return out.withColumn("passed", (F.col("n_violations") == 0).cast("int"))

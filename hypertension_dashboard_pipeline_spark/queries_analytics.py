@@ -398,6 +398,123 @@ def _kmeans_oracle(k: int = 4, iterations: int = 2, dim: int = 64) -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# event-time range frame
+# --------------------------------------------------------------------------
+
+
+@register(
+    "w6_time_range_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(AVG(value) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4)
+               AS avg_1h
+    FROM events
+    """,
+)
+def w6_time_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-TIME range frame (trailing 1 hour per user) — the frame
+    holds however many events fall in the window, unlike w3's fixed
+    row count.  Both engines order by epoch MICROSECONDS with a
+    numeric range bound, so frame membership is decided on identical
+    integers (an interval-typed bound against truncated-second epochs
+    would disagree on sub-second edges).  Still one shuffle + one sort
+    on the user partition."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("avg_1h"),
+    )
+
+
+# --------------------------------------------------------------------------
+# data-quality expectations
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dq_expectations",
+    oracle="""
+    WITH t AS (SELECT COUNT(*) AS n_checked FROM orders),
+    report AS (
+        SELECT 'o_custkey_set' AS rule_id, 'not_null' AS rule,
+               'o_custkey' AS col_name, t.n_checked,
+               (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+                   AS n_violations
+        FROM t
+        UNION ALL
+        SELECT 'totalprice_band', 'in_range[0.0,450000.0]', 'o_totalprice',
+               t.n_checked,
+               (SELECT COUNT(*) FROM orders WHERE o_totalprice IS NOT NULL
+                AND o_totalprice NOT BETWEEN 0.0 AND 450000.0)
+        FROM t
+        UNION ALL
+        SELECT 'status_domain', 'in_set(F,O)', 'o_orderstatus', t.n_checked,
+               (SELECT COUNT(*) FROM orders WHERE o_orderstatus IS NOT NULL
+                AND o_orderstatus NOT IN ('F', 'O'))
+        FROM t
+        UNION ALL
+        SELECT 'priority_format', 'matches(^[1-4]-)', 'o_orderpriority',
+               t.n_checked,
+               (SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NOT NULL
+                AND NOT regexp_matches(o_orderpriority, '^[1-4]-'))
+        FROM t
+        UNION ALL
+        SELECT 'orderkey_unique', 'unique', 'o_orderkey', t.n_checked,
+               (SELECT COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)
+                FROM orders)
+        FROM t
+        UNION ALL
+        SELECT 'custkey_fk', 'referential(c_custkey)', 'o_custkey',
+               t.n_checked,
+               (SELECT COUNT(*) FROM orders o
+                WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+                      (SELECT 1 FROM customer c
+                       WHERE c.c_custkey = o.o_custkey))
+        FROM t
+    )
+    SELECT rule_id, rule, col_name, n_checked, n_violations,
+           CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS passed
+    FROM report
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit of the orders table
+    (operators/quality.expectations) — the reference's QC idioms
+    (plausibility bands `3_blood_pressure.R:132-143`, null screens,
+    set-membership, per-key distinct checks
+    `2_data_importing_cleaning.R:93-126`) as a rule list: ALL
+    row-local rules share ONE scan as conditional sums, uniqueness is
+    a count-vs-distinct twin, and the foreign-key probe is one
+    broadcast anti-join.  Adding a rule adds an expression, never a
+    pass — the property that keeps a 100-rule audit a single job at
+    100 TB."""
+    from .operators import quality as dq
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return dq.expectations(
+        orders,
+        [
+            dq.not_null("o_custkey_set", "o_custkey"),
+            dq.in_range("totalprice_band", "o_totalprice", 0.0, 450000.0),
+            dq.in_set("status_domain", "o_orderstatus", ["F", "O"]),
+            dq.matches("priority_format", "o_orderpriority", "^[1-4]-"),
+            dq.unique("orderkey_unique", "o_orderkey"),
+        ],
+        referential=[("custkey_fk", "o_custkey", customer, "c_custkey")],
+    )
+
+
 @register("emb_kmeans_lloyd", oracle=_kmeans_oracle())
 def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means (k=4, 2 fixed iterations) over the

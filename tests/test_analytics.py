@@ -169,6 +169,74 @@ def test_kmeans_deterministic_across_runs(spark, sf_dir):
     assert a == b
 
 
+# ------------------------------------------------------------ expectations
+
+
+def test_expectations_counts_and_null_semantics(spark):
+    from hypertension_dashboard_pipeline_spark.operators import quality as dq
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "A"), (2, 50.0, "B"), (None, None, "C"), (2, -1.0, "A")],
+        "k bigint, v double, s string",
+    )
+    rep = {
+        r["rule_id"]: r
+        for r in dq.expectations(
+            df,
+            [
+                dq.not_null("k_set", "k"),
+                dq.in_range("v_band", "v", 0.0, 10.0),
+                dq.in_set("s_dom", "s", ["A", "B"]),
+                dq.unique("k_uniq", "k"),
+            ],
+        ).collect()
+    }
+    assert rep["k_set"]["n_violations"] == 1
+    # NULL v is NOT a range violation; 50.0 and -1.0 are
+    assert rep["v_band"]["n_violations"] == 2
+    assert rep["s_dom"]["n_violations"] == 1
+    # count(k)=3 non-null, 2 distinct -> 1 duplicate
+    assert rep["k_uniq"]["n_violations"] == 1
+    assert all(r["n_checked"] == 4 for r in rep.values())
+    assert rep["k_set"]["passed"] == 0
+
+
+def test_expectations_referential_orphans(spark):
+    from hypertension_dashboard_pipeline_spark.operators import quality as dq
+
+    facts = spark.createDataFrame(
+        [(1,), (2,), (99,), (None,)], "fk bigint"
+    )
+    dims = spark.createDataFrame([(1,), (2,), (3,)], "pk bigint")
+    row = dq.expectations(
+        facts, [], referential=[("fk_ok", "fk", dims, "pk")]
+    ).collect()[0]
+    assert row["n_violations"] == 1  # 99 is an orphan; NULL fk skipped
+    assert row["n_checked"] == 4
+    assert row["passed"] == 0
+
+
+def test_expectations_row_local_rules_share_one_scan(spark, sf_dir):
+    """The audit's defining scale property: N row-local rules = ONE
+    scan + one 1-row aggregate, regardless of N."""
+    from hypertension_dashboard_pipeline_spark.io import load_table
+    from hypertension_dashboard_pipeline_spark.operators import quality as dq
+
+    orders = load_table(spark, sf_dir, "orders")
+    rep = dq.expectations(
+        orders,
+        [
+            dq.not_null("a", "o_custkey"),
+            dq.in_range("b", "o_totalprice", 0.0, 450000.0),
+            dq.in_set("c", "o_orderstatus", ["F", "O"]),
+            dq.matches("d", "o_orderpriority", "^[1-4]-"),
+        ],
+    )
+    p = rep._jdf.queryExecution().executedPlan().toString()
+    assert p.count("FileScan") == 1
+    assert "partial_count" in p or "partial_sum" in p
+
+
 # ------------------------------------------------------------------- plans
 
 
@@ -221,6 +289,36 @@ def test_histogram_partial_aggregates(plan):
     p = plan("a21_histogram_totalprice")
     assert "partial_count" in p
     assert p.count("FileScan") == 1
+
+
+def test_time_range_frame_includes_exact_boundary(spark):
+    """RANGE frame bound is inclusive: an event exactly 1h earlier is
+    in the trailing window; 1h + 1us is out."""
+    from hypertension_dashboard_pipeline_spark.queries_analytics import (
+        w6_time_range_avg,
+    )
+    import pyspark.sql.functions as SF
+    from pyspark.sql.window import Window
+
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0, 0), 10.0),
+            (1, dt.datetime(2024, 1, 1, 1, 0, 0), 20.0),          # exactly 1h
+            (1, dt.datetime(2024, 1, 1, 2, 0, 0, 1), 30.0),       # 1h + 1us
+        ],
+        "user_id bigint, ts timestamp, value double",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(SF.unix_micros(SF.col("ts")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    got = {
+        r["value"]: r["a"]
+        for r in ev.select("value", SF.avg("value").over(w).alias("a")).collect()
+    }
+    assert got[20.0] == pytest.approx(15.0)   # includes the 1h-old event
+    assert got[30.0] == pytest.approx(30.0)   # 1h+1us-old event excluded
 
 
 def test_kmeans_assignment_is_narrow_map(spark, sf_dir):
