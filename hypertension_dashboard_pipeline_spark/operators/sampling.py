@@ -116,3 +116,42 @@ def group_split(df: DataFrame, group_col: str,
         expr = F.when(cond, label) if expr is None else expr.when(cond, label)
         lo += w
     return df.withColumn("split", expr)
+
+
+def hash_uniform(col: Column | str) -> Column:
+    """Deterministic uniform in (0, 1]: (first-8-hex of md5 + 1) /
+    (16^8 + 1).  The +1 keeps ln() finite; engine-agnostic like
+    ``hash_bucket``."""
+    c = F.col(col) if isinstance(col, str) else col
+    raw = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    )
+    return (raw + 1.0) / float(16**8 + 1)
+
+
+def weighted_sample_topk(df: DataFrame, key_col: str, weight_col: str,
+                         k: int) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: the
+    Efraimidis–Spirakis exponential-keys scheme with the uniform drawn
+    from a content hash instead of an RNG.
+
+    Each row scores ``ln(u) / w`` (monotone in the classic
+    ``u^(1/w)``); the k largest scores are the sample.  Inclusion
+    probability scales with weight, every row decides its score
+    locally (narrow map), and the selection is ONE TakeOrdered — no
+    global sort, no multi-pass rejection loop, repartition-stable and
+    reproducible across engines.  This is the 100 TB way to draw a
+    fixed-size weighted subset: map + top-k, nothing else.
+
+    Rows with non-positive weight are excluded (they have zero
+    inclusion mass in the E-S scheme).
+    """
+    w = F.col(weight_col).cast("double")
+    score = F.log(hash_uniform(key_col)) / w
+    return (
+        df.filter(w > 0)
+        .withColumn("__score", score)
+        .orderBy(F.col("__score").desc(), F.col(key_col))
+        .limit(k)
+        .drop("__score")
+    )

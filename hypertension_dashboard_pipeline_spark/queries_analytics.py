@@ -337,6 +337,79 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SCD-2 history intervals
+# --------------------------------------------------------------------------
+
+
+@register(
+    "w7_scd2_intervals",
+    oracle="""
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+           CASE WHEN LEAD(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM events
+    """,
+)
+def w7_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: a change stream becomes validity
+    intervals via LEAD — each row's valid_to is the next change's
+    timestamp, NULL marking the current version.  The complement of
+    j13's SCD-1 merge-upsert: one window sort per entity, no
+    self-join, which is why interval building stays one shuffle at any
+    scale."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+# --------------------------------------------------------------------------
+# weighted sampling
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sample_weighted_topk",
+    oracle="""
+    SELECT doc_id, source, n_chars
+    FROM (
+        SELECT doc_id, source, n_chars,
+               ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    ::BIGINT + 1.0) / 4294967297.0))
+               / CAST(n_chars AS DOUBLE) AS score
+        FROM documents WHERE n_chars > 0
+    )
+    ORDER BY score DESC, doc_id
+    LIMIT 50
+    """,
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.weighted_sample_topk): Efraimidis-Spirakis
+    exponential keys with the uniform drawn from a content hash —
+    inclusion probability scales with document length, the whole draw
+    is a narrow map + ONE TakeOrdered(k), reproducible across engines
+    and repartitionings.  The weighted counterpart of
+    sample_deterministic's fixed-rate bucket filter."""
+    from .operators.sampling import weighted_sample_topk
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return weighted_sample_topk(docs, "doc_id", "n_chars", k=50)
+
+
+# --------------------------------------------------------------------------
 # k-means
 # --------------------------------------------------------------------------
 

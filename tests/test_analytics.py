@@ -237,6 +237,59 @@ def test_expectations_row_local_rules_share_one_scan(spark, sf_dir):
     assert "partial_count" in p or "partial_sum" in p
 
 
+# --------------------------------------------------------- weighted sample
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    from hypertension_dashboard_pipeline_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    rows = [(i, 100.0) for i in range(100)] + [
+        (i, 1.0) for i in range(100, 200)
+    ]
+    df = spark.createDataFrame(rows, "k bigint, w double")
+    got = weighted_sample_topk(df, "k", "w", k=50).collect()
+    heavy = sum(1 for r in got if r["w"] == 100.0)
+    assert len(got) == 50
+    assert heavy > 40  # 100x weight dominates the draw
+
+    # deterministic: same input -> identical selection
+    again = weighted_sample_topk(df, "k", "w", k=50).collect()
+    assert sorted(r["k"] for r in got) == sorted(r["k"] for r in again)
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from hypertension_dashboard_pipeline_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, 2.0)], "k bigint, w double"
+    )
+    ks = {r["k"] for r in weighted_sample_topk(df, "k", "w", k=10).collect()}
+    assert ks == {1, 4}
+
+
+# ------------------------------------------------------------------- scd-2
+
+
+def test_scd2_intervals_chain(spark, sf_dir):
+    from hypertension_dashboard_pipeline_spark import registry as reg
+
+    rows = reg.QUERIES["w7_scd2_intervals"](spark, sf_dir).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for u, ivs in list(by_user.items())[:10]:
+        ivs.sort(key=lambda r: r["valid_from"])
+        # intervals chain: each valid_to == next valid_from; one current
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+        assert sum(r["is_current"] for r in ivs) == 1
+        assert ivs[-1]["valid_to"] is None
+
+
 # ------------------------------------------------------------------- plans
 
 
@@ -283,6 +336,12 @@ def test_funnel_is_single_user_shuffle(plan):
     assert p.count("Exchange hashpartitioning(user") == 1
     scan = next(l for l in p.splitlines() if "FileScan" in l and "events" in l)
     assert "In(event_type" in scan  # step filter pushed to parquet
+
+
+def test_weighted_sample_is_topk_not_global_sort(plan):
+    p = plan("sample_weighted_topk")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("FileScan") == 1
 
 
 def test_histogram_partial_aggregates(plan):
