@@ -232,6 +232,49 @@ def histogram_fixed(
 
 
 # --------------------------------------------------------------------------
+# incremental rollup maintenance
+# --------------------------------------------------------------------------
+
+
+def partial_rollup(
+    df: DataFrame, keys: list[Column | str], value_col: str
+) -> DataFrame:
+    """Mergeable partial aggregate: per-key (n, exact DECIMAL sum).
+    Exactness is the contract — DOUBLE partials would make the merged
+    rollup depend on which batches the data arrived in."""
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(18,6)")).alias("_s"),
+    )
+
+
+def merge_rollups(*parts: DataFrame) -> DataFrame:
+    """Fold any number of ``partial_rollup`` outputs into the rollup
+    the full recompute would produce: counts add, DECIMAL sums add —
+    the incremental-view-maintenance identity.  At 100 TB this is the
+    difference between re-scanning the fact table and aggregating only
+    the new partition's (tiny) partial against the stored summary: the
+    merge touches summary-sized data only."""
+    keys = [c for c in parts[0].columns if c not in ("n_events", "_s")]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.groupBy(*keys)
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("_s").cast("decimal(28,6)").alias("value_sum"),
+        )
+        .withColumn(
+            "value_avg",
+            F.round(
+                F.col("value_sum").cast("double") / F.col("n_events"), 4
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # k-means (Lloyd's, broadcast centroids)
 # --------------------------------------------------------------------------
 

@@ -337,6 +337,52 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# incremental rollup maintenance
+# --------------------------------------------------------------------------
+
+
+@register(
+    "a23_incremental_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6))
+               AS value_sum,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 4) AS value_avg
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def a23_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance
+    (operators/analytics.partial_rollup / merge_rollups): the fact
+    stream is split at a cutoff into a "stored summary" partial and a
+    "new partition" partial, then MERGED — counts add, exact DECIMAL
+    sums add.  The oracle is the full direct recompute over all
+    events, so the externally-checked contract is the
+    incremental-view-maintenance identity itself: merge(partials) ≡
+    recompute(everything), bit-exact.  At 100 TB the merge touches
+    summary-sized data only; the fact table is scanned once per new
+    partition, never re-scanned."""
+    from .operators.analytics import merge_rollups, partial_rollup
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "event_type",
+        "value",
+        "ts",
+    )
+    cutoff = "2024-01-25"
+    keys = ["day", "event_type"]
+    stored = partial_rollup(ev.filter(F.col("ts") < cutoff), keys, "value")
+    fresh = partial_rollup(ev.filter(F.col("ts") >= cutoff), keys, "value")
+    return merge_rollups(stored, fresh).select(
+        "day", "event_type", "n_events", "value_sum", "value_avg"
+    )
+
+
+# --------------------------------------------------------------------------
 # SCD-2 history intervals
 # --------------------------------------------------------------------------
 

@@ -237,6 +237,45 @@ def test_expectations_row_local_rules_share_one_scan(spark, sf_dir):
     assert "partial_count" in p or "partial_sum" in p
 
 
+# --------------------------------------------------- incremental rollup
+
+
+def test_merge_rollups_is_split_invariant(spark, sf_dir):
+    """The IVM identity: merging partials from ANY partitioning of the
+    facts produces the identical rollup — including the degenerate
+    one-batch case."""
+    from hypertension_dashboard_pipeline_spark.io import load_table
+    from hypertension_dashboard_pipeline_spark.operators.analytics import (
+        merge_rollups,
+        partial_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "event_type",
+        "value", "user_id",
+    )
+    keys = ["day", "event_type"]
+
+    def run(*splits):
+        return sorted(
+            map(tuple, merge_rollups(
+                *[partial_rollup(s, keys, "value") for s in splits]
+            ).collect())
+        )
+
+    whole = run(ev)
+    by_user_parity = run(
+        ev.filter(F.col("user_id") % 2 == 0),
+        ev.filter(F.col("user_id") % 2 == 1),
+    )
+    three_way = run(
+        ev.filter(F.col("user_id") % 3 == 0),
+        ev.filter(F.col("user_id") % 3 == 1),
+        ev.filter(F.col("user_id") % 3 == 2),
+    )
+    assert whole == by_user_parity == three_way
+
+
 # --------------------------------------------------------- weighted sample
 
 
