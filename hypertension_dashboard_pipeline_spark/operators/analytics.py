@@ -110,6 +110,107 @@ def funnel(
     )
 
 
+def funnel_within(
+    events: DataFrame,
+    steps: list[str],
+    max_gap_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Windowed funnel (the windowFunnel shape): each step must occur
+    strictly after the previous step and within ``max_gap_us``
+    microseconds of it.
+
+    Greedy earliest-anchoring is NOT optimal under a gap constraint
+    (a later step-0 event may enable a chain the earliest one
+    cannot), so the fold keeps, per depth, the LATEST time that depth
+    was reached — processing events in time order, "latest reach"
+    maximizes slack for the next step, which makes the DP exactly
+    equivalent to "does any qualifying chain exist".  State is
+    len(steps) epoch-microsecond slots per user; the plan is the same
+    single step-filtered groupBy(user) as the unconstrained funnel.
+
+    Returns ``step_idx, step, n_users`` (users completing at least
+    that step under the gap rule).
+    """
+    if not steps:
+        raise ValueError("funnel_within needs at least one step")
+    k = len(steps)
+    idx = F.create_map(
+        *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i))]
+    )
+    null_t = F.lit(None).cast("long")
+
+    def advance(s: Column, e: Column) -> Column:
+        slots = []
+        for d in range(k):
+            reached = e["idx"] == d
+            if d == 0:
+                ok = reached
+            else:
+                prev = s[f"t{d - 1}"]
+                ok = reached & prev.isNotNull() & (
+                    e["us"] <= prev + F.lit(max_gap_us)
+                )
+            slots.append(
+                F.when(ok, e["us"]).otherwise(s[f"t{d}"]).alias(f"t{d}")
+            )
+        return F.struct(*slots)
+
+    depth = F.coalesce(
+        *[
+            F.when(F.col("st")[f"t{d}"].isNotNull(), F.lit(d + 1))
+            for d in range(k - 1, -1, -1)
+        ],
+        F.lit(0),
+    )
+    per_user = (
+        events.filter(F.col(type_col).isin(steps))
+        .select(
+            F.col(user_col).alias("user"),
+            F.struct(
+                F.unix_micros(F.col(ts_col)).alias("us"),
+                idx[F.col(type_col)].alias("idx"),
+            ).alias("ev"),
+        )
+        .groupBy("user")
+        .agg(F.sort_array(F.collect_list("ev")).alias("evs"))
+        .select(
+            "user",
+            F.aggregate(
+                "evs",
+                F.struct(*[null_t.alias(f"t{d}") for d in range(k)]),
+                advance,
+            ).alias("st"),
+        )
+        .select("user", depth.alias("depth"))
+    )
+    reached = (
+        per_user.filter(F.col("depth") > 0)
+        .select(
+            F.explode(F.sequence(F.lit(0), F.col("depth") - 1)).alias("step_idx")
+        )
+        .select(F.col("step_idx").cast("int").alias("step_idx"))
+        .groupBy("step_idx")
+        .agg(F.count("*").alias("n_users"))
+    )
+    steps_df = F.broadcast(
+        events.sparkSession.createDataFrame(
+            [(i, s) for i, s in enumerate(steps)], "step_idx int, step string"
+        )
+    )
+    return (
+        steps_df.join(reached, "step_idx", "left")
+        .select(
+            "step_idx",
+            "step",
+            F.coalesce(F.col("n_users"), F.lit(0)).alias("n_users"),
+        )
+        .orderBy("step_idx")
+    )
+
+
 # --------------------------------------------------------------------------
 # cohort retention
 # --------------------------------------------------------------------------

@@ -312,6 +312,47 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.funnel(load_table(spark, sf_dir, "events"), _FUNNEL_STEPS)
 
 
+_GAP_US = 259_200_000_000  # 3 days
+
+
+@register(
+    "events_funnel_windowed",
+    oracle=f"""
+    WITH v AS (SELECT user_id, epoch_us(ts) AS us FROM events
+               WHERE event_type = 'view'),
+    c AS (SELECT user_id, epoch_us(ts) AS us FROM events
+          WHERE event_type = 'click'),
+    p AS (SELECT user_id, epoch_us(ts) AS us FROM events
+          WHERE event_type = 'purchase'),
+    u1 AS (SELECT DISTINCT user_id FROM v),
+    u2 AS (SELECT DISTINCT v.user_id
+           FROM v JOIN c ON c.user_id = v.user_id
+                        AND c.us > v.us AND c.us <= v.us + {_GAP_US}),
+    u3 AS (SELECT DISTINCT v.user_id
+           FROM v JOIN c ON c.user_id = v.user_id
+                        AND c.us > v.us AND c.us <= v.us + {_GAP_US}
+                  JOIN p ON p.user_id = v.user_id
+                        AND p.us > c.us AND p.us <= c.us + {_GAP_US})
+    SELECT 0 AS step_idx, 'view' AS step,
+           (SELECT COUNT(*) FROM u1) AS n_users
+    UNION ALL SELECT 1, 'click', (SELECT COUNT(*) FROM u2)
+    UNION ALL SELECT 2, 'purchase', (SELECT COUNT(*) FROM u3)
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel (ClickHouse windowFunnel analog): view -> click
+    -> purchase with each step within 3 days of the previous
+    (operators/analytics.funnel_within).  Greedy earliest-anchoring is
+    wrong under a gap rule, so the per-user fold is a latest-reach DP
+    over k timestamp slots — still ONE step-filtered groupBy(user),
+    never the oracle's per-user chain joins (which are the
+    verification tool here, not the plan: their join fan-out is
+    quadratic per user)."""
+    return an.funnel_within(
+        load_table(spark, sf_dir, "events"), _FUNNEL_STEPS, _GAP_US
+    )
+
+
 @register(
     "events_retention",
     oracle="""

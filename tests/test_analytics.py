@@ -81,6 +81,57 @@ def test_funnel_click_before_second_view_uses_earliest_view(spark):
     assert rows == {"view": 1, "click": 1}
 
 
+def test_windowed_funnel_gap_blocks_and_reanchors(spark):
+    """The latest-reach DP: a too-late step doesn't count, and a LATER
+    re-occurrence of an earlier step re-anchors the chain (where
+    greedy earliest-anchoring would wrongly fail the funnel)."""
+    gap_us = 2 * 3_600_000_000  # 2 hours
+
+    def hours(h):
+        return dt.datetime(2024, 1, 1, h, 0, 0)
+
+    ev = _events(
+        spark,
+        [
+            # u1: click 4h after the only view -> gap blocks it
+            (1, hours(0), "view"), (1, hours(4), "click"),
+            # u2: views at 0h and 5h, click at 6h — only the 5h view
+            # qualifies; greedy-earliest would anchor at 0h and fail
+            (2, hours(0), "view"), (2, hours(5), "view"), (2, hours(6), "click"),
+            # u3: clean chain inside the gap
+            (3, hours(0), "view"), (3, hours(1), "click"),
+        ],
+    )
+    got = {
+        r["step"]: r["n_users"]
+        for r in an.funnel_within(ev, ["view", "click"], gap_us).collect()
+    }
+    assert got == {"view": 3, "click": 2}
+
+
+def test_windowed_funnel_gap_is_per_step_not_total(spark):
+    """Each step's clock restarts at the previous step — a chain whose
+    TOTAL span exceeds the gap still completes if each hop is within
+    it."""
+    gap_us = 2 * 3_600_000_000
+
+    def hours(h):
+        return dt.datetime(2024, 1, 1, h, 0, 0)
+
+    ev = _events(
+        spark,
+        [(1, hours(0), "view"), (1, hours(1, ), "click"), (1, hours(2), "purchase")],
+    )
+    got = {
+        r["step"]: r["n_users"]
+        for r in an.funnel_within(
+            ev, ["view", "click", "purchase"], gap_us
+        ).collect()
+    }
+    # total span 2h == gap, each hop 1h < gap
+    assert got == {"view": 1, "click": 1, "purchase": 1}
+
+
 # --------------------------------------------------------------- retention
 
 
