@@ -312,6 +312,47 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.funnel(load_table(spark, sf_dir, "events"), _FUNNEL_STEPS)
 
 
+@register(
+    "events_rolling_wau",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events
+    ), days AS (SELECT DISTINCT d FROM act)
+    SELECT days.d AS day, COUNT(DISTINCT act.user_id) AS wau
+    FROM days JOIN act
+      ON act.d <= days.d AND act.d >= days.d - 6
+    GROUP BY days.d
+    """,
+)
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling active users per day (WAU) — COUNT DISTINCT over
+    a sliding window, which no Spark window frame can express.  The
+    scalable formulation: dedupe to (user, active-day) rows, explode
+    each into the ≤7 report days it contributes to (a BOUNDED
+    fan-out), and run ONE exact distinct count per day — versus the
+    oracle's day×activity range join, whose fan-out is the same 7x
+    but whose join is unbounded theta at the engine level.  Report
+    days are observed activity days (no zero-fill), matching the
+    oracle's day list."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    days = act.select("d").distinct()
+    contrib = act.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("day"),
+    )
+    return (
+        contrib.join(F.broadcast(days.select(F.col("d").alias("day"))), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+
+
 _GAP_US = 259_200_000_000  # 3 days
 
 

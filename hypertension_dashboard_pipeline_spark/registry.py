@@ -75,6 +75,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #            predicates first (the 15 rotated back out are single-
 #            expression scalar/projection queries, r1-verified,
 #            byte-unchanged, still swept locally every run).
+#      LATE-r4 DEBUTS (registered after this window was frozen, never
+#      externally verified — top rotation candidates for the round
+#      after next): the queries_analytics.py surface (a18/a19/a20/a21/
+#      a23, w3-w7, events_funnel[_windowed], events_retention,
+#      events_rolling_wau, dq_expectations, sample_weighted_topk,
+#      emb_kmeans_lloyd).
 _FRONT: list[str] = [
     # flagship + headline extension pipeline (always externally gated)
     "flagship_cohort_pipeline",

@@ -288,6 +288,36 @@ def test_expectations_row_local_rules_share_one_scan(spark, sf_dir):
     assert "partial_count" in p or "partial_sum" in p
 
 
+# -------------------------------------------------------------- rolling wau
+
+
+def test_rolling_wau_window_and_distinctness(spark, monkeypatch):
+    from hypertension_dashboard_pipeline_spark import queries_analytics as qa
+    from hypertension_dashboard_pipeline_spark import io as io_mod
+
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(1)), (1, _ts(1, 30)),   # same user twice on day 1
+            (2, _ts(3)),
+            (1, _ts(10)),                   # day 10: day-3 activity expired
+        ],
+        "user_id bigint, ts timestamp",
+    )
+    monkeypatch.setattr(
+        qa, "load_table", lambda spark, sf_dir, name: ev
+    )
+    got = {
+        r["day"].isoformat(): r["wau"]
+        for r in qa.events_rolling_wau(spark, "unused").collect()
+    }
+    # report days = observed activity days only
+    assert got == {
+        "2024-01-01": 1,   # u1 (deduped within the window)
+        "2024-01-03": 2,   # u1 (day1) still in window + u2
+        "2024-01-10": 1,   # day-3 activity fell out of the 7-day window
+    }
+
+
 # --------------------------------------------------- incremental rollup
 
 
