@@ -464,6 +464,32 @@ def a23_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_incremental_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6))
+               AS value_sum,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 4) AS value_avg
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVM (streaming/ivm.py): the events stream maintains a
+    materialized (day, event_type) rollup via foreachBatch — each
+    microbatch appends a mergeable exact partial; reads merge the
+    partials store.  The oracle is the BATCH aggregation of all
+    events: microbatch boundaries are provably invisible because the
+    partials are exact and merge-associative (split-invariance
+    property-tested), which is the whole point of the pattern."""
+    from .streaming.ivm import run_rollup_maintenance
+
+    return run_rollup_maintenance(spark, sf_dir)
+
+
 # --------------------------------------------------------------------------
 # SCD-2 history intervals
 # --------------------------------------------------------------------------

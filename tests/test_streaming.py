@@ -77,3 +77,37 @@ def test_streaming_sessions_match_batch_prefix(spark, sf_smoke):
     }
     assert stream_rows == batch_rows
     assert len(stream_rows) > 0
+
+
+def test_streaming_ivm_rollup_equals_batch_aggregation(spark, sf_smoke):
+    """The maintained rollup must be bit-identical to the batch
+    aggregation of the same events — microbatch boundaries invisible
+    because the partials are exact and merge-associative."""
+    from hypertension_dashboard_pipeline_spark.io import load_table
+    from hypertension_dashboard_pipeline_spark.operators.analytics import (
+        merge_rollups,
+        partial_rollup,
+    )
+    from hypertension_dashboard_pipeline_spark.streaming.ivm import (
+        run_rollup_maintenance,
+    )
+
+    stream_rows = sorted(
+        map(tuple, run_rollup_maintenance(spark, sf_smoke).select(
+            "day", "event_type", "n_events", "value_sum", "value_avg"
+        ).collect())
+    )
+    ev = load_table(spark, sf_smoke, "events").select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "event_type",
+        "value",
+    )
+    batch_rows = sorted(
+        map(tuple, merge_rollups(
+            partial_rollup(ev, ["day", "event_type"], "value")
+        ).select(
+            "day", "event_type", "n_events", "value_sum", "value_avg"
+        ).collect())
+    )
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
