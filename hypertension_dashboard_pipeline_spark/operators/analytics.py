@@ -410,6 +410,7 @@ def kmeans_lloyd(
     iterations: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column, deterministic init
     (the ``k`` lowest-id vectors), fixed ``iterations``.
@@ -426,9 +427,10 @@ def kmeans_lloyd(
     Returns per-cluster ``cluster, n_members, mean_dist`` (mean L2
     distance to the final centroid, rounded 4dp).
     """
-    dim = len(
-        emb.select(vec_col).first()[0]
-    )  # one tiny probe job; callers at scale pass tables with known width
+    if dim is None:
+        # fallback probe job; callers with a known encoder width pass
+        # ``dim`` and skip it (same contract as similarity.py)
+        dim = len(emb.select(vec_col).first()[0])
     v = F.col(vec_col).cast("array<double>")
     centroids = [
         [float(x) for x in r[0]]

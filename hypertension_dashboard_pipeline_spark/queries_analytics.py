@@ -465,6 +465,60 @@ def a23_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a24_key_skew_profile",
+    oracle="""
+    WITH per_key AS (
+        SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ), tot AS (
+        SELECT COUNT(*) AS total, COUNT(DISTINCT user_id) AS n_keys
+        FROM events
+    )
+    SELECT p.user_id AS key, p.n AS n_rows,
+           ROUND(p.n * 100.0 / t.total, 4) AS pct_of_total,
+           ROUND(p.n * t.n_keys / CAST(t.total AS DOUBLE), 4)
+               AS skew_factor
+    FROM per_key p JOIN tot t ON TRUE
+    ORDER BY p.n DESC, p.user_id
+    LIMIT 10
+    """,
+)
+def a24_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic: the top-10 heaviest join/agg keys with
+    their share of rows and skew factor (count / mean-count) — the
+    measurement that decides WHEN the salted paths
+    (`a12_salted_skew_agg`, `j9_salted_skew_join`) are worth their
+    extra shuffle.  One map-combined count per key + a broadcast of
+    the 1-row totals + TakeOrdered(10); profiling a 100 TB table
+    costs one aggregation, which is why it can run routinely before
+    expensive joins."""
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    tot = ev.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.countDistinct("user_id").alias("n_keys"),
+    )
+    # truncate BEFORE attaching totals: the broadcast product is then
+    # 10 rows x 1 row (declared in the plan sweep), never key-count-sized
+    top = per_key.orderBy(F.col("n_rows").desc(), F.col("key")).limit(10)
+    return (
+        top.join(F.broadcast(tot))
+        .select(
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") * 100.0 / F.col("total"), 4).alias(
+                "pct_of_total"
+            ),
+            F.round(
+                F.col("n_rows") * F.col("n_keys") / F.col("total").cast("double"),
+                4,
+            ).alias("skew_factor"),
+        )
+    )
+
+
+@register(
     "streaming_incremental_rollup",
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
@@ -752,5 +806,5 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed rounds keep it exactly oracle-checkable (the oracle unrolls
     the identical iterations in SQL)."""
     return an.kmeans_lloyd(
-        load_table(spark, sf_dir, "embeddings"), k=4, iterations=2
+        load_table(spark, sf_dir, "embeddings"), k=4, iterations=2, dim=64
     )

@@ -156,6 +156,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark, sf_dir):
     """
     BROADCAST_PRODUCT_DECLARED = {
         "sim_batch_ann_topk",  # 8-row query batch × corpus, by design
+        "a24_key_skew_profile",  # 10-row top-k × 1-row totals, by design
     }
     offenders = []
     for name, fn in registry.QUERIES.items():
