@@ -305,6 +305,25 @@ def compact_parquet(spark: SparkSession, src: str, dst: str,
     return int(n_files)
 
 
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet directory whose files were written under
+    EVOLVING schemas (columns added over time).
+
+    Plain ``spark.read.parquet`` infers the schema from a sampled
+    footer — files written before a column existed either hide the
+    column or fail the read depending on which file wins.
+    ``mergeSchema`` unions every footer's schema instead: old files
+    surface added columns as NULL, which is the append-only evolution
+    contract a 100 TB lakehouse table needs (schema changes must
+    never force a rewrite of petabytes of history).
+
+    Column-type CHANGES (int → string) are not reconcilable by merging
+    and still fail loudly — that is the correct behavior; widening
+    rewrites go through an explicit migration.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
                    num_buckets: int = 32, sort_cols: list[str] | None = None,
                    mode: str = "overwrite") -> None:

@@ -378,6 +378,96 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.connected_components(pairs, release=False)
 
 
+_DK_QUALITY = f"""
+    q AS (
+        SELECT doc_id,
+               ROUND((LEAST(len({_DK_TOKENS.format(c='text')})::DOUBLE
+                            / 100.0, 1.0)
+                      + LEAST(CASE WHEN len({_DK_TOKENS.format(c='text')}) > 0
+                              THEN len(list_filter(
+                                       {_DK_TOKENS.format(c='lower(text)')},
+                                       t -> list_contains({_dk_list(_STOPS)}, t)
+                                   ))::DOUBLE
+                                   / len({_DK_TOKENS.format(c='text')})
+                              ELSE 0.0 END * 4, 1.0)
+                      + GREATEST(0.0, 1.0 -
+                            CASE WHEN LENGTH(text) > 0 THEN
+                                len(regexp_extract_all(text,
+                                    '[^\\w\\s]'))::DOUBLE / LENGTH(text)
+                            ELSE 0.0 END * 5)) / 3, 6) AS quality
+        FROM documents
+    )"""
+
+
+@register(
+    "dedup_quality_survivor",
+    oracle=f"""
+    WITH RECURSIVE {_DK_EX}, {_dk_max_df()}, sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM exf GROUP BY id
+    ), inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+        FROM exf a JOIN exf b USING (shingle) WHERE a.id < b.id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b
+        FROM inter JOIN sizes sa ON inter.id_a = sa.id
+                   JOIN sizes sb ON inter.id_b = sb.id
+        WHERE ROUND(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+        SELECT a AS id, a AS r FROM edges
+        UNION
+        SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+    ), comp AS (
+        SELECT id, MIN(r) AS component FROM reach GROUP BY id
+    ), {_DK_QUALITY}, ranked AS (
+        SELECT comp.component, comp.id, q.quality,
+               ROW_NUMBER() OVER (PARTITION BY comp.component
+                                  ORDER BY q.quality DESC, comp.id) AS rn
+        FROM comp JOIN q ON q.doc_id = comp.id
+    )
+    SELECT component,
+           MAX(CASE WHEN rn = 1 THEN id END) AS survivor_id,
+           COUNT(*) AS n_members,
+           MAX(CASE WHEN rn = 1 THEN quality END) AS best_quality
+    FROM ranked GROUP BY component
+    """,
+)
+def dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: within each near-dup family
+    (3-shingle Jaccard ≥ 0.5 components) keep the HIGHEST-quality
+    document, not the lowest id — the survivor policy a real curation
+    pipeline wants (boilerplate families usually contain one clean
+    original plus mangled copies).  One max-struct aggregation per
+    component — (quality, -id, id) — gives argmax-with-tie-break
+    without a window sort; composes the existing pair generation,
+    connected components, and quality scorer unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.shingle_pairs_jaccard(docs, threshold=0.5)
+    comp = dd.connected_components(pairs, release=False)
+    q = docs.select(
+        F.col("doc_id").alias("id"), tx.quality_score("text").alias("quality")
+    )
+    best = F.max(
+        F.struct(
+            F.col("quality").alias("q"),
+            (-F.col("id")).alias("neg_id"),
+            F.col("id").alias("id"),
+        )
+    )
+    return (
+        comp.join(q, "id")
+        .groupBy("component")
+        .agg(
+            best["id"].alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            best["q"].alias("best_quality"),
+        )
+    )
+
+
 def _minhash_oracle(n_hashes: int = 16, bands: int = 4) -> str:
     rows = n_hashes // bands
     p = dd.MINHASH_PRIME

@@ -188,3 +188,24 @@ def test_compact_parquet_merges_small_files(spark, sf_smoke, tmpdir):
 
     with pytest.raises(ValueError, match="dst must differ"):
         eio.compact_parquet(spark, src, src)
+
+
+def test_read_parquet_evolving_null_fills_added_columns(spark, tmp_path):
+    """Append-only schema evolution: files written before a column
+    existed surface it as NULL under mergeSchema; the merged schema is
+    the union of every file's."""
+    from hypertension_dashboard_pipeline_spark.io import read_parquet_evolving
+
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a")], "id bigint, name string")
+    v1.write.mode("overwrite").parquet(path)
+    v2 = spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, name string, score double"
+    )
+    v2.write.mode("append").parquet(path)
+
+    got = read_parquet_evolving(spark, path)
+    assert set(got.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in got.collect()}
+    assert rows[1]["score"] is None   # pre-evolution file null-fills
+    assert rows[2]["score"] == 9.5
