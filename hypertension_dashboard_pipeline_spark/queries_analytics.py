@@ -465,6 +465,64 @@ def a23_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a25_winsorized_stats",
+    oracle="""
+    WITH cuts AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.01) AS p01,
+               quantile_cont(l_extendedprice, 0.99) AS p99
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           ROUND(MAX(c.p01), 4) AS lo_cut,
+           ROUND(MAX(c.p99), 4) AS hi_cut,
+           COUNT(*) FILTER (WHERE l.l_extendedprice < c.p01
+                               OR l.l_extendedprice > c.p99) AS n_clamped,
+           ROUND(AVG(l.l_extendedprice), 4) AS mean_raw,
+           ROUND(AVG(LEAST(GREATEST(l.l_extendedprice, c.p01), c.p99)), 4)
+               AS mean_winsorized
+    FROM lineitem l JOIN cuts c ON l.l_returnflag = c.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def a25_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics: clamp each group's values to its
+    exact [p1, p99] band and report raw vs winsorized means — the
+    outlier-robust summary the reference approximates with hard
+    plausibility bands (`3_blood_pressure.R:132-143`), derived from
+    the data instead of a constant.  Two passes by necessity
+    (percentiles, then clamp): pass one's 3-row cut table broadcasts
+    back onto the scan, so the extra pass costs one scan, never a
+    second whole-group shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    cuts = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.01)).alias("p01"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("p01")), F.col("p99")
+    )
+    return (
+        li.join(F.broadcast(cuts), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.max("p01"), 4).alias("lo_cut"),
+            F.round(F.max("p99"), 4).alias("hi_cut"),
+            F.sum(
+                (
+                    (F.col("l_extendedprice") < F.col("p01"))
+                    | (F.col("l_extendedprice") > F.col("p99"))
+                ).cast("long")
+            ).alias("n_clamped"),
+            F.round(F.avg("l_extendedprice"), 4).alias("mean_raw"),
+            F.round(F.avg(clamped), 4).alias("mean_winsorized"),
+        )
+    )
+
+
+@register(
     "a24_key_skew_profile",
     oracle="""
     WITH per_key AS (
