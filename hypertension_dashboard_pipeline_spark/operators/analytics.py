@@ -50,9 +50,18 @@ def funnel(
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
+    if len(set(steps)) != len(steps):
+        # duplicate names would collide in the step->index map literal
+        # (error or silent last-wins depending on mapKeyDedupPolicy)
+        raise ValueError(f"funnel steps must be distinct: {steps}")
     idx = F.create_map(
         *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i))]
     )
+    # fold state carries (depth, ts of the advancing event) so the
+    # strictly-after rule holds even for same-timestamp events: a step
+    # at the exact instant of the previous step does NOT advance
+    # (matching the oracle's `ts > prev` cascade)
+    null_ts = F.lit(None).cast("timestamp")
     per_user = (
         events.filter(F.col(type_col).isin(steps))
         .select(
@@ -67,9 +76,13 @@ def funnel(
             "user",
             F.aggregate(
                 "evs",
-                F.lit(0),
-                lambda d, e: F.when(e["idx"] == d, d + 1).otherwise(d),
-            ).alias("depth"),
+                F.struct(F.lit(0).alias("d"), null_ts.alias("t")),
+                lambda s, e: F.when(
+                    (e["idx"] == s["d"])
+                    & ((s["d"] == 0) | (e["ts"] > s["t"])),
+                    F.struct((s["d"] + 1).alias("d"), e["ts"].alias("t")),
+                ).otherwise(s),
+            )["d"].alias("depth"),
         )
     )
     # users reaching >= step i+1  ==  count of users with depth > i;
@@ -127,15 +140,24 @@ def funnel_within(
     cannot), so the fold keeps, per depth, the LATEST time that depth
     was reached — processing events in time order, "latest reach"
     maximizes slack for the next step, which makes the DP exactly
-    equivalent to "does any qualifying chain exist".  State is
-    len(steps) epoch-microsecond slots per user; the plan is the same
-    single step-filtered groupBy(user) as the unconstrained funnel.
+    equivalent to "does any qualifying chain exist" (property-tested
+    against brute-force chain search).  State is len(steps)
+    epoch-microsecond slots per user; the plan is the same single
+    step-filtered groupBy(user) as the unconstrained funnel.
+
+    PRECONDITION: timestamps are distinct per user (microsecond event
+    streams in practice).  Under collisions the DP is conservative —
+    a chain whose only anchor shares an instant with a later
+    same-step event may be missed, because only the latest reach time
+    per depth is kept and the strictly-after rule then rejects it.
 
     Returns ``step_idx, step, n_users`` (users completing at least
     that step under the gap rule).
     """
     if not steps:
         raise ValueError("funnel_within needs at least one step")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct: {steps}")
     k = len(steps)
     idx = F.create_map(
         *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i))]
@@ -150,7 +172,9 @@ def funnel_within(
                 ok = reached
             else:
                 prev = s[f"t{d - 1}"]
-                ok = reached & prev.isNotNull() & (
+                # strictly after AND within the gap — the `>` is not
+                # implied by sort order when timestamps collide
+                ok = reached & prev.isNotNull() & (e["us"] > prev) & (
                     e["us"] <= prev + F.lit(max_gap_us)
                 )
             slots.append(
@@ -440,9 +464,17 @@ def kmeans_lloyd(
         assigned = emb.select(
             v.alias("v"), _nearest_centroid(v, centroids).alias("cluster")
         )
+        # centroid components round to 6dp (label_centroids convention):
+        # the raw parallel-sum AVG differs from a sequential fold in
+        # final ulps, and feeding that unrounded into the next round's
+        # argmin would let partitioning/engine flip boundary
+        # assignments — rounding pins the centroids both sides agree on
         new_rows = (
             assigned.groupBy("cluster")
-            .agg(*[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)])
+            .agg(*[
+                F.round(F.avg(F.col("v")[i]), 6).alias(f"c{i}")
+                for i in range(dim)
+            ])
             .collect()
         )
         by_cid = {r["cluster"]: [r[f"c{i}"] for i in range(dim)] for r in new_rows}

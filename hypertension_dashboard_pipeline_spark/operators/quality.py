@@ -22,6 +22,7 @@ hash-stable and oracle-checkable.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
@@ -102,15 +103,37 @@ def expectations(
     the (typically broadcastable) referenced keys.  The per-rule
     1-row results are unioned driver-free into the audit report.
     """
-    row_local = [r for r in rules if r.kind not in ("unique", "referential")]
+    _ROW_LOCAL_KINDS = ("not_null", "in_range", "in_set", "matches")
+    unknown = [r for r in rules if r.kind not in _ROW_LOCAL_KINDS + ("unique",)]
+    if unknown:
+        # 'referential' rules need the referenced DataFrame — they go
+        # in the ``referential`` parameter; silently dropping them
+        # would make the audit LOOK complete while the FK check never
+        # ran
+        raise ValueError(
+            f"unsupported rule kinds in `rules`: "
+            f"{sorted({r.kind for r in unknown})} — referential checks go "
+            f"in the `referential` parameter"
+        )
+    if not rules and not referential:
+        raise ValueError("expectations: no rules given")
+    row_local = [r for r in rules if r.kind in _ROW_LOCAL_KINDS]
     uniques = [r for r in rules if r.kind == "unique"]
 
     reports: list[DataFrame] = []
     total = F.count(F.lit(1)).alias("__n")
     if row_local:
+        bad_ids = [r.rule_id for r in rules
+                   if not re.fullmatch(r"[A-Za-z0-9_]+", r.rule_id)]
+        if bad_ids:
+            raise ValueError(f"rule_id must be [A-Za-z0-9_]+: {bad_ids}")
+
+        def q(s: str) -> str:  # SQL string literal, quotes escaped
+            return "'" + s.replace("'", "''") + "'"
+
         agg = df.agg(total, *[_violation(r) for r in row_local])
         stack = ", ".join(
-            f"'{r.rule_id}', '{r.describe()}', '{r.column}', `{r.rule_id}`"
+            f"{q(r.rule_id)}, {q(r.describe())}, {q(r.column)}, `{r.rule_id}`"
             for r in row_local
         )
         reports.append(

@@ -335,10 +335,18 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     but whose join is unbounded theta at the engine level.  Report
     days are observed activity days (no zero-fill), matching the
     oracle's day list."""
+    from .operators import dedup as dd
+
     ev = load_table(spark, sf_dir, "events")
-    act = ev.select(
-        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
-    ).distinct()
+    # act feeds both the report-day list and the contribution explode;
+    # persisted, the scan + dedup shuffle run once, not per branch
+    dd.release_persisted()
+    act = dd._maybe_persist(
+        ev.select(
+            "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+        ).distinct(),
+        True,
+    )
     days = act.select("d").distinct()
     contrib = act.select(
         "user_id",
@@ -549,13 +557,23 @@ def a24_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 1-row totals + TakeOrdered(10); profiling a 100 TB table
     costs one aggregation, which is why it can run routinely before
     expensive joins."""
+    from .operators import dedup as dd
+
     ev = load_table(spark, sf_dir, "events")
-    per_key = ev.groupBy(F.col("user_id").alias("key")).agg(
-        F.count(F.lit(1)).alias("n_rows")
+    # the key histogram feeds both the top-k and the totals branch;
+    # persisted, the fact table is scanned ONCE (sum(n_rows) == row
+    # count and count(*) == distinct keys by construction, so no
+    # second scan is ever needed for the totals)
+    dd.release_persisted()
+    per_key = dd._maybe_persist(
+        ev.groupBy(F.col("user_id").alias("key")).agg(
+            F.count(F.lit(1)).alias("n_rows")
+        ),
+        True,
     )
-    tot = ev.agg(
-        F.count(F.lit(1)).alias("total"),
-        F.countDistinct("user_id").alias("n_keys"),
+    tot = per_key.agg(
+        F.sum("n_rows").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
     )
     # truncate BEFORE attaching totals: the broadcast product is then
     # 10 rows x 1 row (declared in the plan sweep), never key-count-sized
@@ -704,7 +722,7 @@ def _kmeans_oracle(k: int = 4, iterations: int = 2, dim: int = 64) -> str:
     def update(assigned: str, prev: str, name: str) -> str:
         return f"""{name}_m AS (
         SELECT cid, list(m ORDER BY i) AS v FROM (
-            SELECT cid, i, AVG(v[i]) AS m
+            SELECT cid, i, ROUND(AVG(v[i]), 6) AS m
             FROM {assigned}, range(1, {dim} + 1) t(i)
             GROUP BY cid, i
         ) GROUP BY cid

@@ -378,6 +378,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.connected_components(pairs, release=False)
 
 
+# NOTE: this is the third SQL rendering of tx.quality_score (the
+# others: text_quality_score's oracle above, _curation_oracle below).
+# They are kept as separate literal strings deliberately — each is the
+# frozen oracle text of an externally-verified query — and any drift
+# from tx.quality_score fails that query's parity sweep loudly, so the
+# copies cannot silently diverge.
 _DK_QUALITY = f"""
     q AS (
         SELECT doc_id,

@@ -58,8 +58,13 @@ def run_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = f"{root}/ckpt"
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        partial_rollup(batch, keys, "value").write.mode("append").parquet(
-            partials_dir
+        # foreachBatch is at-least-once: a crash between this write and
+        # the checkpoint commit re-delivers the batch on restart.  The
+        # batch_id-keyed path + overwrite makes the retry IDEMPOTENT
+        # (the partial is replaced, never appended twice), which is
+        # what actually upholds the merge == recompute contract.
+        partial_rollup(batch, keys, "value").write.mode("overwrite").parquet(
+            f"{partials_dir}/batch_id={batch_id}"
         )
 
     q = (
@@ -69,7 +74,7 @@ def run_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    partials = spark.read.parquet(partials_dir)
+    partials = spark.read.parquet(partials_dir).drop("batch_id")
     return merge_rollups(partials).select(
         "day", "event_type", "n_events", "value_sum", "value_avg"
     )
