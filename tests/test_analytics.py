@@ -132,6 +132,31 @@ def test_windowed_funnel_gap_is_per_step_not_total(spark):
     assert got == {"view": 1, "click": 1, "purchase": 1}
 
 
+def test_funnel_same_instant_step_does_not_advance(spark):
+    """Strictly-after semantics: a next-step event at the exact
+    timestamp of the previous step must not count (both funnel
+    variants)."""
+    ev = _events(spark, [(1, _ts(1), "view"), (1, _ts(1), "click")])
+    plain = {r["step"]: r["n_users"]
+             for r in an.funnel(ev, ["view", "click"]).collect()}
+    assert plain == {"view": 1, "click": 0}
+    windowed = {
+        r["step"]: r["n_users"]
+        for r in an.funnel_within(
+            ev, ["view", "click"], 3_600_000_000
+        ).collect()
+    }
+    assert windowed == {"view": 1, "click": 0}
+
+
+def test_funnel_rejects_duplicate_steps(spark):
+    ev = _events(spark, [(1, _ts(1), "view")])
+    with pytest.raises(ValueError, match="distinct"):
+        an.funnel(ev, ["view", "click", "view"])
+    with pytest.raises(ValueError, match="distinct"):
+        an.funnel_within(ev, ["view", "view"], 1)
+
+
 # --------------------------------------------------------------- retention
 
 
@@ -265,6 +290,29 @@ def test_expectations_referential_orphans(spark):
     assert row["n_violations"] == 1  # 99 is an orphan; NULL fk skipped
     assert row["n_checked"] == 4
     assert row["passed"] == 0
+
+
+def test_expectations_rejects_misplaced_and_empty_rules(spark):
+    from hypertension_dashboard_pipeline_spark.operators import quality as dq
+
+    df = spark.createDataFrame([(1,)], "k bigint")
+    with pytest.raises(ValueError, match="referential"):
+        dq.expectations(df, [dq.Rule("fk", "referential", "k")])
+    with pytest.raises(ValueError, match="no rules"):
+        dq.expectations(df, [])
+
+
+def test_expectations_escapes_quotes_in_set_values(spark):
+    from hypertension_dashboard_pipeline_spark.operators import quality as dq
+
+    df = spark.createDataFrame(
+        [("O'Brien",), ("Smith",), ("Jones",)], "surname string"
+    )
+    row = dq.expectations(
+        df, [dq.in_set("names", "surname", ["O'Brien", "Smith"])]
+    ).collect()[0]
+    assert row["n_violations"] == 1  # Jones
+    assert "O'Brien" in row["rule"]
 
 
 def test_expectations_row_local_rules_share_one_scan(spark, sf_dir):
