@@ -473,6 +473,159 @@ def a23_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_path_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), t AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type), 4)
+               AS p_transition
+    FROM t
+    """,
+)
+def events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (the Markov/sankey source): LAG
+    pairs each event with its predecessor per user (the same single
+    user-partition sort every sequence operator here shares), then one
+    tiny (prev, next) aggregation; transition probabilities normalize
+    within each source state over the event-type-squared-sized result,
+    not the fact table."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    t = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    norm = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(norm), 4).alias(
+            "p_transition"
+        ),
+    )
+
+
+@register(
+    "cust_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               date_diff('day',
+                         CAST(MAX(o_orderdate) AS DATE),
+                         (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
+                   AS r_days,
+               COUNT(*) AS freq,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(28,2)) AS monetary
+        FROM orders GROUP BY o_custkey
+    ), cuts AS (
+        SELECT ROUND(quantile_cont(r_days, 0.25), 4) AS r25,
+               ROUND(quantile_cont(r_days, 0.50), 4) AS r50,
+               ROUND(quantile_cont(r_days, 0.75), 4) AS r75,
+               ROUND(quantile_cont(freq, 0.25), 4) AS f25,
+               ROUND(quantile_cont(freq, 0.50), 4) AS f50,
+               ROUND(quantile_cont(freq, 0.75), 4) AS f75,
+               ROUND(quantile_cont(CAST(monetary AS DOUBLE), 0.25), 4) AS m25,
+               ROUND(quantile_cont(CAST(monetary AS DOUBLE), 0.50), 4) AS m50,
+               ROUND(quantile_cont(CAST(monetary AS DOUBLE), 0.75), 4) AS m75
+        FROM rfm
+    )
+    SELECT o_custkey, r_days, freq, monetary,
+           CASE WHEN r_days <= r25 THEN 4 WHEN r_days <= r50 THEN 3
+                WHEN r_days <= r75 THEN 2 ELSE 1 END AS r_score,
+           CASE WHEN freq > f75 THEN 4 WHEN freq > f50 THEN 3
+                WHEN freq > f25 THEN 2 ELSE 1 END AS f_score,
+           CASE WHEN CAST(monetary AS DOUBLE) > m75 THEN 4
+                WHEN CAST(monetary AS DOUBLE) > m50 THEN 3
+                WHEN CAST(monetary AS DOUBLE) > m25 THEN 2
+                ELSE 1 END AS m_score
+    FROM rfm CROSS JOIN cuts
+    """,
+)
+def cust_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary) with quartile
+    scores from exact percentile CUT-POINTS, not a global NTILE: the
+    cuts are a 1-row aggregate broadcast back onto the per-customer
+    rollup, so scoring never needs the single-partition global sort
+    NTILE would force — the difference between an unscalable toy and
+    a 100 TB segmentation.  Cuts round to 4dp on both engines before
+    comparison (a13's established percentile parity), and the
+    compared metrics are exact integers/DECIMALs, so tile membership
+    is bit-stable."""
+    orders = load_table(spark, sf_dir, "orders")
+    # 1-row scalar sides attach via explicit broadcast products — the
+    # compile target of a scalar subquery (declared in the plan sweep)
+    max_date = orders.agg(F.max(F.to_date("o_orderdate")).alias("maxd"))
+    rfm = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(max_date))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("maxd"), F.col("last_order")).alias("r_days"),
+            "freq",
+            "monetary",
+        )
+    )
+    cuts = rfm.agg(
+        *[
+            F.round(F.percentile(F.col(c).cast("double"), F.lit(q)), 4).alias(
+                f"{c[0]}{int(q * 100)}"
+            )
+            for c in ("r_days", "freq", "monetary")
+            for q in (0.25, 0.50, 0.75)
+        ]
+    )
+    m = F.col("monetary").cast("double")
+    return (
+        rfm.crossJoin(F.broadcast(cuts))
+        .select(
+            "o_custkey",
+            "r_days",
+            "freq",
+            "monetary",
+            F.when(F.col("r_days") <= F.col("r25"), 4)
+            .when(F.col("r_days") <= F.col("r50"), 3)
+            .when(F.col("r_days") <= F.col("r75"), 2)
+            .otherwise(1)
+            .alias("r_score"),
+            F.when(F.col("freq") > F.col("f75"), 4)
+            .when(F.col("freq") > F.col("f50"), 3)
+            .when(F.col("freq") > F.col("f25"), 2)
+            .otherwise(1)
+            .alias("f_score"),
+            F.when(m > F.col("m75"), 4)
+            .when(m > F.col("m50"), 3)
+            .when(m > F.col("m25"), 2)
+            .otherwise(1)
+            .alias("m_score"),
+        )
+    )
+
+
+@register(
     "a25_winsorized_stats",
     oracle="""
     WITH cuts AS (

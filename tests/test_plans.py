@@ -157,6 +157,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark, sf_dir):
     BROADCAST_PRODUCT_DECLARED = {
         "sim_batch_ann_topk",  # 8-row query batch × corpus, by design
         "a24_key_skew_profile",  # 10-row top-k × 1-row totals, by design
+        "cust_rfm_segments",  # 1-row scalar sides (global max date, quartile cuts) — the scalar-subquery compile shape
     }
     offenders = []
     for name, fn in registry.QUERIES.items():
