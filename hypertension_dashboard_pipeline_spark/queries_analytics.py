@@ -1037,3 +1037,211 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.kmeans_lloyd(
         load_table(spark, sf_dir, "embeddings"), k=4, iterations=2, dim=64
     )
+
+
+# --------------------------------------------------------------------------
+# time-series regularization, graph importance, anomaly screening (r4 wave 2)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ts_gap_fill_locf",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    gmax AS (SELECT MAX(CAST(ts AS DATE)) AS d1 FROM events),
+    bounds AS (SELECT user_id, MIN(day) AS d0 FROM daily GROUP BY 1),
+    scaffold AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                 AS day
+      FROM bounds, gmax
+    ),
+    j AS (
+      SELECT s.user_id, s.day, d.n
+      FROM scaffold s LEFT JOIN daily d
+        ON d.user_id = s.user_id AND d.day = s.day
+    )
+    SELECT user_id, day,
+           LAST_VALUE(n IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS n_events_filled,
+           n IS NULL AS is_gap
+    FROM j
+    """,
+)
+def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-to-dense daily series with last-observation-carried-
+    forward (operators/timeseries.gap_fill_locf): per-user daily event
+    counts densified from each user's first active day to the global
+    horizon.  Reference analog: BP observations carried forward onto
+    the visit grid (`3_blood_pressure.R` date handling), generalized.
+    Scale shape: the calendar is generated per key with
+    sequence()+explode (narrow, no date-dimension cross join), the
+    observation join is hash-partitioned on (key, day), and the LOCF
+    is one running-frame window on the key — no self-joins, no driver
+    loop, ~3x the source's daily-agg size in shuffled bytes."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("d1"))
+    from .operators import timeseries as ts
+
+    return ts.gap_fill_locf(
+        daily, "user_id", "day", "n", horizon,
+        filled_alias="n_events_filled", gap_alias="is_gap",
+    )
+
+
+@register(
+    "graph_pagerank_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    e AS (
+      SELECT event_type AS src, nxt AS dst, COUNT(*) AS w
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, SUM(w) AS tw FROM e GROUP BY 1),
+    en AS (
+      SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / outw.tw AS p
+      FROM e JOIN outw USING (src)
+    ),
+    nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT v, CAST(1 AS DOUBLE) / n AS rank FROM nodes, nn),
+    r1 AS (
+      SELECT nd.v,
+             (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / MAX(nn.n)
+             + CAST(0.85 AS DOUBLE) * COALESCE(SUM(r.rank * en.p), 0.0)
+                 AS rank
+      FROM nodes nd CROSS JOIN nn
+      LEFT JOIN en ON en.dst = nd.v
+      LEFT JOIN r0 r ON r.v = en.src
+      GROUP BY nd.v
+    ),
+    r2 AS (
+      SELECT nd.v,
+             (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / MAX(nn.n)
+             + CAST(0.85 AS DOUBLE) * COALESCE(SUM(r.rank * en.p), 0.0)
+                 AS rank
+      FROM nodes nd CROSS JOIN nn
+      LEFT JOIN en ON en.dst = nd.v
+      LEFT JOIN r1 r ON r.v = en.src
+      GROUP BY nd.v
+    ),
+    r3 AS (
+      SELECT nd.v,
+             (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / MAX(nn.n)
+             + CAST(0.85 AS DOUBLE) * COALESCE(SUM(r.rank * en.p), 0.0)
+                 AS rank
+      FROM nodes nd CROSS JOIN nn
+      LEFT JOIN en ON en.dst = nd.v
+      LEFT JOIN r2 r ON r.v = en.src
+      GROUP BY nd.v
+    ),
+    r4 AS (
+      SELECT nd.v,
+             (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / MAX(nn.n)
+             + CAST(0.85 AS DOUBLE) * COALESCE(SUM(r.rank * en.p), 0.0)
+                 AS rank
+      FROM nodes nd CROSS JOIN nn
+      LEFT JOIN en ON en.dst = nd.v
+      LEFT JOIN r3 r ON r.v = en.src
+      GROUP BY nd.v
+    )
+    SELECT v AS event_type, ROUND(rank, 6) AS pagerank FROM r4
+    """,
+)
+def graph_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (4 iterations, d=0.85) over the event-type
+    transition graph (operators/graph.pagerank): LEAD builds the edge
+    list, then each iteration is one join of the rank vector against
+    the normalized edges plus one groupBy — the Pregel step as
+    join+agg, no driver-side vectors, so the identical loop handles a
+    billion-node graph (ranks/edges hash-partitioned on the join key,
+    tiny sides broadcast).  Dangling mass is redistributed via a 1-row
+    aggregate (empty here — every type has out-edges — but the
+    operator handles it).  Fixed iterations + final 6dp round keep it
+    exactly reproducible by the unrolled-SQL oracle."""
+    from pyspark.sql import Window
+
+    from .operators import graph as gr
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    ranks = gr.pagerank(edges, iterations=4, damping=0.85)
+    return ranks.select(
+        F.col("v").alias("event_type"), F.round("rank", 6).alias("pagerank")
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type, SUM(n) AS s1, SUM(n * n) AS s2, COUNT(*) AS c
+      FROM daily GROUP BY 1
+    )
+    SELECT d.event_type, d.day, d.n,
+           ROUND((d.n - CAST(st.s1 AS DOUBLE) / st.c)
+                 / sqrt((CAST(st.s2 AS DOUBLE)
+                         - CAST(st.s1 AS DOUBLE) * st.s1 / st.c)
+                        / (st.c - 1)), 4) AS z
+    FROM daily d JOIN st USING (event_type)
+    WHERE ABS((d.n - CAST(st.s1 AS DOUBLE) / st.c)
+              / sqrt((CAST(st.s2 AS DOUBLE)
+                      - CAST(st.s1 AS DOUBLE) * st.s1 / st.c)
+                     / (st.c - 1))) > 2
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly screen: daily count per event type z-scored
+    against that type's own distribution, flagging |z| > 2 days.
+    The moment sums (s1, s2, c) are exact integers, so mean and
+    stddev are bit-identical closed forms on both engines — no
+    Welford-order nondeterminism (the same trick as
+    a20_grouped_regression).  Two shuffles total (daily agg + tiny
+    stats agg), stats side broadcast back; at 100 TB the daily agg is
+    the only wide op and it's map-side partial-agged."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    st = daily.groupBy("event_type").agg(
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+        F.count("*").alias("c"),
+    )
+    m = F.col("s1").cast("double") / F.col("c")
+    sd = F.sqrt(
+        (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("c"))
+        / (F.col("c") - 1)
+    )
+    z = (F.col("n") - m) / sd
+    return (
+        daily.join(F.broadcast(st), "event_type")
+        .filter(F.abs(z) > 2)
+        .select("event_type", "day", "n", F.round(z, 4).alias("z"))
+    )

@@ -2220,3 +2220,55 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_topk_partial(
         docs, ["lang"], "pri", "doc_id", k=10, ascending=True
     ).select("lang", "doc_id", "pri", "rank")
+
+
+# --------------------------------------------------------------------------
+# segment-level boilerplate removal (C4-style line dedup, r4 wave 2)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_segment_boilerplate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DK_TOKENS.format(c='text')} AS ws FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, ws,
+             unnest(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS seg_i
+      FROM toks
+    ),
+    segs AS (
+      SELECT doc_id, seg_i,
+             array_to_string(ws[(seg_i * 10 + 1):(seg_i * 10 + 10)], ' ')
+                 AS seg
+      FROM ex
+    ),
+    b AS (SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 3)
+    SELECT doc_id,
+           COUNT(*) AS n_segs,
+           COUNT(*) FILTER (WHERE seg IN (SELECT seg FROM b)) AS n_boiler,
+           md5(COALESCE(
+             string_agg(seg, ' ' ORDER BY seg_i)
+               FILTER (WHERE seg NOT IN (SELECT seg FROM b)),
+             '')) AS clean_md5
+    FROM segs GROUP BY doc_id
+    """,
+)
+def text_segment_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus repeated-span removal (operators/segments): C4's
+    line-level dedup adapted to line-less text via fixed 10-word
+    segments.  Segments shared by >= 3 distinct documents (nav bars /
+    license blocks / template boilerplate) are cut from every document;
+    output is per-doc segment accounting plus the md5 of the cleaned
+    reassembly (position order preserved).  Scale shape: a narrow
+    segmentize, ONE document-frequency shuffle on the segment text
+    (map-side partial agg), then a broadcast anti-flag and one
+    reassembly groupBy — no document-vs-document comparison anywhere,
+    the property that keeps it linear at 100 TB."""
+    from .operators import segments as sg
+
+    return sg.remove_boilerplate(
+        load_table(spark, sf_dir, "documents"),
+        text_col="text", id_col="doc_id", width=10, min_df=3,
+    )
