@@ -144,10 +144,10 @@ def read_jdbc(spark: SparkSession, url: str, table: str, *,
       Catalyst also pushes post-hoc ``.filter``/``.select`` into the
       JDBC scan where the dialect allows.
 
-    Out-of-environment: this container ships no connectable database or
-    JDBC driver (only hive-jdbc, with no HiveServer2 to dial), so the
-    path is covered by option-assembly tests (tests/test_io_catalog.py)
-    rather than a live integration test.  Parquet remains the engine's
+    Integration-tested against embedded Apache Derby (the JDBC driver
+    Spark ships for its Hive metastore — tests/test_jdbc_derby.py
+    round-trips writes, range-partitioned reads, and predicate splits
+    through a real JDBC connection).  Parquet remains the engine's
     source of record; this adapter exists for drop-in parity with the
     reference's warehouse-scan deployment shape.
     """
@@ -379,3 +379,22 @@ def write_partitioned(df: DataFrame, path: str, date_col: str,
         .partitionBy("year")
         .parquet(path)
     )
+
+
+def write_jdbc(df: DataFrame, url: str, table: str,
+               mode: str = "overwrite",
+               properties: dict[str, str] | None = None,
+               batch_size: int = 10_000) -> None:
+    """JDBC sink (the reverse of ``read_jdbc``): publish a result table
+    back to a warehouse, the reference's `dbWriteTable` shape.
+
+    Each Spark partition opens one connection and inserts with
+    ``batchsize``-row batches — writing a large result means
+    ``df.repartition(n)`` first to get n parallel writers (and a target
+    that tolerates n concurrent transactions).  Embedded single-JVM
+    databases (Derby) serialize writers; coalesce(1) for those.
+    """
+    props = {"batchsize": str(batch_size), **(properties or {})}
+    df.write.format("jdbc").options(
+        url=url, dbtable=table, **props
+    ).mode(mode).save()
