@@ -66,8 +66,10 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         "v", (F.lit(1.0) / F.col("n")).alias("rank")
     )
     for _ in range(iterations):
+        # dangling can be O(nodes) on real graphs — no forced broadcast,
+        # AQE sizes the semi-join side at runtime
         dmass = (
-            ranks.join(F.broadcast(dangling), "v", "semi")
+            ranks.join(dangling, "v", "semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         )
         incoming = (

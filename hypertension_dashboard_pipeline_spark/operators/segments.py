@@ -86,8 +86,12 @@ def remove_boilerplate(docs: DataFrame, text_col: str = "text",
     segment was boilerplate — md5 of the empty string, never null)."""
     segs = segmentize(docs, text_col, id_col, width)
     boiler = boilerplate_segments(segs, id_col, min_df)
+    # no forced broadcast: the boilerplate set is usually tiny, but a
+    # template-heavy corpus (10^6 families x >= min_df copies) makes it
+    # corpus-sized — AQE picks broadcast-vs-shuffle from the ACTUAL
+    # post-aggregation size at runtime, which is the safe call at 100 TB.
     flagged = segs.join(
-        F.broadcast(boiler.withColumn("_is_boiler", F.lit(True))), "seg", "left"
+        boiler.withColumn("_is_boiler", F.lit(True)), "seg", "left"
     )
     kept_in_order: Column = F.array_join(
         F.transform(
