@@ -2272,3 +2272,96 @@ def text_segment_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         text_col="text", id_col="doc_id", width=10, min_df=3,
     )
+
+
+@register(
+    "streaming_stream_stream_join",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id AS view_id, ts AS v_ts
+      FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.user_id, view_id, purchase_id, v_ts, p_ts
+    FROM v JOIN p
+      ON v.user_id = p.user_id
+     AND p_ts >= v_ts
+     AND p_ts < v_ts + INTERVAL 1 HOUR
+    """,
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join (view→purchase attribution within a
+    1-hour horizon): watermarks on both sides + the time-range join
+    condition let Spark expire buffered views/purchases older than the
+    horizon, so state stays bounded at production rates — the missing
+    quadrant after stream-static (streaming_static_join).  Inner joins
+    emit on match, so the bounded availableNow run equals the batch
+    join exactly and the oracle is plain SQL
+    (streaming/stream_join.py)."""
+    from .streaming.stream_join import run_attribution_available_now
+
+    return run_attribution_available_now(spark, sf_dir)
+
+
+# upper-triangle index pairs for the gram-matrix query (dims 0..7)
+_GRAM_D = 8
+_GRAM_PAIRS = [(i, j) for i in range(_GRAM_D) for j in range(i, _GRAM_D)]
+
+
+def _gram_oracle() -> str:
+    cols = ", ".join(
+        f"ROUND(SUM(CAST(embedding[{i + 1}] AS DOUBLE) * "
+        f"CAST(embedding[{j + 1}] AS DOUBLE)), 4) AS \"g_{i}_{j}\""
+        for i, j in _GRAM_PAIRS
+    )
+    return f"""
+    WITH agg AS (SELECT {cols} FROM embeddings)
+    SELECT CAST(split_part(name, '_', 2) AS INT) AS i,
+           CAST(split_part(name, '_', 3) AS INT) AS j,
+           g
+    FROM (UNPIVOT agg ON COLUMNS(*) INTO NAME name VALUE g)
+    """
+
+
+@register("emb_gram_matrix", oracle=_gram_oracle())
+def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed second-moment (gram) matrix over the embedding
+    column, dims 0..7 upper triangle — the sufficient statistic for
+    PCA/whitening computed the scale-correct way: ONE scan producing
+    d*(d+1)/2 map-side-combined SUM expressions into a single-row
+    aggregate (driver state = the matrix, never the data), then an
+    explode to tidy (i, j, g) rows.  No per-pair scans, no explode of
+    the vectors through a shuffle, no mapInPandas accumulator — the
+    whole reduction rides Tungsten's partial aggregation.  The
+    eigendecomposition of the returned matrix is driver-side work
+    (d x d), exactly like k-means' centroid state
+    (emb_kmeans_lloyd)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    agg = emb.agg(
+        *[
+            F.round(
+                F.sum(
+                    F.col("embedding").getItem(i).cast("double")
+                    * F.col("embedding").getItem(j).cast("double")
+                ),
+                4,
+            ).alias(f"g_{i}_{j}")
+            for i, j in _GRAM_PAIRS
+        ]
+    )
+    tidy = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.lit(j).alias("j"),
+                    F.col(f"g_{i}_{j}").alias("g"),
+                )
+                for i, j in _GRAM_PAIRS
+            ]
+        )
+    ).alias("t")
+    return agg.select(tidy).select("t.i", "t.j", "t.g")

@@ -1,0 +1,82 @@
+"""Stream-stream interval join: view→purchase attribution.
+
+The one Structured Streaming join shape the engine didn't yet cover:
+joining two LIVE streams (not stream-static). Spark requires
+watermarks on BOTH sides plus a time-range join condition so it can
+bound the buffered state — views older than the attribution window
+fall out of state instead of accumulating forever, which is what makes
+the join runnable indefinitely at production rates.
+
+Semantics: inner join view v ⋈ purchase p on user with
+``v.ts <= p.ts < v.ts + horizon`` — every purchase is attributed to
+every view in its lookback horizon (classic last/any-touch
+attribution's superset; an aggregation downstream picks a policy).
+
+Determinism: over a bounded availableNow run the source file arrives
+in one microbatch, the watermark only advances AFTER it, and inner
+joins emit on match rather than on watermark close — so the emitted
+set equals the batch join exactly, which is what the oracle computes.
+(Contrast streaming_daily_window, where append-mode aggregation holds
+final windows back.)
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import events_stream
+
+
+def view_purchase_attribution(views: DataFrame, purchases: DataFrame,
+                              horizon: str = "1 hour") -> DataFrame:
+    """The shared (batch == streaming) join: purchases attributed to
+    same-user views within ``horizon`` before the purchase."""
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    ).withWatermark("v_ts", "2 hours")
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", "2 hours")
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") < F.col("v_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        F.col("v_user").alias("user_id"), "view_id", "purchase_id",
+        "v_ts", "p_ts",
+    )
+
+
+def run_attribution_available_now(spark: SparkSession, sf_dir: str,
+                                  name: str = "stream_join_sink"
+                                  ) -> DataFrame:
+    """Run the attribution join over the events table as TWO bounded
+    streams (filtered from one source) into a memory sink."""
+    src = events_stream(spark, sf_dir)
+    views = src.filter(F.col("event_type") == "view")
+    purchases = src.filter(F.col("event_type") == "purchase")
+    out = view_purchase_attribution(views, purchases)
+    spark.catalog.dropTempView(name)
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_stream_")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
