@@ -39,6 +39,11 @@ HEADLINE = [
     "text_quality_score",
     "curation_pipeline",
     "streaming_dedup",
+    # round-4 wave-2 additions (graph iteration + segment dedup): the
+    # headline TOTAL is therefore not comparable to rounds <= 3 —
+    # compare per-query (BENCH_NOTES.md).
+    "graph_pagerank_transitions",
+    "text_segment_boilerplate",
 ]
 
 

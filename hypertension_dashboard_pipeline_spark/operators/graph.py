@@ -28,6 +28,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# loop-invariant subplans persisted by pagerank(); callers (bench, the
+# registry runner) release them via release_persisted() — same contract
+# as operators/dedup.py
+_PERSISTED: list[DataFrame] = []
+
+
+def release_persisted() -> None:
+    """Unpersist every intermediate persisted by a prior pagerank call.
+    Idempotent; safe mid-plan (consumers recompute)."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
 
 def normalize_edges(edges: DataFrame, src: str = "src", dst: str = "dst",
                     weight: str = "w") -> DataFrame:
@@ -50,22 +62,39 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     Exact closed form each iteration (no early-exit tolerance), so an
     unrolled-SQL oracle reproduces it bit-for-bit modulo float
     summation order.
+
+    Iteration mechanics: each round references the rank vector from
+    THREE subtrees (dangling mass, incoming mass, and the rebuild), so
+    a fully-lazy loop grows the plan ~3^iterations — measured 5.6s of
+    mostly optimizer time for 4 rounds on a 5-node graph.  The rank
+    vector is therefore localCheckpoint'ed (eager, one tiny job per
+    round — same trade as connected_components' loop) and the
+    loop-invariant edge/node derivations are persisted once so they
+    aren't recomputed every round: 3.3s warm at sf0.1, now all
+    per-iteration job overhead (the honest floor for an iterative
+    algorithm; at real scale the per-round join cost dominates it).
     """
-    en = normalize_edges(edges, src, dst, weight)
+    release_persisted()  # drop a prior call's loop invariants
+    en = normalize_edges(edges, src, dst, weight).persist()
+    _PERSISTED.append(en)
     nodes = (
         edges.select(F.col(src).alias("v"))
         .union(edges.select(F.col(dst).alias("v")))
         .distinct()
+        .persist()
     )
+    _PERSISTED.append(nodes)
     n_nodes = nodes.agg(F.count("*").alias("n"))  # 1-row side, broadcast
     dangling = nodes.join(
         edges.select(F.col(src).alias("v")).distinct(), "v", "left_anti"
-    )
+    ).persist()
+    _PERSISTED.append(dangling)
 
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "v", (F.lit(1.0) / F.col("n")).alias("rank")
     )
     for _ in range(iterations):
+        ranks = ranks.localCheckpoint(eager=True)
         # dangling can be O(nodes) on real graphs — no forced broadcast,
         # AQE sizes the semi-join side at runtime
         dmass = (

@@ -80,7 +80,13 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      after next): the queries_analytics.py surface (a18/a19/a20/a21/
 #      a23, w3-w7, events_funnel[_windowed], events_retention,
 #      events_rolling_wau, dq_expectations, sample_weighted_topk,
-#      emb_kmeans_lloyd).
+#      emb_kmeans_lloyd), plus the round-4 wave-2 set
+#      (ts_gap_fill_locf, graph_pagerank_transitions,
+#      events_anomaly_zscore, text_segment_boilerplate,
+#      streaming_stream_stream_join, emb_gram_matrix) and the other
+#      analytics additions (events_path_transitions, cust_rfm_segments,
+#      a24_key_skew_profile, a25_winsorized_stats,
+#      streaming_incremental_rollup, dedup_quality_survivor).
 _FRONT: list[str] = [
     # flagship + headline extension pipeline (always externally gated)
     "flagship_cohort_pipeline",
