@@ -158,6 +158,8 @@ def test_no_registered_query_plans_a_cartesian_product(spark, sf_dir):
         "sim_batch_ann_topk",  # 8-row query batch × corpus, by design
         "a24_key_skew_profile",  # 10-row top-k × 1-row totals, by design
         "cust_rfm_segments",  # 1-row scalar sides (global max date, quartile cuts) — the scalar-subquery compile shape
+        "ts_gap_fill_locf",  # 1-row scalar side (global horizon date)
+        "graph_pagerank_transitions",  # 1-row scalar sides (node count N, dangling mass) per iteration
     }
     offenders = []
     for name, fn in registry.QUERIES.items():
@@ -278,3 +280,42 @@ def test_batch_ann_truncates_before_the_shuffle(plan):
     ex = p.index("Exchange hashpartitioning")
     mp = p.index("MapInPandas")
     assert mp > ex, "MapInPandas must sit under the ranking exchange"
+
+
+def test_gram_matrix_is_one_scan_partial_agg(plan):
+    """The gram matrix must ride ONE parquet scan into a map-side
+    partial aggregate — per-pair scans or a vector shuffle would be
+    quadratic-ish waste at 100 TB."""
+    p = plan("emb_gram_matrix")
+    assert sum("FileScan" in l for l in p.splitlines()) == 1
+    assert p.count("HashAggregate") == 2  # partial + final
+    # the only exchange feeds the single-row final aggregate
+    assert p.count("Exchange") <= 2
+
+
+def test_anomaly_stats_side_broadcasts(plan):
+    """Per-type stats (5 rows) must broadcast back against the daily
+    counts — a shuffle join would move the fact-side for a 5-row dim."""
+    p = plan("events_anomaly_zscore")
+    assert "BroadcastHashJoin" in p
+
+
+def test_gap_fill_single_window_no_self_join(plan):
+    """LOCF is ONE running-frame window over the scaffold join — a
+    naive as-of self-join formulation would shuffle the series twice
+    and blow up on dense keys."""
+    p = plan("ts_gap_fill_locf")
+    assert p.count("Window") == 1
+    assert "Generate explode" in p  # sequence()+explode scaffold
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or \
+        "ShuffledHashJoin" in p  # grid-to-observation join is an equi join
+
+
+def test_segment_boilerplate_flags_via_equi_join(plan):
+    """Boilerplate removal must anti-flag via an equi join on the
+    segment text (broadcast or shuffled — AQE's call), never a
+    pairwise document comparison."""
+    p = plan("text_segment_boilerplate")
+    assert "Generate posexplode" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
