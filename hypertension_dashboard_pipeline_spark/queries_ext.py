@@ -2365,3 +2365,122 @@ def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).alias("t")
     return agg.select(tidy).select("t.i", "t.j", "t.g")
+
+
+@register(
+    "text_lm_bigram_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DK_TOKENS.format(c='text')} AS ws FROM documents
+    ),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i+1])) AS bg
+      FROM toks
+    ),
+    uni AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+    c2 AS (SELECT bg, COUNT(*) AS n2 FROM bi GROUP BY bg),
+    c1 AS (SELECT w, COUNT(*) AS n1 FROM uni GROUP BY w),
+    v AS (SELECT COUNT(*) AS nv FROM c1)
+    SELECT d.doc_id,
+           ROUND(AVG(ln(CAST(c2.n2 + 1 AS DOUBLE) / (c1.n1 + v.nv))), 4)
+               AS lm_score,
+           COUNT(*) AS n_bigrams
+    FROM bi d
+    JOIN c2 USING (bg)
+    JOIN c1 ON c1.w = split_part(d.bg, ' ', 1)
+    CROSS JOIN v
+    GROUP BY d.doc_id
+    """,
+)
+def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model scoring (the CCNet/KenLM
+    quality-filter idea with the corpus itself as the model): per-doc
+    mean log P(w2|w1) under add-one smoothing,
+    ln((c(w1,w2) + 1) / (c(w1) + V)).  All counts are exact integers;
+    the only floats are the final ln/avg, identical closed forms both
+    engines, rounded 4dp.
+
+    Scale shape: two count aggregations (bigram, unigram) + two
+    hash joins of the exploded bigram stream against them — every step
+    keyed and map-side combinable, nothing pairwise, so the cost is
+    O(tokens) shuffled bytes; V rides a 1-row crossJoin.  Docs with
+    < 2 tokens have no bigrams and drop out (both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tx.tokens("text").alias("ws"))
+    pair_idx = F.when(
+        F.size("ws") >= 2, F.sequence(F.lit(1), F.size("ws") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bi = toks.select(
+        "doc_id",
+        F.explode(pair_idx).alias("i"),
+        F.col("ws"),
+    ).select(
+        "doc_id",
+        F.col("ws").getItem(F.col("i") - 1).alias("w1"),
+        F.concat_ws(
+            " ",
+            F.col("ws").getItem(F.col("i") - 1),
+            F.col("ws").getItem(F.col("i")),
+        ).alias("bg"),
+    )
+    uni = toks.select(F.explode("ws").alias("w"))
+    c2 = bi.groupBy("bg").agg(F.count("*").alias("n2"))
+    c1 = uni.groupBy("w").agg(F.count("*").alias("n1"))
+    v = c1.agg(F.count("*").alias("nv"))
+    scored = (
+        bi.join(c2, "bg")
+        .join(c1, F.col("w1") == F.col("w"))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("n2") + 1).cast("double") / (F.col("n1") + F.col("nv"))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg("lp"), 4).alias("lm_score"),
+        F.count("*").alias("n_bigrams"),
+    )
+
+
+@register(
+    "sample_global_shuffle",
+    oracle="""
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                % 16 AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS INT) AS pos
+    FROM documents
+    """,
+)
+def sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-data export: every doc
+    gets a content-hash shard and a reproducible position within it —
+    the (shard, pos) order is the training order, identical on any
+    engine and any partitioning (no seeded RNG, no
+    zipWithIndex driver coupling).
+
+    Scale shape: shard count is the parallelism knob (pick ~ output
+    file count, thousands at 100 TB); each shard's ordering is an
+    independent window sort, so shards sort in parallel and each
+    writer task emits exactly one ordered shard.  A global ORDER BY
+    md5 would funnel everything through one range sort instead."""
+    from pyspark.sql import Window
+
+    from .operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("shard").orderBy(h, "doc_id")
+    return (
+        docs.select(
+            "doc_id", hash_bucket("doc_id", 16).cast("int").alias("shard")
+        )
+        .withColumn("pos", F.row_number().over(w))
+    )
