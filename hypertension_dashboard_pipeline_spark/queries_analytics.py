@@ -1245,3 +1245,59 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > 2)
         .select("event_type", "day", "n", F.round(z, 4).alias("z"))
     )
+
+
+_EQD_PROBS = [i / 10.0 for i in range(1, 10)]
+
+
+@register(
+    "a26_equidepth_histogram",
+    oracle=f"""
+    WITH cuts AS (
+      SELECT list_transform(
+               quantile_cont(o_totalprice, {_EQD_PROBS!r}),
+               c -> ROUND(c, 4)) AS cs
+      FROM orders
+    )
+    SELECT bin, COUNT(*) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM (
+      SELECT o_totalprice,
+             1 + len(list_filter(cuts.cs, c -> o_totalprice > c)) AS bin
+      FROM orders, cuts
+    )
+    GROUP BY bin
+    """,
+)
+def a26_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (exact decile bins) — the complement of
+    a21's fixed-width bins: cut points are exact interpolated
+    percentiles computed in ONE aggregate, rounded 4dp (the
+    cust_rfm_segments trick that makes bin membership bit-stable
+    across engines), broadcast back as a 1-row side, and each row's
+    bin is 1 + #cuts-below — a pure expression, not an NTILE (which
+    would force a single global rank sort AND tie-break
+    nondeterministically).  Two scans total (cuts + binning), both
+    map-side combined."""
+    orders = load_table(spark, sf_dir, "orders")
+    cuts = orders.agg(
+        F.expr(
+            "transform(percentile(o_totalprice, array("
+            + ", ".join(str(p) for p in _EQD_PROBS)
+            + ")), c -> round(c, 4))"
+        ).alias("cs")
+    )
+    binned = orders.crossJoin(F.broadcast(cuts)).select(
+        "o_totalprice",
+        (
+            F.lit(1)
+            + F.size(
+                F.filter("cs", lambda c: F.col("o_totalprice") > c)
+            )
+        ).alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )

@@ -2418,11 +2418,9 @@ def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ws"),
     ).select(
         "doc_id",
-        F.col("ws").getItem(F.col("i") - 1).alias("w1"),
+        F.col("ws")[F.col("i") - 1].alias("w1"),
         F.concat_ws(
-            " ",
-            F.col("ws").getItem(F.col("i") - 1),
-            F.col("ws").getItem(F.col("i")),
+            " ", F.col("ws")[F.col("i") - 1], F.col("ws")[F.col("i")]
         ).alias("bg"),
     )
     uni = toks.select(F.explode("ws").alias("w"))

@@ -161,6 +161,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark, sf_dir):
         "ts_gap_fill_locf",  # 1-row scalar side (global horizon date)
         "graph_pagerank_transitions",  # 1-row scalar sides (node count N, dangling mass) per iteration
         "text_lm_bigram_score",  # 1-row scalar side (vocabulary size V)
+        "a26_equidepth_histogram",  # 1-row scalar side (decile cut points)
     }
     offenders = []
     for name, fn in registry.QUERIES.items():
