@@ -67,7 +67,16 @@ def run_attribution_available_now(spark: SparkSession, sf_dir: str,
     out = view_purchase_attribution(views, purchases)
     spark.catalog.dropTempView(name)
     ckpt = tempfile.mkdtemp(prefix="spark_graft_stream_")
+    # A stream-stream join maintains TWO keyed state stores per shuffle
+    # partition; under a default 200-partition session the fixed
+    # state-store cost dwarfs this bounded run (and at production rates
+    # you'd size partitions to throughput anyway).  Pin a bounded count
+    # for the stream's lifetime — the setting binds at .start().
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(min(int(prev), 8))
+        )
         q = (
             out.writeStream.format("memory")
             .queryName(name)
@@ -78,5 +87,6 @@ def run_attribution_available_now(spark: SparkSession, sf_dir: str,
         )
         q.awaitTermination()
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
