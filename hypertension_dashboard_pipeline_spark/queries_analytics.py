@@ -1301,3 +1301,63 @@ def a26_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
     )
+
+
+@register(
+    "a27_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2))
+               AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+               AS DECIMAL(28,2)) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))))
+               AS DECIMAL(38,4)) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2))))
+               AS DECIMAL(38,6)) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '2024-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a27_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary over lineitem — the canonical
+    scan-heavy aggregate: selective date predicate pushed to the
+    parquet scan, 8 aggregates computed in ONE pass with map-side
+    partial aggregation into a handful of groups.  Money math is
+    exact DECIMAL end-to-end (sum_disc_price/sum_charge widen per
+    multiplication, never round); only the intrinsically-fractional
+    averages round 4dp.  The poster child for why a columnar scan +
+    partial agg beats row pipelines at 100 TB: shuffled bytes are
+    4 groups x 8 numbers regardless of input size."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") <= F.lit("2024-09-02").cast("date")
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("decimal(28,2)").alias("sum_qty"),
+            F.sum(price).cast("decimal(28,2)").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc))
+            .cast("decimal(38,4)")
+            .alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+            .cast("decimal(38,6)")
+            .alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )

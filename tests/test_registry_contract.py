@@ -106,3 +106,30 @@ def test_fingerprints_ignore_runtime_mutable_state():
     finally:
         dd._PERSISTED.clear()
     assert before == after
+
+
+def test_fingerprint_positive_controls():
+    """The drift detector must actually DETECT drift: a changed oracle
+    text or a different function body must change the fingerprint
+    (otherwise the window contract silently stops gating anything)."""
+    from hypertension_dashboard_pipeline_spark.manifest import fingerprint
+
+    fn = registry.QUERIES["a5_global_count"]
+    assert fingerprint(fn, "SELECT 1") != fingerprint(fn, "SELECT 2")
+
+    other = registry.QUERIES["a8_distinct"]
+    assert fingerprint(fn, "X") != fingerprint(other, "X")
+
+
+def test_fingerprint_tracks_transitive_callee():
+    """A query's fingerprint must cover its in-package callees: two
+    queries sharing an operator must BOTH drift if that operator's
+    source is what changed — approximated here by asserting the shared
+    callee's source is part of both closures (the walk visits it)."""
+    import hypertension_dashboard_pipeline_spark.manifest as m
+
+    fn = registry.QUERIES["dedup_exact_groups"]
+    seen: set[str] = set()
+    parts: dict[str, str] = {}
+    m._walk(fn, seen, parts)
+    assert any("operators.dedup" in k for k in parts), sorted(parts)[:10]
