@@ -391,10 +391,20 @@ def merge_rollups(*parts: DataFrame) -> DataFrame:
             F.sum("_s").cast("decimal(28,6)").alias("value_sum"),
         )
         .withColumn(
+            # NOT F.round: Spark's round(double) goes through Java's
+            # shortest-repr Double.toString (38.3787499..9 reads as
+            # "38.37875" and rounds UP) while DuckDB rounds the binary
+            # value — they disagree exactly at representation
+            # boundaries.  floor(x*1e4 + 0.5)/1e4 is pure IEEE double
+            # arithmetic, bit-identical on any engine given the
+            # identical inputs the exact DECIMAL sum guarantees.
             "value_avg",
-            F.round(
-                F.col("value_sum").cast("double") / F.col("n_events"), 4
-            ),
+            F.floor(
+                F.col("value_sum").cast("double") / F.col("n_events")
+                * F.lit(10000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(10000.0),
         )
     )
 

@@ -438,8 +438,8 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6))
                AS value_sum,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                 / COUNT(*), 4) AS value_avg
+           FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS value_avg
     FROM events
     GROUP BY 1, 2
     """,
@@ -754,8 +754,8 @@ def a24_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6))
                AS value_sum,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                 / COUNT(*), 4) AS value_avg
+           FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS value_avg
     FROM events
     GROUP BY 1, 2
     """,

@@ -1257,7 +1257,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "emb_label_centroids",
     oracle="""
-    SELECT label, pos, ROUND(AVG(v), 4) AS centroid_val
+    SELECT label, pos, ROUND(AVG(v), 4) + CAST(0 AS DOUBLE) AS centroid_val
     FROM (
         SELECT label,
                unnest(embedding::DOUBLE[]) AS v,
@@ -1279,7 +1279,12 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode(F.col("embedding").cast("array<double>")).alias("p", "v"),
         )
         .groupBy("label", (F.col("p") + 1).alias("pos"))
-        .agg(F.round(F.avg("v"), 4).alias("centroid_val"))
+        .agg(
+            # + 0.0 normalizes IEEE -0.0 to +0.0 (a tiny negative mean
+            # rounds to -0.0 on one engine and 0.0 on the other; equal
+            # under ==, unequal under the driver's typed value hash)
+            (F.round(F.avg("v"), 4) + F.lit(0.0)).alias("centroid_val")
+        )
     )
 
 
