@@ -1361,3 +1361,110 @@ def a27_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("count_order"),
         )
     )
+
+
+@register(
+    "j15_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+               AS DECIMAL(38,4)) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS order_day
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1998-03-15'
+      AND CAST(l.l_shipdate AS DATE) > DATE '1998-03-15'
+    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def j15_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): segment-filtered customers →
+    orders → lineitem, revenue per unshipped order, top 10.  The plan
+    to want at 100 TB and the plan Catalyst produces: both date
+    predicates PUSH to the fact scans, the segment-filtered customer
+    side broadcasts, the orders⋈lineitem join shuffles on the orderkey
+    both sides already share, and the top-10 is TakeOrdered (no global
+    sort).  Exact DECIMAL revenue + (revenue DESC, orderkey) total
+    order make the limit deterministic cross-engine."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") < F.lit("1998-03-15").cast("date")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") > F.lit("1998-03-15").cast("date")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("order_day"))
+        .agg(
+            F.sum(price * (F.lit(1) - disc))
+            .cast("decimal(38,4)")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "order_day")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "j16_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+               AS DECIMAL(38,4)) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def j16_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): the 6-way join —
+    lineitem ⋈ orders shuffle on orderkey, then customer / supplier /
+    nation / region all broadcast (dims), with the non-equi flavor
+    c_nationkey = s_nationkey folded into the supplier join.  One
+    fact-table shuffle total; the region filter prunes nations BEFORE
+    the fact join via the broadcast chain.  Exact DECIMAL revenue per
+    nation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(price * (F.lit(1) - disc))
+            .cast("decimal(38,4)")
+            .alias("revenue")
+        )
+    )

@@ -321,3 +321,26 @@ def test_segment_boilerplate_flags_via_equi_join(plan):
     assert "Generate posexplode" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_shipping_priority_is_broadcast_plus_topk(plan):
+    """TPC-H Q3 shape: filtered customer broadcasts, date predicates
+    reach the scans, top-10 is TakeOrdered — never a global sort."""
+    p = plan("j15_shipping_priority")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    scans = [l for l in p.splitlines() if "FileScan" in l]
+    assert any("o_orderdate" in l and "PushedFilters: [" in l for l in scans)
+    assert any("l_shipdate" in l and "PushedFilters: [" in l for l in scans)
+
+
+def test_local_supplier_volume_single_fact_shuffle(plan):
+    """TPC-H Q5 shape: the dims broadcast (at this SF orders fits the
+    threshold too, so ALL five joins are broadcast), the fact table is
+    never shuffled for a join, and the only hash exchange is the final
+    groupBy — a 6-way join costing at most one fact-table shuffle at
+    any scale."""
+    p = plan("j16_local_supplier_volume")
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in p
+    assert p.count("Exchange hashpartitioning") == 1  # the groupBy only
