@@ -1468,3 +1468,63 @@ def j16_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
+
+
+@register(
+    "events_last_touch_attribution",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id AS view_id, ts AS v_ts
+      FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS p_ts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT p.purchase_id, p.value, v.view_id, v.v_ts
+      FROM p JOIN v
+        ON v.user_id = p.user_id
+       AND p.p_ts >= v.v_ts
+       AND p.p_ts < v.v_ts + INTERVAL 1 HOUR
+    )
+    SELECT purchase_id,
+           MAX(value) AS purchase_value,
+           max(struct_pack(t := v_ts, id := view_id))['id']
+               AS attributed_view_id,
+           COUNT(*) AS n_candidate_views
+    FROM pairs
+    GROUP BY purchase_id
+    """,
+)
+def events_last_touch_attribution(spark: SparkSession, sf_dir: str
+                                  ) -> DataFrame:
+    """LAST-touch policy over the view→purchase interval join (the
+    batch twin of streaming_stream_stream_join's output): each
+    purchase credits its most recent in-horizon view via ONE max-struct
+    aggregate — (v_ts, view_id) argmax, deterministic under the
+    view_id tiebreak, no window sort.  Composition point: any other
+    policy (first-touch, linear) is a different aggregate over the
+    SAME join, which is why the join emits all candidate pairs."""
+    from .streaming.stream_join import view_purchase_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    value_by_purchase = purchases.select(
+        F.col("event_id").alias("purchase_id"), "value"
+    )
+    pairs = view_purchase_attribution(views, purchases, "1 hour")
+    return (
+        pairs.join(F.broadcast(value_by_purchase), "purchase_id")
+        .groupBy("purchase_id")
+        .agg(
+            F.max("value").alias("purchase_value"),
+            F.max(
+                F.struct(F.col("v_ts").alias("t"), F.col("view_id").alias("id"))
+            )
+            .getField("id")
+            .alias("attributed_view_id"),
+            F.count("*").alias("n_candidate_views"),
+        )
+    )
