@@ -1,0 +1,111 @@
+"""Product quantization (PQ) for embedding columns — the ANN memory
+story at 100 TB: a 64-dim float32 vector (256 B) compresses to M=8
+one-byte codes by quantizing each 8-dim subvector against its own
+K=16-entry codebook, and queries score compressed vectors with an
+asymmetric-distance (ADC) table lookup — 8 table reads per vector
+instead of 64 multiplies, over 32x less data scanned.
+
+Codebooks here are md5-derived deterministic constants (the same
+device as the LSH hyperplanes, operators/similarity.py): every engine
+reproduces them bit-for-bit, which is what makes the ENCODE step —
+argmin over exact left-fold float arithmetic — oracle-checkable.  In
+production the codebooks come from per-subspace k-means (the
+kmeans_lloyd operator trains them; sub-vector slicing reuses the same
+expressions) — swapping trained centroids in changes ONLY the
+constants, not the plan.
+
+Scale shape: encoding is a pure narrow map (WholeStageCodegen over
+~1k arithmetic ops/row, no shuffle, no Python); ADC scoring is a
+narrow map + TakeOrdered(k).  Codes, not vectors, flow through any
+downstream shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+M_SUB = 8          # subspaces
+K_CODES = 16       # centroids per subspace
+SUB_DIM = 8        # dims per subspace (M_SUB * SUB_DIM = 64)
+
+
+def _h(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def codebook() -> list[list[list[float]]]:
+    """[m][c][j] -> centroid component in [-1, 1], md5-derived.
+    (2001 buckets over /1000.0 keeps every value an exact ratio both
+    engines parse to the identical double.)"""
+    return [
+        [
+            [
+                (_h(f"pq:{m}:{c}:{j}") % 2001 - 1000) / 1000.0
+                for j in range(SUB_DIM)
+            ]
+            for c in range(K_CODES)
+        ]
+        for m in range(M_SUB)
+    ]
+
+
+def _sq_dist(emb: Column, m: int, cent: list[float]) -> Column:
+    """Left-fold sum of squared diffs — fixed associativity so the
+    oracle's identically-ordered expression is bit-equal."""
+    total: Column | None = None
+    for j, cval in enumerate(cent):
+        x = emb.getItem(m * SUB_DIM + j).cast("double") - F.lit(cval)
+        term = x * x
+        total = term if total is None else total + term
+    assert total is not None
+    return total
+
+
+def encode(df: DataFrame, vec_col: str = "embedding",
+           id_col: str = "vec_id") -> DataFrame:
+    """(id, code_0..code_{M-1}): per-subspace argmin code, lowest code
+    on ties (array_position returns the FIRST minimal index)."""
+    cb = codebook()
+    emb = F.col(vec_col)
+    cols = [F.col(id_col)]
+    for m in range(M_SUB):
+        dists = F.array(*[_sq_dist(emb, m, cb[m][c]) for c in range(K_CODES)])
+        code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        cols.append(code.alias(f"code_{m}"))
+    return df.select(*cols)
+
+
+def adc_scores(codes: DataFrame, query_vec: list[float],
+               id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric-distance inner-product score against a (driver-side)
+    query vector: score = sum_m ADC[m][code_m], where ADC[m][c] =
+    dot(q_sub_m, centroid[m][c]) — an 8-entry table lookup per row,
+    never touching the original vectors."""
+    cb = codebook()
+    adc = [
+        [
+            _dot_py(query_vec[m * SUB_DIM:(m + 1) * SUB_DIM], cb[m][c])
+            for c in range(K_CODES)
+        ]
+        for m in range(M_SUB)
+    ]
+    score: Column | None = None
+    for m in range(M_SUB):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in adc[m]]), F.col(f"code_{m}") + 1
+        )
+        score = term if score is None else score + term
+    assert score is not None
+    return codes.select(id_col, F.round(score, 6).alias("adc_score"))
+
+
+def _dot_py(a: list[float], b: list[float]) -> float:
+    """Left-fold dot product in Python doubles — IEEE-identical to the
+    engines' identically-ordered expression."""
+    total = 0.0
+    for x, y in zip(a, b):
+        total = total + x * y
+    return total

@@ -2487,3 +2487,101 @@ def sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("pos", F.row_number().over(w))
     )
+
+
+# --------------------------------------------------------------------------
+# product quantization (operators/pq.py)
+# --------------------------------------------------------------------------
+
+
+def _pq_sql_parts() -> tuple[str, str]:
+    """(codes_cte, adc_select) fragments reproducing operators/pq.py's
+    exact left-fold arithmetic; centroid constants embedded via repr()
+    (round-trips to the identical double)."""
+    from .operators import pq
+
+    cb = pq.codebook()
+    code_exprs = []
+    for m in range(pq.M_SUB):
+        dists = ", ".join(
+            " + ".join(
+                f"(e[{m * pq.SUB_DIM + j + 1}] - {cb[m][c][j]!r})"
+                f" * (e[{m * pq.SUB_DIM + j + 1}] - {cb[m][c][j]!r})"
+                for j in range(pq.SUB_DIM)
+            )
+            for c in range(pq.K_CODES)
+        )
+        code_exprs.append(
+            f"CAST(list_position([{dists}], list_min([{dists}])) - 1 "
+            f"AS INTEGER) AS code_{m}"
+        )
+    codes_cte = (
+        "SELECT vec_id, " + ", ".join(code_exprs)
+        + " FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)"
+    )
+    # ADC table from the query vector (vec_id = 0), same fold order
+    adc_terms = []
+    for m in range(pq.M_SUB):
+        lut = ", ".join(
+            " + ".join(
+                f"q[{m * pq.SUB_DIM + j + 1}] * {cb[m][c][j]!r}"
+                for j in range(pq.SUB_DIM)
+            )
+            for c in range(pq.K_CODES)
+        )
+        adc_terms.append(f"[{lut}][code_{m} + 1]")
+    adc_select = " + ".join(adc_terms)
+    return codes_cte, adc_select
+
+
+_PQ_CODES_CTE, _PQ_ADC_SELECT = _pq_sql_parts()
+
+
+@register("emb_pq_codes", oracle=_PQ_CODES_CTE)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (operators/pq.py): 64-dim float32
+    vectors -> 8 one-byte codes against md5-derived per-subspace
+    codebooks, a pure narrow map (WholeStageCodegen, no shuffle, no
+    Python) — the 32x scan-compression step for 100 TB ANN.  Codes are
+    integers, so the oracle check is exact; argmin ties resolve to the
+    lowest code on both engines (first-minimal position over
+    bit-identical left-fold distances)."""
+    from .operators import pq
+
+    return pq.encode(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "sim_pq_adc_topk",
+    oracle=f"""
+    WITH codes AS ({_PQ_CODES_CTE}),
+    qv AS (
+      SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0
+    )
+    SELECT vec_id, ROUND({_PQ_ADC_SELECT}, 6) AS adc_score
+    FROM codes, qv
+    ORDER BY adc_score DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over PQ codes: the query vector (one-row driver fetch,
+    same pattern as the other top-k probes) expands to an 8x16 lookup
+    table and every compressed vector scores with EIGHT table reads
+    instead of 64 multiplies — codes, not vectors, feed TakeOrdered.
+    Approximate by construction (quantization error), exactly
+    reproducible by the oracle because encode + ADC share one fold
+    order."""
+    from .operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    codes = pq.encode(emb)
+    return (
+        pq.adc_scores(codes, qvec)
+        .orderBy(F.desc("adc_score"), "vec_id")
+        .limit(10)
+    )
