@@ -86,7 +86,13 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      streaming_stream_stream_join, emb_gram_matrix) and the other
 #      analytics additions (events_path_transitions, cust_rfm_segments,
 #      a24_key_skew_profile, a25_winsorized_stats,
-#      streaming_incremental_rollup, dedup_quality_survivor).
+#      dedup_quality_survivor) and the mid-r4 wave-3 debuts
+#      (text_lm_bigram_score, sample_global_shuffle,
+#      a26_equidepth_histogram, a27_pricing_summary,
+#      j15_shipping_priority, j16_local_supplier_volume,
+#      events_last_touch_attribution, emb_pq_codes, sim_pq_adc_topk).
+#      (streaming_incremental_rollup moved INTO this round's window
+#      with the float-boundary fix.)
 _FRONT: list[str] = [
     # flagship + headline extension pipeline (always externally gated)
     "flagship_cohort_pipeline",
