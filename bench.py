@@ -44,6 +44,8 @@ HEADLINE = [
     # compare per-query (BENCH_NOTES.md).
     "graph_pagerank_transitions",
     "text_segment_boilerplate",
+    "j16_local_supplier_volume",
+    "emb_pq_codes",
 ]
 
 
