@@ -2585,3 +2585,47 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("adc_score"), "vec_id")
         .limit(10)
     )
+
+
+@register(
+    "streaming_stream_stream_outer_join",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id AS view_id, ts AS v_ts
+      FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events),
+    m AS (
+      SELECT v.user_id, v.view_id, p.purchase_id, v.v_ts, p.p_ts
+      FROM v JOIN p
+        ON v.user_id = p.user_id
+       AND p_ts >= v_ts
+       AND p_ts < v_ts + INTERVAL 1 HOUR
+    )
+    SELECT * FROM m
+    UNION ALL
+    SELECT v.user_id, v.view_id, CAST(NULL AS BIGINT) AS purchase_id,
+           v.v_ts, CAST(NULL AS TIMESTAMP) AS p_ts
+    FROM v, wm
+    WHERE v.view_id NOT IN (SELECT view_id FROM m)
+      AND v.v_ts + INTERVAL 1 HOUR < wm.w
+    """,
+)
+def streaming_stream_stream_outer_join(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: unmatched views emit a
+    null-joined row only after the watermark proves no match can still
+    arrive (state eviction) — the semantics that make outer joins of
+    two live streams well-defined.  Over the bounded run the emitted
+    set is matched-pairs ∪ {unmatched views whose whole match window
+    sits below the final watermark max(ts) − 2h}; younger views stay
+    in state and don't emit (deterministic prefix, same contract as
+    streaming_daily_window) — the oracle encodes exactly that wm
+    predicate (streaming/stream_join.py)."""
+    from .streaming.stream_join import run_attribution_outer_available_now
+
+    return run_attribution_outer_available_now(spark, sf_dir)

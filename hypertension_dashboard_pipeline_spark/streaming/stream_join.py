@@ -90,3 +90,63 @@ def run_attribution_available_now(spark: SparkSession, sf_dir: str,
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
+
+
+def run_attribution_outer_available_now(spark: SparkSession, sf_dir: str,
+                                        name: str = "stream_join_outer_sink"
+                                        ) -> DataFrame:
+    """LEFT OUTER variant: views with no in-horizon purchase emit a
+    null-joined row — but only once the watermark proves no match can
+    still arrive (state eviction), which is what makes outer
+    stream-stream joins well-defined at all.
+
+    Determinism over a bounded run: matched pairs emit in the data
+    batch; unmatched views emit in the trailing no-data micro-batch
+    (noDataMicroBatches, on by default) IF their whole match window
+    sits below the final watermark wm = max(ts) - 2h.  Views younger
+    than that stay in state when the query stops and do NOT emit —
+    the same deterministic-prefix contract as streaming_daily_window,
+    and exactly what the oracle's wm predicate encodes."""
+    src = events_stream(spark, sf_dir)
+    views = src.filter(F.col("event_type") == "view")
+    purchases = src.filter(F.col("event_type") == "purchase")
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    ).withWatermark("v_ts", "2 hours")
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", "2 hours")
+    out = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") < F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(
+        F.col("v_user").alias("user_id"), "view_id", "purchase_id",
+        "v_ts", "p_ts",
+    )
+    spark.catalog.dropTempView(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_stream_")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(min(int(prev), 8))
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
