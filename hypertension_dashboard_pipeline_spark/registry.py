@@ -90,7 +90,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      (text_lm_bigram_score, sample_global_shuffle,
 #      a26_equidepth_histogram, a27_pricing_summary,
 #      j15_shipping_priority, j16_local_supplier_volume,
-#      events_last_touch_attribution, emb_pq_codes, sim_pq_adc_topk).
+#      events_last_touch_attribution, emb_pq_codes, sim_pq_adc_topk,
+#      streaming_stream_stream_outer_join).
 #      (streaming_incremental_rollup moved INTO this round's window
 #      with the float-boundary fix.)
 _FRONT: list[str] = [
