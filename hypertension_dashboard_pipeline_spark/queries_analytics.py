@@ -1528,3 +1528,36 @@ def events_last_touch_attribution(spark: SparkSession, sf_dir: str
             F.count("*").alias("n_candidate_views"),
         )
     )
+
+
+@register(
+    "a28_unpivot_priority",
+    oracle=f"""
+    WITH wide AS (
+      SELECT o_orderstatus,
+             {", ".join(
+                 f"COUNT(*) FILTER (WHERE o_orderpriority = '{p}') AS {a}"
+                 for p, a in zip(_PRIORITIES, _PRIORITY_ALIASES)
+             )}
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, priority, n
+    FROM (UNPIVOT wide ON {", ".join(_PRIORITY_ALIASES)}
+          INTO NAME priority VALUE n)
+    """,
+)
+def a28_unpivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the inverse of a19's explicit pivot: the wide
+    per-priority count columns fold back to long (status, priority, n)
+    rows with ``DataFrame.unpivot``.  Wide→long is a narrow per-row
+    transform (each input row emits K rows, no shuffle beyond the
+    pivot's own aggregate), so the pair a19+a28 round-trips layout
+    without extra exchanges — the dashboard-vs-warehouse layout
+    adapter."""
+    wide = a19_pivot_priority(spark, sf_dir)
+    return wide.unpivot(
+        ids=["o_orderstatus"],
+        values=_PRIORITY_ALIASES,
+        variableColumnName="priority",
+        valueColumnName="n",
+    )
