@@ -209,3 +209,28 @@ def test_read_parquet_evolving_null_fills_added_columns(spark, tmp_path):
     rows = {r["id"]: r for r in got.collect()}
     assert rows[1]["score"] is None   # pre-evolution file null-fills
     assert rows[2]["score"] == 9.5
+
+
+def test_observation_metrics_ride_the_flagship_plan(spark, sf_dir):
+    """Production observability: pipeline health metrics (row counts,
+    null rates) collected with the Observation API ride the SAME job
+    as the query — no second scan, unlike a separate .count() audit.
+    The reference logs stage counts by re-running stages
+    (2_data_importing_cleaning.R's nrow() checkpoints); observe() is
+    the zero-cost Spark twin."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from hypertension_dashboard_pipeline_spark.io import load_table
+
+    obs = Observation("orders_health")
+    orders = load_table(spark, sf_dir, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").isNull().cast("int")).alias("null_price"),
+    )
+    result = orders.groupBy("o_orderstatus").count().collect()
+    assert len(result) > 0
+    metrics = obs.get
+    assert metrics["n_rows"] == load_table(spark, sf_dir, "orders").count()
+    assert metrics["null_price"] == 0
