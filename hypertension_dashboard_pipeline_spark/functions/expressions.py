@@ -101,3 +101,44 @@ def round_half_even(c: Column | str, scale: int = 1) -> Column:
     (SURVEY.md §2.10-3).
     """
     return F.bround(_col(c), scale)
+
+
+def dec_present(c: Column | str) -> Column:
+    """Presentation cast: exact DECIMAL -> DOUBLE, engine-agnostic.
+
+    Externally-compared outputs must never carry DecimalType: hashers /
+    renderers canonicalize decimals differently per engine (the r4 gate
+    failed three bit-exact queries purely on decimal canonicalization).
+    A direct ``CAST(dec AS DOUBLE)`` is also unsafe — measured: Spark
+    (correctly-rounded BigDecimal) and DuckDB (scaled-int arithmetic)
+    disagree in the last ulp once the scaled integer exceeds 2^53
+    (~186/12000 random DECIMAL(28,6) values at 1e11+ magnitudes).
+
+    The STRING-mediated route is exact at any magnitude: decimal ->
+    full-scale digit string is exact on both engines, and string ->
+    double is correctly rounded on both (Java ``parseDouble`` /
+    DuckDB fast_float) — verified bit-identical on 21000 random values
+    up to 1e21.  DuckDB mirror: ``CAST(CAST(x AS VARCHAR) AS DOUBLE)``.
+    Keep the exact DECIMAL internal (joins, sorts, re-aggregation);
+    apply this only at the output boundary.
+    """
+    return _col(c).cast("string").cast("double")
+
+
+def round_fixed(c: Column | str, digits: int = 4) -> Column:
+    """Fixed-point rounding as pure IEEE arithmetic:
+    ``floor(x * 10^d + 0.5) / 10^d``.
+
+    NOT ``F.round``: Spark's round(double) goes through Java's
+    shortest-repr ``Double.toString`` (38.3787499..9 renders as
+    "38.37875" and rounds UP) while DuckDB rounds the binary value —
+    they disagree exactly at representation boundaries.  The floor form
+    is bit-identical on any engine given identical input doubles, and
+    never emits -0.0 (a zero result always comes from ``floor -> +0``).
+    Halves round toward +infinity (so negative halves differ from
+    round-half-away-from-zero); oracles must use the same
+    ``FLOOR(x * 10^d + 0.5) / 10^d`` form, which is what makes the
+    convention engine-safe.
+    """
+    p = float(10**digits)
+    return F.floor(_col(c) * F.lit(p) + F.lit(0.5)) / F.lit(p)

@@ -98,9 +98,14 @@ def time_rollup(df: DataFrame, ts_col: str = "ts",
     partial is localCheckpointed: bounded rows, three consuming
     branches, no persist bookkeeping.
 
-    Output: (grain, bucket, n_events, value_sum DECIMAL(28,6),
-    value_avg double rounded 4dp).
+    Output: (grain, bucket, n_events, value_sum double, value_avg
+    double rounded 4dp).  Sums stay exact DECIMAL internally and cross
+    the output boundary via ``dec_present`` (decimals hash/render
+    engine-dependently; see functions/expressions.py); the avg uses the
+    ``round_fixed`` floor form, not engine round().
     """
+    from ..functions.expressions import dec_present, round_fixed
+
     v = F.col(value_col).cast("decimal(18,6)")
     hour = (
         df.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("bucket"))
@@ -115,14 +120,13 @@ def time_rollup(df: DataFrame, ts_col: str = "ts",
     ).agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
 
     def out(grain: str, g: DataFrame) -> DataFrame:
+        sx = F.col("s").cast("decimal(28,6)")
         return g.select(
             F.lit(grain).alias("grain"),
             "bucket",
             F.col("n").alias("n_events"),
-            F.col("s").cast("decimal(28,6)").alias("value_sum"),
-            F.round(F.col("s").cast("double") / F.col("n"), 4).alias(
-                "value_avg"
-            ),
+            dec_present(sx).alias("value_sum"),
+            round_fixed(dec_present(sx) / F.col("n"), 4).alias("value_avg"),
         )
 
     return (

@@ -3,8 +3,10 @@ closed-form regression, fixed-width histograms, and broadcast-centroid
 k-means.
 
 The reference dashboards compute population-level descriptive
-statistics over the phenotyped cohort (`5_dashboard_prep.R` frequency
-and attrition tables); these operators generalize the same
+statistics over the phenotyped cohort (the tabyl/adorn_totals
+frequency and attrition tables of
+`4_hypertension_phenotype_main.R:182-186`); these operators
+generalize the same
 "aggregate-the-cohort" shapes to the event-funnel / retention /
 distribution questions any analytics engine alongside it must answer,
 expressed Spark-first:
@@ -20,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.expressions import dec_present, round_fixed
 
 # --------------------------------------------------------------------------
 # funnel
@@ -115,7 +119,10 @@ def funnel(
             "step_idx",
             "step",
             F.coalesce(F.col("n_users"), F.lit(0)).alias("n_users"),
-            F.round(
+            # round_fixed, not F.round: 100*n/m lands EXACTLY on 4dp
+            # midpoints whenever (2k+1)*m = 2*10^4*... — the class
+            # where engine round()s disagree (functions/expressions.py)
+            round_fixed(
                 F.coalesce(F.col("n_users"), F.lit(0)) * 100.0 / n_first, 4
             ).alias("pct_of_first"),
         )
@@ -298,8 +305,9 @@ def grouped_regression(
     aggregate; slope/intercept/r are O(groups) post-arithmetic.
 
     Returns ``group_cols..., n, slope, intercept, corr_xy`` with the
-    derived floats rounded to 4dp (both engines compute the identical
-    closed form from double sums).
+    derived floats rounded to 4dp via the ``round_fixed`` floor form
+    (both engines compute the identical closed form from the sums;
+    engine round() would diverge at representation boundaries).
     """
     xc, yc = F.col(x).cast("double"), F.col(y).cast("double")
     sums = df.groupBy(*group_cols).agg(
@@ -318,9 +326,11 @@ def grouped_regression(
     return sums.select(
         *group_cols,
         "n",
-        F.round(slope, 4).alias("slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / n, 4).alias("intercept"),
-        F.round(cov_n / F.sqrt(var_x * var_y), 4).alias("corr_xy"),
+        round_fixed(slope, 4).alias("slope"),
+        round_fixed((F.col("sy") - slope * F.col("sx")) / n, 4).alias(
+            "intercept"
+        ),
+        round_fixed(cov_n / F.sqrt(var_x * var_y), 4).alias("corr_xy"),
     )
 
 
@@ -349,8 +359,12 @@ def histogram_fixed(
         .agg(F.count("*").alias("n"))
         .select(
             "bin",
-            F.round(F.lit(lo) + F.col("bin") * F.lit(w), 2).alias("bin_lo"),
-            F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(w), 2).alias("bin_hi"),
+            round_fixed(F.lit(lo) + F.col("bin") * F.lit(w), 2).alias(
+                "bin_lo"
+            ),
+            round_fixed(F.lit(lo) + (F.col("bin") + 1) * F.lit(w), 2).alias(
+                "bin_hi"
+            ),
             "n",
         )
     )
@@ -379,33 +393,34 @@ def merge_rollups(*parts: DataFrame) -> DataFrame:
     the incremental-view-maintenance identity.  At 100 TB this is the
     difference between re-scanning the fact table and aggregating only
     the new partition's (tiny) partial against the stored summary: the
-    merge touches summary-sized data only."""
+    merge touches summary-sized data only.
+
+    The sum is exact DECIMAL through the merge (that exactness IS the
+    merge == recompute identity) and crosses the output boundary as a
+    ``dec_present`` double — decimals hash/render engine-dependently,
+    and even a direct decimal->double cast diverges cross-engine past
+    2^53 scaled (functions/expressions.py has the measurements).
+    ``value_avg`` uses the ``round_fixed`` floor form; note its halves
+    round toward +infinity, so NEGATIVE value averages land one ulp-step
+    above round-half-away-from-zero at exact .x5 boundaries — fine here
+    because the oracle uses the identical form, but callers wanting R/
+    SQL half-away semantics on negatives need a sign-aware variant."""
     keys = [c for c in parts[0].columns if c not in ("n_events", "_s")]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    sx = F.col("_sx")
     return (
         out.groupBy(*keys)
         .agg(
             F.sum("n_events").alias("n_events"),
-            F.sum("_s").cast("decimal(28,6)").alias("value_sum"),
+            F.sum("_s").cast("decimal(28,6)").alias("_sx"),
         )
         .withColumn(
-            # NOT F.round: Spark's round(double) goes through Java's
-            # shortest-repr Double.toString (38.3787499..9 reads as
-            # "38.37875" and rounds UP) while DuckDB rounds the binary
-            # value — they disagree exactly at representation
-            # boundaries.  floor(x*1e4 + 0.5)/1e4 is pure IEEE double
-            # arithmetic, bit-identical on any engine given the
-            # identical inputs the exact DECIMAL sum guarantees.
-            "value_avg",
-            F.floor(
-                F.col("value_sum").cast("double") / F.col("n_events")
-                * F.lit(10000.0)
-                + F.lit(0.5)
-            )
-            / F.lit(10000.0),
+            "value_avg", round_fixed(dec_present(sx) / F.col("n_events"), 4)
         )
+        .withColumn("value_sum", dec_present(sx))
+        .drop("_sx")
     )
 
 
@@ -474,15 +489,16 @@ def kmeans_lloyd(
         assigned = emb.select(
             v.alias("v"), _nearest_centroid(v, centroids).alias("cluster")
         )
-        # centroid components round to 6dp (label_centroids convention):
-        # the raw parallel-sum AVG differs from a sequential fold in
-        # final ulps, and feeding that unrounded into the next round's
-        # argmin would let partitioning/engine flip boundary
-        # assignments — rounding pins the centroids both sides agree on
+        # centroid components round to 6dp (label_centroids convention)
+        # via the round_fixed floor form: the raw parallel-sum AVG
+        # differs from a sequential fold in final ulps, and feeding
+        # that unrounded into the next round's argmin would let
+        # partitioning/engine flip boundary assignments — rounding
+        # pins the centroids both sides agree on
         new_rows = (
             assigned.groupBy("cluster")
             .agg(*[
-                F.round(F.avg(F.col("v")[i]), 6).alias(f"c{i}")
+                round_fixed(F.avg(F.col("v")[i]), 6).alias(f"c{i}")
                 for i in range(dim)
             ])
             .collect()
@@ -514,6 +530,6 @@ def kmeans_lloyd(
         .groupBy("cluster")
         .agg(
             F.count("*").alias("n_members"),
-            F.round(F.avg("d"), 4).alias("mean_dist"),
+            round_fixed(F.avg("d"), 4).alias("mean_dist"),
         )
     )

@@ -585,7 +585,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          release: bool = True,
                          halving_after: int = 8,
                          require_convergence: bool = False,
-                         small_graph_threshold: int = 4_000_000,
+                         small_graph_threshold: int = 1_000_000,
                          stats: dict | None = None) -> DataFrame:
     """Resolve near-dup *pairs* into transitive duplicate *groups*:
     (id, component) where component is the minimum id reachable through
@@ -620,10 +620,22 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     one job instead of diameter-many shuffle rounds, the same
     short-circuit distributed graph libraries apply below their
     broadcast threshold.  The output contract (id, min reachable id)
-    is IDENTICAL to the iterative path; at the default threshold the
-    collected edges are at most tens of MB of id pairs.  Set
-    ``small_graph_threshold=0`` to force the distributed loop (tests
-    do, to exercise the propagation machinery).
+    is IDENTICAL to the iterative path.
+
+    Default = 1M edges, sized by DRIVER MEMORY, worst case: the Arrow
+    transfer is 2 int64 columns (16 MB/M edges — cheap); the union-find
+    dict is the cost.  Up to 2 nodes/edge, a CPython dict entry with
+    boxed-int key+value runs ~110 B (28 B int x2 + 8 B slot pointers x2
+    + ~1/0.66 load-factor overhead), plus the transient ``tolist``
+    (~72 B/edge) → ≈ 300 MB/M edges worst-case peak, well inside a
+    4 GB driver next to Spark's own allocations.  The old 4M default
+    risked a >1 GB dict on a driver that has no say in the matter.
+    Graphs above the threshold take the distributed loop automatically
+    (identical contract — ``test_components_local_fast_path_matches_
+    distributed``); real near-dup graphs also have nodes << 2x edges,
+    so the bound is conservative.  Set ``small_graph_threshold=0`` to
+    force the distributed loop (tests do, to exercise the propagation
+    machinery).
 
     Non-convergence within ``max_iterations`` warns (or raises with
     ``require_convergence=True``) — partial labelings must never be

@@ -112,7 +112,11 @@ def adc_scores(codes: DataFrame, query_vec: list[float],
         )
         score = term if score is None else score + term
     assert score is not None
-    return codes.select(id_col, F.round(score, 6).alias("adc_score"))
+    # round_fixed, not F.round: engine round(double) diverges at
+    # shortest-repr boundaries (functions/expressions.py)
+    from ..functions.expressions import round_fixed
+
+    return codes.select(id_col, round_fixed(score, 6).alias("adc_score"))
 
 
 def _dot_py(a: list[float], b: list[float]) -> float:

@@ -2,9 +2,9 @@
 pivot), window frames (moving average, lag delta, ntile), funnels,
 cohort retention, closed-form regression, histograms, and k-means —
 the descriptive-statistics surface a dashboard pipeline serves
-(reference analog: the frequency / attrition / summary tables of
-`5_dashboard_prep.R`), generalized to event analytics and expressed
-Spark-first.
+(reference analog: the tabyl/adorn_totals frequency / attrition /
+summary tables of `4_hypertension_phenotype_main.R:182-186`),
+generalized to event analytics and expressed Spark-first.
 
 Oracle strategy follows the package convention: exact DECIMAL sums and
 integer counts wherever possible; unavoidable double arithmetic
@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.expressions import round_fixed
 from .io import load_table
 from .operators import analytics as an
 from .registry import register
@@ -33,7 +34,8 @@ from .registry import register
     SELECT l_returnflag, l_linestatus,
            2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS g_id,
            COUNT(*) AS n_rows,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2))
+           CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                          AS DECIMAL(28,2)) AS VARCHAR) AS DOUBLE)
                AS sum_qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -45,16 +47,22 @@ def a18_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Expand produces the 4x row multiplication map-side and the partial
     aggregate collapses it before the single shuffle, which is why
     cube beats four unioned groupBys at 100 TB.  Exact DECIMAL sums
-    keep all grouping levels bit-identical to the oracle."""
+    keep all grouping levels bit-identical to the oracle; the sum
+    crosses the output boundary as a ``dec_present`` double (decimals
+    are hash-hostile externally, functions/expressions.py)."""
+    from .functions.expressions import dec_present
+
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.grouping_id().cast("int").alias("g_id"),
             F.count("*").alias("n_rows"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(28,2)")
-            .alias("sum_qty"),
+            dec_present(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast(
+                    "decimal(28,2)"
+                )
+            ).alias("sum_qty"),
         )
         .select("l_returnflag", "l_linestatus", "g_id", "n_rows", "sum_qty")
     )
@@ -107,9 +115,10 @@ def a19_pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w3_moving_avg",
     oracle="""
     SELECT user_id, event_id,
-           ROUND(AVG(value) OVER (
+           FLOOR(AVG(value) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg_3
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                 * 10000.0 + 0.5) / 10000.0 AS mavg_3
     FROM events
     """,
 )
@@ -130,7 +139,7 @@ def w3_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
-        F.round(F.avg("value").over(w), 4).alias("mavg_3"),
+        round_fixed(F.avg("value").over(w), 4).alias("mavg_3"),
     )
 
 
@@ -138,8 +147,9 @@ def w3_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w4_lag_delta",
     oracle="""
     SELECT user_id, event_id,
-           ROUND(value - LAG(value) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
+           FLOOR((value - LAG(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id))
+                 * 10000.0 + 0.5) / 10000.0 AS delta
     FROM events
     """,
 )
@@ -155,7 +165,7 @@ def w4_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
-        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+        round_fixed(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
     )
 
 
@@ -169,8 +179,8 @@ def w4_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer
     )
     SELECT c_mktsegment, quartile, COUNT(*) AS n,
-           ROUND(MIN(c_acctbal), 2) AS lo_bal,
-           ROUND(MAX(c_acctbal), 2) AS hi_bal
+           FLOOR(MIN(c_acctbal) * 100.0 + 0.5) / 100.0 AS lo_bal,
+           FLOOR(MAX(c_acctbal) * 100.0 + 0.5) / 100.0 AS hi_bal
     FROM t GROUP BY c_mktsegment, quartile
     """,
 )
@@ -193,8 +203,8 @@ def w5_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "quartile")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.min("c_acctbal"), 2).alias("lo_bal"),
-            F.round(F.max("c_acctbal"), 2).alias("hi_bal"),
+            round_fixed(F.min("c_acctbal"), 2).alias("lo_bal"),
+            round_fixed(F.max("c_acctbal"), 2).alias("hi_bal"),
         )
     )
 
@@ -217,11 +227,13 @@ def w5_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 4) AS slope,
-           ROUND((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n, 4)
-               AS intercept,
-           ROUND((sxy - sx * sy / n)
-                 / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 4) AS corr_xy
+           FLOOR((sxy - sx * sy / n) / (sxx - sx * sx / n)
+                 * 10000.0 + 0.5) / 10000.0 AS slope,
+           FLOOR((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n
+                 * 10000.0 + 0.5) / 10000.0 AS intercept,
+           FLOOR((sxy - sx * sy / n)
+                 / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+                 * 10000.0 + 0.5) / 10000.0 AS corr_xy
     FROM s
     """,
 )
@@ -248,8 +260,10 @@ def a20_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
     )
     SELECT bin,
-           ROUND(CAST(0.0 + bin * 25000.0 AS DOUBLE), 2) AS bin_lo,
-           ROUND(CAST(0.0 + (bin + 1) * 25000.0 AS DOUBLE), 2) AS bin_hi,
+           FLOOR(CAST(0.0 + bin * 25000.0 AS DOUBLE)
+                 * 100.0 + 0.5) / 100.0 AS bin_lo,
+           FLOOR(CAST(0.0 + (bin + 1) * 25000.0 AS DOUBLE)
+                 * 100.0 + 0.5) / 100.0 AS bin_hi,
            COUNT(*) AS n
     FROM b GROUP BY bin
     """,
@@ -295,8 +309,9 @@ _FUNNEL_STEPS = ["view", "click", "purchase"]
         UNION ALL SELECT 2, 'purchase', (SELECT COUNT(*) FROM s2)
     )
     SELECT step_idx, step, n_users,
-           ROUND(n_users * 100.0
-                 / (SELECT n_users FROM counts WHERE step_idx = 0), 4)
+           FLOOR(n_users * 100.0
+                 / (SELECT n_users FROM counts WHERE step_idx = 0)
+                 * 10000.0 + 0.5) / 10000.0
                AS pct_of_first
     FROM counts
     """,
@@ -436,9 +451,11 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6))
+           CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                          AS DECIMAL(28,6)) AS VARCHAR) AS DOUBLE)
                AS value_sum,
-           FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+           FLOOR(CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                               AS DECIMAL(28,6)) AS VARCHAR) AS DOUBLE)
                  / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS value_avg
     FROM events
     GROUP BY 1, 2
@@ -486,7 +503,8 @@ def a23_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY prev_type, event_type
     )
     SELECT prev_type, next_type, n,
-           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type), 4)
+           FLOOR(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type)
+                 * 10000.0 + 0.5) / 10000.0
                AS p_transition
     FROM t
     """,
@@ -515,7 +533,7 @@ def events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_type",
         "next_type",
         "n",
-        F.round(F.col("n") * 1.0 / F.sum("n").over(norm), 4).alias(
+        round_fixed(F.col("n") * 1.0 / F.sum("n").over(norm), 4).alias(
             "p_transition"
         ),
     )
@@ -531,19 +549,20 @@ def events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                          (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
                    AS r_days,
                COUNT(*) AS freq,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                    AS DECIMAL(28,2)) AS monetary
+               CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                              AS DECIMAL(28,2)) AS VARCHAR) AS DOUBLE)
+                   AS monetary
         FROM orders GROUP BY o_custkey
     ), cuts AS (
-        SELECT ROUND(quantile_cont(r_days, 0.25), 4) AS r25,
-               ROUND(quantile_cont(r_days, 0.50), 4) AS r50,
-               ROUND(quantile_cont(r_days, 0.75), 4) AS r75,
-               ROUND(quantile_cont(freq, 0.25), 4) AS f25,
-               ROUND(quantile_cont(freq, 0.50), 4) AS f50,
-               ROUND(quantile_cont(freq, 0.75), 4) AS f75,
-               ROUND(quantile_cont(CAST(monetary AS DOUBLE), 0.25), 4) AS m25,
-               ROUND(quantile_cont(CAST(monetary AS DOUBLE), 0.50), 4) AS m50,
-               ROUND(quantile_cont(CAST(monetary AS DOUBLE), 0.75), 4) AS m75
+        SELECT FLOOR(quantile_cont(r_days, 0.25) * 10000.0 + 0.5) / 10000.0 AS r25,
+               FLOOR(quantile_cont(r_days, 0.50) * 10000.0 + 0.5) / 10000.0 AS r50,
+               FLOOR(quantile_cont(r_days, 0.75) * 10000.0 + 0.5) / 10000.0 AS r75,
+               FLOOR(quantile_cont(freq, 0.25) * 10000.0 + 0.5) / 10000.0 AS f25,
+               FLOOR(quantile_cont(freq, 0.50) * 10000.0 + 0.5) / 10000.0 AS f50,
+               FLOOR(quantile_cont(freq, 0.75) * 10000.0 + 0.5) / 10000.0 AS f75,
+               FLOOR(quantile_cont(monetary, 0.25) * 10000.0 + 0.5) / 10000.0 AS m25,
+               FLOOR(quantile_cont(monetary, 0.50) * 10000.0 + 0.5) / 10000.0 AS m50,
+               FLOOR(quantile_cont(monetary, 0.75) * 10000.0 + 0.5) / 10000.0 AS m75
         FROM rfm
     )
     SELECT o_custkey, r_days, freq, monetary,
@@ -551,9 +570,9 @@ def events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN r_days <= r75 THEN 2 ELSE 1 END AS r_score,
            CASE WHEN freq > f75 THEN 4 WHEN freq > f50 THEN 3
                 WHEN freq > f25 THEN 2 ELSE 1 END AS f_score,
-           CASE WHEN CAST(monetary AS DOUBLE) > m75 THEN 4
-                WHEN CAST(monetary AS DOUBLE) > m50 THEN 3
-                WHEN CAST(monetary AS DOUBLE) > m25 THEN 2
+           CASE WHEN monetary > m75 THEN 4
+                WHEN monetary > m50 THEN 3
+                WHEN monetary > m25 THEN 2
                 ELSE 1 END AS m_score
     FROM rfm CROSS JOIN cuts
     """,
@@ -565,9 +584,11 @@ def cust_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup, so scoring never needs the single-partition global sort
     NTILE would force — the difference between an unscalable toy and
     a 100 TB segmentation.  Cuts round to 4dp on both engines before
-    comparison (a13's established percentile parity), and the
-    compared metrics are exact integers/DECIMALs, so tile membership
-    is bit-stable."""
+    comparison (a13's established percentile parity); monetary is an
+    exact DECIMAL sum presented as a ``dec_present`` double (decimals
+    are hash-hostile externally), so tile membership is bit-stable."""
+    from .functions.expressions import dec_present
+
     orders = load_table(spark, sf_dir, "orders")
     # 1-row scalar sides attach via explicit broadcast products — the
     # compile target of a scalar subquery (declared in the plan sweep)
@@ -577,9 +598,11 @@ def cust_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max(F.to_date("o_orderdate")).alias("last_order"),
             F.count(F.lit(1)).alias("freq"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(28,2)")
-            .alias("monetary"),
+            dec_present(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "decimal(28,2)"
+                )
+            ).alias("monetary"),
         )
         .crossJoin(F.broadcast(max_date))
         .select(
@@ -591,7 +614,7 @@ def cust_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cuts = rfm.agg(
         *[
-            F.round(F.percentile(F.col(c).cast("double"), F.lit(q)), 4).alias(
+            round_fixed(F.percentile(F.col(c).cast("double"), F.lit(q)), 4).alias(
                 f"{c[0]}{int(q * 100)}"
             )
             for c in ("r_days", "freq", "monetary")
@@ -630,56 +653,91 @@ def cust_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH cuts AS (
         SELECT l_returnflag,
-               quantile_cont(l_extendedprice, 0.01) AS p01,
-               quantile_cont(l_extendedprice, 0.99) AS p99
+               FLOOR(quantile_cont(l_extendedprice, 0.01)
+                     * 10000.0 + 0.5) / 10000.0 AS p01,
+               FLOOR(quantile_cont(l_extendedprice, 0.99)
+                     * 10000.0 + 0.5) / 10000.0 AS p99
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT l.l_returnflag,
-           ROUND(MAX(c.p01), 4) AS lo_cut,
-           ROUND(MAX(c.p99), 4) AS hi_cut,
+           MAX(c.p01) AS lo_cut,
+           MAX(c.p99) AS hi_cut,
            COUNT(*) FILTER (WHERE l.l_extendedprice < c.p01
                                OR l.l_extendedprice > c.p99) AS n_clamped,
-           ROUND(AVG(l.l_extendedprice), 4) AS mean_raw,
-           ROUND(AVG(LEAST(GREATEST(l.l_extendedprice, c.p01), c.p99)), 4)
-               AS mean_winsorized
+           FLOOR(CAST(CAST(CAST(SUM(CAST(l.l_extendedprice
+                                         AS DECIMAL(18,2)))
+                               AS DECIMAL(28,2)) AS VARCHAR) AS DOUBLE)
+                 / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS mean_raw,
+           FLOOR(CAST(CAST(CAST(SUM(CAST(
+                     LEAST(GREATEST(l.l_extendedprice, c.p01), c.p99)
+                     AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS VARCHAR)
+                      AS DOUBLE)
+                 / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS mean_winsorized
     FROM lineitem l JOIN cuts c ON l.l_returnflag = c.l_returnflag
     GROUP BY l.l_returnflag
     """,
 )
 def a25_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized robust statistics: clamp each group's values to its
-    exact [p1, p99] band and report raw vs winsorized means — the
+    [p1, p99] band and report raw vs winsorized means — the
     outlier-robust summary the reference approximates with hard
     plausibility bands (`3_blood_pressure.R:132-143`), derived from
     the data instead of a constant.  Two passes by necessity
     (percentiles, then clamp): pass one's 3-row cut table broadcasts
     back onto the scan, so the extra pass costs one scan, never a
-    second whole-group shuffle."""
+    second whole-group shuffle.
+
+    Determinism: the cut points are 4dp ``round_fixed`` snaps of the
+    exact percentiles (bit-stable cross-engine — the cust_rfm trick),
+    so every clamped value has <= 4 decimals and the means come from
+    EXACT DECIMAL sums via the floor form — no order-sensitive float
+    AVG survives into the comparison."""
+    from .functions.expressions import dec_present, round_fixed
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
     cuts = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.01)).alias("p01"),
-        F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
+        round_fixed(
+            F.percentile("l_extendedprice", F.lit(0.01)), 4
+        ).alias("p01"),
+        round_fixed(
+            F.percentile("l_extendedprice", F.lit(0.99)), 4
+        ).alias("p99"),
     )
     clamped = F.least(
         F.greatest(F.col("l_extendedprice"), F.col("p01")), F.col("p99")
     )
-    return (
+    g = (
         li.join(F.broadcast(cuts), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.max("p01"), 4).alias("lo_cut"),
-            F.round(F.max("p99"), 4).alias("hi_cut"),
+            F.max("p01").alias("lo_cut"),
+            F.max("p99").alias("hi_cut"),
             F.sum(
                 (
                     (F.col("l_extendedprice") < F.col("p01"))
                     | (F.col("l_extendedprice") > F.col("p99"))
                 ).cast("long")
             ).alias("n_clamped"),
-            F.round(F.avg("l_extendedprice"), 4).alias("mean_raw"),
-            F.round(F.avg(clamped), 4).alias("mean_winsorized"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("_s_raw"),
+            F.sum(clamped.cast("decimal(18,4)"))
+            .cast("decimal(28,4)")
+            .alias("_s_win"),
+            F.count("*").alias("_n"),
         )
+    )
+    return g.select(
+        "l_returnflag",
+        "lo_cut",
+        "hi_cut",
+        "n_clamped",
+        round_fixed(dec_present("_s_raw") / F.col("_n"), 4).alias("mean_raw"),
+        round_fixed(dec_present("_s_win") / F.col("_n"), 4).alias(
+            "mean_winsorized"
+        ),
     )
 
 
@@ -693,8 +751,10 @@ def a25_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT p.user_id AS key, p.n AS n_rows,
-           ROUND(p.n * 100.0 / t.total, 4) AS pct_of_total,
-           ROUND(p.n * t.n_keys / CAST(t.total AS DOUBLE), 4)
+           FLOOR(p.n * 100.0 / t.total * 10000.0 + 0.5) / 10000.0
+               AS pct_of_total,
+           FLOOR(p.n * t.n_keys / CAST(t.total AS DOUBLE)
+                 * 10000.0 + 0.5) / 10000.0
                AS skew_factor
     FROM per_key p JOIN tot t ON TRUE
     ORDER BY p.n DESC, p.user_id
@@ -736,7 +796,7 @@ def a24_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "key",
             "n_rows",
-            F.round(F.col("n_rows") * 100.0 / F.col("total"), 4).alias(
+            round_fixed(F.col("n_rows") * 100.0 / F.col("total"), 4).alias(
                 "pct_of_total"
             ),
             F.round(
@@ -752,9 +812,11 @@ def a24_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6))
+           CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                          AS DECIMAL(28,6)) AS VARCHAR) AS DOUBLE)
                AS value_sum,
-           FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+           FLOOR(CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                               AS DECIMAL(28,6)) AS VARCHAR) AS DOUBLE)
                  / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS value_avg
     FROM events
     GROUP BY 1, 2
@@ -875,7 +937,7 @@ def _kmeans_oracle(k: int = 4, iterations: int = 2, dim: int = 64) -> str:
     def update(assigned: str, prev: str, name: str) -> str:
         return f"""{name}_m AS (
         SELECT cid, list(m ORDER BY i) AS v FROM (
-            SELECT cid, i, ROUND(AVG(v[i]), 6) AS m
+            SELECT cid, i, FLOOR(AVG(v[i]) * 1000000.0 + 0.5) / 1000000.0 AS m
             FROM {assigned}, range(1, {dim} + 1) t(i)
             GROUP BY cid, i
         ) GROUP BY cid
@@ -902,7 +964,7 @@ def _kmeans_oracle(k: int = 4, iterations: int = 2, dim: int = 64) -> str:
         + ",\n    ".join(ctes)
         + """
     SELECT cid AS cluster, COUNT(*) AS n_members,
-           ROUND(AVG(sqrt(dist)), 4) AS mean_dist
+           FLOOR(AVG(sqrt(dist)) * 10000.0 + 0.5) / 10000.0 AS mean_dist
     FROM fin GROUP BY cid
     """
     )
@@ -917,9 +979,10 @@ def _kmeans_oracle(k: int = 4, iterations: int = 2, dim: int = 64) -> str:
     "w6_time_range_avg",
     oracle="""
     SELECT user_id, event_id,
-           ROUND(AVG(value) OVER (
+           FLOOR(AVG(value) OVER (
                PARTITION BY user_id ORDER BY epoch_us(ts)
-               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                 * 10000.0 + 0.5) / 10000.0
                AS avg_1h
     FROM events
     """,
@@ -942,7 +1005,7 @@ def w6_time_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
-        F.round(F.avg("value").over(w), 4).alias("avg_1h"),
+        round_fixed(F.avg("value").over(w), 4).alias("avg_1h"),
     )
 
 
@@ -1118,47 +1181,69 @@ def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
     nn AS (SELECT COUNT(*) AS n FROM nodes),
     r0 AS (SELECT v, CAST(1 AS DOUBLE) / n AS rank FROM nodes, nn),
+    d1 AS (
+      SELECT COALESCE(SUM(rank), 0.0) AS dm FROM r0
+      WHERE v NOT IN (SELECT src FROM e)
+    ),
     r1 AS (
       SELECT nd.v,
              (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / MAX(nn.n)
-             + CAST(0.85 AS DOUBLE) * COALESCE(SUM(r.rank * en.p), 0.0)
-                 AS rank
-      FROM nodes nd CROSS JOIN nn
+             + CAST(0.85 AS DOUBLE)
+               * (COALESCE(SUM(r.rank * en.p), 0.0)
+                  + MAX(d1.dm) / MAX(nn.n)) AS rank
+      FROM nodes nd CROSS JOIN nn CROSS JOIN d1
       LEFT JOIN en ON en.dst = nd.v
       LEFT JOIN r0 r ON r.v = en.src
       GROUP BY nd.v
     ),
+    d2 AS (
+      SELECT COALESCE(SUM(rank), 0.0) AS dm FROM r1
+      WHERE v NOT IN (SELECT src FROM e)
+    ),
     r2 AS (
       SELECT nd.v,
              (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / MAX(nn.n)
-             + CAST(0.85 AS DOUBLE) * COALESCE(SUM(r.rank * en.p), 0.0)
-                 AS rank
-      FROM nodes nd CROSS JOIN nn
+             + CAST(0.85 AS DOUBLE)
+               * (COALESCE(SUM(r.rank * en.p), 0.0)
+                  + MAX(d2.dm) / MAX(nn.n)) AS rank
+      FROM nodes nd CROSS JOIN nn CROSS JOIN d2
       LEFT JOIN en ON en.dst = nd.v
       LEFT JOIN r1 r ON r.v = en.src
       GROUP BY nd.v
     ),
+    d3 AS (
+      SELECT COALESCE(SUM(rank), 0.0) AS dm FROM r2
+      WHERE v NOT IN (SELECT src FROM e)
+    ),
     r3 AS (
       SELECT nd.v,
              (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / MAX(nn.n)
-             + CAST(0.85 AS DOUBLE) * COALESCE(SUM(r.rank * en.p), 0.0)
-                 AS rank
-      FROM nodes nd CROSS JOIN nn
+             + CAST(0.85 AS DOUBLE)
+               * (COALESCE(SUM(r.rank * en.p), 0.0)
+                  + MAX(d3.dm) / MAX(nn.n)) AS rank
+      FROM nodes nd CROSS JOIN nn CROSS JOIN d3
       LEFT JOIN en ON en.dst = nd.v
       LEFT JOIN r2 r ON r.v = en.src
       GROUP BY nd.v
     ),
+    d4 AS (
+      SELECT COALESCE(SUM(rank), 0.0) AS dm FROM r3
+      WHERE v NOT IN (SELECT src FROM e)
+    ),
     r4 AS (
       SELECT nd.v,
              (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / MAX(nn.n)
-             + CAST(0.85 AS DOUBLE) * COALESCE(SUM(r.rank * en.p), 0.0)
-                 AS rank
-      FROM nodes nd CROSS JOIN nn
+             + CAST(0.85 AS DOUBLE)
+               * (COALESCE(SUM(r.rank * en.p), 0.0)
+                  + MAX(d4.dm) / MAX(nn.n)) AS rank
+      FROM nodes nd CROSS JOIN nn CROSS JOIN d4
       LEFT JOIN en ON en.dst = nd.v
       LEFT JOIN r3 r ON r.v = en.src
       GROUP BY nd.v
     )
-    SELECT v AS event_type, ROUND(rank, 6) AS pagerank FROM r4
+    SELECT v AS event_type,
+           FLOOR(rank * 1000000.0 + 0.5) / 1000000.0 AS pagerank
+    FROM r4
     """,
 )
 def graph_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1169,11 +1254,14 @@ def graph_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     join+agg, no driver-side vectors, so the identical loop handles a
     billion-node graph (ranks/edges hash-partitioned on the join key,
     tiny sides broadcast).  Dangling mass is redistributed via a 1-row
-    aggregate (empty here — every type has out-edges — but the
-    operator handles it).  Fixed iterations + final 6dp round keep it
-    exactly reproducible by the unrolled-SQL oracle."""
+    aggregate each round, and the oracle's unrolled CTEs carry the
+    SAME per-round dm/n term — so the parity holds even if a
+    regenerated corpus produces an event type with no out-edges.
+    Fixed iterations + final 6dp ``round_fixed`` (not engine round,
+    functions/expressions.py) keep it exactly reproducible."""
     from pyspark.sql import Window
 
+    from .functions.expressions import round_fixed
     from .operators import graph as gr
 
     ev = load_table(spark, sf_dir, "events")
@@ -1189,7 +1277,8 @@ def graph_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = gr.pagerank(edges, iterations=4, damping=0.85)
     return ranks.select(
-        F.col("v").alias("event_type"), F.round("rank", 6).alias("pagerank")
+        F.col("v").alias("event_type"),
+        round_fixed("rank", 6).alias("pagerank"),
     )
 
 
@@ -1205,10 +1294,10 @@ def graph_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily GROUP BY 1
     )
     SELECT d.event_type, d.day, d.n,
-           ROUND((d.n - CAST(st.s1 AS DOUBLE) / st.c)
+           FLOOR((d.n - CAST(st.s1 AS DOUBLE) / st.c)
                  / sqrt((CAST(st.s2 AS DOUBLE)
                          - CAST(st.s1 AS DOUBLE) * st.s1 / st.c)
-                        / (st.c - 1)), 4) AS z
+                        / (st.c - 1)) * 10000.0 + 0.5) / 10000.0 AS z
     FROM daily d JOIN st USING (event_type)
     WHERE ABS((d.n - CAST(st.s1 AS DOUBLE) / st.c)
               / sqrt((CAST(st.s2 AS DOUBLE)
@@ -1240,10 +1329,12 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("c") - 1)
     )
     z = (F.col("n") - m) / sd
+    from .functions.expressions import round_fixed
+
     return (
         daily.join(F.broadcast(st), "event_type")
         .filter(F.abs(z) > 2)
-        .select("event_type", "day", "n", F.round(z, 4).alias("z"))
+        .select("event_type", "day", "n", round_fixed(z, 4).alias("z"))
     )
 
 
@@ -1256,7 +1347,7 @@ _EQD_PROBS = [i / 10.0 for i in range(1, 10)]
     WITH cuts AS (
       SELECT list_transform(
                quantile_cont(o_totalprice, {_EQD_PROBS!r}),
-               c -> ROUND(c, 4)) AS cs
+               c -> FLOOR(c * 10000.0 + 0.5) / 10000.0) AS cs
       FROM orders
     )
     SELECT bin, COUNT(*) AS n,
@@ -1284,7 +1375,7 @@ def a26_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "transform(percentile(o_totalprice, array("
             + ", ".join(str(p) for p in _EQD_PROBS)
-            + ")), c -> round(c, 4))"
+            + ")), c -> floor(c * 10000.0 + 0.5) / 10000.0)"
         ).alias("cs")
     )
     binned = orders.crossJoin(F.broadcast(cuts)).select(
@@ -1306,25 +1397,39 @@ def a26_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a27_pricing_summary",
     oracle="""
+    WITH g AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                    AS DECIMAL(28,2)) AS s_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(28,2)) AS s_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DECIMAL(38,4)) AS s_disc_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                        * (1 + CAST(l_tax AS DECIMAL(18,2))))
+                    AS DECIMAL(38,6)) AS s_charge,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,2)))
+                    AS DECIMAL(28,2)) AS s_disc,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) <= DATE '2024-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    )
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2))
-               AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-               AS DECIMAL(28,2)) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2))))
-               AS DECIMAL(38,4)) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                    * (1 + CAST(l_tax AS DECIMAL(18,2))))
-               AS DECIMAL(38,6)) AS sum_charge,
-           ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4) AS avg_price,
-           ROUND(AVG(l_discount), 4) AS avg_disc,
-           COUNT(*) AS count_order
-    FROM lineitem
-    WHERE CAST(l_shipdate AS DATE) <= DATE '2024-09-02'
-    GROUP BY l_returnflag, l_linestatus
+           CAST(CAST(s_qty AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(s_price AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(s_disc_price AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(s_charge AS VARCHAR) AS DOUBLE) AS sum_charge,
+           FLOOR(CAST(CAST(s_qty AS VARCHAR) AS DOUBLE) / n
+                 * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+           FLOOR(CAST(CAST(s_price AS VARCHAR) AS DOUBLE) / n
+                 * 10000.0 + 0.5) / 10000.0 AS avg_price,
+           FLOOR(CAST(CAST(s_disc AS VARCHAR) AS DOUBLE) / n
+                 * 10000.0 + 0.5) / 10000.0 AS avg_disc,
+           n AS count_order
+    FROM g
     """,
 )
 def a27_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1333,10 +1438,15 @@ def a27_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet scan, 8 aggregates computed in ONE pass with map-side
     partial aggregation into a handful of groups.  Money math is
     exact DECIMAL end-to-end (sum_disc_price/sum_charge widen per
-    multiplication, never round); only the intrinsically-fractional
-    averages round 4dp.  The poster child for why a columnar scan +
-    partial agg beats row pipelines at 100 TB: shuffled bytes are
-    4 groups x 8 numbers regardless of input size."""
+    multiplication, never round), presented as ``dec_present`` doubles
+    (decimals are hash-hostile externally); the averages derive from
+    the SAME exact sums via the ``round_fixed`` floor form — no
+    order-sensitive float AVG anywhere.  The poster child for why a
+    columnar scan + partial agg beats row pipelines at 100 TB:
+    shuffled bytes are 4 groups x 8 numbers regardless of input
+    size."""
+    from .functions.expressions import dec_present, round_fixed
+
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.to_date("l_shipdate") <= F.lit("2024-09-02").cast("date")
     )
@@ -1344,22 +1454,29 @@ def a27_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,2)")
     tax = F.col("l_tax").cast("decimal(18,2)")
-    return (
-        li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(qty).cast("decimal(28,2)").alias("sum_qty"),
-            F.sum(price).cast("decimal(28,2)").alias("sum_base_price"),
-            F.sum(price * (F.lit(1) - disc))
-            .cast("decimal(38,4)")
-            .alias("sum_disc_price"),
-            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
-            .cast("decimal(38,6)")
-            .alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count("*").alias("count_order"),
-        )
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("decimal(28,2)").alias("s_qty"),
+        F.sum(price).cast("decimal(28,2)").alias("s_price"),
+        F.sum(price * (F.lit(1) - disc))
+        .cast("decimal(38,4)")
+        .alias("s_disc_price"),
+        F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+        .cast("decimal(38,6)")
+        .alias("s_charge"),
+        F.sum(disc).cast("decimal(28,2)").alias("s_disc"),
+        F.count("*").alias("n"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        dec_present("s_qty").alias("sum_qty"),
+        dec_present("s_price").alias("sum_base_price"),
+        dec_present("s_disc_price").alias("sum_disc_price"),
+        dec_present("s_charge").alias("sum_charge"),
+        round_fixed(dec_present("s_qty") / F.col("n"), 4).alias("avg_qty"),
+        round_fixed(dec_present("s_price") / F.col("n"), 4).alias("avg_price"),
+        round_fixed(dec_present("s_disc") / F.col("n"), 4).alias("avg_disc"),
+        F.col("n").alias("count_order"),
     )
 
 
@@ -1367,9 +1484,10 @@ def a27_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j15_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
-               AS DECIMAL(38,4)) AS revenue,
+           CAST(CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                          AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE)
+               AS revenue,
            CAST(o.o_orderdate AS DATE) AS order_day
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -1389,8 +1507,12 @@ def j15_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicates PUSH to the fact scans, the segment-filtered customer
     side broadcasts, the orders⋈lineitem join shuffles on the orderkey
     both sides already share, and the top-10 is TakeOrdered (no global
-    sort).  Exact DECIMAL revenue + (revenue DESC, orderkey) total
-    order make the limit deterministic cross-engine."""
+    sort).  Revenue is an exact DECIMAL sum presented as a
+    ``dec_present`` double (decimals are hash-hostile externally); BOTH
+    engines order by the presented double + orderkey, so the limit
+    boundary is deterministic cross-engine."""
+    from .functions.expressions import dec_present
+
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -1407,9 +1529,9 @@ def j15_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", F.to_date("o_orderdate").alias("order_day"))
         .agg(
-            F.sum(price * (F.lit(1) - disc))
-            .cast("decimal(38,4)")
-            .alias("revenue")
+            dec_present(
+                F.sum(price * (F.lit(1) - disc)).cast("decimal(38,4)")
+            ).alias("revenue")
         )
         .select("l_orderkey", "revenue", "order_day")
         .orderBy(F.col("revenue").desc(), "l_orderkey")
@@ -1421,9 +1543,10 @@ def j15_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j16_local_supplier_volume",
     oracle="""
     SELECT n.n_name,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
-               AS DECIMAL(38,4)) AS revenue
+           CAST(CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                          AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE)
+               AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1442,7 +1565,10 @@ def j16_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_nationkey = s_nationkey folded into the supplier join.  One
     fact-table shuffle total; the region filter prunes nations BEFORE
     the fact join via the broadcast chain.  Exact DECIMAL revenue per
-    nation."""
+    nation, presented as a ``dec_present`` double (decimals are
+    hash-hostile externally)."""
+    from .functions.expressions import dec_present
+
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -1463,9 +1589,9 @@ def j16_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(
-            F.sum(price * (F.lit(1) - disc))
-            .cast("decimal(38,4)")
-            .alias("revenue")
+            dec_present(
+                F.sum(price * (F.lit(1) - disc)).cast("decimal(38,4)")
+            ).alias("revenue")
         )
     )
 

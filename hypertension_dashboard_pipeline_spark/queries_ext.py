@@ -1712,16 +1712,23 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT 'hour' AS grain, h AS bucket, COUNT(*) AS n_events,
-           CAST(SUM(v) AS DECIMAL(28,6)) AS value_sum,
-           ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 4) AS value_avg
+           CAST(CAST(CAST(SUM(v) AS DECIMAL(28,6)) AS VARCHAR) AS DOUBLE)
+               AS value_sum,
+           FLOOR(CAST(CAST(CAST(SUM(v) AS DECIMAL(28,6)) AS VARCHAR)
+                      AS DOUBLE) / COUNT(*) * 10000.0 + 0.5) / 10000.0
+               AS value_avg
     FROM base GROUP BY h
     UNION ALL
-    SELECT 'day', d, COUNT(*), CAST(SUM(v) AS DECIMAL(28,6)),
-           ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 4)
+    SELECT 'day', d, COUNT(*),
+           CAST(CAST(CAST(SUM(v) AS DECIMAL(28,6)) AS VARCHAR) AS DOUBLE),
+           FLOOR(CAST(CAST(CAST(SUM(v) AS DECIMAL(28,6)) AS VARCHAR)
+                      AS DOUBLE) / COUNT(*) * 10000.0 + 0.5) / 10000.0
     FROM base GROUP BY d
     UNION ALL
-    SELECT 'month', m, COUNT(*), CAST(SUM(v) AS DECIMAL(28,6)),
-           ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 4)
+    SELECT 'month', m, COUNT(*),
+           CAST(CAST(CAST(SUM(v) AS DECIMAL(28,6)) AS VARCHAR) AS DOUBLE),
+           FLOOR(CAST(CAST(CAST(SUM(v) AS DECIMAL(28,6)) AS VARCHAR)
+                      AS DOUBLE) / COUNT(*) * 10000.0 + 0.5) / 10000.0
     FROM base GROUP BY m
     """,
 )
@@ -2318,8 +2325,9 @@ _GRAM_PAIRS = [(i, j) for i in range(_GRAM_D) for j in range(i, _GRAM_D)]
 
 def _gram_oracle() -> str:
     cols = ", ".join(
-        f"ROUND(SUM(CAST(embedding[{i + 1}] AS DOUBLE) * "
-        f"CAST(embedding[{j + 1}] AS DOUBLE)), 4) AS \"g_{i}_{j}\""
+        f"FLOOR(SUM(CAST(embedding[{i + 1}] AS DOUBLE) * "
+        f"CAST(embedding[{j + 1}] AS DOUBLE)) * 10000.0 + 0.5) / 10000.0"
+        f" AS \"g_{i}_{j}\""
         for i, j in _GRAM_PAIRS
     )
     return f"""
@@ -2344,10 +2352,12 @@ def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     eigendecomposition of the returned matrix is driver-side work
     (d x d), exactly like k-means' centroid state
     (emb_kmeans_lloyd)."""
+    from .functions.expressions import round_fixed
+
     emb = load_table(spark, sf_dir, "embeddings")
     agg = emb.agg(
         *[
-            F.round(
+            round_fixed(
                 F.sum(
                     F.col("embedding").getItem(i).cast("double")
                     * F.col("embedding").getItem(j).cast("double")
@@ -2389,7 +2399,8 @@ def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 AS (SELECT w, COUNT(*) AS n1 FROM uni GROUP BY w),
     v AS (SELECT COUNT(*) AS nv FROM c1)
     SELECT d.doc_id,
-           ROUND(AVG(ln(CAST(c2.n2 + 1 AS DOUBLE) / (c1.n1 + v.nv))), 4)
+           FLOOR(AVG(ln(CAST(c2.n2 + 1 AS DOUBLE) / (c1.n1 + v.nv)))
+                 * 10000.0 + 0.5) / 10000.0
                AS lm_score,
            COUNT(*) AS n_bigrams
     FROM bi d
@@ -2443,8 +2454,10 @@ def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lp"),
         )
     )
+    from .functions.expressions import round_fixed
+
     return scored.groupBy("doc_id").agg(
-        F.round(F.avg("lp"), 4).alias("lm_score"),
+        round_fixed(F.avg("lp"), 4).alias("lm_score"),
         F.count("*").alias("n_bigrams"),
     )
 
@@ -2558,7 +2571,9 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv AS (
       SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0
     )
-    SELECT vec_id, ROUND({_PQ_ADC_SELECT}, 6) AS adc_score
+    SELECT vec_id,
+           FLOOR(({_PQ_ADC_SELECT}) * 1000000.0 + 0.5) / 1000000.0
+               AS adc_score
     FROM codes, qv
     ORDER BY adc_score DESC, vec_id
     LIMIT 10
@@ -2598,7 +2613,18 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id AS purchase_id, ts AS p_ts
       FROM events WHERE event_type = 'purchase'
     ),
-    wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events),
+    wm AS (
+      -- Spark's GLOBAL watermark under the default
+      -- multipleWatermarkPolicy=min: watermarks attach AFTER the
+      -- view/purchase filters, so the final watermark is the MIN of
+      -- the two per-stream maxima minus the 2h delay — not max(ts)
+      -- over all events (the two can differ by however long the
+      -- quieter stream trails the busier one).
+      SELECT LEAST(
+               (SELECT MAX(ts) FROM events WHERE event_type = 'view'),
+               (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+             ) - INTERVAL 2 HOUR AS w
+    ),
     m AS (
       SELECT v.user_id, v.view_id, p.purchase_id, v.v_ts, p.p_ts
       FROM v JOIN p
@@ -2622,10 +2648,13 @@ def streaming_stream_stream_outer_join(spark: SparkSession,
     arrive (state eviction) — the semantics that make outer joins of
     two live streams well-defined.  Over the bounded run the emitted
     set is matched-pairs ∪ {unmatched views whose whole match window
-    sits below the final watermark max(ts) − 2h}; younger views stay
-    in state and don't emit (deterministic prefix, same contract as
-    streaming_daily_window) — the oracle encodes exactly that wm
-    predicate (streaming/stream_join.py)."""
+    sits below the final GLOBAL watermark}; under the default
+    multipleWatermarkPolicy=min and per-stream watermarks attached
+    after the type filters, that is LEAST(max view ts, max purchase
+    ts) − 2h, which the oracle's wm CTE mirrors exactly.  Younger
+    views stay in state and don't emit (deterministic prefix, same
+    contract as streaming_daily_window)
+    (streaming/stream_join.py)."""
     from .streaming.stream_join import run_attribution_outer_available_now
 
     return run_attribution_outer_available_now(spark, sf_dir)

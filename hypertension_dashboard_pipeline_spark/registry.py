@@ -62,101 +62,82 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #   4. Rotation history:
 #      r3 swapped s1_scan_project_alias + p12_plausibility_band out for
 #      the two end-to-end OMOP pipeline queries.
-#      r4 was planned as the big core re-verification rotation, but
-#      the external gate never ran that round (no CORRECTNESS_r04 /
-#      BENCH_r04 were recorded), so the r3 snapshot remains the last
-#      externally-verified tree and the r4 window was never consumed.
-#      r5 window (this round) therefore prioritizes:
-#        (a) the queries that DEBUTED in r4/r5 and have NEVER been
-#            externally verified (15);
-#        (b) everything fingerprint-drifted since the r3 snapshot (9);
-#        (c) the two flagship pipelines;
-#        (d) 24 of the 39 aged core queries — joins/aggregates/
-#            predicates first (the 15 rotated back out are single-
-#            expression scalar/projection queries, r1-verified,
-#            byte-unchanged, still swept locally every run).
-#      LATE-r4 DEBUTS (registered after this window was frozen, never
-#      externally verified — top rotation candidates for the round
-#      after next): the queries_analytics.py surface (a18/a19/a20/a21/
-#      a23, w3-w7, events_funnel[_windowed], events_retention,
-#      events_rolling_wau, dq_expectations, sample_weighted_topk,
-#      emb_kmeans_lloyd), plus the round-4 wave-2 set
-#      (ts_gap_fill_locf, graph_pagerank_transitions,
-#      events_anomaly_zscore, text_segment_boilerplate,
-#      streaming_stream_stream_join, emb_gram_matrix) and the other
-#      analytics additions (events_path_transitions, cust_rfm_segments,
-#      a24_key_skew_profile, a25_winsorized_stats,
-#      dedup_quality_survivor) and the mid-r4 wave-3 debuts
-#      (text_lm_bigram_score, sample_global_shuffle,
-#      a26_equidepth_histogram, a27_pricing_summary,
-#      j15_shipping_priority, j16_local_supplier_volume,
-#      events_last_touch_attribution, emb_pq_codes, sim_pq_adc_topk,
-#      streaming_stream_stream_outer_join).
-#      (streaming_incremental_rollup moved INTO this round's window
-#      with the float-boundary fix.)
+#      r4 executed the big core re-verification rotation: the external
+#      gate DID run (CORRECTNESS_r04 + BENCH_r04 landed) — 47/50 green;
+#      the 3 red rows (a15_time_rollup, a23_incremental_rollup,
+#      streaming_incremental_rollup) were bit-exact in value and failed
+#      only on DECIMAL hash canonicalization, fixed in r5 by the
+#      dec_present presentation rule (functions/expressions.py; the
+#      no-DecimalType-in-output contract is enforced by
+#      tests/test_driver_parity.py::_assert_no_decimal).
+#      r5 window (this round): the 41 queries that have NEVER been
+#      externally verified (the whole queries_analytics.py surface,
+#      the r4 wave-2/3 debuts, and the three decimal-fixed rollups),
+#      plus dedup_components + dedup_simhash_groups (green r4 but
+#      drifted: connected_components' small-graph threshold dropped
+#      4M -> 1M with the driver-memory math), plus the two flagships.
+#      45 names; up to 5 spare slots are reserved for queries that
+#      DEBUT in r5 (a new query is absent from the snapshot and must
+#      sit in the window).
+#      Externally green and byte-unchanged, relying on the local sweep
+#      until their next rotation: the r1-aged single-expression core
+#      (p1-p4, f1-f16 family, l1/l2, a5/a8, w1/w2, u1...) re-verified
+#      green in r4, and the r4 debut set (as-of/range/fuzzy/upsert
+#      joins, sketches, bloom ingest, chunking, BM25, decontaminate,
+#      sampling, ANN/semdedup/simhash, session windows, OMOP
+#      pipelines).
 _FRONT: list[str] = [
     # flagship + headline extension pipeline (always externally gated)
     "flagship_cohort_pipeline",
     "curation_pipeline",
-    # external DEBUT: registered in r4/r5, never driver-verified
-    "j10_asof_join",
-    "j11_range_join",
-    "j12_fuzzy_join_blocked",
-    "j13_merge_upsert",
-    "sim_quantized_topk",
-    "sim_semdedup",
+    # the three r4-red rollups, decimal-fixed (dec_present + floor avg)
     "a15_time_rollup",
-    "a16_kll_merge_quantiles",
-    "a17_hll_union_profile",
-    "dedup_incremental_bloom",
-    "streaming_session_window",
-    "text_chunk_documents",
-    "text_bm25_topk",
-    "text_decontaminate",
-    "sample_temperature_mix",
-    "sim_batch_ann_topk",
-    "sample_k_per_group",
-    # queries that drifted since the r3-verified tree (mechanical set)
-    # plus three fixed MID-r4 after an off-gate-SF sweep exposed
-    # float-boundary divergence (Spark round's shortest-repr path vs
-    # DuckDB's binary rounding; IEEE -0.0): the avg closed form is now
-    # floor(x*1e4+0.5)/1e4 and centroid zeros are sign-normalized —
-    # changed queries, so they take the window slots of three
-    # byte-unchanged single-expression aged queries (f7/f8/a8, still
-    # r1-verified + locally swept).
     "a23_incremental_rollup",
     "streaming_incremental_rollup",
-    "emb_label_centroids",
-    "a14_sketch_profile",
+    # drifted since the r4 snapshot: connected_components threshold
     "dedup_components",
-    "dedup_simhash_pairs",
     "dedup_simhash_groups",
-    "sim_cosine_near_dup",
-    "sim_lsh_bucket_topk_indexed",
-    "streaming_daily_window",
-    "omop_pipeline_e2e",
-    "omop_phenotype_stats",
-    # aged core queries (r1-verified, byte-unchanged): the join/agg/
-    # predicate families — the highest-value subset of the 39
-    "p5_not_null_filter",
-    "p6_p7_range_conjunction",
-    "p9_codelist_isin",
-    "p10_year_filter",
-    "p12_plausibility_band",
-    "j1_left_enrich",
-    "j2_inner_join",
-    "j3_pair_composite_key",
-    "j4_full_outer_evidence",
-    "j5_anti_exclude",
-    "j6_semi_evidence",
-    "j7_outer_join_demoted",
-    "a1_count_distinct_per_key",
-    "a2_consistent_keys",
-    "a3_same_day_avg",
-    "a6_freq_table",
-    "a7_rollup_total",
-    "a9_dedup_deterministic",
-    "a10_grouped_distinct",
+    "dedup_quality_survivor",
+    # never externally verified: queries_analytics.py surface
+    "a18_cube_agg",
+    "a19_pivot_priority",
+    "w3_moving_avg",
+    "w4_lag_delta",
+    "w5_ntile_quartiles",
+    "a20_grouped_regression",
+    "a21_histogram_totalprice",
+    "events_funnel",
+    "events_rolling_wau",
+    "events_funnel_windowed",
+    "events_retention",
+    "events_path_transitions",
+    "cust_rfm_segments",
+    "a25_winsorized_stats",
+    "a24_key_skew_profile",
+    "w7_scd2_intervals",
+    "sample_weighted_topk",
+    "w6_time_range_avg",
+    "dq_expectations",
+    "emb_kmeans_lloyd",
+    # never externally verified: r4 wave-2
+    "ts_gap_fill_locf",
+    "graph_pagerank_transitions",
+    "events_anomaly_zscore",
+    "text_segment_boilerplate",
+    "streaming_stream_stream_join",
+    "emb_gram_matrix",
+    # never externally verified: r4 wave-3 / closing wave
+    "a26_equidepth_histogram",
+    "a27_pricing_summary",
+    "j15_shipping_priority",
+    "j16_local_supplier_volume",
+    "events_last_touch_attribution",
+    "a28_unpivot_priority",
+    "text_lm_bigram_score",
+    "sample_global_shuffle",
+    "emb_pq_codes",
+    "sim_pq_adc_topk",
+    "streaming_stream_stream_outer_join",
 ]
 
 # Driver window size (observed: the external gate samples the first 50

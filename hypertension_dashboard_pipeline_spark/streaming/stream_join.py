@@ -18,6 +18,19 @@ joins emit on match rather than on watermark close — so the emitted
 set equals the batch join exactly, which is what the oracle computes.
 (Contrast streaming_daily_window, where append-mode aggregation holds
 final windows back.)
+
+Shuffle-partition sizing — do NOT cargo-cult the <=8 pin below to a
+real cluster.  A stream-stream join keeps two keyed state stores per
+shuffle partition, so for a BOUNDED test run the per-partition fixed
+cost (store open/commit/snapshot) dominates and pinning partitions low
+is a 4x win (9.5s -> 2.5s measured).  On a production cluster the
+setting should instead track cluster size and sustained input rate:
+partitions ~ total executor cores (state stores then spread one per
+core, HDFS/RocksDB-backed), because there the bottleneck is per-
+partition state VOLUME and rebalance time, not store count.  The pin
+lives inside the bounded runners precisely so library callers
+composing ``view_purchase_attribution`` into their own long-running
+query inherit their session's own sizing.
 """
 
 from __future__ import annotations
@@ -103,10 +116,15 @@ def run_attribution_outer_available_now(spark: SparkSession, sf_dir: str,
     Determinism over a bounded run: matched pairs emit in the data
     batch; unmatched views emit in the trailing no-data micro-batch
     (noDataMicroBatches, on by default) IF their whole match window
-    sits below the final watermark wm = max(ts) - 2h.  Views younger
-    than that stay in state when the query stops and do NOT emit —
-    the same deterministic-prefix contract as streaming_daily_window,
-    and exactly what the oracle's wm predicate encodes."""
+    sits below the final GLOBAL watermark.  Because the two watermarks
+    attach AFTER the view/purchase filters and the default
+    multipleWatermarkPolicy is ``min``, that global watermark is
+    wm = LEAST(max view ts, max purchase ts) - 2h — NOT max(ts) over
+    the whole source (at sf0.01 the two differ by ~half an hour).
+    Views younger than wm stay in state when the query stops and do
+    NOT emit — the same deterministic-prefix contract as
+    streaming_daily_window, and exactly what the oracle's wm
+    predicate encodes."""
     src = events_stream(spark, sf_dir)
     views = src.filter(F.col("event_type") == "view")
     purchases = src.filter(F.col("event_type") == "purchase")

@@ -100,9 +100,46 @@ def _canon(cols, rows):
     return [cols[i] for i in order], canon_rows
 
 
+def _assert_no_decimal(name, schema):
+    """REGISTRY CONTRACT: no registered query's output schema may
+    contain DecimalType, at any nesting depth.  The r4 external gate
+    failed three bit-exact queries purely because the driver hashes
+    decimal output through a different canonicalization than Spark's
+    rendering.  Exact DECIMAL math stays INTERNAL; outputs cross the
+    boundary via functions.expressions.dec_present (string-mediated
+    decimal->double, bit-identical across engines at any magnitude).
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        DecimalType,
+        MapType,
+        StructType,
+    )
+
+    def walk(dt, path):
+        if isinstance(dt, DecimalType):
+            raise AssertionError(
+                f"{name}: DecimalType at output column {path!r} — present "
+                "it as a double via functions.expressions.dec_present "
+                "(external hashers canonicalize decimals engine-dependently)"
+            )
+        if isinstance(dt, StructType):
+            for f in dt.fields:
+                walk(f.dataType, f"{path}.{f.name}")
+        elif isinstance(dt, ArrayType):
+            walk(dt.elementType, path + "[]")
+        elif isinstance(dt, MapType):
+            walk(dt.keyType, path + "<key>")
+            walk(dt.valueType, path + "<value>")
+
+    for f in schema.fields:
+        walk(f.dataType, f.name)
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(name, spark, sf_dir, duck):
     sdf = QUERIES[name](spark, sf_dir)
+    _assert_no_decimal(name, sdf.schema)
     spark_cols = sdf.columns
     spark_tbl = sdf.toArrow()
     spark_rows = [tuple(r) for r in sdf.collect()]
@@ -143,6 +180,7 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
 )
 def test_rows_only_queries_run(name, spark, sf_dir):
     df = QUERIES[name](spark, sf_dir)
+    _assert_no_decimal(name, df.schema)
     assert df.count() >= 0
     assert len(df.columns) > 0
 
