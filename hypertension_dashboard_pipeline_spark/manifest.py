@@ -14,9 +14,13 @@ registered query we hash
 * the source of every in-package function/class it (transitively)
   references — so a change in ``operators/dedup.py`` marks every query
   that calls into it, not just queries whose own file changed,
-* the ``repr`` of in-package module-level constants it references
-  (tuning knobs like band counts change behavior without changing any
-  function body),
+* the STATIC source text of the top-level assignment of every
+  in-package module-level value it references (tuning knobs like band
+  counts change behavior without changing any function body; hashing
+  assignment SOURCE rather than runtime ``repr`` keeps runtime-state
+  globals — persisted-DataFrame lists, tmp-dir bookkeeping, rebound
+  caches — from changing a fingerprint based on what already ran in
+  this process),
 * the oracle SQL text.
 
 ``scripts/gen_manifest.py`` snapshots the fingerprints of the last
@@ -110,34 +114,104 @@ def _walk(obj: Any, seen: set[str], parts: dict[str, str]) -> None:
                     )
 
 
+# per-module map {name: source text of its top-level assignment(s) /
+# import statement} — the STATIC alternative to repr-hashing runtime
+# values (cache key: module name; module source is immutable in-process)
+_MODULE_ASSIGNMENTS: dict[str, dict[str, str]] = {}
+# per-module map {imported name: (absolute origin module, original
+# name)} for one-hop resolution of `from .x import CONST` bindings
+_MODULE_IMPORT_ORIGINS: dict[str, dict[str, tuple[str, str]]] = {}
+
+
+def _module_assignments(mod_name: str) -> dict[str, str]:
+    """Source segments of every top-level binding in *mod_name*:
+    plain/annotated assignments and import statements, keyed by bound
+    name (multiple bindings concatenate in file order)."""
+    cached = _MODULE_ASSIGNMENTS.get(mod_name)
+    if cached is not None:
+        return cached
+    import sys
+
+    out: dict[str, str] = {}
+    origins: dict[str, tuple[str, str]] = {}
+    mod = sys.modules.get(mod_name)
+    src = _source_of(mod) if mod is not None else None
+    if src is not None:
+        tree = ast.parse(src)
+        for node in tree.body:
+            if isinstance(node, ast.Assign):
+                names = [t.id for t in node.targets if isinstance(t, ast.Name)]
+            elif isinstance(node, ast.AnnAssign) and isinstance(
+                node.target, ast.Name
+            ):
+                names = [node.target.id]
+            elif isinstance(node, ast.AugAssign) and isinstance(
+                node.target, ast.Name
+            ):
+                names = [node.target.id]
+            elif isinstance(node, (ast.Import, ast.ImportFrom)):
+                names = [a.asname or a.name.split(".")[0] for a in node.names]
+                if isinstance(node, ast.ImportFrom) and node.level >= 0:
+                    if node.level > 0:
+                        base = mod_name.rsplit(".", node.level)[0]
+                        origin = (
+                            f"{base}.{node.module}" if node.module else base
+                        )
+                    else:
+                        origin = node.module or ""
+                    if _in_package(origin):
+                        for a in node.names:
+                            origins[a.asname or a.name] = (origin, a.name)
+            else:
+                continue
+            seg = ast.get_source_segment(src, node) or ""
+            for n in names:
+                out[n] = out.get(n, "") + seg + "\n"
+    _MODULE_ASSIGNMENTS[mod_name] = out
+    _MODULE_IMPORT_ORIGINS[mod_name] = origins
+    return out
+
+
 def _resolve(val: Any, key: str, seen: set[str], parts: dict[str, str]) -> None:
     if isinstance(val, (types.FunctionType, type)):
         _walk(val, seen, parts)
-    elif isinstance(val, _CONST_TYPES) and not isinstance(val, types.ModuleType):
-        if key not in seen:
-            seen.add(key)
-            parts[key] = repr(val)
-    elif isinstance(val, (list, dict, set)):
-        if key not in seen:
-            seen.add(key)
-            # Hash container CONTENTS only for constant-like containers
-            # (tuning knobs: band lists, stopword sets...).  A container
-            # holding non-constants is runtime state (e.g. the dedup
-            # module's persisted-DataFrame bookkeeping list) — its
-            # contents vary with what already RAN in this process, which
-            # must never change a query's fingerprint.
-            items = list(val.values()) + list(val) if isinstance(val, dict) else list(val)
-            # non-empty AND all-constant: empty is ambiguous (a runtime
-            # list starts empty and must not change hash when it fills)
-            if items and all(isinstance(x, _CONST_TYPES) for x in items):
-                try:
-                    parts[key] = (
-                        repr(sorted(val)) if isinstance(val, set) else repr(val)
-                    )
-                except TypeError:
-                    parts[key] = repr(val)
-            else:
-                parts[key] = "<mutable-runtime-state>"
+        return
+    if isinstance(val, types.ModuleType):
+        return
+    if key in seen:
+        return
+    seen.add(key)
+    # Non-callable module-level values hash by their STATIC top-level
+    # assignment source, never their runtime repr.  Runtime repr looks
+    # attractive for tuning knobs (band lists, stopword sets) but is
+    # unsound: a runtime-state container that starts empty and fills
+    # with strings (e.g. a tmp-dir bookkeeping list) passes any
+    # "all-constant contents" heuristic and then changes a query's
+    # fingerprint depending on what already RAN in this process — the
+    # r5 failure mode (sim_lsh_bucket_topk_indexed drifted after its
+    # own index build appended '/tmp/...' to _LSH_INDEX_DIRS).  The
+    # assignment text is immutable in-process, still changes exactly
+    # when a contributor edits the knob, and also covers rebound
+    # singletons (cache = None -> DataFrame) uniformly.
+    mod_name, _, name = key.rpartition(".")
+    seg = _module_assignments(mod_name).get(name) if mod_name else None
+    if seg is not None:
+        # one-hop import resolution: `from .x import CONST` hashes the
+        # import line AND the origin module's assignment of CONST, so
+        # editing the constant upstream still drifts this query
+        origin = _MODULE_IMPORT_ORIGINS.get(mod_name, {}).get(name)
+        if origin is not None:
+            oseg = _module_assignments(origin[0]).get(origin[1])
+            if oseg is not None:
+                seg = seg + oseg
+        parts[key] = seg
+    elif isinstance(val, _CONST_TYPES):
+        # not a module-level binding (e.g. a closure cell or class
+        # attribute reached by name): the value itself is immutable,
+        # so repr is stable
+        parts[key] = repr(val)
+    else:
+        parts[key] = "<mutable-runtime-state>"
 
 
 def fingerprint(fn: types.FunctionType, oracle: str | None) -> str:

@@ -290,6 +290,158 @@ def cohort_retention(
 
 
 # --------------------------------------------------------------------------
+# batch sessionization (gap-based)
+# --------------------------------------------------------------------------
+
+
+def sessionize(
+    events: DataFrame,
+    gap_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based batch sessionization: a new session starts whenever a
+    user's inter-event gap exceeds ``gap_us`` microseconds — the batch
+    twin of the streaming ``session_window`` aggregation
+    (streaming/sessions, `streaming_session_window`), and the analytics
+    shape behind every "sessions per user / session duration"
+    dashboard (reference analog: the same-day visit grouping of
+    `3_blood_pressure.R`, generalized from calendar-day to activity
+    gaps).
+
+    The classic two-window formulation, ONE shuffle total: LAG marks
+    session starts, a running SUM over the same (user, ts, id) sort
+    turns the marks into per-user session ordinals, and the final
+    per-session aggregate reuses the (user)-partitioning.  The
+    (ts, id) order key is total, so session boundaries are
+    deterministic.  Durations are exact microsecond BIGINTs.
+
+    Returns ``<user_col>, session_seq, n_events, session_start,
+    session_end, duration_us``.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    us = F.unix_micros(F.col(ts_col))
+    new_sess = F.when(
+        us - F.lag(us).over(w) > F.lit(gap_us), 1
+    ).otherwise(0)
+    marked = events.select(
+        F.col(user_col),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("eid"),
+        new_sess.alias("is_new"),
+    )
+    w2 = (
+        Window.partitionBy(user_col)
+        .orderBy("ts", "eid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = marked.select(
+        user_col, "ts", (F.sum("is_new").over(w2) + 1).alias("session_seq")
+    )
+    return sess.groupBy(user_col, "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "duration_us"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# interval concurrency (distributed prefix sum)
+# --------------------------------------------------------------------------
+
+
+def concurrency_peak_daily(
+    events: DataFrame,
+    horizon_us: int,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Peak concurrent open intervals per day, where each event opens
+    the half-open interval ``[ts, ts + horizon_us)`` — the
+    "max concurrent sessions/users" metric.
+
+    The naive formulation is a running sum over ONE global time order
+    — a single-partition sort that dies at 100 TB.  This is the
+    distributed two-pass prefix sum instead:
+
+    1. each event emits (+1 at ts) and (−1 at ts+horizon), each delta
+       tagged with its DAY — a narrow 2x map;
+    2. per-day NET sums aggregate map-side (days-sized result), and a
+       running sum over the tiny day sequence gives each day's
+       CARRY-IN (open intervals inherited from all prior days);
+    3. the within-day running sum partitions by day (parallel,
+       bounded partitions), and adding the broadcast carry-in makes
+       it globally exact — peak per day is then one MAX.
+
+    Tie order at equal timestamp: closes sort before opens
+    (half-open intervals — an interval ending at t does not overlap
+    one starting at t), then ``id_col`` totalizes the order, so the
+    running sum is deterministic.
+
+    Returns ``day, peak_concurrency, n_opens``.
+    """
+    from pyspark.sql.window import Window
+
+    # one scan, narrow 2x explode fan-out (a UNION of opens and closes
+    # would read the fact table twice per consuming branch)
+    open_s = F.struct(
+        F.col(ts_col).alias("t"), F.lit(1).alias("d"),
+        F.col(id_col).alias("eid"),
+    )
+    close_s = F.struct(
+        F.timestamp_micros(
+            F.unix_micros(F.col(ts_col)) + F.lit(horizon_us)
+        ).alias("t"),
+        F.lit(-1).alias("d"),
+        F.col(id_col).alias("eid"),
+    )
+    deltas = (
+        events.select(F.explode(F.array(open_s, close_s)).alias("x"))
+        .select("x.t", "x.d", "x.eid")
+        .withColumn("day", F.to_date(F.date_trunc("day", "t")))
+    )
+    day_net = deltas.groupBy("day").agg(
+        F.sum("d").alias("net"),
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("n_opens"),
+    )
+    wdays = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the day table is O(days) rows — the one place a global window
+    # sort is fine; carry_in(day) = sum of prior days' nets
+    carry = day_net.select(
+        "day",
+        "n_opens",
+        (F.sum("net").over(wdays) - F.col("net")).alias("carry_in"),
+    )
+    wday = (
+        Window.partitionBy("day")
+        .orderBy("t", "d", "eid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = deltas.withColumn("run", F.sum("d").over(wday))
+    return (
+        running.groupBy("day")
+        .agg(F.max("run").alias("peak_in_day"))
+        .join(F.broadcast(carry), "day")
+        .select(
+            "day",
+            (F.col("peak_in_day") + F.col("carry_in")).alias(
+                "peak_concurrency"
+            ),
+            "n_opens",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # grouped closed-form regression
 # --------------------------------------------------------------------------
 

@@ -1687,3 +1687,169 @@ def a28_unpivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="priority",
         valueColumnName="n",
     )
+
+
+# --------------------------------------------------------------------------
+# r5 wave: sessionization, distribution drift, interval concurrency
+# --------------------------------------------------------------------------
+
+_SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+    WITH m AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                    > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), s AS (
+        SELECT user_id, ts,
+               CAST(SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    + 1 AS BIGINT) AS session_seq
+        FROM m
+    )
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization (operators/analytics.sessionize,
+    30-min inactivity gap): LAG marks session starts, a running SUM
+    over the same per-user sort numbers them, one per-session
+    aggregate — the batch twin of `streaming_session_window`, ONE
+    shuffle on user_id total.  Boundaries are deterministic (total
+    (ts, event_id) order) and durations are exact microsecond
+    BIGINTs, so the oracle matches bit-for-bit."""
+    return an.sessionize(
+        load_table(spark, sf_dir, "events"), gap_us=_SESSION_GAP_US
+    )
+
+
+@register(
+    "dq_drift_kl",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+               COUNT(*) AS n_td
+        FROM events GROUP BY 1, 2
+    ),
+    per_day AS (SELECT day, SUM(n_td) AS n_d FROM daily GROUP BY day),
+    corpus AS (SELECT event_type, COUNT(*) AS n_t FROM events GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n FROM events),
+    terms AS (
+        SELECT d.day, p.n_d, d.event_type,
+               (CAST(d.n_td AS DOUBLE) / p.n_d)
+               * ln((CAST(d.n_td AS DOUBLE) / p.n_d)
+                    / (CAST(g.n_t AS DOUBLE) / t.n)) AS term
+        FROM daily d
+        JOIN per_day p USING (day)
+        JOIN corpus g USING (event_type)
+        CROSS JOIN tot t
+    )
+    SELECT day, CAST(MAX(n_d) AS BIGINT) AS n_events,
+           FLOOR(list_reduce(
+                     list_prepend(0.0, list(term ORDER BY event_type)),
+                     (a, b) -> a + b)
+                 * 1000000.0 + 0.5) / 1000000.0 AS kl_vs_global
+    FROM terms GROUP BY day
+    """,
+)
+def dq_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift screen: per-day KL divergence of the
+    event-type mix against the whole-corpus mix — the data-quality
+    monitor that catches a feed silently changing shape (the
+    training/serving-skew check of an LLM data pipeline; complements
+    `dq_expectations`' row-level rules and `events_anomaly_zscore`'s
+    volume screen).
+
+    Every probability comes from exact integer counts, and the
+    per-day sum of p*ln(p/q) terms is a ``sort_array`` +
+    higher-order ``aggregate`` LEFT FOLD in event-type order — NOT a
+    parallel SUM over doubles — mirrored by the oracle's ordered
+    ``list_reduce``, so the float result is bit-identical regardless
+    of partitioning or engine.  Scale shape: one daily-counts
+    aggregate (map-side combined) + two tiny broadcast sides; the
+    fold runs over <= |event types| elements per day."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "event_type"
+    ).agg(F.count("*").alias("n_td"))
+    glob = ev.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    tot = ev.agg(F.count("*").alias("n"))
+    per_day = daily.groupBy("day").agg(F.sum("n_td").alias("n_d"))
+    p = F.col("n_td").cast("double") / F.col("n_d")
+    q = F.col("n_t").cast("double") / F.col("n")
+    terms = (
+        daily.join(per_day, "day")
+        .join(F.broadcast(glob), "event_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "day", "n_d", "event_type", (p * F.log(p / q)).alias("term")
+        )
+    )
+    folded = terms.groupBy("day").agg(
+        F.max("n_d").alias("n_events"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct("event_type", "term"))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("_kl"),
+    )
+    return folded.select(
+        "day",
+        "n_events",
+        round_fixed("_kl", 6).alias("kl_vs_global"),
+    )
+
+
+_CONCURRENCY_HORIZON_US = 1_800_000_000  # each event "open" for 30 min
+
+
+@register(
+    "events_concurrency_peak",
+    oracle=f"""
+    WITH deltas AS (
+        SELECT ts AS t, 1 AS d, event_id AS eid FROM events
+        UNION ALL
+        SELECT ts + INTERVAL 30 MINUTE, -1, event_id FROM events
+    ), tagged AS (
+        SELECT t, d, eid, CAST(date_trunc('day', t) AS DATE) AS day
+        FROM deltas
+    ), run AS (
+        SELECT day, d,
+               CAST(SUM(d) OVER (
+                   ORDER BY t, d, eid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS r
+        FROM tagged
+    )
+    SELECT day, MAX(r) AS peak_concurrency,
+           COUNT(*) FILTER (WHERE d = 1) AS n_opens
+    FROM run GROUP BY day
+    """,
+)
+def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent open intervals per day (each event opens a
+    30-min half-open interval) — the "max concurrent users" metric
+    via the DISTRIBUTED two-pass prefix sum
+    (operators/analytics.concurrency_peak_daily): per-day running
+    sums partition by day while a tiny O(days) carry-in table makes
+    them globally exact, so no global single-partition sort ever runs
+    — the oracle IS that naive global running sum, which is the
+    point: the scale-safe plan must equal the textbook definition
+    exactly.  Closes order before opens at equal timestamps
+    (half-open semantics), and the (t, d, eid) order is total, so
+    both engines agree bit-for-bit on every prefix."""
+    return an.concurrency_peak_daily(
+        load_table(spark, sf_dir, "events"),
+        horizon_us=_CONCURRENCY_HORIZON_US,
+    )

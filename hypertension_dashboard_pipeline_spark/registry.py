@@ -138,6 +138,10 @@ _FRONT: list[str] = [
     "emb_pq_codes",
     "sim_pq_adc_topk",
     "streaming_stream_stream_outer_join",
+    # r5 debuts (new queries are absent from the snapshot => in-window)
+    "events_sessionize",
+    "dq_drift_kl",
+    "events_concurrency_peak",
 ]
 
 # Driver window size (observed: the external gate samples the first 50

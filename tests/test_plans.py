@@ -162,6 +162,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark, sf_dir):
         "graph_pagerank_transitions",  # 1-row scalar sides (node count N, dangling mass) per iteration
         "text_lm_bigram_score",  # 1-row scalar side (vocabulary size V)
         "a26_equidepth_histogram",  # 1-row scalar side (decile cut points)
+        "dq_drift_kl",  # 1-row scalar side (global event count n)
     }
     offenders = []
     for name, fn in registry.QUERIES.items():
@@ -344,3 +345,37 @@ def test_local_supplier_volume_single_fact_shuffle(plan):
     assert p.count("BroadcastHashJoin") >= 4
     assert "CartesianProduct" not in p
     assert p.count("Exchange hashpartitioning") == 1  # the groupBy only
+
+
+def test_sessionize_single_shuffle(plan):
+    """Batch sessionization: LAG, the running session counter, and the
+    per-session aggregate all reuse ONE user_id hash partitioning —
+    exactly one exchange in the whole plan."""
+    p = plan("events_sessionize")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(user_id" in p
+
+
+def test_concurrency_peak_no_global_sort_on_facts(plan):
+    """The distributed prefix sum: the fact-sized running sum windows
+    WITHIN day partitions; the only unpartitioned window runs over the
+    O(days) day-net table; the carry-in attaches via broadcast."""
+    p = plan("events_concurrency_peak")
+    assert "BroadcastHashJoin" in p
+    # fact-side window partitions by day
+    assert "hashpartitioning(day" in p
+    # exactly one single-partition exchange (the tiny day-seq window),
+    # never the delta stream
+    assert p.count("Exchange SinglePartition") == 1
+    # one scan per consuming branch (running sum + day-net carry) via
+    # the explode fan-out — the union formulation planned FOUR scans
+    assert p.count("FileScan") == 2
+
+
+def test_drift_kl_sides_broadcast(plan):
+    """KL drift: the global type mix and the 1-row total attach as
+    broadcast sides; the only fact-sized shuffles are the daily-counts
+    aggregate and its per-day fold."""
+    p = plan("dq_drift_kl")
+    assert p.count("BroadcastExchange") >= 2
+    assert "SortAggregate" in p or "ObjectHashAggregate" in p  # the fold
