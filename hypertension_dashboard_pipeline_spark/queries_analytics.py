@@ -1853,3 +1853,71 @@ def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events"),
         horizon_us=_CONCURRENCY_HORIZON_US,
     )
+
+
+@register(
+    "j17_large_volume_orders",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                    AS DECIMAL(28,2)) AS sq
+        FROM lineitem GROUP BY l_orderkey
+        HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                    AS DECIMAL(28,2)) > 300
+    )
+    SELECT c.c_name, o.o_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_day,
+           o.o_totalprice AS total_price,
+           CAST(CAST(b.sq AS VARCHAR) AS DOUBLE) AS sum_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def j17_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    lineitem quantity exceeds a threshold, joined back to order and
+    customer detail, top-100 by order value — the HAVING-filtered
+    aggregate SEMI-reduction shape the inventory lacked (j6 is
+    existence-only; this gates on an aggregate).
+
+    Scale shape: the lineitem aggregate reduces the fact table to one
+    exact DECIMAL sum per order BEFORE any join (map-side partials,
+    one shuffle on the key lineitem is naturally clustered by); the
+    HAVING filter then cuts that to the ~1% heavy tail, so the orders
+    join input is tail-sized and AQE picks its strategy from the
+    measured post-filter size — never a fact-to-fact join.  Customer
+    is a broadcast dim.  Top-100 is TakeOrdered on (total_price DESC,
+    orderkey) — both engines order by the same parquet doubles, and
+    sum_qty crosses the boundary via ``dec_present``."""
+    from .functions.expressions import dec_present
+
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("sq")
+        )
+        .filter(F.col("sq") > 300)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_day"),
+            F.col("o_totalprice").alias("total_price"),
+            dec_present("sq").alias("sum_qty"),
+        )
+        .orderBy(F.col("total_price").desc(), "o_orderkey")
+        .limit(100)
+    )

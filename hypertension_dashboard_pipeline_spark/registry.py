@@ -76,9 +76,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      plus dedup_components + dedup_simhash_groups (green r4 but
 #      drifted: connected_components' small-graph threshold dropped
 #      4M -> 1M with the driver-memory math), plus the two flagships.
-#      45 names; up to 5 spare slots are reserved for queries that
-#      DEBUT in r5 (a new query is absent from the snapshot and must
-#      sit in the window).
+#      45 names + 4 r5 DEBUTS (sessionize, KL drift, concurrency
+#      peak, Q18 shape) = 49/50 — a new query is absent from the
+#      snapshot and must sit in the window; one slot intentionally
+#      spare.
 #      Externally green and byte-unchanged, relying on the local sweep
 #      until their next rotation: the r1-aged single-expression core
 #      (p1-p4, f1-f16 family, l1/l2, a5/a8, w1/w2, u1...) re-verified
@@ -142,6 +143,7 @@ _FRONT: list[str] = [
     "events_sessionize",
     "dq_drift_kl",
     "events_concurrency_peak",
+    "j17_large_volume_orders",
 ]
 
 # Driver window size (observed: the external gate samples the first 50

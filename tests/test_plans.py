@@ -379,3 +379,15 @@ def test_drift_kl_sides_broadcast(plan):
     p = plan("dq_drift_kl")
     assert p.count("BroadcastExchange") >= 2
     assert "SortAggregate" in p or "ObjectHashAggregate" in p  # the fold
+
+
+def test_large_volume_orders_aggregates_before_join(plan):
+    """Q18 shape: the lineitem fact table reduces to per-order sums +
+    HAVING filter BEFORE any join; customer attaches broadcast; the
+    top-100 is TakeOrdered, never a global sort."""
+    p = plan("j17_large_volume_orders")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert p.count("FileScan") == 3
+    # the aggregate-side filter on the quantity sum exists below a join
+    assert "sq" in p and "HashAggregate" in p
