@@ -310,6 +310,13 @@ def sessionize(
     `3_blood_pressure.R`, generalized from calendar-day to activity
     gaps).
 
+    Division of labor vs ``operators/windows.sessionize``: that one
+    TAGS each row with a session_id (row-level enrichment, ts-only
+    order); this one emits the per-SESSION aggregate — (user,
+    session_seq) with bounds, counts, and exact microsecond durations
+    — under a (ts, id) TOTAL order so boundaries are deterministic
+    even with duplicate timestamps.
+
     The classic two-window formulation, ONE shuffle total: LAG marks
     session starts, a running SUM over the same (user, ts, id) sort
     turns the marks into per-user session ordinals, and the final
