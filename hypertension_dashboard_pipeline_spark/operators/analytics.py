@@ -148,15 +148,23 @@ def funnel_within(
     was reached — processing events in time order, "latest reach"
     maximizes slack for the next step, which makes the DP exactly
     equivalent to "does any qualifying chain exist" (property-tested
-    against brute-force chain search).  State is len(steps)
-    epoch-microsecond slots per user; the plan is the same single
-    step-filtered groupBy(user) as the unconstrained funnel.
+    against brute-force chain search).
 
-    PRECONDITION: timestamps are distinct per user (microsecond event
-    streams in practice).  Under collisions the DP is conservative —
-    a chain whose only anchor shares an instant with a later
-    same-step event may be missed, because only the latest reach time
-    per depth is kept and the strictly-after rule then rejects it.
+    Duplicate per-user timestamps are handled EXACTLY by per-instant
+    commit batching: the fold carries COMMITTED slots (reaches
+    strictly before the current instant) beside STAGED slots (reaches
+    up to and including it), and an event advances only from the
+    committed side — so a step-0 and a step-1 event at the same
+    instant never chain, while a later same-step event at that
+    instant can no longer shadow an earlier anchor (the adversarial
+    case where the latest-reach overwrite alone is lossy: step-0 at
+    t1, step-0 and step-1 both at t2 — the t2 anchor overwrote t1
+    before the step-1 event read it, missing the valid (t1, t2)
+    chain).  "Latest reach" stays lossless within committed state
+    because any future event is at a strictly later instant than
+    every commit it reads.  State is 2*len(steps) epoch-microsecond
+    slots + the current instant per user; the plan is the same single
+    step-filtered groupBy(user) as the unconstrained funnel.
 
     Returns ``step_idx, step, n_users`` (users completing at least
     that step under the gap rule).
@@ -172,26 +180,35 @@ def funnel_within(
     null_t = F.lit(None).cast("long")
 
     def advance(s: Column, e: Column) -> Column:
+        new_instant = s["last"].isNull() | (e["us"] > s["last"])
+        committed = [
+            F.when(new_instant, s[f"s{d}"]).otherwise(s[f"c{d}"])
+            for d in range(k)
+        ]
         slots = []
         for d in range(k):
             reached = e["idx"] == d
             if d == 0:
                 ok = reached
             else:
-                prev = s[f"t{d - 1}"]
-                # strictly after AND within the gap — the `>` is not
-                # implied by sort order when timestamps collide
+                prev = committed[d - 1]
+                # strictly after AND within the gap, judged against the
+                # PRE-instant state — same-instant reaches can't anchor
                 ok = reached & prev.isNotNull() & (e["us"] > prev) & (
                     e["us"] <= prev + F.lit(max_gap_us)
                 )
             slots.append(
-                F.when(ok, e["us"]).otherwise(s[f"t{d}"]).alias(f"t{d}")
+                F.when(ok, e["us"]).otherwise(s[f"s{d}"]).alias(f"s{d}")
             )
-        return F.struct(*slots)
+        return F.struct(
+            *[committed[d].alias(f"c{d}") for d in range(k)],
+            *slots,
+            e["us"].alias("last"),
+        )
 
     depth = F.coalesce(
         *[
-            F.when(F.col("st")[f"t{d}"].isNotNull(), F.lit(d + 1))
+            F.when(F.col("st")[f"s{d}"].isNotNull(), F.lit(d + 1))
             for d in range(k - 1, -1, -1)
         ],
         F.lit(0),
@@ -211,7 +228,11 @@ def funnel_within(
             "user",
             F.aggregate(
                 "evs",
-                F.struct(*[null_t.alias(f"t{d}") for d in range(k)]),
+                F.struct(
+                    *[null_t.alias(f"c{d}") for d in range(k)],
+                    *[null_t.alias(f"s{d}") for d in range(k)],
+                    null_t.alias("last"),
+                ),
                 advance,
             ).alias("st"),
         )

@@ -2,10 +2,11 @@
 
 The latest-reach DP in ``operators/analytics.funnel_within`` claims
 equivalence with "does any qualifying chain exist" — this drives it
-with random multi-user event sequences (distinct timestamps per user,
-the operator's documented precondition) and compares against an
-independent brute-force chain search, the same recompute-by-hand QC
-idiom the dedup property tests use."""
+with random multi-user event sequences INCLUDING duplicate per-user
+timestamps (small offset range, so hypothesis collides them
+constantly — the case the per-instant commit batching exists for) and
+compares against an independent brute-force chain search, the same
+recompute-by-hand QC idiom the dedup property tests use."""
 
 from __future__ import annotations
 
@@ -65,15 +66,11 @@ def test_windowed_funnel_matches_brute_force(spark, scenario, gap_s):
     rows = []
     truth_depths = []
     for uid, evs in enumerate(scenario):
-        # distinct offsets per user (documented precondition)
-        seen, dedup = set(), []
+        # duplicate offsets are kept AS-IS: the brute force compares
+        # times by value (strict >), which is the exact semantics the
+        # commit-batched DP must reproduce under collisions
+        truth_depths.append(_brute_depth(evs, gap_s))
         for off, typ in evs:
-            while off in seen:
-                off += 100  # push duplicates far apart but still valid
-            seen.add(off)
-            dedup.append((off, typ))
-        truth_depths.append(_brute_depth(dedup, gap_s))
-        for off, typ in dedup:
             rows.append((uid, BASE + dt.timedelta(seconds=off), typ))
     expected = {
         i: sum(1 for d in truth_depths if d > i) for i in range(len(STEPS))
