@@ -139,6 +139,17 @@ def round_fixed(c: Column | str, digits: int = 4) -> Column:
     round-half-away-from-zero); oracles must use the same
     ``FLOOR(x * 10^d + 0.5) / 10^d`` form, which is what makes the
     convention engine-safe.
+
+    The floor itself is computed in the DOUBLE domain as
+    ``v - pmod(v, 1.0)`` (fmod is exact IEEE, pmod makes the remainder
+    nonnegative so the identity is floor for both signs) — NOT
+    ``F.floor``, whose LongType result silently clamps at Long.MAX for
+    |v| > ~9.2e18 while DuckDB's FLOOR stays double (adversarial
+    embeddings sweep: a 1e60 gram-matrix sum came back as
+    922337203685477.6).  For |v| >= 2^53, v is integral, pmod is 0,
+    and both engines return v unchanged — verified bit-identical on
+    random values across 1e-3..1e80 magnitudes, both signs.
     """
     p = float(10**digits)
-    return F.floor(_col(c) * F.lit(p) + F.lit(0.5)) / F.lit(p)
+    v = _col(c) * F.lit(p) + F.lit(0.5)
+    return (v - F.pmod(v, F.lit(1.0))) / F.lit(p)

@@ -119,10 +119,16 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     # per-vector norm computed ONCE here instead of per candidate pair:
     # sqrt is deterministic, so dot/(nrm_a*nrm_b) is bit-identical to
     # the oracle's per-pair dot/(sqrt(dot_aa)*sqrt(dot_bb)) — but the
-    # pair-scoring stage drops from 3 array folds to 1
+    # pair-scoring stage drops from 3 array folds to 1.
+    # Zero-norm vectors (failed-encoder output, legal in any real
+    # corpus) are excluded HERE, before bucketing: cosine is undefined
+    # for them, and under ANSI mode the 0/0 in the pair score is a
+    # runtime divideByZeroError, not a quiet NaN — found by the
+    # adversarial embeddings sweep.  Contract: a zero vector is never
+    # a near-duplicate of anything.
     base = df.select(
         F.col(id_col).alias("id"), vec.alias("v"), norm(vec).alias("nrm")
-    )
+    ).filter(F.col("nrm") > 0)
     if n_tables > 0:
         sigs = []
         for t in range(n_tables):
@@ -370,11 +376,15 @@ def semdedup_pairs(df: DataFrame, id_col: str = "vec_id",
     oversized clusters get split upstream — same discipline as the
     hot-shingle guard in text dedup).
     """
+    # zero-norm vectors never pair (cosine undefined; ANSI 0/0 is a
+    # runtime error) — and therefore always SURVIVE semdedup, which is
+    # the right call for a dedup pass: deciding what to do with
+    # degenerate vectors belongs to a quality filter, not here
     base = df.select(
         F.col(cluster_col).alias("c"),
         F.col(id_col).alias("id"),
         as_double_array(F.col(vec_col)).alias("v"),
-    )
+    ).filter(norm(F.col("v")) > 0)
     return (
         base.alias("a")
         .join(base.alias("b"), "c")

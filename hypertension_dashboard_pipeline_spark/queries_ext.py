@@ -734,9 +734,14 @@ def _near_dup_oracle(threshold: float = 0.4, n_tables: int = 4,
     dot_ab = _DK_DOT.format(a="a.v", b="b.v")
     dot_aa = _DK_DOT.format(a="a.v", b="a.v")
     dot_bb = _DK_DOT.format(a="b.v", b="b.v")
+    dot_vv = _DK_DOT.format(a="v", b="v")
     return f"""
     WITH e AS (
-        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        -- zero-norm vectors are excluded before bucketing on the
+        -- Spark side (cosine undefined); mirror that here
+        SELECT * FROM (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ) WHERE {dot_vv} > 0
     ), sigs AS (
         {sigs}
     ), cand AS (
@@ -2123,12 +2128,17 @@ def _semdedup_oracle(threshold: float = 0.4) -> str:
     dot_ab = _DK_DOT.format(a="a.v", b="b.v")
     dot_aa = _DK_DOT.format(a="a.v", b="a.v")
     dot_bb = _DK_DOT.format(a="b.v", b="b.v")
+    dot_vv = _DK_DOT.format(a="v", b="v")
     return f"""
     WITH e AS (
         SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), ep AS (
+        -- only positive-norm vectors can pair (zero vectors always
+        -- survive — mirrors the Spark operator's zero-norm exclusion)
+        SELECT * FROM e WHERE {dot_vv} > 0
     ), removed AS (
         SELECT DISTINCT b.vec_id
-        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        FROM ep a JOIN ep b ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE ROUND({dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb})), 6)
               >= {threshold}
     )

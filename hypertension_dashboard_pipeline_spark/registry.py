@@ -133,7 +133,9 @@ _FRONT: list[str] = [
     "j15_shipping_priority",
     "j16_local_supplier_volume",
     "events_last_touch_attribution",
-    "a28_unpivot_priority",
+    # a28_unpivot_priority rotated back out late-r5: its two window
+    # slots went to the zero-norm-fixed similarity pair (below); it is
+    # a thin unpivot of a19 (in window) and stays locally swept
     "text_lm_bigram_score",
     "sample_global_shuffle",
     "emb_pq_codes",
@@ -144,6 +146,11 @@ _FRONT: list[str] = [
     "dq_drift_kl",
     "events_concurrency_peak",
     "j17_large_volume_orders",
+    # late-r5 zero-norm robustness fix (adversarial embeddings sweep
+    # found an ANSI divideByZeroError on zero vectors) — drifted, so
+    # back in the window
+    "sim_cosine_near_dup",
+    "sim_semdedup",
 ]
 
 # Driver window size (observed: the external gate samples the first 50
