@@ -56,6 +56,14 @@ EVENTS_QUERIES = [
     "graph_pagerank_transitions",
     "streaming_stream_stream_join",
     "streaming_stream_stream_outer_join",
+    # externally green + byte-unchanged, but they read events and the
+    # net is cheap — the bounded streaming runs must stay oracle-equal
+    # on hostile event shapes too
+    "streaming_session_window",
+    "streaming_daily_window",
+    "streaming_dedup",
+    "streaming_stateful_counters",
+    "streaming_static_join",
 ]
 
 _TYPES = ["click", "signup", "error", "view", "purchase"]
