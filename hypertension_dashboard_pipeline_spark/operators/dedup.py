@@ -646,10 +646,18 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 
     if release:
         release_persisted()
+    # persist the NARROW pair list before symmetrizing: both union
+    # branches reference the pairs plan, so without this the whole
+    # candidate-generation pipeline upstream (shingle join + Jaccard /
+    # Hamming scoring) executes TWICE to build the edge list —
+    # measured 4.6s -> 3.2s on dedup_components at sf0.1, same-shaped
+    # wins for quality_survivor and simhash_groups
+    pairs_n = _maybe_persist(
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")), True
+    )
     edges = (
-        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-        .unionByName(
-            pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b"))
+        pairs_n.unionByName(
+            pairs_n.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
         .distinct()
     )
