@@ -119,6 +119,11 @@ def _build_adv_events(path: str) -> None:
         ts = _T0 + dt.timedelta(seconds=rng.randint(0, 29 * 86400))
         add(ts, rng.randint(1, 500), rng.choice(_TYPES),
             round(rng.randint(0, 99000) * 0.005, 3))
+    for day in range(1, 29, 3):  # NULL values (keys stay non-null —
+        # measurement columns are nullable in any real feed; SUM/AVG
+        # must skip them identically on both engines)
+        ts = _T0 + dt.timedelta(days=day - 1, hours=15)
+        add(ts, 600 + day, _TYPES[day % 5], None)
 
     tbl = pa.table({
         "event_id": pa.array(rows["event_id"], pa.int64()),
