@@ -87,6 +87,27 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      joins, sketches, bloom ingest, chunking, BM25, decontaminate,
 #      sampling, ANN/semdedup/simhash, session windows, OMOP
 #      pipelines).
+#      r6 ROTATION PLAN (build the next _FRONT from, in priority
+#      order — SURVEY.md "Round-boundary steps" has the rationale):
+#        (a) any r5-gate reds + anything fingerprint-drifted;
+#        (b) the streaming-pin perf set, pinned IN the same change:
+#            streaming_dedup, streaming_daily_window,
+#            streaming_session_window, streaming_stateful_counters;
+#        (c) a round_fixed migration family or two from the SURVEY
+#            backlog, e.g. {sim_cosine_topk, sim_ivf_topk,
+#            sim_lsh_bucket_topk, sim_lsh_bucket_topk_indexed}
+#            (shared functions.vectors.cosine) and {text_quality_score
+#            + curation_pipeline + dedup_quality_survivor}
+#            (shared quality_score);
+#        (d) a28_unpivot_priority (displaced late-r5);
+#        (e) re-verification of the r4 debut set (j10-j13,
+#            sim_quantized_topk, a14, a16, a17,
+#            dedup_incremental_bloom, dedup_simhash_pairs,
+#            emb_label_centroids, text_chunk_documents, text_bm25_topk,
+#            text_decontaminate, sample_temperature_mix,
+#            sim_batch_ann_topk, sample_k_per_group,
+#            sim_lsh_bucket_topk_indexed, omop_* — oldest green rows
+#            after this round's window lands).
 _FRONT: list[str] = [
     # flagship + headline extension pipeline (always externally gated)
     "flagship_cohort_pipeline",
