@@ -60,17 +60,52 @@ def _in_package(mod_name: str | None) -> bool:
     )
 
 
-def _referenced_names(src: str) -> tuple[set[str], set[tuple[str, str]]]:
-    """Names and one-level ``module.attr`` chains referenced in *src*."""
+def _relative_base(mod_name: str, level: int) -> str:
+    """Absolute package a ``from ...x import`` with *level* dots resolves
+    against, from inside *mod_name*.  A package's ``__init__`` resolves
+    level-1 imports against ITSELF (``pkg.sub`` + ``from .x`` ->
+    ``pkg.sub.x``), a plain module against its parent (``pkg.sub.mod`` +
+    ``from .x`` -> ``pkg.sub.x``) — so strip ``level - 1`` components
+    for a package and ``level`` for a module."""
+    import sys
+
+    mod = sys.modules.get(mod_name)
+    is_pkg = hasattr(mod, "__path__") if mod is not None else False
+    strip = level - 1 if is_pkg else level
+    return mod_name if strip <= 0 else mod_name.rsplit(".", strip)[0]
+
+
+def _referenced_names(
+    src: str, mod_name: str | None = None
+) -> tuple[set[str], set[tuple[str, str]], set[tuple[str, str, str]]]:
+    """Names, one-level ``module.attr`` chains, and ``from X import y``
+    targets (as absolute ``(origin_module, name, bound_as)`` triples)
+    referenced in *src*.  Import-froms are collected at ANY nesting
+    depth: a function-body-local ``from .functions.expressions import
+    round_fixed`` binds a local name invisible in ``__globals__``, so
+    globals-based resolution alone would silently miss the dependency
+    (measured: emb_gram_matrix / text_lm_bigram_score /
+    sim_pq_adc_topk / streaming_incremental_rollup did not drift on a
+    round_fixed edit before this pass existed)."""
     tree = ast.parse(textwrap.dedent(src))
     names: set[str] = set()
     attrs: set[tuple[str, str]] = set()
+    import_froms: set[tuple[str, str, str]] = set()
     for node in ast.walk(tree):
         if isinstance(node, ast.Name):
             names.add(node.id)
         elif isinstance(node, ast.Attribute) and isinstance(node.value, ast.Name):
             attrs.add((node.value.id, node.attr))
-    return names, attrs
+        elif isinstance(node, ast.ImportFrom) and mod_name is not None:
+            if node.level > 0:
+                base = _relative_base(mod_name, node.level)
+                origin = f"{base}.{node.module}" if node.module else base
+            else:
+                origin = node.module or ""
+            if _in_package(origin):
+                for a in node.names:
+                    import_froms.add((origin, a.name, a.asname or a.name))
+    return names, attrs, import_froms
 
 
 def _source_of(obj: Any) -> str | None:
@@ -101,12 +136,41 @@ def _walk(obj: Any, seen: set[str], parts: dict[str, str]) -> None:
 
             mod = sys.modules.get(mod_name)
             g = vars(mod) if mod is not None else {}
-        names, attrs = _referenced_names(src)
+        names, attrs, import_froms = _referenced_names(src, mod_name)
+        # Body-local `from .x import y` bindings shadow (or add to) the
+        # globals namespace for this function's source: resolve them
+        # FIRST into a local view so `y` / `y.attr` references below hit
+        # the imported object, not a same-named global (or nothing).
+        local_bindings: dict[str, tuple[Any, str]] = {}
+        if import_froms:
+            import importlib
+
+            for origin, name, bound_as in import_froms:
+                try:
+                    omod = importlib.import_module(origin)
+                except ImportError:
+                    continue
+                if hasattr(omod, name):
+                    local_bindings[bound_as] = (getattr(omod, name), f"{origin}.{name}")
+                else:
+                    # `from .operators import pq` where pq is a
+                    # submodule not re-exported by the package __init__
+                    try:
+                        local_bindings[bound_as] = (
+                            importlib.import_module(f"{origin}.{name}"),
+                            f"{origin}.{name}",
+                        )
+                    except ImportError:
+                        continue
+        ns = {**g, **{k: v for k, (v, _) in local_bindings.items()}}
         for name in names:
-            if name in g:
+            if name in local_bindings:
+                val, key2 = local_bindings[name]
+                _resolve(val, key2, seen, parts)
+            elif name in g:
                 _resolve(g[name], f"{mod_name}.{name}", seen, parts)
         for base, attr in attrs:
-            val = g.get(base)
+            val = ns.get(base)
             if isinstance(val, types.ModuleType) and _in_package(val.__name__):
                 if hasattr(val, attr):
                     _resolve(
@@ -153,7 +217,7 @@ def _module_assignments(mod_name: str) -> dict[str, str]:
                 names = [a.asname or a.name.split(".")[0] for a in node.names]
                 if isinstance(node, ast.ImportFrom) and node.level >= 0:
                     if node.level > 0:
-                        base = mod_name.rsplit(".", node.level)[0]
+                        base = _relative_base(mod_name, node.level)
                         origin = (
                             f"{base}.{node.module}" if node.module else base
                         )
