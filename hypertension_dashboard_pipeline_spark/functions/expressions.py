@@ -149,7 +149,18 @@ def round_fixed(c: Column | str, digits: int = 4) -> Column:
     922337203685477.6).  For |v| >= 2^53, v is integral, pmod is 0,
     and both engines return v unchanged — verified bit-identical on
     random values across 1e-3..1e80 magnitudes, both signs.
+
+    Non-finite ``v`` passes through UNFLOORED: ``pmod(inf, 1.0)`` is
+    NaN so the subtraction form alone would map ±Inf -> NaN, while
+    DuckDB's ``FLOOR`` is the identity on ±Inf/NaN — zero-variance
+    groups (a20 slope, anomaly z with sd=0) would diverge
+    cross-engine.  The guard is ``v - v == 0``, true exactly for
+    finite v (inf-inf and NaN-NaN are NaN, and NaN compares false);
+    the fallthrough returns ``v / p`` — bit-identical to DuckDB's
+    ``FLOOR(x*10^d + 0.5)/10^d`` even when finite x OVERFLOWS to
+    ±Inf at the multiply (both engines then divide that same ±Inf).
     """
     p = float(10**digits)
     v = _col(c) * F.lit(p) + F.lit(0.5)
-    return (v - F.pmod(v, F.lit(1.0))) / F.lit(p)
+    floored = v - F.pmod(v, F.lit(1.0))
+    return F.when(v - v == F.lit(0.0), floored).otherwise(v) / F.lit(p)

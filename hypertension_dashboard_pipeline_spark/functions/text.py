@@ -51,7 +51,9 @@ def punct_ratio_raw(c: Column | str) -> Column:
 
 
 def punct_ratio(c: Column | str, scale: int = 6) -> Column:
-    return F.round(punct_ratio_raw(c), scale)
+    from .expressions import round_fixed
+
+    return round_fixed(punct_ratio_raw(c), scale)
 
 
 STOPWORDS_EN = (
@@ -70,20 +72,26 @@ def stopword_ratio_raw(c: Column | str, stopwords: str | None = None) -> Column:
 
 def stopword_ratio(c: Column | str, stopwords: str | None = None,
                    scale: int = 6) -> Column:
-    return F.round(stopword_ratio_raw(c, stopwords), scale)
+    from .expressions import round_fixed
+
+    return round_fixed(stopword_ratio_raw(c, stopwords), scale)
 
 
 def quality_score(c: Column | str, scale: int = 6) -> Column:
     """Composite quality heuristic in [0,1]: rewards mid-length docs and
     stopword presence, penalizes punctuation soup. Deterministic
-    arithmetic, rounded once at the end — expressible identically in
-    ANSI SQL for the oracle."""
+    arithmetic, rounded once at the end with the engine-safe floor form
+    (``functions.expressions.round_fixed``) — oracles pair with
+    ``FLOOR(score * 10^scale + 0.5) / 10^scale``, never engine
+    ROUND."""
+    from .expressions import round_fixed
+
     col = _col(c)
     n_tok = token_count(col).cast("double")
     len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
     stop_score = F.least(stopword_ratio_raw(col) * 4, F.lit(1.0))
     punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio_raw(col) * 5)
-    return F.round((len_score + stop_score + punct_pen) / 3, scale)
+    return round_fixed((len_score + stop_score + punct_pen) / 3, scale)
 
 
 # language-ID marker words per language (synthetic-friendly: common

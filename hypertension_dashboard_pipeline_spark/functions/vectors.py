@@ -34,6 +34,17 @@ def norm(a: Column | str) -> Column:
 
 def cosine(a: Column | str, b: Column | str, scale: int | None = None) -> Column:
     """Cosine similarity; optionally rounded for stable cross-engine
-    comparison (recommended when the value feeds a threshold/rank)."""
+    comparison (recommended when the value feeds a threshold/rank).
+
+    Rounding uses the package's engine-safe floor form
+    (``functions.expressions.round_fixed``), not ``F.round``: Spark's
+    round(double) rounds the SHORTEST-REPR decimal string while DuckDB
+    ROUND rounds the binary value, and dot/norm ratios are exactly the
+    kind of data-dependent doubles that can land on a representation
+    boundary.  Oracles must pair with
+    ``FLOOR(x * 10^scale + 0.5) / 10^scale``.
+    """
+    from .expressions import round_fixed
+
     sim = dot(a, b) / (norm(a) * norm(b))
-    return F.round(sim, scale) if scale is not None else sim
+    return round_fixed(sim, scale) if scale is not None else sim

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.expressions import round_fixed
 from .dedup import exploded_shingles
 
 
@@ -70,7 +71,7 @@ def contamination_scores(corpus: DataFrame, benchmark: DataFrame,
         .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0)))
         .withColumn(
             "overlap_ratio",
-            F.round(F.col("n_hit").cast("double") / F.col("n_sh"), scale),
+            round_fixed(F.col("n_hit").cast("double") / F.col("n_sh"), scale),
         )
         .withColumn(
             "contaminated",

@@ -27,6 +27,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.expressions import round_fixed
 from ..functions.text import tokens
 
 
@@ -65,6 +66,6 @@ def bm25_topk(docs: DataFrame, query_terms: Sequence[str], k: int = 20,
             / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl_ratio))
         )
     scored = docs.select(
-        F.col(id_col), F.round(score, scale).alias("bm25")
+        F.col(id_col), round_fixed(score, scale).alias("bm25")
     )
     return scored.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(k)

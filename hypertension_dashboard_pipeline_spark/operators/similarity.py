@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.expressions import round_fixed
 from ..functions.vectors import as_double_array, cosine, dot, norm
 
 
@@ -172,7 +173,7 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
 
     scored = cand.select(
         "id_a", "id_b",
-        F.round(
+        round_fixed(
             dot(F.col("v_a"), F.col("v_b")) / (F.col("nrm_a") * F.col("nrm_b")),
             scale,
         ).alias("cos_sim"),
@@ -192,7 +193,7 @@ def label_centroids(df: DataFrame, label_col: str = "label",
             F.posexplode(F.col(vec_col).cast("array<double>")).alias("p", "v"),
         )
         .groupBy("label", (F.col("p") + 1).alias("pos"))
-        .agg(F.round(F.avg("v"), scale).alias("centroid_val"))
+        .agg(round_fixed(F.avg("v"), scale).alias("centroid_val"))
     )
 
 
@@ -327,7 +328,7 @@ def quantized_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     scored = df.select(
         F.col(id_col),
         qdot.alias("qdot"),
-        F.round(
+        round_fixed(
             qdot.cast("double") * max_c * F.lit(max_q) / F.lit(16129.0), scale
         ).alias("approx_dot"),
     )

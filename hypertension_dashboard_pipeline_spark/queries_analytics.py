@@ -799,7 +799,7 @@ def a24_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_fixed(F.col("n_rows") * 100.0 / F.col("total"), 4).alias(
                 "pct_of_total"
             ),
-            F.round(
+            round_fixed(
                 F.col("n_rows") * F.col("n_keys") / F.col("total").cast("double"),
                 4,
             ).alias("skew_factor"),

@@ -95,9 +95,10 @@ _STOPS = tx.STOPWORDS_EN[0].split()
         FROM documents
     )
     SELECT doc_id,
-           ROUND((LEAST(n_tok / 100.0, 1.0)
+           FLOOR((LEAST(n_tok / 100.0, 1.0)
                   + LEAST(stop_raw * 4, 1.0)
-                  + GREATEST(0.0, 1.0 - punct_raw * 5)) / 3, 6) AS quality
+                  + GREATEST(0.0, 1.0 - punct_raw * 5)) / 3
+                 * 1000000.0 + 0.5) / 1000000.0 AS quality
     FROM t
     """,
 )
@@ -387,7 +388,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DK_QUALITY = f"""
     q AS (
         SELECT doc_id,
-               ROUND((LEAST(len({_DK_TOKENS.format(c='text')})::DOUBLE
+               FLOOR((LEAST(len({_DK_TOKENS.format(c='text')})::DOUBLE
                             / 100.0, 1.0)
                       + LEAST(CASE WHEN len({_DK_TOKENS.format(c='text')}) > 0
                               THEN len(list_filter(
@@ -400,7 +401,8 @@ _DK_QUALITY = f"""
                             CASE WHEN LENGTH(text) > 0 THEN
                                 len(regexp_extract_all(text,
                                     '[^\\w\\s]'))::DOUBLE / LENGTH(text)
-                            ELSE 0.0 END * 5)) / 3, 6) AS quality
+                            ELSE 0.0 END * 5)) / 3
+                     * 1000000.0 + 0.5) / 1000000.0 AS quality
         FROM documents
     )"""
 
@@ -692,7 +694,8 @@ def _cosine_oracle_topk() -> str:
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     )
     SELECT e.vec_id,
-           ROUND({dot_vq} / (sqrt({dot_vv}) * sqrt({dot_qq})), 6) AS cos_sim
+           FLOOR({dot_vq} / (sqrt({dot_vv}) * sqrt({dot_qq}))
+                 * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
     FROM e, q
     ORDER BY cos_sim DESC, e.vec_id
     LIMIT 10
@@ -750,9 +753,11 @@ def _near_dup_oracle(threshold: float = 0.4, n_tables: int = 4,
                                 AND x.vec_id < y.vec_id
     )
     SELECT c.id_a, c.id_b,
-           ROUND({dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb})), 6) AS cos_sim
+           FLOOR({dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb}))
+                 * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
     FROM cand c JOIN e a ON c.id_a = a.vec_id JOIN e b ON c.id_b = b.vec_id
-    WHERE ROUND({dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb})), 6) >= {threshold}
+    WHERE FLOOR({dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb}))
+                * 1000000.0 + 0.5) / 1000000.0 >= {threshold}
     """
 
 
@@ -778,7 +783,7 @@ def _ivf_oracle(n_probe: int = 2, k: int = 10) -> str:
     WITH q AS (
         SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
     ), cents AS (
-        SELECT label, pos, ROUND(AVG(v), 4) AS cv
+        SELECT label, pos, FLOOR(AVG(v) * 10000.0 + 0.5) / 10000.0 AS cv
         FROM (
             SELECT label,
                    unnest(embedding::DOUBLE[]) AS v,
@@ -791,16 +796,18 @@ def _ivf_oracle(n_probe: int = 2, k: int = 10) -> str:
     ), probed AS (
         SELECT label
         FROM cvecs, q
-        ORDER BY ROUND({dot('cvecs.cvec', 'q.qv')}
+        ORDER BY FLOOR({dot('cvecs.cvec', 'q.qv')}
                  / (sqrt({dot('cvecs.cvec', 'cvecs.cvec')})
-                    * sqrt({dot('q.qv', 'q.qv')})), 6) DESC, label
+                    * sqrt({dot('q.qv', 'q.qv')}))
+                 * 1000000.0 + 0.5) / 1000000.0 DESC, label
         LIMIT {n_probe}
     ), e AS (
         SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
     )
     SELECT e.vec_id,
-           ROUND({dot('e.v', 'q.qv')}
-                 / (sqrt({dot('e.v', 'e.v')}) * sqrt({dot('q.qv', 'q.qv')})), 6)
+           FLOOR({dot('e.v', 'q.qv')}
+                 / (sqrt({dot('e.v', 'e.v')}) * sqrt({dot('q.qv', 'q.qv')}))
+                 * 1000000.0 + 0.5) / 1000000.0
                AS cos_sim
     FROM e JOIN probed USING (label), q
     ORDER BY cos_sim DESC, e.vec_id
@@ -851,7 +858,8 @@ def _lsh_bucket_topk_oracle(k: int = 10, n_planes: int = 4,
         SELECT vec_id, v, {bits('v')} AS b FROM e
     )
     SELECT eb.vec_id,
-           ROUND({dot_vq} / (sqrt({dot_vv}) * sqrt({dot_qq})), 6) AS cos_sim
+           FLOOR({dot_vq} / (sqrt({dot_vv}) * sqrt({dot_qq}))
+                 * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
     FROM eb JOIN qb USING (b), q
     ORDER BY cos_sim DESC, eb.vec_id
     LIMIT {k}
@@ -1262,7 +1270,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "emb_label_centroids",
     oracle="""
-    SELECT label, pos, ROUND(AVG(v), 4) + CAST(0 AS DOUBLE) AS centroid_val
+    SELECT label, pos, FLOOR(AVG(v) * 10000.0 + 0.5) / 10000.0
+               AS centroid_val
     FROM (
         SELECT label,
                unnest(embedding::DOUBLE[]) AS v,
@@ -1275,8 +1284,12 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid components (the IVF coarse-quantizer build
     step): posexplode + one (label, pos) hash aggregation — fully
-    distributed, no vector ever collected. Rounded so cross-engine
-    float-sum ordering can't flip a digit."""
+    distributed, no vector ever collected. Rounded with the engine-safe
+    floor form so cross-engine float-sum ordering can't flip a digit
+    (round_fixed also never emits -0.0, which retires the old
+    ``+ 0.0`` normalizer this query carried under F.round)."""
+    from .functions.expressions import round_fixed
+
     emb = load_table(spark, sf_dir, "embeddings")
     return (
         emb.select(
@@ -1284,12 +1297,7 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode(F.col("embedding").cast("array<double>")).alias("p", "v"),
         )
         .groupBy("label", (F.col("p") + 1).alias("pos"))
-        .agg(
-            # + 0.0 normalizes IEEE -0.0 to +0.0 (a tiny negative mean
-            # rounds to -0.0 on one engine and 0.0 on the other; equal
-            # under ==, unequal under the driver's typed value hash)
-            (F.round(F.avg("v"), 4) + F.lit(0.0)).alias("centroid_val")
-        )
+        .agg(round_fixed(F.avg("v"), 4).alias("centroid_val"))
     )
 
 
@@ -1309,14 +1317,15 @@ def _curation_oracle() -> str:
     )
     toks = _DK_TOKENS.format(c="text")
     quality = f"""
-        ROUND((LEAST(len({toks})::DOUBLE / 100.0, 1.0)
+        FLOOR((LEAST(len({toks})::DOUBLE / 100.0, 1.0)
                + LEAST(CASE WHEN len({toks}) > 0 THEN
                        len(list_filter({lang_toks},
                             t -> list_contains({_dk_list(_STOPS)}, t)))::DOUBLE
                        / len({toks}) ELSE 0.0 END * 4, 1.0)
                + GREATEST(0.0, 1.0 - CASE WHEN LENGTH(text) > 0 THEN
                        len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE
-                       / LENGTH(text) ELSE 0.0 END * 5)) / 3, 6)
+                       / LENGTH(text) ELSE 0.0 END * 5)) / 3
+              * 1000000.0 + 0.5) / 1000000.0
     """
     return f"""
     WITH scored AS (
@@ -1348,7 +1357,8 @@ def _curation_oracle() -> str:
                    JOIN sizes sb ON inter.id_b = sb.id
         WHERE ROUND(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
     )
-    SELECT source, COUNT(*) AS n_docs, ROUND(AVG(quality), 4) AS avg_quality
+    SELECT source, COUNT(*) AS n_docs,
+           FLOOR(AVG(quality) * 10000.0 + 0.5) / 10000.0 AS avg_quality
     FROM kd WHERE doc_id NOT IN (SELECT doc_id FROM near_dup)
     GROUP BY source
     """
@@ -1380,9 +1390,11 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     survivors = kd.join(near, "doc_id", "left_anti")
+    from .functions.expressions import round_fixed
+
     return survivors.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        round_fixed(F.avg("quality"), 4).alias("avg_quality"),
     )
 
 
@@ -1545,7 +1557,7 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), daily AS (
         SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
                COUNT(*) AS n_events,
-               ROUND(AVG(value), 4) AS value_avg
+               FLOOR(AVG(value) * 10000.0 + 0.5) / 10000.0 AS value_avg
         FROM events GROUP BY 1
     )
     SELECT day, n_events, value_avg
@@ -1688,7 +1700,8 @@ def _quantized_topk_oracle(k: int = 10) -> str:
         FROM codes c, qq q
     )
     SELECT vec_id, qdot,
-           ROUND(CAST(qdot AS DOUBLE) * maxc * maxq / 16129.0, 6) AS approx_dot
+           FLOOR(CAST(qdot AS DOUBLE) * maxc * maxq / 16129.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS approx_dot
     FROM scored
     ORDER BY approx_dot DESC, vec_id
     LIMIT {k}
@@ -1929,7 +1942,7 @@ def _bm25_oracle(terms: list[str], k: int = 20,
                {df_cols}
         FROM base
     )
-    SELECT b.doc_id, ROUND({score}, 6) AS bm25
+    SELECT b.doc_id, FLOOR(({score}) * 1000000.0 + 0.5) / 1000000.0 AS bm25
     FROM base b, stats s
     ORDER BY bm25 DESC, b.doc_id
     LIMIT {k}
@@ -1991,8 +2004,10 @@ def a17_hll_union_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE shingle IN (SELECT shingle FROM bench) GROUP BY id
     )
     SELECT s.id AS doc_id, s.n_sh, COALESCE(h.n_hit, 0) AS n_hit,
-           ROUND(COALESCE(h.n_hit, 0)::DOUBLE / s.n_sh, 6) AS overlap_ratio,
-           (ROUND(COALESCE(h.n_hit, 0)::DOUBLE / s.n_sh, 6) >= 0.2)::INT
+           FLOOR(COALESCE(h.n_hit, 0)::DOUBLE / s.n_sh
+                 * 1000000.0 + 0.5) / 1000000.0 AS overlap_ratio,
+           (FLOOR(COALESCE(h.n_hit, 0)::DOUBLE / s.n_sh
+                  * 1000000.0 + 0.5) / 1000000.0 >= 0.2)::INT
                AS contaminated
     FROM sizes s LEFT JOIN hits h USING (id)
     """,
@@ -2139,7 +2154,8 @@ def _semdedup_oracle(threshold: float = 0.4) -> str:
     ), removed AS (
         SELECT DISTINCT b.vec_id
         FROM ep a JOIN ep b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE ROUND({dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb})), 6)
+        WHERE FLOOR({dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb}))
+                    * 1000000.0 + 0.5) / 1000000.0
               >= {threshold}
     )
     SELECT e.vec_id, e.label FROM e
@@ -2173,7 +2189,8 @@ def _batch_ann_oracle(k: int = 5, n_queries: int = 8) -> str:
         SELECT vec_id, v FROM e WHERE vec_id >= {n_queries}
     ), s AS (
         SELECT q.query_id, c.vec_id,
-               ROUND({dot_cq} / (sqrt({dot_cc}) * sqrt({dot_qq})), 6)
+               FLOOR({dot_cq} / (sqrt({dot_cc}) * sqrt({dot_qq}))
+                     * 1000000.0 + 0.5) / 1000000.0
                    AS cos_sim
         FROM c, q
     ), r AS (

@@ -70,108 +70,103 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      dec_present presentation rule (functions/expressions.py; the
 #      no-DecimalType-in-output contract is enforced by
 #      tests/test_driver_parity.py::_assert_no_decimal).
-#      r5 window (this round): the 41 queries that have NEVER been
-#      externally verified (the whole queries_analytics.py surface,
-#      the r4 wave-2/3 debuts, and the three decimal-fixed rollups),
-#      plus dedup_components + dedup_simhash_groups (green r4 but
-#      drifted: connected_components' small-graph threshold dropped
-#      4M -> 1M with the driver-memory math), plus the two flagships.
-#      45 names + 4 r5 DEBUTS (sessionize, KL drift, concurrency
-#      peak, Q18 shape) = 49/50 — a new query is absent from the
-#      snapshot and must sit in the window; one slot intentionally
-#      spare.
-#      Externally green and byte-unchanged, relying on the local sweep
-#      until their next rotation: the r1-aged single-expression core
-#      (p1-p4, f1-f16 family, l1/l2, a5/a8, w1/w2, u1...) re-verified
-#      green in r4, and the r4 debut set (as-of/range/fuzzy/upsert
-#      joins, sketches, bloom ingest, chunking, BM25, decontaminate,
-#      sampling, ANN/semdedup/simhash, session windows, OMOP
-#      pipelines).
-#      r6 ROTATION PLAN (build the next _FRONT from, in priority
-#      order — SURVEY.md "Round-boundary steps" has the rationale):
-#        (a) any r5-gate reds + anything fingerprint-drifted;
-#        (b) the streaming-pin perf set, pinned IN the same change:
-#            streaming_dedup, streaming_daily_window,
-#            streaming_session_window, streaming_stateful_counters;
-#        (c) a round_fixed migration family or two from the SURVEY
-#            backlog, e.g. {sim_cosine_topk, sim_ivf_topk,
-#            sim_lsh_bucket_topk, sim_lsh_bucket_topk_indexed}
-#            (shared functions.vectors.cosine) and {text_quality_score
-#            + curation_pipeline + dedup_quality_survivor}
-#            (shared quality_score);
-#        (d) a28_unpivot_priority (displaced late-r5);
-#        (e) re-verification of the r4 debut set (j10-j13,
-#            sim_quantized_topk, a14, a16, a17,
-#            dedup_incremental_bloom, dedup_simhash_pairs,
-#            emb_label_centroids, text_chunk_documents, text_bm25_topk,
-#            text_decontaminate, sample_temperature_mix,
-#            sim_batch_ann_topk, sample_k_per_group,
-#            sim_lsh_bucket_topk_indexed, omop_* — oldest green rows
-#            after this round's window lands).
+#      r5 window: the 41 never-externally-verified queries (the whole
+#      queries_analytics.py surface, r4 wave-2/3 debuts, decimal-fixed
+#      rollups) + drifted dedup family + flagships + 4 r5 debuts +
+#      the late-r5 zero-norm similarity fix = 50/50, ALL green
+#      (CORRECTNESS_r05).
+#      r6 window (this round) = exactly the mechanical drift set of
+#      this round's changes (40 queries) + flagship + a28 (never
+#      externally verified) + 8 slots of the oldest r4-debut
+#      evidence.  The changes driving the drift:
+#        * round_fixed non-finite passthrough (ADVICE r5 medium):
+#          every transitive round_fixed caller re-verifies under the
+#          fixed semantics — the whole w3-w6/a2x/analytics surface;
+#        * a24 skew_factor F.round -> round_fixed (ADVICE r5 high);
+#        * F.round backlog burndown, families cosine (sim_* x6,
+#          via functions.vectors.cosine), quality_score
+#          (text_quality_score, curation_pipeline,
+#          dedup_quality_survivor), plus per-query migrations of
+#          everything rotating in that still carried F.round
+#          (emb_label_centroids, sim_quantized_topk, text_bm25_topk,
+#          text_decontaminate, streaming_daily_window,
+#          sim_cosine_near_dup via cosine_near_dup_pairs);
+#        * bounded-run shuffle-partition pin (streaming/runner.py)
+#          for streaming_{dedup,daily_window,session_window,
+#          stateful_counters}.
+#      STILL ON OLD EVIDENCE after this round (r4★ green +
+#      fingerprint-pinned + local 152-query sweep) — first picks for
+#      the r7 window: j12_fuzzy_join_blocked, j13_merge_upsert,
+#      a14_sketch_profile, text_chunk_documents,
+#      sample_temperature_mix, sample_k_per_group, plus the remaining
+#      F.round backlog families (migrate WHEN rotated, never before):
+#      a6_freq_table, a11_attrition_stats, a13_grouped_percentiles,
+#      f16_profile_stats, text_repetition_ratio,
+#      dedup_ngram_jaccard + dedup_minhash_lsh + curation's jaccard
+#      filter (shared operators.dedup.shingle_pairs_jaccard /
+#      minhash_lsh_pairs — rotate the dedup family together,
+#      SURVEY.md round-boundary step 2), streaming_static_join
+#      (stateless; pin optional).
 _FRONT: list[str] = [
-    # flagship + headline extension pipeline (always externally gated)
+    # flagship + headline extension pipeline (always externally gated;
+    # curation also drifted via quality_score)
     "flagship_cohort_pipeline",
     "curation_pipeline",
-    # the three r4-red rollups, decimal-fixed (dec_present + floor avg)
+    # --- round_fixed non-finite passthrough drift (r5-green set) ---
     "a15_time_rollup",
     "a23_incremental_rollup",
     "streaming_incremental_rollup",
-    # drifted since the r4 snapshot: connected_components threshold
-    "dedup_components",
-    "dedup_simhash_groups",
-    "dedup_quality_survivor",
-    # never externally verified: queries_analytics.py surface
-    "a18_cube_agg",
-    "a19_pivot_priority",
     "w3_moving_avg",
     "w4_lag_delta",
     "w5_ntile_quartiles",
+    "w6_time_range_avg",
     "a20_grouped_regression",
     "a21_histogram_totalprice",
-    "events_funnel",
-    "events_rolling_wau",
-    "events_funnel_windowed",
-    "events_retention",
-    "events_path_transitions",
-    "cust_rfm_segments",
-    "a25_winsorized_stats",
     "a24_key_skew_profile",
-    "w7_scd2_intervals",
-    "sample_weighted_topk",
-    "w6_time_range_avg",
-    "dq_expectations",
-    "emb_kmeans_lloyd",
-    # never externally verified: r4 wave-2
-    "ts_gap_fill_locf",
-    "graph_pagerank_transitions",
-    "events_anomaly_zscore",
-    "text_segment_boilerplate",
-    "streaming_stream_stream_join",
-    "emb_gram_matrix",
-    # never externally verified: r4 wave-3 / closing wave
-    "a26_equidepth_histogram",
+    "a25_winsorized_stats",
     "a27_pricing_summary",
-    "j15_shipping_priority",
-    "j16_local_supplier_volume",
-    "events_last_touch_attribution",
-    # a28_unpivot_priority rotated back out late-r5: its two window
-    # slots went to the zero-norm-fixed similarity pair (below); it is
-    # a thin unpivot of a19 (in window) and stays locally swept
-    "text_lm_bigram_score",
-    "sample_global_shuffle",
-    "emb_pq_codes",
-    "sim_pq_adc_topk",
-    "streaming_stream_stream_outer_join",
-    # r5 debuts (new queries are absent from the snapshot => in-window)
-    "events_sessionize",
+    "cust_rfm_segments",
+    "events_funnel",
+    "events_path_transitions",
+    "events_anomaly_zscore",
+    "emb_kmeans_lloyd",
+    "emb_gram_matrix",
+    "graph_pagerank_transitions",
     "dq_drift_kl",
-    "events_concurrency_peak",
-    "j17_large_volume_orders",
-    # late-r5 zero-norm robustness fix (adversarial embeddings sweep
-    # found an ANSI divideByZeroError on zero vectors) — drifted, so
-    # back in the window
-    "sim_cosine_near_dup",
+    "text_lm_bigram_score",
+    "sim_pq_adc_topk",
+    # --- cosine family: round_fixed migration ---
+    "sim_cosine_topk",
+    "sim_ivf_topk",
+    "sim_lsh_bucket_topk",
+    "sim_lsh_bucket_topk_indexed",
+    "sim_batch_ann_topk",
     "sim_semdedup",
+    "sim_cosine_near_dup",
+    # --- quality_score family: round_fixed migration ---
+    "text_quality_score",
+    "dedup_quality_survivor",
+    # --- per-query round_fixed migrations riding their rotation ---
+    "emb_label_centroids",
+    "sim_quantized_topk",
+    "text_bm25_topk",
+    "text_decontaminate",
+    # --- bounded-run partition pin (streaming/runner.py) ---
+    "streaming_dedup",
+    "streaming_daily_window",
+    "streaming_session_window",
+    "streaming_stateful_counters",
+    # --- never externally verified ---
+    "a28_unpivot_priority",
+    # --- oldest r4-debut evidence: re-verification picks ---
+    "omop_pipeline_e2e",
+    "omop_phenotype_stats",
+    "j10_asof_join",
+    "j11_range_join",
+    "a16_kll_merge_quantiles",
+    "a17_hll_union_profile",
+    "dedup_incremental_bloom",
+    "dedup_simhash_pairs",
 ]
 
 # Driver window size (observed: the external gate samples the first 50

@@ -14,9 +14,6 @@ state) — the matching oracle encodes the same cutoff.
 
 from __future__ import annotations
 
-import shutil
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -26,12 +23,16 @@ from ..io import events_stream
 def daily_value_stats(events: DataFrame) -> DataFrame:
     """The shared (batch == streaming) aggregation: tumbling 1-day
     event-time windows over the value column."""
+    from ..functions.expressions import round_fixed
+
     return (
         events.withWatermark("ts", "1 day")
         .groupBy(F.window("ts", "1 day").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 4).alias("value_avg"),
+            # engine-safe floor rounding (round_fixed docstring): the
+            # oracle pairs with FLOOR(avg * 1e4 + 0.5) / 1e4
+            round_fixed(F.avg("value"), 4).alias("value_avg"),
         )
         .select(F.col("w.start").cast("date").alias("day"), "n_events", "value_avg")
     )
@@ -48,19 +49,8 @@ def run_available_now(spark: SparkSession, sf_dir: str,
     """
     src = events_stream(spark, sf_dir)
     out = daily_value_stats(src)
-    ckpt = tempfile.mkdtemp(prefix="spark_graft_stream_")
-    try:
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        # memory-sink rows live on the driver; offsets/state in the
-        # checkpoint dir are single-use for this bounded run
-        shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.table(name)
+    # windowed-agg state stores follow shuffle partitions — bounded
+    # runs pin a small count (see runner.py)
+    from .runner import run_bounded
+
+    return run_bounded(spark, out, name)

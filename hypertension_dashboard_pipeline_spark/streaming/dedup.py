@@ -88,17 +88,8 @@ def run_available_now(spark: SparkSession, sf_dir: str,
     out = dedup_within_watermark(doubled, ["event_id"]).select(
         "event_id", "user_id", "event_type", "value"
     )
-    ckpt = tempfile.mkdtemp(prefix="spark_graft_dedup_stream_")
-    try:
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.table(name)
+    # dropDuplicatesWithinWatermark keeps one state store per shuffle
+    # partition — bounded runs pin a small count (see runner.py)
+    from .runner import run_bounded
+
+    return run_bounded(spark, out, name, ckpt_prefix="spark_graft_dedup_stream_")

@@ -17,9 +17,6 @@ the batch answer that a SQL oracle can reproduce.
 
 from __future__ import annotations
 
-import shutil
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -50,17 +47,8 @@ def run_available_now(spark: SparkSession, sf_dir: str,
     memory sink; returns the emitted (watermark-closed) sessions."""
     src = events_stream(spark, sf_dir)
     out = user_sessions(src)
-    ckpt = tempfile.mkdtemp(prefix="spark_graft_sessions_")
-    try:
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.table(name)
+    # session-window state stores follow shuffle partitions — bounded
+    # runs pin a small count (see runner.py)
+    from .runner import run_bounded
+
+    return run_bounded(spark, out, name, ckpt_prefix="spark_graft_sessions_")

@@ -74,24 +74,14 @@ def run_available_now(spark: SparkSession, sf_dir: str,
     user emits exactly one (final) row — making the result equal to the
     batch groupBy, which the oracle pins.
     """
-    import shutil
-    import tempfile
-
     from ..io import events_stream
+    from .runner import run_bounded
 
     src = events_stream(spark, sf_dir)
     out = running_user_counters(src)
-    ckpt = tempfile.mkdtemp(prefix="spark_graft_state_")
-    try:
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.table(name)
+    # one applyInPandasWithState store per shuffle partition — bounded
+    # runs pin a small count (see runner.py)
+    return run_bounded(
+        spark, out, name,
+        ckpt_prefix="spark_graft_state_", output_mode="update",
+    )
