@@ -50,6 +50,67 @@ def same_day_avg(df: DataFrame, key: str, date_col: str, value_col: str,
     )
 
 
+def same_day_avg_exact(df: DataFrame, key: str, date_col: str,
+                       value_col: str, out_col: str | None = None,
+                       scale: int = 1, input_scale: int = 0) -> DataFrame:
+    """Half-even same-day average in EXACT integer arithmetic — the
+    pre-built escape hatch for ``same_day_avg`` (SURVEY.md
+    round-boundary step 4).
+
+    ``same_day_avg`` pairs Spark ``bround(avg(x))`` with DuckDB
+    ``ROUND_EVEN(AVG(x))``.  That pairing is structurally safe while
+    the corpus keeps INTEGER-valued quantities (the mean of integers
+    with small n either sits far from a 1dp midpoint or IS an exactly
+    representable midpoint) — but it dies the day a regenerated corpus
+    ships 1-2dp FRACTIONAL values, because both engines then half-even
+    a double that only approximates the true mean, and they can
+    approximate it from opposite sides.
+
+    This formulation never rounds a double at all.  Inputs declared
+    exact at ``input_scale`` (k) decimal places are recovered as
+    integers m = rint(x*10^k) (exact: the stored double is the nearest
+    double to m/10^k, so m is recovered bit-exactly for |m| well past
+    any physiological/quantity range).  Then with S = Σm, n = count,
+    the half-even rounding of (S/(n·10^k)) at ``scale`` (s) digits is
+    pure integer arithmetic on N = |S|·10^s and d = n·10^k:
+
+        q = N div d,  r = N mod d
+        q += 1  iff  2r > d  or  (2r = d and q odd)
+        result = sign(S) · q / 10^s
+
+    Every step is exact in LONG (documented bound: |S|·10^s < 2^63 —
+    at s=1, k=2 that is ~9e15 group-total units, far past any same-day
+    group), and the single final double division q/10^s is correctly
+    rounded by IEEE — so the value is the true half-even mean on ANY
+    engine, with no cross-engine representability exposure.  The
+    DuckDB mirror is the same integer expression; property-tested
+    against ``fractions.Fraction`` ground truth and shown bit-equal to
+    the bround path on integer corpora
+    (tests/test_same_day_avg_exact.py).
+    """
+    out = out_col or f"{value_col}_avg"
+    k = int(input_scale)
+    s = int(scale)
+    m = F.rint(F.col(value_col) * F.lit(float(10**k))).cast("long")
+    g = df.groupBy(key, date_col).agg(
+        F.sum(m).alias("_S"), F.count(m).alias("_n")
+    )
+    N = F.abs(F.col("_S")) * F.lit(10**s)
+    d = F.col("_n") * F.lit(10**k)
+    q = F.expr(f"(abs(_S) * {10**s}) div (_n * {10**k})")
+    r = F.pmod(N, d)
+    adj = F.when(
+        (2 * r > d) | ((2 * r == d) & (q % 2 == 1)), F.lit(1)
+    ).otherwise(F.lit(0))
+    signed = F.signum(F.col("_S")).cast("long") * (q + adj)
+    # all-null group: avg semantics return NULL (guard also keeps the
+    # integral divide off n=0 under ANSI mode)
+    value = F.when(
+        F.col("_n") > 0, signed.cast("double") / F.lit(float(10**s))
+    )
+    return g.select(key, date_col, value.alias(out))
+
+
 def sum_indicator(df: DataFrame, key: str, flag_col: str,
                   out_col: str = "n") -> DataFrame:
     """Reference A4: count of flagged days per patient

@@ -555,6 +555,75 @@ def histogram_fixed(
 # --------------------------------------------------------------------------
 
 
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    row_id_col: str,
+    theta: float = 0.1,
+    sample_buckets: int = 16,
+    safety: float = 0.5,
+) -> DataFrame:
+    """All θ-heavy hitters (keys with frequency ≥ θ·N), exactly
+    counted, via a sampled candidate pass — the 100 TB alternative to
+    ``a24_key_skew_profile``'s full key histogram when the key space
+    is billions wide.
+
+    Pass 1 shuffles only the KEYS OF A 1/``sample_buckets`` ROW SAMPLE
+    (deterministic md5 bucket of the row id — the ``sampling.py``
+    convention, reproducible in any engine): per-key sampled counts,
+    kept as candidates when ≥ ``safety``·θ·N/``sample_buckets``.
+    Pass 2 broadcast-semi-joins the fact to the (tiny) candidate set,
+    counts EXACTLY, and keeps keys with count ≥ ceil(θ·N) — so every
+    emitted row is a true θ-heavy hitter with its true count.
+
+    Approximate-by-construction in candidate RECALL only (a heavy key
+    whose rows systematically dodge the sample bucket is missed — at
+    θN·1/16 expected sampled rows the probability is astronomically
+    small, and the miss is DETERMINISTIC, not flaky); precision is
+    exact.  Both passes are pure functions of the data, so a SQL
+    oracle replicates the result bit-for-bit — the MinHash-LSH
+    blocking precedent.
+
+    Scale: two narrow scans + one semi-join scan; the only shuffles
+    carry ~distinct-sampled-keys and ~candidate-count rows.  A full
+    ``groupBy(key).count()`` ships every distinct key per partition
+    through the exchange; at billions of keys the sampled pass ships
+    1/16th of that and the exact pass only the handful of candidates.
+    """
+    from .sampling import hash_bucket
+
+    tot = df.agg(F.count(F.lit(1)).alias("_N"))
+    sampled = (
+        df.filter(hash_bucket(F.col(row_id_col), sample_buckets) == 0)
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_sc"))
+    )
+    cand = (
+        sampled.join(F.broadcast(tot))
+        .filter(
+            F.col("_sc").cast("double")
+            >= F.lit(safety * theta) * F.col("_N") / F.lit(float(sample_buckets))
+        )
+        .select(key_col)
+    )
+    exact = (
+        df.join(F.broadcast(cand), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return (
+        exact.join(F.broadcast(tot))
+        .filter(F.col("n_rows") >= F.ceil(F.lit(theta) * F.col("_N")))
+        .select(
+            key_col,
+            "n_rows",
+            round_fixed(
+                F.col("n_rows") * 100.0 / F.col("_N").cast("double"), 4
+            ).alias("pct_of_total"),
+        )
+    )
+
+
 def partial_rollup(
     df: DataFrame, keys: list[Column | str], value_col: str
 ) -> DataFrame:

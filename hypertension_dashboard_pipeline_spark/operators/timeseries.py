@@ -70,3 +70,63 @@ def gap_fill_locf(daily: DataFrame, key_col: str, day_col: str,
         F.last(value_col, ignorenulls=True).over(w).alias(filled_alias),
         F.col(value_col).isNull().alias(gap_alias),
     )
+
+
+def gap_fill_interpolate(daily: DataFrame, key_col: str, day_col: str,
+                         value_col: str, horizon: DataFrame,
+                         filled_alias: str = "filled",
+                         gap_alias: str = "is_gap",
+                         scale: int = 4) -> DataFrame:
+    """LOCF's companion: fill gaps by LINEAR interpolation between the
+    neighboring observations, time-weighted by day distance —
+
+        filled(d) = pv + (nv - pv) · (d - pd) / (nd - pd)
+
+    where (pd, pv) is the last observation at-or-before d and (nd, nv)
+    the first at-or-after.  Days after the final observation carry the
+    last value forward (LOCF tail); the first day per key is always
+    observed (scaffold starts at the key's min day).
+
+    Same scale shape as ``gap_fill_locf`` — one scaffold join plus TWO
+    running-frame windows on the same key partitioning (backward for
+    the previous observation, forward for the next; Spark evaluates
+    both in one exchange).  The observation (day, value) travels as a
+    null-when-unobserved struct so day and value can't desynchronize
+    through ``last/first(ignorenulls)``.
+
+    The interpolated value is a continuous ratio, so it is rounded
+    with the engine-safe floor form (``round_fixed``); oracles pair
+    with ``FLOOR(x*10^s + 0.5)/10^s``.
+    """
+    from ..functions.expressions import round_fixed
+
+    grid = daily_scaffold(daily, key_col, day_col, horizon)
+    joined = grid.join(daily, [key_col, day_col], "left")
+    obs = F.when(
+        F.col(value_col).isNotNull(),
+        F.struct(F.col(day_col).alias("d"), F.col(value_col).alias("v")),
+    )
+    wb = (
+        Window.partitionBy(key_col)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(key_col)
+        .orderBy(day_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev = F.last(obs, ignorenulls=True).over(wb)
+    nxt = F.first(obs, ignorenulls=True).over(wf)
+    frac = F.datediff(F.col(day_col), prev["d"]).cast("double") / F.datediff(
+        nxt["d"], prev["d"]
+    ).cast("double")
+    filled = F.when(
+        nxt.isNull() | (nxt["d"] == prev["d"]), prev["v"]
+    ).otherwise(prev["v"] + (nxt["v"] - prev["v"]) * frac)
+    return joined.select(
+        key_col,
+        day_col,
+        round_fixed(filled, scale).alias(filled_alias),
+        F.col(value_col).isNull().alias(gap_alias),
+    )

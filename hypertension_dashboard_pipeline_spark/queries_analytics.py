@@ -808,6 +808,121 @@ def a24_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a30_grouped_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT c_mktsegment,
+               FLOOR(quantile_cont(c_acctbal, 0.5) * 10000.0 + 0.5)
+                   / 10000.0 AS med,
+               COUNT(*) AS n
+        FROM customer GROUP BY 1
+    ),
+    dev AS (
+        SELECT c.c_mktsegment, ABS(c.c_acctbal - m.med) AS adev,
+               m.med, m.n
+        FROM customer c JOIN med m USING (c_mktsegment)
+    ),
+    mad AS (
+        SELECT c_mktsegment,
+               FLOOR(quantile_cont(adev, 0.5) * 10000.0 + 0.5)
+                   / 10000.0 AS mad
+        FROM dev GROUP BY 1
+    )
+    SELECT d.c_mktsegment AS segment, d.n, d.med, m.mad,
+           CAST(SUM(CASE WHEN d.adev > 4.4478 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (c_mktsegment)
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def a30_grouped_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier screen: median, MAD, and the count of
+    values beyond the 3σ-equivalent robust fence (|x − med| >
+    3·1.4826·MAD) — the plausibility-band (P12) and winsorize (a25)
+    companion that needs no hand-tuned bounds, exactly the screen the
+    reference applies to BP readings with fixed magic numbers
+    (3_blood_pressure.R plausibility limits).  Medians/MADs round with
+    the engine-safe floor form BEFORE feeding the deviation and fence
+    arithmetic, so every downstream comparison is a pure function of
+    identical doubles on both engines.  Like a13, the exact grouped
+    percentile ships whole groups — fine for bounded group counts; at
+    100 TB swap in the mergeable KLL sketch (a16) for med/MAD and keep
+    the same fence logic."""
+    from .functions.expressions import round_fixed
+
+    cust = load_table(spark, sf_dir, "customer")
+    med = cust.groupBy("c_mktsegment").agg(
+        round_fixed(F.percentile(F.col("c_acctbal"), F.lit(0.5)), 4).alias(
+            "med"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dev = cust.join(F.broadcast(med), "c_mktsegment").select(
+        "c_mktsegment", "n", "med",
+        F.abs(F.col("c_acctbal") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("c_mktsegment").agg(
+        round_fixed(F.percentile(F.col("adev"), F.lit(0.5)), 4).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "c_mktsegment")
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"), "n", "med", "mad"
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("adev") > 4.4478 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers")
+        )
+    )
+
+
+@register(
+    "a29_heavy_hitters_sampled",
+    oracle="""
+    WITH tot AS (SELECT COUNT(*) AS N FROM events),
+    sampled AS (
+        SELECT event_type, COUNT(*) AS sc
+        FROM events
+        WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+              % 16 = 0
+        GROUP BY 1
+    ),
+    cand AS (
+        SELECT event_type FROM sampled, tot
+        WHERE CAST(sc AS DOUBLE) >= 0.05 * N / 16.0
+    ),
+    exact AS (
+        SELECT e.event_type, COUNT(*) AS n_rows
+        FROM events e JOIN cand c USING (event_type)
+        GROUP BY 1
+    )
+    SELECT event_type, n_rows,
+           FLOOR(n_rows * 100.0 / CAST(N AS DOUBLE) * 10000.0 + 0.5)
+               / 10000.0 AS pct_of_total
+    FROM exact, tot
+    WHERE n_rows >= CEIL(0.1 * N)
+    """,
+)
+def a29_heavy_hitters_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """θ-heavy hitters (θ=10%) over event_type via the two-pass
+    sampled-candidate operator (operators/analytics.heavy_hitters):
+    candidates from a deterministic 1/16 md5 row sample, then exact
+    recount of only the candidates — never a full key-histogram
+    shuffle.  The scale complement of a24_key_skew_profile: a24
+    measures the whole histogram (right at millions of keys), this
+    finds the θ-heavy tail at billions.  Deterministic end to end (the
+    sample is an md5 function of event_id), so the oracle replicates
+    both passes verbatim."""
+    from .operators.analytics import heavy_hitters
+
+    return heavy_hitters(
+        load_table(spark, sf_dir, "events"), "event_type", "event_id",
+        theta=0.1, sample_buckets=16, safety=0.5,
+    )
+
+
+@register(
     "streaming_incremental_rollup",
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
@@ -1157,6 +1272,75 @@ def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.gap_fill_locf(
         daily, "user_id", "day", "n", horizon,
         filled_alias="n_events_filled", gap_alias="is_gap",
+    )
+
+
+@register(
+    "ts_gap_fill_interpolate",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, MAX(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    gmax AS (SELECT MAX(CAST(ts AS DATE)) AS d1 FROM events),
+    bounds AS (SELECT user_id, MIN(day) AS d0 FROM daily GROUP BY 1),
+    scaffold AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                 AS day
+      FROM bounds, gmax
+    ),
+    j AS (
+      SELECT s.user_id, s.day, d.v
+      FROM scaffold s LEFT JOIN daily d
+        ON d.user_id = s.user_id AND d.day = s.day
+    ),
+    w AS (
+      SELECT user_id, day, v,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+                 OVER wb AS pd,
+             LAST_VALUE(v IGNORE NULLS) OVER wb AS pv,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+                 OVER wf AS nd,
+             FIRST_VALUE(v IGNORE NULLS) OVER wf AS nv
+      FROM j
+      WINDOW wb AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, day,
+           FLOOR((CASE WHEN nd IS NULL OR nd = pd THEN pv
+                       ELSE pv + ((nv - pv)
+                            * (CAST(day - pd AS DOUBLE)
+                               / CAST(nd - pd AS DOUBLE))) END)
+                 * 10000.0 + 0.5) / 10000.0 AS value_filled,
+           v IS NULL AS is_gap
+    FROM w
+    """,
+)
+def ts_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF's companion (operators/timeseries.gap_fill_interpolate):
+    per-user daily MAX(value) densified to the global horizon with
+    LINEAR interpolation between neighboring observations — the
+    feature-pipeline fill for continuous signals where a step function
+    misrepresents the trend (the reference's BP series is exactly such
+    a signal).  MAX keeps the daily pre-aggregate order-insensitive
+    (no float-sum ordering exposure); the interpolated ratio rounds
+    with the engine-safe floor form.  Scale shape: scaffold generated
+    per key (sequence + explode, no date-dimension cross join), one
+    (key, day) join, and two running-frame windows sharing one
+    exchange on the key."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.max("value").alias("v"))
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("d1"))
+    from .operators import timeseries as ts
+
+    return ts.gap_fill_interpolate(
+        daily, "user_id", "day", "v", horizon,
+        filled_alias="value_filled", gap_alias="is_gap",
     )
 
 

