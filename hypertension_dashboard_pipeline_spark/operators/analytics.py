@@ -562,6 +562,7 @@ def heavy_hitters(
     theta: float = 0.1,
     sample_buckets: int = 16,
     safety: float = 0.5,
+    release: bool = True,
 ) -> DataFrame:
     """All θ-heavy hitters (keys with frequency ≥ θ·N), exactly
     counted, via a sampled candidate pass — the 100 TB alternative to
@@ -584,27 +585,36 @@ def heavy_hitters(
     oracle replicates the result bit-for-bit — the MinHash-LSH
     blocking precedent.
 
-    Scale: two narrow scans + one semi-join scan; the only shuffles
-    carry ~distinct-sampled-keys and ~candidate-count rows.  A full
-    ``groupBy(key).count()`` ships every distinct key per partition
-    through the exchange; at billions of keys the sampled pass ships
-    1/16th of that and the exact pass only the handful of candidates.
+    Scale: THREE fact scans total — the global count, the sampled
+    count, and the candidate recount — enforced by persisting the
+    1-row total and the tiny candidate list (without the persists the
+    lazy plan re-embeds the counting subtree at every reference:
+    measured 8 parquet scans in the un-persisted plan).  The only
+    shuffles carry ~distinct-sampled-keys and ~candidate-count rows.
+    A full ``groupBy(key).count()`` ships every distinct key per
+    partition through the exchange; at billions of keys the sampled
+    pass ships 1/16th of that and the exact pass only the handful of
+    candidates.
     """
+    from .dedup import _maybe_persist, release_persisted
     from .sampling import hash_bucket
 
-    tot = df.agg(F.count(F.lit(1)).alias("_N"))
+    if release:
+        release_persisted()
+    tot = _maybe_persist(df.agg(F.count(F.lit(1)).alias("_N")), True)
     sampled = (
         df.filter(hash_bucket(F.col(row_id_col), sample_buckets) == 0)
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("_sc"))
     )
-    cand = (
+    cand = _maybe_persist(
         sampled.join(F.broadcast(tot))
         .filter(
             F.col("_sc").cast("double")
             >= F.lit(safety * theta) * F.col("_N") / F.lit(float(sample_buckets))
         )
-        .select(key_col)
+        .select(key_col),
+        True,
     )
     exact = (
         df.join(F.broadcast(cand), key_col, "left_semi")

