@@ -2014,6 +2014,84 @@ def dq_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dq_drift_psi",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+               COUNT(*) AS n_td
+        FROM events GROUP BY 1, 2
+    ),
+    per_day AS (SELECT day, SUM(n_td) AS n_d FROM daily GROUP BY day),
+    corpus AS (SELECT event_type, COUNT(*) AS n_t FROM events GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n FROM events),
+    grid AS (SELECT p.day, p.n_d, c.event_type, c.n_t FROM per_day p, corpus c),
+    terms AS (
+        SELECT g.day, g.n_d, g.event_type,
+               ((CAST(COALESCE(d.n_td, 0) AS DOUBLE) / g.n_d)
+                - (CAST(g.n_t AS DOUBLE) / t.n))
+               * ln(GREATEST(CAST(COALESCE(d.n_td, 0) AS DOUBLE) / g.n_d,
+                             0.000001)
+                    / GREATEST(CAST(g.n_t AS DOUBLE) / t.n, 0.000001))
+                   AS term
+        FROM grid g
+        LEFT JOIN daily d ON d.day = g.day AND d.event_type = g.event_type
+        CROSS JOIN tot t
+    )
+    SELECT day, CAST(MAX(n_d) AS BIGINT) AS n_events,
+           FLOOR(list_reduce(
+                     list_prepend(0.0, list(term ORDER BY event_type)),
+                     (a, b) -> a + b)
+                 * 1000000.0 + 0.5) / 1000000.0 AS psi_vs_global
+    FROM terms GROUP BY day
+    """,
+)
+def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per day vs the whole-corpus mix —
+    the production-ML drift metric that complements `dq_drift_kl`:
+    PSI's (p−q)·ln(p/q) terms are SYMMETRIC in direction and, unlike
+    the KL query's inner-join formulation, a bin MISSING from a day
+    contributes its full (0−q)·ln(ε/q) penalty instead of silently
+    dropping — a category disappearing from the feed is precisely the
+    drift worth alarming on.  Zero proportions follow the standard
+    ε-clamp convention (ε = 1e-6) inside the log only, keeping the
+    (p−q) factor exact.
+
+    Determinism: exact integer counts; the per-day term sum is the
+    same ordered left fold as the KL query (sort_array + aggregate ↔
+    list_reduce), bit-identical across engines and partitionings.
+    Scale shape: one daily-counts aggregate + a day-grid × |types|
+    dense scaffold (bounded: days × categories), two broadcast sides,
+    fold over ≤ |types| elements per day."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "event_type"
+    ).agg(F.count("*").alias("n_td"))
+    glob = ev.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    tot = ev.agg(F.count("*").alias("n"))
+    per_day = daily.groupBy("day").agg(F.sum("n_td").alias("n_d"))
+    grid = per_day.crossJoin(F.broadcast(glob))
+    joined = grid.join(daily, ["day", "event_type"], "left").crossJoin(
+        F.broadcast(tot)
+    )
+    p = F.coalesce(F.col("n_td"), F.lit(0)).cast("double") / F.col("n_d")
+    q = F.col("n_t").cast("double") / F.col("n")
+    eps = F.lit(0.000001)
+    term = (p - q) * F.log(F.greatest(p, eps) / F.greatest(q, eps))
+    terms = joined.select("day", "n_d", "event_type", term.alias("term"))
+    folded = terms.groupBy("day").agg(
+        F.max("n_d").alias("n_events"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("event_type", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("_psi"),
+    )
+    return folded.select(
+        "day", "n_events", round_fixed("_psi", 6).alias("psi_vs_global")
+    )
+
+
 _CONCURRENCY_HORIZON_US = 1_800_000_000  # each event "open" for 30 min
 
 

@@ -1091,6 +1091,71 @@ def split_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_DK_TOKENS.format(c='lower(text)')}) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY 1),
+    nd AS (SELECT COUNT(*) AS N FROM documents),
+    scored AS (
+        SELECT t.doc_id, t.term,
+               FLOOR((t.tf * (ln((1.0 + N) / (1.0 + dfc)) + 1.0))
+                     * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+        FROM tf t JOIN dfreq USING (term) CROSS JOIN nd
+    ),
+    r AS (
+        SELECT doc_id, term, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smooth idf, sklearn
+    convention: ln((1+N)/(1+df)) + 1) — the per-doc keyword extractor
+    complementing corpus-level BM25 ranking (text_bm25_topk scores
+    docs FOR a query; this characterizes each doc with no query).
+    Rank on the ROUNDED score (floor form, ties broken by term) so
+    the cutoff is engine-stable.  Scale shape: explode + two hash
+    aggregations + one token-keyed join + a per-doc window — every
+    stage keyed by high-cardinality columns (doc_id or term), no
+    broadcast of the vocabulary-sized df table needed."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .functions.expressions import round_fixed
+
+    toks = docs.select(
+        "doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
+    nd = docs.agg(F.count(F.lit(1)).alias("N"))
+    idf = F.log((F.lit(1.0) + F.col("N")) / (F.lit(1.0) + F.col("dfc"))) + F.lit(
+        1.0
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id", "term", round_fixed(F.col("tf") * idf, 6).alias("tfidf")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+@register(
     "text_bpe_token_count",
     oracle=r"""
     SELECT doc_id,

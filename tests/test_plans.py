@@ -165,6 +165,8 @@ def test_no_registered_query_plans_a_cartesian_product(spark, sf_dir):
         "dq_drift_kl",  # 1-row scalar side (global event count n)
         "ts_gap_fill_interpolate",  # 1-row scalar side (global horizon date)
         "a29_heavy_hitters_sampled",  # 1-row scalar side (global count N), twice
+        "dq_drift_psi",  # day-grid x |event types| dense scaffold (bounded) + 1-row total
+        "text_tfidf_top_terms",  # 1-row scalar side (document count N)
     }
     offenders = []
     for name, fn in registry.QUERIES.items():
