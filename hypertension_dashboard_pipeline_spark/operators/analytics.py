@@ -20,6 +20,8 @@ expressed Spark-first:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -632,6 +634,44 @@ def heavy_hitters(
             ).alias("pct_of_total"),
         )
     )
+
+
+def power_iteration_top_component(
+    gram: list[list[float]], iters: int = 8
+) -> tuple[list[float], float]:
+    """Dominant eigenvector/eigenvalue of a small symmetric matrix by
+    fixed-iteration power method — DRIVER-side math on the collected
+    d×d gram matrix (bounded state, the k-means-centroid precedent;
+    the DATA never leaves the cluster, only the d² sufficient
+    statistic does).
+
+    Bit-reproducible by construction: the start vector is
+    1/sqrt(d) in every position, every dot product is a LEFT FOLD
+    from 0.0 in index order, the normalizer is sqrt of the same fold
+    of squares, and the iteration count is fixed — so a SQL engine
+    replaying the identical IEEE ops on the identical (pre-rounded)
+    gram values produces the identical doubles.  No convergence test
+    (a data-dependent stopping rule would be engine-divergent; the
+    PageRank fixed-iteration precedent).
+    """
+    d = len(gram)
+    v = [1.0 / math.sqrt(float(d))] * d
+    lam = 0.0
+    for _ in range(iters):
+        w = []
+        for i in range(d):
+            acc = 0.0
+            for j in range(d):
+                acc = acc + gram[i][j] * v[j]
+            w.append(acc)
+        acc = 0.0
+        for x in w:
+            acc = acc + x * x
+        lam = math.sqrt(acc)
+        # zero matrix: w is all zeros and the direction is undefined —
+        # emit the zero vector (oracle mirror: CASE WHEN n = 0)
+        v = [0.0] * d if lam == 0.0 else [x / lam for x in w]
+    return v, lam
 
 
 def partial_rollup(

@@ -2474,6 +2474,104 @@ def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(tidy).select("t.i", "t.j", "t.g")
 
 
+def _top_component_oracle(iters: int = 8) -> str:
+    d = _GRAM_D
+
+    def gref(i: int, j: int) -> str:
+        a, b = (i, j) if i <= j else (j, i)
+        return f"g_{a}_{b}"
+
+    cols = ", ".join(
+        f"FLOOR(SUM(CAST(embedding[{i + 1}] AS DOUBLE) * "
+        f"CAST(embedding[{j + 1}] AS DOUBLE)) * 10000.0 + 0.5) / 10000.0"
+        f" AS {gref(i, j)}"
+        for i, j in _GRAM_PAIRS
+    )
+    mrows = ", ".join(
+        "[" + ", ".join(gref(i, j) for j in range(d)) + "]" for i in range(d)
+    )
+    matvec = (
+        f"list_transform(range(1, {d + 1}), i -> list_reduce("
+        f"list_prepend(0.0, list_transform(range(1, {d + 1}), "
+        f"j -> m[i][j] * v[j])), (a, b) -> a + b))"
+    )
+    ctes = [
+        f"g AS (SELECT {cols} FROM embeddings)",
+        f"it0 AS (SELECT [{mrows}] AS m, "
+        f"list_transform(range(1, {d + 1}), i -> 1.0 / sqrt({float(d)!r})) "
+        f"AS v, 0.0 AS n FROM g)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(f"""
+    it{k} AS (
+        SELECT m,
+               list_transform(w, x -> CASE WHEN n = 0 THEN 0.0
+                                           ELSE x / n END) AS v,
+               n
+        FROM (
+            SELECT m, w,
+                   sqrt(list_reduce(list_prepend(0.0,
+                        list_transform(w, x -> x * x)),
+                        (a, b) -> a + b)) AS n
+            FROM (SELECT m, {matvec} AS w FROM it{k - 1})
+        )
+    )""")
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT CAST(u.i - 1 AS INT) AS pos,
+           FLOOR(v[u.i] * 1000000.0 + 0.5) / 1000000.0 AS component,
+           FLOOR(n * 1000000.0 + 0.5) / 1000000.0 AS eigenvalue
+    FROM it{iters}, (SELECT unnest(range(1, {d + 1})) AS i) u
+    """
+
+
+@register("emb_top_component", oracle=_top_component_oracle())
+def emb_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding second-moment
+    matrix (dims 0..7) by fixed-8-iteration power method — the
+    all-but-the-top / whitening preparation step of an embedding
+    pipeline.  Scale split exactly like emb_gram_matrix + kmeans: the
+    CLUSTER computes the d×d gram in one map-side-combined scan
+    (pre-rounded 4dp so both engines iterate from identical doubles);
+    the DRIVER iterates on the collected d² statistic
+    (operators/analytics.power_iteration_top_component — left-fold
+    dot products, fixed iterations, no convergence test), which a SQL
+    oracle replays as 8 unrolled list-arithmetic CTEs, bit-identical.
+    Components and eigenvalue floor-round 6dp at the boundary."""
+    import math as _math
+
+    from .functions.expressions import round_fixed
+    from .operators.analytics import power_iteration_top_component
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.agg(
+        *[
+            round_fixed(
+                F.sum(
+                    F.col("embedding").getItem(i).cast("double")
+                    * F.col("embedding").getItem(j).cast("double")
+                ),
+                4,
+            ).alias(f"g_{i}_{j}")
+            for i, j in _GRAM_PAIRS
+        ]
+    ).first()
+    up = {(i, j): row[f"g_{i}_{j}"] for i, j in _GRAM_PAIRS}
+    gram = [
+        [up[(i, j)] if i <= j else up[(j, i)] for j in range(_GRAM_D)]
+        for i in range(_GRAM_D)
+    ]
+    v, lam = power_iteration_top_component(gram, iters=8)
+
+    def rf6(x: float) -> float:
+        return _math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+    rows = [(p, rf6(c), rf6(lam)) for p, c in enumerate(v)]
+    return spark.createDataFrame(
+        rows, "pos INT, component DOUBLE, eigenvalue DOUBLE"
+    )
+
+
 @register(
     "text_lm_bigram_score",
     oracle=f"""

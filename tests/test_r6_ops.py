@@ -111,3 +111,36 @@ def test_interpolate_flags_gaps_and_midpoint(spark):
     assert out[1] == (15.0, True)   # linear midpoint, not LOCF's 10
     assert out[2] == (20.0, False)
     assert out[3] == (20.0, True)   # LOCF tail past the last observation
+
+
+def test_power_iteration_matches_numpy():
+    import numpy as np
+
+    from hypertension_dashboard_pipeline_spark.operators.analytics import (
+        power_iteration_top_component,
+    )
+
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        a = rng.normal(size=(8, 8))
+        gram = (a @ a.T).tolist()  # symmetric PSD, generic spectrum
+        # error ~ (lambda2/lambda1)^iters; random 8x8 gaps reach 0.92,
+        # so 300 iterations put every trial far below the tolerance
+        v, lam = power_iteration_top_component(gram, iters=300)
+        w, vecs = np.linalg.eigh(np.array(gram))
+        top = vecs[:, -1]
+        got = np.array(v)
+        # sign-align, then compare direction and eigenvalue
+        if float(np.dot(got, top)) < 0:
+            top = -top
+        assert np.allclose(got, top, atol=1e-6), (got, top)
+        assert abs(lam - w[-1]) < 1e-6 * max(1.0, abs(w[-1]))
+
+
+def test_power_iteration_zero_gram_contract():
+    from hypertension_dashboard_pipeline_spark.operators.analytics import (
+        power_iteration_top_component,
+    )
+
+    v, lam = power_iteration_top_component([[0.0] * 8 for _ in range(8)])
+    assert v == [0.0] * 8 and lam == 0.0
