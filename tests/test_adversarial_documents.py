@@ -33,6 +33,7 @@ DOCS_QUERIES = [
     "text_segment_boilerplate",
     "sample_weighted_topk",
     "sample_global_shuffle",
+    "text_tfidf_top_terms",
 ]
 
 _WORDS = ("the fast key order sort table scan merge part window small hash "

@@ -30,6 +30,7 @@ EMB_QUERIES = [
     "sim_quantized_topk",
     "sim_semdedup",
     "sim_cosine_near_dup",
+    "emb_top_component",
 ]
 
 _DIM = 64

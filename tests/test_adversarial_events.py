@@ -52,7 +52,10 @@ EVENTS_QUERIES = [
     "events_sessionize",
     "events_concurrency_peak",
     "dq_drift_kl",
+    "dq_drift_psi",
     "ts_gap_fill_locf",
+    "ts_gap_fill_interpolate",
+    "a29_heavy_hitters_sampled",
     "graph_pagerank_transitions",
     "streaming_stream_stream_join",
     "streaming_stream_stream_outer_join",

@@ -45,6 +45,7 @@ TPCH_QUERIES = [
     "j16_local_supplier_volume",
     "j17_large_volume_orders",
     "w5_ntile_quartiles",
+    "a30_grouped_mad_outliers",
 ]
 
 _FLAGS = [("R", "F"), ("A", "F"), ("N", "O")]
