@@ -2572,6 +2572,90 @@ def emb_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _remove_top_oracle(iters: int = 8) -> str:
+    d = _GRAM_D
+    base = _top_component_oracle(iters)
+    # reuse the iteration CTE chain; strip its final SELECT
+    with_block = base.split("SELECT CAST(u.i - 1 AS INT)")[0].rstrip()
+    dot = (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {d + 1}), "
+        f"j -> CAST(e.embedding[j] AS DOUBLE) * v[j])), (a, b) -> a + b)"
+    )
+    return f"""
+    {with_block},
+    comp AS (SELECT v FROM it{iters}),
+    proj AS (
+        SELECT e.vec_id, {dot} AS dot, v
+        FROM embeddings e, comp
+    )
+    SELECT p.vec_id, CAST(u.i - 1 AS INT) AS pos,
+           FLOOR((CAST(e.embedding[u.i] AS DOUBLE) - p.dot * p.v[u.i])
+                 * 1000000.0 + 0.5) / 1000000.0 AS corrected
+    FROM proj p
+    JOIN embeddings e ON e.vec_id = p.vec_id,
+         (SELECT unnest(range(1, {d + 1})) AS i) u
+    """
+
+
+@register("emb_remove_top_component", oracle=_remove_top_oracle())
+def emb_remove_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top embedding post-processing (Mu & Viswanath 2018):
+    subtract each vector's projection onto the corpus' dominant
+    direction — the cheap isotropy correction that measurably improves
+    cosine retrieval, applied over the gram dims 0..7.  Composition of
+    emb_top_component (driver computes the d-vector from the collected
+    gram) with a pure NARROW map: the component enters the plan as d
+    literals, the per-row dot is an ordered left fold, and no shuffle
+    exists anywhere — at 100 TB this is a streaming-friendly
+    projection pass.  Output tidied to (vec_id, pos, corrected),
+    floor-rounded 6dp."""
+    from .functions.expressions import round_fixed
+    from .operators.analytics import power_iteration_top_component
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.agg(
+        *[
+            round_fixed(
+                F.sum(
+                    F.col("embedding").getItem(i).cast("double")
+                    * F.col("embedding").getItem(j).cast("double")
+                ),
+                4,
+            ).alias(f"g_{i}_{j}")
+            for i, j in _GRAM_PAIRS
+        ]
+    ).first()
+    up = {(i, j): row[f"g_{i}_{j}"] for i, j in _GRAM_PAIRS}
+    gram = [
+        [up[(i, j)] if i <= j else up[(j, i)] for j in range(_GRAM_D)]
+        for i in range(_GRAM_D)
+    ]
+    v, _lam = power_iteration_top_component(gram, iters=8)
+
+    e = lambda j: F.col("embedding").getItem(j).cast("double")  # noqa: E731
+    dot = F.lit(0.0)
+    for j in range(_GRAM_D):
+        dot = dot + e(j) * F.lit(v[j])
+    tidy = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("pos"),
+                    round_fixed(e(i) - F.col("_dot") * F.lit(v[i]), 6).alias(
+                        "corrected"
+                    ),
+                )
+                for i in range(_GRAM_D)
+            ]
+        )
+    ).alias("t")
+    return (
+        emb.select("vec_id", "embedding", dot.alias("_dot"))
+        .select("vec_id", tidy)
+        .select("vec_id", "t.pos", "t.corrected")
+    )
+
+
 @register(
     "text_lm_bigram_score",
     oracle=f"""

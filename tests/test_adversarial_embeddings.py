@@ -31,6 +31,7 @@ EMB_QUERIES = [
     "sim_semdedup",
     "sim_cosine_near_dup",
     "emb_top_component",
+    "emb_remove_top_component",
 ]
 
 _DIM = 64
