@@ -497,6 +497,71 @@ def a10_grouped_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f17_json_extract_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(k) AS n_parsed,
+           -- DuckDB SUM(BIGINT) widens to HUGEINT (exact); present
+           -- through the string-mediated double boundary, mirroring
+           -- Spark's DECIMAL(38,0) sum + dec_present
+           CAST(CAST(SUM(k) AS VARCHAR) AS DOUBLE) AS k_sum,
+           CAST(MIN(k) AS BIGINT) AS k_min,
+           CAST(MAX(k) AS BIGINT) AS k_max
+    FROM (
+        -- mirror of Spark from_json(LongType) STRICTNESS, probed:
+        -- malformed JSON, non-object top level, missing key, JSON
+        -- null, strings, floats, booleans, and > Long.MAX integers
+        -- ALL parse to NULL; only integral in-range numbers survive
+        SELECT event_type,
+               CASE WHEN props IS NOT NULL AND json_valid(props)
+                         AND json_type(props) = 'OBJECT'
+                         AND json_type(json_extract(props, '$.k'))
+                             IN ('BIGINT', 'UBIGINT')
+                    THEN TRY_CAST(json_extract_string(props, '$.k')
+                                  AS BIGINT)
+               END AS k
+        FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def f17_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-projected JSON parsing of the semi-structured ``props``
+    column (``from_json`` with an explicit struct schema — the
+    cluster-friendly parse: one pass, JVM-side Jackson, the projected
+    field prunes everything else), aggregated per event type.  The
+    scalar-function-surface twin of the reference's ad-hoc string
+    munging (SURVEY §2.8): real pipelines carry a JSON side-channel on
+    every event, and parsing it must not mean a UDF.  Malformed or
+    missing keys parse to NULL on both engines (exercised: n vs
+    n_parsed).  The sum aggregates in exact DECIMAL(38,0), NOT a long
+    — the adversarial sweep feeds Long.MAX values and a plain SUM is
+    an ANSI ARITHMETIC_OVERFLOW crash, the kind of poisoned-feed
+    landmine a 100 TB ingest job cannot afford — and crosses the
+    boundary via dec_present (DuckDB mirror: HUGEINT sum cast through
+    VARCHAR)."""
+    from pyspark.sql import types as T
+
+    from .functions.expressions import dec_present
+
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(
+            F.col("props"), T.StructType([T.StructField("k", T.LongType())])
+        )["k"].alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("k").alias("n_parsed"),
+        dec_present(F.sum(F.col("k").cast("decimal(38,0)"))).alias("k_sum"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+    )
+
+
+@register(
     "f16_profile_stats",
     oracle="""
     SELECT COUNT(*) AS n_rows,

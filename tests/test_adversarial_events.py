@@ -56,6 +56,7 @@ EVENTS_QUERIES = [
     "ts_gap_fill_locf",
     "ts_gap_fill_interpolate",
     "a29_heavy_hitters_sampled",
+    "f17_json_extract_stats",
     "graph_pagerank_transitions",
     "streaming_stream_stream_join",
     "streaming_stream_stream_outer_join",
@@ -82,6 +83,16 @@ def _build_adv_events(path: str) -> None:
             ("event_id", "ts", "user_id", "event_type", "value", "props")}
     eid = 0
 
+    # hostile JSON side-channel shapes for the f17 strict-parse
+    # contract: malformed, empty, null, JSON-null key, string/float/
+    # boolean k, missing key, > Long.MAX integer, non-object top level
+    _HOSTILE_PROPS = [
+        "{}", None, "", "not json", '{"k": null}', '{"k": "12"}',
+        '{"k": 3.7}', '{"k": true}', '{"other": 1}',
+        '{"k": 9223372036854775807}', '{"k": 18446744073709551615}',
+        "[1, 2]", '{"k": -5}', '{"k": 69}',
+    ]
+
     def add(ts, uid, typ, val):
         nonlocal eid
         eid += 1
@@ -90,7 +101,7 @@ def _build_adv_events(path: str) -> None:
         rows["user_id"].append(uid)
         rows["event_type"].append(typ)
         rows["value"].append(val)
-        rows["props"].append("{}")
+        rows["props"].append(_HOSTILE_PROPS[eid % len(_HOSTILE_PROPS)])
 
     midpoints = [0.5, 1.5, 2.5, 0.05, 0.15, 0.25, 0.005, 0.0005, 0.00005,
                  120.55, 38.37875, 0.125, 0.375, 1e-6, 490.02, 333.333335]
