@@ -155,3 +155,49 @@ def weighted_sample_topk(df: DataFrame, key_col: str, weight_col: str,
         .limit(k)
         .drop("__score")
     )
+
+
+def global_index(df: DataFrame, key_col: str,
+                 out_col: str = "global_idx") -> DataFrame:
+    """Contiguous global ordinal 0..N-1 in deterministic content-hash
+    order WITHOUT a single-partition sort — the export step that needs
+    an exact global position (striding a corpus into numbered training
+    steps, resumable shard manifests) where ``row_number() OVER
+    (ORDER BY ...)`` would funnel 100 TB through one task.
+
+    Two-level prefix-sum shape (the ``events_concurrency_peak``
+    pattern): rows bucket by the FIRST HEX DIGIT of their md5 order
+    key — a monotone function of the global (md5, key) sort order, so
+    bucket boundaries respect it — then each bucket ranks locally in
+    parallel, and the only serial work is a window over the 16-row
+    bucket-count table that turns counts into starting offsets
+    (broadcast back).  ``global_idx = bucket_offset + local_rank - 1``
+    is exactly the global ROW_NUMBER, provable from monotonicity, and
+    a SQL oracle can assert it directly against the naive global
+    window.  At real scale widen the bucket key to 2-3 hex digits
+    (256-4096 buckets ≈ cluster parallelism); the offsets table stays
+    driver-trivial.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(key_col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, 1), 16, 10).cast("int")
+    tagged = df.select(F.col(key_col), h.alias("_h"), bucket.alias("_b"))
+    counts = tagged.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    # O(buckets) serial window — 16 rows, never fact-sized
+    off_w = (
+        Window.orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_b", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off")
+    )
+    local_w = Window.partitionBy("_b").orderBy("_h", key_col)
+    return (
+        tagged.withColumn("_rk", F.row_number().over(local_w))
+        .join(F.broadcast(offsets), "_b")
+        .select(
+            key_col,
+            (F.col("_off") + F.col("_rk") - 1).alias(out_col),
+        )
+    )

@@ -2776,6 +2776,33 @@ def sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sample_global_index",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+                AS BIGINT) AS global_idx
+    FROM documents
+    """,
+)
+def sample_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global ordinal in deterministic content-hash order
+    (operators/sampling.global_index): bucket by the md5 order key's
+    first hex digit (monotone in the global order), rank locally per
+    bucket in parallel, and convert the 16-row bucket-count table into
+    starting offsets with an O(buckets) window — the global ROW_NUMBER
+    without the single-partition sort it costs naively, which is what
+    the oracle asserts it equals.  Complements sample_global_shuffle's
+    (shard, pos) training order when an EXACT 0..N-1 position is
+    required (resumable step counters, strided splits)."""
+    from .operators.sampling import global_index
+
+    return global_index(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
+
+
 # --------------------------------------------------------------------------
 # product quantization (operators/pq.py)
 # --------------------------------------------------------------------------

@@ -34,6 +34,7 @@ DOCS_QUERIES = [
     "sample_weighted_topk",
     "sample_global_shuffle",
     "text_tfidf_top_terms",
+    "sample_global_index",
 ]
 
 _WORDS = ("the fast key order sort table scan merge part window small hash "
