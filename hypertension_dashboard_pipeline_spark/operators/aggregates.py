@@ -413,3 +413,79 @@ def attrition_pct(before: int, after: int, denom: int | None = None) -> float:
     (2_data_importing_cleaning.R:403-405)."""
     d = denom if denom is not None else before
     return 100.0 * (before - after) / d
+
+
+def count_min_profile(df: DataFrame, key_col: str,
+                      depth: int = 4, width: int = 64) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan '05 — public
+    literature; beyond-reference sketch surface next to the KLL/HLL
+    profiles): ``depth`` independent hash rows of ``width`` counters.
+
+    The sketch is built with ONE explode (depth rows per input row)
+    and one hash aggregation on (row, bucket) — map-side partial agg
+    collapses each task's contribution to at most depth×width
+    counters, so the shuffle payload is the SKETCH SIZE, not the key
+    cardinality: the property that makes frequency profiling viable
+    when the key space (user ids, URLs) is itself 100 TB-scale.
+    Counter updates are sums, so per-partition / per-day sketches
+    merge by element-wise addition (same mergeability contract as
+    ``mergeable_quantile_profile``).
+
+    Hashing is explicit md5 arithmetic (``'{j}_{key}'`` → first 8 hex
+    digits → mod width) so an independent SQL engine reproduces every
+    counter exactly; estimates are deterministic (no randomized
+    compaction).  Point estimate for a key = min over rows j of
+    counter[j][h_j(key)] — an overestimate with one-sided error
+    ≤ e·N/width at probability 1-(1/e)^depth.
+    """
+    j = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
+    keyed = df.select(F.col(key_col).cast("string").alias("__k")).select(
+        "__k", j
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.col("j"), F.col("__k"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    return (
+        keyed.select("j", bucket.alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_estimates(spark, sketch: DataFrame, probe_keys: list,
+                        depth: int = 4, width: int = 64) -> DataFrame:
+    """Point-estimate Count-Min lookups for an explicit probe list:
+    min over sketch rows of the probed counter (0 when the bucket was
+    never touched).  The probe side is depth×|probes| rows joined to
+    the depth×width sketch — both tiny; at scale this is the
+    dashboard-side read path, the fact table is never rescanned."""
+    probes = spark.range(0, depth).select(
+        F.col("id").cast("int").alias("j"),
+        F.explode(
+            F.array(*[F.lit(str(k)) for k in probe_keys])
+        ).alias("__k"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.col("j"), F.col("__k"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    return (
+        probes.select("j", "__k", bucket.alias("bucket"))
+        .join(sketch, ["j", "bucket"], "left")
+        .groupBy("__k")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+        .select(F.col("__k").alias("key"), "est_count")
+    )

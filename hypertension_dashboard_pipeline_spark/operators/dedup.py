@@ -866,3 +866,114 @@ def incremental_ingest(existing: DataFrame, incoming: DataFrame,
     return (
         fresh.join(survivors, ["__fp", id_col], "left_semi").drop("__fp")
     )
+
+
+def prefix_filter_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3,
+                        t_num: int = 3, t_den: int = 5, scale: int = 6,
+                        persist: bool = True,
+                        release: bool = True) -> DataFrame:
+    """All-pairs k-shingle Jaccard >= t_num/t_den — EXACT result with a
+    bounded candidate set, via prefix filtering (the AllPairs/PPJoin
+    family: Bayardo et al. WWW'07, Xiao et al. TODS'11 — public
+    literature, no reference-repo counterpart; extension surface).
+
+    ``shingle_pairs_jaccard`` bounds its inverted-index fan-out with a
+    ``max_df`` cut, which *changes the metric* (Jaccard over the
+    filtered shingle space).  Prefix filtering keeps exact semantics:
+
+    * order each document's shingles by a single global total order —
+      ascending document frequency, ties by shingle string (rare
+      first);
+    * index only the PREFIX of each list: p = n - ceil(t*n) + 1
+      entries.  If J(A,B) >= t, the smallest common shingle (in the
+      global order) must sit inside BOTH prefixes — if it sat past A's
+      prefix, all of A∩B would fit in A's suffix of ceil(t*n_a) - 1
+      entries, forcing |A∩B| < t*n_a <= t*|A∪B|, a contradiction — so
+      the prefix self-join misses no qualifying pair;
+    * a frequent shingle sits at the END of the order, so it enters
+      prefixes only for documents almost entirely made of frequent
+      shingles: the hot-bucket fan-out max_df exists to cap never
+      materializes, and no threshold needs tuning;
+    * candidates then pass the size filter t*max(n_a,n_b) <=
+      min(n_a,n_b) and are verified with an intersection count joined
+      over candidate pairs only.
+
+    The threshold is a RATIONAL (t_num/t_den): prefix length, size
+    filter, and the final Jaccard test are all exact integer
+    arithmetic — no float threshold comparison anywhere; the float
+    ``jaccard`` column is presentation only (floor form, ``scale`` dp).
+
+    Scale shape: explode → hash-agg (shingle df) → one window pass per
+    doc (rank + size share one exchange) → self-join on PREFIX shingles
+    only → per-pair counting join.  At 100 TB the prefix join's keys
+    are by construction the rarest ~(1-t) fraction of each document's
+    shingles, so bucket sizes stay small without any semantic cut.
+    """
+    if release:
+        release_persisted()
+    from pyspark.sql.window import Window
+
+    from ..functions.expressions import round_fixed
+
+    ex = exploded_shingles(df, id_col, text_col, k)
+    # feeds the df-count, the ranked prefix, and both verify sides
+    ex = _maybe_persist(ex, persist)
+
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("sh_df"))
+
+    by_doc = Window.partitionBy("id")
+    order = by_doc.orderBy("sh_df", "shingle")
+    ranked = ex.join(dfreq, "shingle").select(
+        "id",
+        "shingle",
+        F.row_number().over(order).alias("rnk"),
+        F.count(F.lit(1)).over(by_doc).alias("n_sh"),
+    )
+    # p = n - ceil(t*n) + 1; ceil(t_num*n/t_den) in exact integer math
+    ceil_tn = F.floor(
+        (F.lit(t_num) * F.col("n_sh") + F.lit(t_den - 1)) / F.lit(t_den)
+    )
+    prefix = ranked.filter(F.col("rnk") <= F.col("n_sh") - ceil_tn + 1)
+
+    cand = (
+        prefix.select(F.col("id").alias("id_a"), "shingle",
+                      F.col("n_sh").alias("n_a"))
+        .join(
+            prefix.select(F.col("id").alias("id_b"), "shingle",
+                          F.col("n_sh").alias("n_b")),
+            "shingle",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        # J >= t forces the sizes within ratio t of each other
+        .filter(
+            (F.lit(t_num) * F.col("n_a") <= F.lit(t_den) * F.col("n_b"))
+            & (F.lit(t_num) * F.col("n_b") <= F.lit(t_den) * F.col("n_a"))
+        )
+        .select("id_a", "id_b", "n_a", "n_b")
+        .distinct()
+    )
+
+    # verify candidates only: fan each pair out to A's shingles, keep
+    # those also in B (inner join = set intersection), count per pair
+    inter = (
+        cand.select("id_a", "id_b")
+        .join(ex.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(ex.select(F.col("id").alias("id_b"), "shingle"),
+              ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+
+    union_sz = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return (
+        cand.join(inter, ["id_a", "id_b"])
+        .filter(F.lit(t_den) * F.col("n_inter") >= F.lit(t_num) * union_sz)
+        .select(
+            "id_a",
+            "id_b",
+            round_fixed(
+                F.col("n_inter").cast("double") / union_sz, scale
+            ).alias("jaccard"),
+        )
+    )

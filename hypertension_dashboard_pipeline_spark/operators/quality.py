@@ -191,3 +191,73 @@ def expectations(
     for rep in reports[1:]:
         out = out.unionByName(rep)
     return out.withColumn("passed", (F.col("n_violations") == 0).cast("int"))
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rule_flags(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, public
+    literature — the rule-based filter family beside the continuous
+    ``quality_score``): per-document named pass/fail flags plus the
+    combined keep decision.
+
+    Every rule is INTEGER arithmetic over token counts — ratio
+    thresholds are cross-multiplied (e.g. mean word length in [3,10]
+    becomes ``3·n_words ≤ n_chars ≤ 10·n_words``), so there is no
+    float anywhere and no divide-by-zero case: an engine-independent
+    contract by construction.  NULL text is treated as empty.
+
+    Scale shape: a pure narrow map over the corpus — no shuffle, no
+    UDF; predicates sit in one whole-stage-codegen projection, and a
+    downstream ``filter(keep = 1)`` pushes into the scan.
+    """
+    from ..functions.text import tokens
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens(F.lower(t))
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_words"),
+        F.length(F.regexp_replace(t, r"\s+", "")).alias("n_word_chars"),
+        F.regexp_count(t, F.lit("#")).alias("n_hash"),
+        F.regexp_count(t, F.lit(r"\.\.\.|…")).alias("n_ellipsis"),
+        F.size(
+            F.filter(toks, lambda x: x.rlike("[A-Za-z]"))
+        ).alias("n_alpha_words"),
+        sum(
+            (
+                F.array_contains(toks, F.lit(w)).cast("int")
+                for w in GOPHER_STOPWORDS
+            ),
+            F.lit(0),
+        ).alias("n_stopword_kinds"),
+    )
+    w = F.col("n_words")
+    flags = base.select(
+        id_col,
+        "n_words",
+        (w.between(50, 100_000)).cast("int").alias("word_count_ok"),
+        (
+            (F.lit(3) * w <= F.col("n_word_chars"))
+            & (F.col("n_word_chars") <= F.lit(10) * w)
+        ).cast("int").alias("mean_word_len_ok"),
+        (F.lit(10) * F.col("n_hash") <= w).cast("int").alias("hash_ratio_ok"),
+        (F.lit(10) * F.col("n_ellipsis") <= w)
+        .cast("int")
+        .alias("ellipsis_ratio_ok"),
+        (F.lit(10) * F.col("n_alpha_words") >= F.lit(8) * w)
+        .cast("int")
+        .alias("alpha_ratio_ok"),
+        (F.col("n_stopword_kinds") >= 2).cast("int").alias("stopword_ok"),
+    )
+    keep = (
+        F.col("word_count_ok")
+        * F.col("mean_word_len_ok")
+        * F.col("hash_ratio_ok")
+        * F.col("ellipsis_ratio_ok")
+        * F.col("alpha_ratio_ok")
+        * F.col("stopword_ok")
+    )
+    return flags.withColumn("keep", keep)

@@ -421,3 +421,61 @@ def semdedup_survivors(df: DataFrame, id_col: str = "vec_id",
         .distinct()
     )
     return df.join(removed, id_col, "left_anti")
+
+
+def jl_sign_matrix(out_dim: int, in_dim: int,
+                   scale: float) -> list[list[float]]:
+    """Deterministic ±scale sign matrix for the sparse
+    Johnson-Lindenstrauss projection (Achlioptas 2003, public
+    literature): entry (j, i) is +scale when the first hex digit of
+    md5("i_j") is even.  Content-derived, so every engine — and every
+    re-run — materializes the identical matrix with no RNG state to
+    ship."""
+    import hashlib
+
+    return [
+        [
+            scale
+            if int(hashlib.md5(f"{i}_{j}".encode()).hexdigest()[0], 16) % 2
+            == 0
+            else -scale
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(df: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding", out_dim: int = 16,
+                      in_dim: int = 64) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``out_dim``
+    dimensions: out[j] = Σ_i v[i]·S[j][i] with S the deterministic
+    ±1/√out_dim sign matrix.  With the default out_dim=16 the scale is
+    exactly 0.25 — a power of two, so the scaling itself is lossless.
+
+    Pure narrow map: the sign matrix is a constant-folded literal (no
+    broadcast join, no RNG), each row's 16 outputs are ordered left
+    folds over the input dims (bit-exact on any engine), and the only
+    data movement is the projection's own column-width reduction —
+    the preprocessing step that makes downstream ANN/LSH shuffles
+    4× narrower at 100 TB.
+    """
+    scale = 1.0 / (out_dim ** 0.5)
+    signs = jl_sign_matrix(out_dim, in_dim, scale)
+    signs_col = F.array(
+        *[F.array(*[F.lit(v) for v in row]) for row in signs]
+    )
+    vecs = df.select(
+        F.col(id_col), as_double_array(vec_col).alias("__v")
+    )
+    proj = F.transform(
+        signs_col,
+        lambda srow: F.aggregate(
+            F.zip_with(F.col("__v"), srow, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ),
+    )
+    return vecs.select(
+        id_col, F.posexplode(proj).alias("j", "val")
+    )

@@ -2202,3 +2202,43 @@ def j17_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_price").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "a31_cms_point_estimates",
+    oracle="""
+    WITH sk AS (
+        SELECT j,
+               ('0x' || substr(md5(j::VARCHAR || '_' || user_id::VARCHAR),
+                               1, 8))::BIGINT % 64 AS bucket,
+               COUNT(*) AS cnt
+        FROM events, range(0, 4) t(j)
+        GROUP BY 1, 2
+    ), probes AS (
+        SELECT p::VARCHAR AS key, j
+        FROM range(1, 11) s(p), range(0, 4) t(j)
+    )
+    SELECT key,
+           MIN(COALESCE(cnt, 0)) AS est_count
+    FROM probes LEFT JOIN sk
+      ON sk.j = probes.j
+     AND sk.bucket = ('0x' || substr(md5(probes.j::VARCHAR || '_' || key),
+                                     1, 8))::BIGINT % 64
+    GROUP BY key
+    """,
+)
+def a31_cms_point_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency profile over event user ids (depth 4
+    × width 64, explicit md5 bucket arithmetic) probed for users 1-10.
+    The mergeable third sketch beside KLL quantiles (a16) and HLL
+    distincts (a17): the fact scan shuffles at most depth×width
+    counters (map-side combined), never the key histogram — the
+    100 TB path for frequency estimates over unbounded key spaces
+    (operators/aggregates.py count_min_profile)."""
+    from .operators.aggregates import count_min_estimates, count_min_profile
+
+    events = load_table(spark, sf_dir, "events")
+    sketch = count_min_profile(events, "user_id", depth=4, width=64)
+    return count_min_estimates(
+        spark, sketch, probe_keys=list(range(1, 11)), depth=4, width=64
+    )

@@ -2959,3 +2959,122 @@ def streaming_stream_stream_outer_join(spark: SparkSession,
     from .streaming.stream_join import run_attribution_outer_available_now
 
     return run_attribution_outer_available_now(spark, sf_dir)
+
+
+@register(
+    "dedup_prefix_filter_pairs",
+    oracle=f"""
+    WITH {_DK_EX}, sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM ex GROUP BY id
+    ), inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+        FROM ex a JOIN ex b USING (shingle) WHERE a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           FLOOR(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter)
+                 * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+    FROM inter JOIN sizes sa ON inter.id_a = sa.id
+               JOIN sizes sb ON inter.id_b = sb.id
+    WHERE 5 * n_inter >= 3 * (sa.n_sh + sb.n_sh - n_inter)
+    """,
+)
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs 3-shingle Jaccard >= 3/5 by prefix filtering
+    (AllPairs/PPJoin): each document indexes only its n - ceil(t*n) + 1
+    globally-rarest shingles, which provably still catches every
+    qualifying pair, so — unlike dedup_ngram_jaccard's max_df cut —
+    the hot-shingle guard costs no semantics.  The oracle is the
+    UNfiltered brute-force inverted index: the cross-check asserts the
+    pruned plan reproduces exhaustive semantics exactly.  All
+    threshold tests are integer (5*I >= 3*U); the float column is
+    presentation only (operators/dedup.py prefix_filter_pairs)."""
+    return dd.prefix_filter_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _gopher_oracle() -> str:
+    toks = _DK_TOKENS.format(c="lower(coalesce(text, ''))")
+    stop_terms = " + ".join(
+        f"CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END"
+        for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+    )
+    return f"""
+    WITH m AS (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               length(regexp_replace(t, '\\s+', '', 'g')) AS n_word_chars,
+               len(regexp_extract_all(t, '#')) AS n_hash,
+               len(regexp_extract_all(t, '\\.\\.\\.|…')) AS n_ellipsis,
+               len(list_filter(toks,
+                               x -> regexp_matches(x, '[A-Za-z]')))
+                   AS n_alpha_words,
+               {stop_terms} AS n_stopword_kinds
+        FROM (SELECT doc_id, coalesce(text, '') AS t, {toks} AS toks
+              FROM documents)
+    )
+    SELECT doc_id, n_words,
+           CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+               AS word_count_ok,
+           CASE WHEN 3 * n_words <= n_word_chars
+                 AND n_word_chars <= 10 * n_words THEN 1 ELSE 0 END
+               AS mean_word_len_ok,
+           CASE WHEN 10 * n_hash <= n_words THEN 1 ELSE 0 END
+               AS hash_ratio_ok,
+           CASE WHEN 10 * n_ellipsis <= n_words THEN 1 ELSE 0 END
+               AS ellipsis_ratio_ok,
+           CASE WHEN 10 * n_alpha_words >= 8 * n_words THEN 1 ELSE 0 END
+               AS alpha_ratio_ok,
+           CASE WHEN n_stopword_kinds >= 2 THEN 1 ELSE 0 END AS stopword_ok,
+           (CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)
+           * (CASE WHEN 3 * n_words <= n_word_chars
+                    AND n_word_chars <= 10 * n_words THEN 1 ELSE 0 END)
+           * (CASE WHEN 10 * n_hash <= n_words THEN 1 ELSE 0 END)
+           * (CASE WHEN 10 * n_ellipsis <= n_words THEN 1 ELSE 0 END)
+           * (CASE WHEN 10 * n_alpha_words >= 8 * n_words THEN 1 ELSE 0 END)
+           * (CASE WHEN n_stopword_kinds >= 2 THEN 1 ELSE 0 END) AS keep
+    FROM m
+    """
+
+
+@register("text_gopher_rules", oracle=_gopher_oracle())
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filter: named per-document
+    pass/fail flags (word count, mean word length, symbol and ellipsis
+    ratios, alphabetic-word ratio, stopword presence) and the combined
+    keep bit.  All thresholds are integer cross-multiplied ratios —
+    no floats, no divisions — so the flags are engine-exact on any
+    corpus; the filter itself is a shuffle-free narrow map
+    (operators/quality.py gopher_rule_flags)."""
+    from .operators.quality import gopher_rule_flags
+
+    return gopher_rule_flags(load_table(spark, sf_dir, "documents"))
+
+
+def _rp_oracle() -> str:
+    from .operators.similarity import jl_sign_matrix
+
+    signs = jl_sign_matrix(16, 64, 1.0 / (16 ** 0.5))
+    rows = ", ".join(
+        "[" + ", ".join(repr(v) for v in row) + "]" for row in signs
+    )
+    return f"""
+    WITH s AS (SELECT [{rows}] AS sgn)
+    SELECT vec_id, j,
+           list_reduce(list_transform(range(1, 65),
+               i -> CAST(embedding[i] AS DOUBLE) * sgn[j + 1][i]),
+               (a, b) -> a + b) AS val
+    FROM embeddings, s, range(0, 16) t(j)
+    """
+
+
+@register("emb_random_projection", oracle=_rp_oracle())
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64→16-dim Johnson-Lindenstrauss projection with a deterministic
+    md5-derived ±0.25 sign matrix (constant-folded literal, zero
+    shuffle).  Each output coordinate is an ordered left fold over the
+    input dims, so the doubles are BIT-EXACT cross-engine with no
+    rounding step — same contract as dq_drift_kl's ordered sums
+    (operators/similarity.py random_projection)."""
+    from .operators.similarity import random_projection
+
+    return random_projection(load_table(spark, sf_dir, "embeddings"))

@@ -35,6 +35,7 @@ DOCS_QUERIES = [
     "sample_global_shuffle",
     "text_tfidf_top_terms",
     "sample_global_index",
+    "dedup_prefix_filter_pairs",
 ]
 
 _WORDS = ("the fast key order sort table scan merge part window small hash "

@@ -335,3 +335,42 @@ def test_components_local_string_ids(spark):
         "sig_a": "sig_a", "sig_b": "sig_a", "sig_c": "sig_a",
         "sig_x": "sig_x", "sig_y": "sig_x",
     }
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from(VOCAB), min_size=0, max_size=15)
+        .map(" ".join),
+        min_size=2,
+        max_size=8,
+    ),
+    thr=st.sampled_from([(1, 2), (3, 5), (7, 10), (9, 10), (1, 1)]),
+)
+def test_prefix_filter_pairs_match_bruteforce(spark, corpus, thr):
+    """Prefix filtering must reproduce EXHAUSTIVE all-pairs semantics:
+    same pairs, same scores, at every threshold including t=1 (where
+    the prefix degenerates to a single rarest shingle per doc)."""
+    import math
+
+    t_num, t_den = thr
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.prefix_filter_pairs(
+            _corpus_df(spark, corpus), t_num=t_num, t_den=t_den,
+            persist=False,
+        ).collect()
+    }
+    want = {}
+    for a in range(len(corpus)):
+        for b in range(a + 1, len(corpus)):
+            sa, sb = _shingles(corpus[a]), _shingles(corpus[b])
+            if not sa or not sb:
+                continue
+            inter, union = len(sa & sb), len(sa | sb)
+            if t_den * inter >= t_num * union:
+                want[(a, b)] = (
+                    math.floor(inter / union * 1e6 + 0.5) / 1e6
+                )
+    assert got == want
