@@ -977,3 +977,50 @@ def prefix_filter_pairs(df: DataFrame, id_col: str = "doc_id",
             ).alias("jaccard"),
         )
     )
+
+
+def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 8,
+                    min_docs: int = 2) -> DataFrame:
+    """Span-level exact-substring duplication profile (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — public
+    literature; the granularity between doc-level exact dedup and
+    near-dup): every k-token sliding window, grouped by content hash,
+    reporting spans that recur across >= ``min_docs`` distinct
+    documents.
+
+    The suffix-array machinery of the paper doesn't distribute; the
+    equivalent relational shape does: a narrow explode (one span per
+    token position) followed by ONE hash aggregation keyed on
+    md5(span) — grouping on the 128-bit digest, not the span text, so
+    the shuffle key is a fixed 32 chars regardless of k and the span
+    strings themselves never need to be co-located.  Map-side partial
+    aggregation absorbs within-partition repeats (boilerplate repeated
+    on every page of a crawl), so a span duplicated a million times
+    costs one counter per task, not a million shuffled rows.  The
+    distinct-doc count rides the same exchange as a two-phase partial
+    distinct.
+
+    Downstream span REMOVAL is a semi-join of the flagged hashes back
+    against the exploded positions — same candidate shape as
+    ``incremental_ingest``; this operator is the profile/report half.
+    """
+    from ..functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    spans = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select(F.col(id_col).alias("id"), F.explode(spans).alias("span"))
+    return (
+        ex.groupBy(F.md5(F.col("span")).alias("span_hash"))
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -126,3 +126,53 @@ def _dot_py(a: list[float], b: list[float]) -> float:
     for x, y in zip(a, b):
         total = total + x * y
     return total
+
+
+def ivf_adc_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                 n_probe: int = 2, id_col: str = "vec_id",
+                 vec_col: str = "embedding",
+                 label_col: str = "label") -> DataFrame:
+    """IVF-PQ: the two halves of the production ANN index composed —
+    coarse IVF probing prunes the corpus to ``n_probe`` clusters
+    (~n_probe/n_clusters of the rows ever read when the table is
+    partitioned by the coarse label), then ADC scores the survivors'
+    PQ codes with 8 table lookups per row instead of 64 multiplies.
+
+    This is the FAISS IVFADC layout (Jégou et al. TPAMI'11, public
+    literature) as a relational plan: probed labels arrive as a
+    broadcast semi-join (partition pruning on a label-partitioned
+    store), and the fine scorer touches codes, never raw vectors —
+    scan volume drops multiplicatively (probe fraction × 32x code
+    compression).  Encoding here runs post-filter for the query's
+    one-shot form; the persisted-index form stores ``encode`` output
+    partitioned by label and skips straight to ADC.
+    """
+    from ..functions.vectors import cosine
+    from .similarity import label_centroids
+
+    cents = label_centroids(df, label_col, vec_col)
+    cent_vecs = (
+        cents.groupBy("label")
+        .agg(F.array_sort(
+            F.collect_list(F.struct("pos", "centroid_val"))).alias("pv"))
+        .select(
+            "label",
+            F.transform(F.col("pv"), lambda s: s["centroid_val"]).alias("cvec"),
+        )
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probed = (
+        cent_vecs.select(
+            "label", cosine(F.col("cvec"), q, scale=6).alias("c_sim")
+        )
+        .orderBy(F.col("c_sim").desc(), F.col("label"))
+        .limit(n_probe)
+        .select("label")
+    )
+    pruned = df.join(F.broadcast(probed), label_col)
+    codes = encode(pruned, vec_col, id_col)
+    return (
+        adc_scores(codes, query_vec, id_col)
+        .orderBy(F.desc("adc_score"), id_col)
+        .limit(k)
+    )

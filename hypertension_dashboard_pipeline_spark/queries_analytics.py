@@ -2242,3 +2242,77 @@ def a31_cms_point_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_min_estimates(
         spark, sketch, probe_keys=list(range(1, 11)), depth=4, width=64
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH p AS (
+        SELECT x.l_suppkey AS u, y.l_suppkey AS v, COUNT(*) AS w
+        FROM lineitem x
+        JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+                       AND x.l_suppkey < y.l_suppkey
+        GROUP BY 1, 2
+    ), t AS (
+        SELECT SUM(w) AS tw, COUNT(*) AS np FROM p
+    ), und AS (
+        SELECT u, v FROM p, t WHERE w > tw // np
+    ), deg AS (
+        SELECT x, COUNT(*) AS deg
+        FROM (SELECT u AS x FROM und UNION ALL SELECT v FROM und)
+        GROUP BY 1
+    ), tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM und e1
+        JOIN und e2 ON e2.u = e1.v
+        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), wd AS (
+        SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
+        FROM deg
+    )
+    SELECT n_triangles, n_wedges,
+           CASE WHEN n_wedges > 0
+                THEN FLOOR(3.0 * n_triangles / n_wedges * 1000000.0 + 0.5)
+                     / 1000000.0
+           END AS global_clustering
+    FROM tri, wd
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the supplier
+    co-occurrence graph (suppliers adjacent when their same-order
+    co-occurrence count exceeds the graph-wide mean — the threshold is
+    the integer-floor form ``w > total DIV n_pairs``, exactly
+    equivalent to ``w·n > total`` with no float comparison, so the
+    edge set is scale-free and engine-exact).  Enumeration is the
+    degree-ordered edge-iterator: wedges fan out only from each
+    edge's (degree, id)-minimal endpoint, bounding pivot out-degree
+    by O(sqrt(m)) — the "curse of the last reducer" guard that keeps
+    celebrity vertices from exploding the self-join at 100 TB
+    (operators/graph.py triangle_stats)."""
+    from .operators.graph import triangle_stats
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        li.alias("x")
+        .join(
+            li.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .groupBy(
+            F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    tot = pairs.agg(
+        F.sum("w").alias("tw"), F.count(F.lit(1)).alias("np")
+    )
+    edges = (
+        pairs.crossJoin(F.broadcast(tot))
+        .filter(F.col("w") > F.expr("tw DIV np"))
+        .select("a", "b")
+    )
+    return triangle_stats(edges)

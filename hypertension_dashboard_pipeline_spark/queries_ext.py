@@ -3078,3 +3078,98 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import random_projection
 
     return random_projection(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "dedup_duplicate_spans",
+    oracle=f"""
+    WITH ws_t AS (
+        SELECT doc_id, {_DK_TOKENS.format(c='text')} AS ws FROM documents
+    ), spans AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(ws) >= 8 THEN list_transform(
+                   range(1, len(ws) - 6),
+                   i -> array_to_string(ws[i:i+7], ' '))
+               ELSE []::VARCHAR[] END) AS span
+        FROM ws_t
+    )
+    SELECT md5(span) AS span_hash,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences
+    FROM spans
+    GROUP BY 1
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring duplication report: every 8-token
+    sliding window hashed and counted, keeping spans recurring across
+    >= 2 distinct documents — the within-document boilerplate-repeat
+    granularity that doc-level exact dedup (md5 digest) and shingle
+    near-dup both miss.  One explode + one hash aggregation on the
+    128-bit span digest (fixed-width shuffle key, map-side combined)
+    (operators/dedup.py duplicate_spans)."""
+    return dd.duplicate_spans(load_table(spark, sf_dir, "documents"))
+
+
+def _ivf_pq_oracle(n_probe: int = 2, k: int = 10) -> str:
+    def dot(a: str, b: str) -> str:
+        return _DK_DOT.format(a=a, b=b)
+
+    return f"""
+    WITH q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), cents AS (
+        SELECT label, pos, FLOOR(AVG(v) * 10000.0 + 0.5) / 10000.0 AS cv
+        FROM (
+            SELECT label,
+                   unnest(embedding::DOUBLE[]) AS v,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        )
+        GROUP BY label, pos
+    ), cvecs AS (
+        SELECT label, list(cv ORDER BY pos) AS cvec FROM cents GROUP BY label
+    ), probed AS (
+        SELECT label
+        FROM cvecs, q
+        ORDER BY FLOOR({dot('cvecs.cvec', 'q.qv')}
+                 / (sqrt({dot('cvecs.cvec', 'cvecs.cvec')})
+                    * sqrt({dot('q.qv', 'q.qv')}))
+                 * 1000000.0 + 0.5) / 1000000.0 DESC, label
+        LIMIT {n_probe}
+    ), codes AS (
+        SELECT c.*, l.label
+        FROM ({_PQ_CODES_CTE}) c
+        JOIN (SELECT vec_id, label FROM embeddings) l USING (vec_id)
+    ), qv AS (
+        SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0
+    )
+    SELECT vec_id,
+           FLOOR(({_PQ_ADC_SELECT}) * 1000000.0 + 0.5) / 1000000.0
+               AS adc_score
+    FROM codes JOIN probed USING (label), qv
+    ORDER BY adc_score DESC, vec_id
+    LIMIT {k}
+    """
+
+
+@register("sim_ivf_pq_topk", oracle=_ivf_pq_oracle())
+def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (the FAISS IVFADC layout as a relational
+    plan): coarse centroid probing prunes to 2 of the 5 label clusters
+    via a broadcast semi-join — partition pruning on a label-
+    partitioned store — then ADC scores only the survivors' PQ codes
+    (8 table reads/row, codes never vectors).  Scan volume drops
+    multiplicatively: probe fraction × 32x code compression — THE
+    100 TB ANN serving shape.  Deterministic end-to-end, so unlike
+    production ANN it is oracle-checked exactly
+    (operators/pq.py ivf_adc_topk)."""
+    from .operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return pq.ivf_adc_topk(emb, qvec, k=10, n_probe=2)

@@ -36,6 +36,7 @@ DOCS_QUERIES = [
     "text_tfidf_top_terms",
     "sample_global_index",
     "dedup_prefix_filter_pairs",
+    "dedup_duplicate_spans",
 ]
 
 _WORDS = ("the fast key order sort table scan merge part window small hash "

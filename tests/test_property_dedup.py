@@ -374,3 +374,40 @@ def test_prefix_filter_pairs_match_bruteforce(spark, corpus, thr):
                     math.floor(inter / union * 1e6 + 0.5) / 1e6
                 )
     assert got == want
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from(VOCAB[:3]), min_size=0, max_size=12)
+        .map(" ".join),
+        min_size=2,
+        max_size=6,
+    ),
+    k=st.sampled_from([1, 2, 3]),
+)
+def test_duplicate_spans_match_bruteforce(spark, corpus, k):
+    """duplicate_spans must equal the brute-force sliding-window count:
+    same hashes, same distinct-doc counts, same occurrence totals —
+    including single-token spans (k=1) and docs shorter than k."""
+    got = {
+        r.span_hash: (r.n_docs, r.n_occurrences)
+        for r in dd.duplicate_spans(
+            _corpus_df(spark, corpus), k=k
+        ).collect()
+    }
+    from collections import defaultdict
+
+    docs, occ = defaultdict(set), defaultdict(int)
+    for i, text in enumerate(corpus):
+        toks = text.split()
+        for s in range(len(toks) - k + 1):
+            span = " ".join(toks[s : s + k])
+            h = hashlib.md5(span.encode()).hexdigest()
+            docs[h].add(i)
+            occ[h] += 1
+    want = {
+        h: (len(ds), occ[h]) for h, ds in docs.items() if len(ds) >= 2
+    }
+    assert got == want

@@ -125,3 +125,60 @@ class TestSegmentBoilerplate:
         )
         out = sg.remove_boilerplate(docs, width=10, min_df=3)
         assert [r.doc_id for r in out.collect()] == [1]
+
+
+class TestTriangleStats:
+    def _stats(self, spark, edges):
+        df = spark.createDataFrame(edges, "a long, b long")
+        return gr.triangle_stats(df).collect()[0]
+
+    def test_single_triangle(self, spark):
+        r = self._stats(spark, [(1, 2), (2, 3), (3, 1)])
+        assert (r.n_triangles, r.n_wedges) == (1, 3)
+        assert r.global_clustering == 1.0
+
+    def test_wedge_without_closure(self, spark):
+        r = self._stats(spark, [(1, 2), (2, 3)])
+        assert (r.n_triangles, r.n_wedges) == (0, 1)
+        assert r.global_clustering == 0.0
+
+    def test_no_wedges_null_clustering(self, spark):
+        r = self._stats(spark, [(1, 2), (3, 4)])
+        assert (r.n_triangles, r.n_wedges) == (0, 0)
+        assert r.global_clustering is None
+
+    def test_dup_edges_self_loops_and_orientation_ignored(self, spark):
+        r = self._stats(
+            spark,
+            [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3), (3, 3)],
+        )
+        assert (r.n_triangles, r.n_wedges) == (1, 3)
+
+    def test_random_graphs_match_bruteforce(self, spark):
+        import itertools
+        import random
+
+        rng = random.Random(20260814)
+        for trial in range(4):
+            n = rng.randint(4, 9)
+            edges = [
+                (a, b)
+                for a, b in itertools.combinations(range(n), 2)
+                if rng.random() < 0.55
+            ]
+            if not edges:
+                continue
+            adj = {v: set() for v in range(n)}
+            for a, b in edges:
+                adj[a].add(b)
+                adj[b].add(a)
+            tri = sum(
+                1
+                for a, b, c in itertools.combinations(range(n), 3)
+                if b in adj[a] and c in adj[b] and c in adj[a]
+            )
+            wedges = sum(
+                len(ns) * (len(ns) - 1) // 2 for ns in adj.values()
+            )
+            r = self._stats(spark, edges)
+            assert (r.n_triangles, r.n_wedges) == (tri, wedges), edges
