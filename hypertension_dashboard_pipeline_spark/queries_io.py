@@ -159,3 +159,96 @@ def s6_catalog_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "table_name STRING, ordinal INT, col_name STRING, "
               "spark_type STRING"
     )
+
+
+@register(
+    "s3_csv_roundtrip",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*) AS n_cust,
+           MIN(c_acctbal) AS min_bal,
+           MAX(c_acctbal) AS max_bal
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def s3_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 CSV source contract, end to end: export customer to
+    header-CSV (io.write_csv — the reference's checkpoint format,
+    2_data_importing_cleaning.R:233), read it back through io.read_csv
+    with the EXPLICIT schema (no inference pre-pass — at 100 TB
+    inference reads every byte twice), and aggregate.  The aggregate
+    uses only order-independent exact reductions (count/min/max):
+    Spark writes shortest-repr doubles, which round-trip text→binary
+    bit-exactly, so sink + source agreeing proves the CSV writer,
+    the schema-first reader, AND value fidelity in one query."""
+    import pyspark.sql.types as T
+
+    src = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_csv_")
+    _SINK_DIRS.append(path)
+    from .io import read_csv, write_csv
+
+    write_csv(src, path)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+        ]
+    )
+    back = read_csv(spark, path, schema)
+    return back.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+    )
+
+
+@register(
+    "s8_jsonl_orc_roundtrip",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           MIN(p_retailprice) AS min_price,
+           MAX(p_size) AS max_size
+    FROM part
+    GROUP BY 1
+    """,
+)
+def s8_jsonl_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 interchange contract: part flows parquet → JSONL (gzip,
+    explicit-schema read-back — the training-data interchange format)
+    → ORC (the Hive/Trino hand-over format) → aggregate, all through
+    the io.py readers/writers.  Doubles survive both hops bit-exactly
+    (shortest-repr JSON text; ORC binary), pinned by min/max against
+    the source-table oracle — a silent type coercion or locale bug in
+    either format fails the gate loudly."""
+    import pyspark.sql.types as T
+
+    src = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
+    )
+    from .io import read_jsonl, read_orc, write_jsonl, write_orc
+
+    jdir = tempfile.mkdtemp(prefix="spark_graft_jsonl_")
+    _SINK_DIRS.append(jdir)
+    write_jsonl(src, jdir)
+    schema = T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    )
+    odir = tempfile.mkdtemp(prefix="spark_graft_orc_")
+    _SINK_DIRS.append(odir)
+    write_orc(read_jsonl(spark, jdir, schema), odir)
+    return read_orc(spark, odir).groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("p_retailprice").alias("min_price"),
+        F.max("p_size").alias("max_size"),
+    )
