@@ -1003,8 +1003,26 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
 
     Downstream span REMOVAL is a semi-join of the flagged hashes back
     against the exploded positions — same candidate shape as
-    ``incremental_ingest``; this operator is the profile/report half.
+    ``incremental_ingest``; ``duplicate_span_coverage`` is the
+    per-document application; this operator is the profile/report
+    half.
     """
+    ex = _span_starts(df, id_col, text_col, k)
+    return (
+        ex.groupBy(F.md5(F.col("span")).alias("span_hash"))
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def _span_starts(df: DataFrame, id_col: str, text_col: str,
+                 k: int) -> DataFrame:
+    """(id, start, span): every k-token sliding window with its
+    1-based start position — the shared explode for the span-dedup
+    family.  Narrow (no shuffle); docs shorter than k yield no rows."""
     from ..functions.text import tokens
 
     toks = tokens(F.col(text_col))
@@ -1015,12 +1033,74 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
             lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(k))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    ex = df.select(F.col(id_col).alias("id"), F.explode(spans).alias("span"))
-    return (
-        ex.groupBy(F.md5(F.col("span")).alias("span_hash"))
-        .agg(
-            F.countDistinct("id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_occurrences"),
-        )
+    return df.select(
+        F.col(id_col).alias("id"), F.posexplode(spans).alias("p0", "span")
+    ).select("id", (F.col("p0") + 1).alias("start"), "span")
+
+
+def duplicate_span_coverage(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", k: int = 8,
+                            min_docs: int = 2, scale: int = 6,
+                            persist: bool = True,
+                            release: bool = True) -> DataFrame:
+    """Per-document duplicated-span coverage (the actionable half of
+    Lee et al. 2022's span dedup): for every document, the fraction of
+    its token positions lying inside at least one k-token span that
+    also occurs in >= ``min_docs`` distinct documents — the number a
+    curation pipeline thresholds on ("drop docs more than X%
+    copied"), where ``duplicate_spans`` is the corpus-level report.
+
+    Plan: the shared span explode feeds the same digest aggregation as
+    the profile; flagged hashes come back as a SEMI-join against the
+    span occurrences (ids only, no counts shipped), each surviving
+    occurrence fans out to its k covered positions (bounded k×
+    explode), and a distinct count per document yields covered-token
+    totals — interval union as distinct-position counting, no
+    per-document sort, no window.  Docs with no flagged span (or
+    shorter than k) keep coverage 0.0 via the left join + coalesce.
+    """
+    if release:
+        release_persisted()
+    from ..functions.expressions import round_fixed
+    from ..functions.text import tokens
+
+    # feeds both the flag aggregation and the occurrence semi-join
+    ex = _span_starts(df, id_col, text_col, k)
+    ex = _maybe_persist(ex, persist)
+
+    flagged = (
+        ex.groupBy(F.md5(F.col("span")).alias("h"))
+        .agg(F.countDistinct("id").alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    hits = ex.withColumn("h", F.md5(F.col("span"))).join(
+        flagged, "h", "left_semi"
+    )
+    covered = (
+        hits.select(
+            "id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(k - 1))
+            ).alias("cpos"),
+        )
+        .groupBy("id")
+        .agg(F.countDistinct("cpos").alias("n_covered"))
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+    )
+    return (
+        base.join(covered, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.coalesce(F.col("n_covered"), F.lit(0)).alias("n_covered"),
+            F.when(F.col("n_tokens") > 0, round_fixed(
+                F.coalesce(F.col("n_covered"), F.lit(0)).cast("double")
+                / F.col("n_tokens"),
+                scale,
+            )).otherwise(F.lit(0.0)).alias("dup_coverage"),
+        )
     )

@@ -69,3 +69,44 @@ def bm25_topk(docs: DataFrame, query_terms: Sequence[str], k: int = 20,
         F.col(id_col), round_fixed(score, scale).alias("bm25")
     )
     return scored.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(k)
+
+
+def vocab_encode(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 vocab_size: int = 16) -> DataFrame:
+    """Frequency-ranked vocabulary build + integer token encoding —
+    the id-ification step in front of any token-based model:
+    vocabulary = top ``vocab_size`` tokens by corpus frequency (ties
+    by token string), ids 1..vocab_size by rank, everything else the
+    UNK id 0.  Output is the exploded (doc, 1-based position, token
+    id) form — the shape sequence packing (operators/packing.py)
+    consumes.
+
+    Scale shape: the vocabulary is one hash aggregation (map-side
+    combined, ≤ |distinct tokens| rows) ranked by a window that runs
+    AFTER the orderBy+limit cut — the window sees ``vocab_size`` rows,
+    never the corpus, so its single-partition stage is bounded by the
+    vocabulary budget, not the data.  Encoding is a broadcast LEFT
+    join of that ≤vocab_size-row table against the exploded corpus:
+    the corpus never shuffles, the join is map-side, and OOV handling
+    is a coalesce — no UDF, no driver loop.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("p", "tok"),
+    ).select(id_col, (F.col("p") + 1).alias("pos"), "tok")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.col("cnt").desc(), "tok").limit(vocab_size)
+    vocab = top.select(
+        "tok",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), "tok"))
+        .alias("token_id"),
+    )
+    return toks.join(F.broadcast(vocab), "tok", "left").select(
+        id_col,
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(0)).alias("token_id"),
+    )

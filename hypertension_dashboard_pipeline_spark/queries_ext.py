@@ -3173,3 +3173,124 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
     return pq.ivf_adc_topk(emb, qvec, k=10, n_probe=2)
+
+
+@register(
+    "text_vocab_encode",
+    oracle=f"""
+    WITH ws_t AS (
+        SELECT doc_id, {_DK_TOKENS.format(c='text')} AS ws FROM documents
+    ), toks AS (
+        SELECT doc_id, unnest(ws) AS tok,
+               generate_subscripts(ws, 1) AS pos
+        FROM ws_t
+    ), vocab AS (
+        SELECT tok,
+               CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok)
+                    AS INT) AS token_id
+        FROM toks GROUP BY tok
+        ORDER BY COUNT(*) DESC, tok LIMIT 16
+    )
+    SELECT t.doc_id, t.pos, COALESCE(v.token_id, 0) AS token_id
+    FROM toks t LEFT JOIN vocab v USING (tok)
+    """,
+)
+def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency vocabulary (top 16, ties by token; UNK id 0)
+    and integer encoding of every token position — the id-ification
+    step feeding sequence packing.  The rank window runs on the
+    vocab-budget rows only (post orderBy+limit cut — bounded by the
+    budget, never the corpus), and encoding is a broadcast left join
+    against the exploded positions: the corpus itself never shuffles
+    (operators/relevance.py vocab_encode)."""
+    from .operators.relevance import vocab_encode
+
+    return vocab_encode(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_span_coverage",
+    oracle=f"""
+    WITH ws_t AS (
+        SELECT doc_id, {_DK_TOKENS.format(c='text')} AS ws FROM documents
+    ), spans AS (
+        SELECT doc_id, i AS start,
+               array_to_string(ws[i:i+7], ' ') AS span
+        FROM ws_t, unnest(CASE WHEN len(ws) >= 8
+                          THEN range(1, len(ws) - 6)
+                          ELSE []::BIGINT[] END) t(i)
+    ), flagged AS (
+        SELECT md5(span) AS h FROM spans
+        GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    ), covered AS (
+        SELECT doc_id, COUNT(DISTINCT cpos) AS n_covered
+        FROM (
+            SELECT s.doc_id, s.start + d AS cpos
+            FROM spans s
+            JOIN flagged f ON md5(s.span) = f.h,
+            range(0, 8) r(d)
+        )
+        GROUP BY 1
+    )
+    SELECT w.doc_id,
+           len(w.ws) AS n_tokens,
+           COALESCE(c.n_covered, 0) AS n_covered,
+           CASE WHEN len(w.ws) > 0
+                THEN FLOOR(COALESCE(c.n_covered, 0)::DOUBLE / len(w.ws)
+                           * 1000000.0 + 0.5) / 1000000.0
+                ELSE 0.0 END AS dup_coverage
+    FROM ws_t w LEFT JOIN covered c USING (doc_id)
+    """,
+)
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span coverage — the fraction of each
+    document's tokens inside an 8-token span that recurs in >= 2
+    documents; the threshold a curation pipeline drops on ("more than
+    X% copied"), with dedup_duplicate_spans as its corpus-level
+    report.  Flagged digests return as an ids-only SEMI-join, each
+    surviving occurrence fans out to its k covered positions (bounded
+    k× explode), and interval union is a distinct-position count —
+    no per-document sort, no window
+    (operators/dedup.py duplicate_span_coverage)."""
+    return dd.duplicate_span_coverage(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_feature_hashing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_DK_TOKENS.format(c='text')}) AS tok
+        FROM documents
+    )
+    SELECT doc_id,
+           ('0x' || substr(md5(tok), 1, 8))::BIGINT % 32 AS bucket,
+           COUNT(*) AS cnt
+    FROM toks
+    GROUP BY 1, 2
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words (Weinberger et al. ICML'09, public
+    literature): token -> md5 bucket mod 32, counted per document —
+    FIXED-width features with no vocabulary state at all, the
+    stateless sibling of text_vocab_encode (no vocab table to build,
+    broadcast, version, or keep consistent across incremental
+    batches; new tokens land in existing buckets instead of forcing a
+    re-encode).  One explode + one (doc, bucket) hash aggregation
+    with map-side combine; output is the exploded sparse form
+    downstream learners consume."""
+    from .functions.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % 32
+    )
+    return (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -107,6 +107,25 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      minhash_lsh_pairs — rotate the dedup family together,
 #      SURVEY.md round-boundary step 2), streaming_static_join
 #      (stateless; pin optional).
+#      NEVER EXTERNALLY VERIFIED (r6 debuts, registered outside the
+#      window under the new-query exemption; all sf0.01+sf0.001
+#      oracle-green locally) — the other r7-window candidates:
+#      a29_heavy_hitters_sampled, a30_grouped_mad_outliers,
+#      a31_cms_point_estimates, ts_gap_fill_interpolate,
+#      dq_drift_psi, text_tfidf_top_terms, emb_top_component,
+#      emb_remove_top_component, f17_json_extract_stats,
+#      sample_global_index, s2_sink_partitioned_roundtrip,
+#      s6_catalog_schema_contract, s3_csv_roundtrip,
+#      s8_jsonl_orc_roundtrip, text_gopher_rules,
+#      dedup_prefix_filter_pairs (rotate with the dedup family — it
+#      shares exploded_shingles), dedup_duplicate_spans,
+#      dedup_span_coverage, emb_random_projection, sim_ivf_pq_topk,
+#      graph_triangle_count, text_vocab_encode, text_feature_hashing.
+#      That is ~23 debuts + ~14 stale-evidence carries + flagships:
+#      more than one 50-slot window after the mechanical drift set —
+#      prioritize (1) drift, (2) flagships, (3) debuts touching shared
+#      callees being migrated, (4) oldest evidence, and spill the
+#      rest to r8.
 _FRONT: list[str] = [
     # flagship + headline extension pipeline (always externally gated;
     # curation also drifted via quality_score)

@@ -37,6 +37,9 @@ DOCS_QUERIES = [
     "sample_global_index",
     "dedup_prefix_filter_pairs",
     "dedup_duplicate_spans",
+    "text_vocab_encode",
+    "dedup_span_coverage",
+    "text_feature_hashing",
 ]
 
 _WORDS = ("the fast key order sort table scan merge part window small hash "

@@ -411,3 +411,48 @@ def test_duplicate_spans_match_bruteforce(spark, corpus, k):
         h: (len(ds), occ[h]) for h, ds in docs.items() if len(ds) >= 2
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from(VOCAB[:3]), min_size=0, max_size=12)
+        .map(" ".join),
+        min_size=2,
+        max_size=6,
+    ),
+    k=st.sampled_from([1, 2, 3]),
+)
+def test_span_coverage_match_bruteforce(spark, corpus, k):
+    """Coverage must equal brute-force interval union over flagged
+    spans, including overlap collapsing, coverage-0 docs, and docs
+    shorter than k."""
+    import math
+    from collections import defaultdict
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_covered, r.dup_coverage)
+        for r in dd.duplicate_span_coverage(
+            _corpus_df(spark, corpus), k=k, persist=False
+        ).collect()
+    }
+    span_docs = defaultdict(set)
+    for i, text in enumerate(corpus):
+        toks = text.split()
+        for s in range(len(toks) - k + 1):
+            span_docs[" ".join(toks[s : s + k])].add(i)
+    flagged = {sp for sp, ds in span_docs.items() if len(ds) >= 2}
+    want = {}
+    for i, text in enumerate(corpus):
+        toks = text.split()
+        cov = set()
+        for s in range(len(toks) - k + 1):
+            if " ".join(toks[s : s + k]) in flagged:
+                cov.update(range(s, s + k))
+        frac = (
+            math.floor(len(cov) / len(toks) * 1e6 + 0.5) / 1e6
+            if toks else 0.0
+        )
+        want[i] = (len(toks), len(cov), frac)
+    assert got == want
