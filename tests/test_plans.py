@@ -167,6 +167,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark, sf_dir):
         "a29_heavy_hitters_sampled",  # 1-row scalar side (global count N), twice
         "dq_drift_psi",  # day-grid x |event types| dense scaffold (bounded) + 1-row total
         "text_tfidf_top_terms",  # 1-row scalar side (document count N)
+        "graph_triangle_count",  # 1-row scalar sides (mean-weight threshold; tri x wedges final join)
     }
     offenders = []
     for name, fn in registry.QUERIES.items():
@@ -443,3 +444,36 @@ def test_sink_roundtrip_reads_pruned_partitions(spark, sf_dir):
     ) or "PartitionFilters" in p
     scan = next(l for l in p.splitlines() if "FileScan" in l)
     assert "1996" in scan and "1997" in scan
+
+
+def test_gopher_and_projection_are_shuffle_free(plan):
+    """The two narrow-map debuts must stay pure projections: any
+    Exchange would mean the rule predicates / constant-folded sign
+    matrix stopped being row-local."""
+    for name in ("text_gopher_rules", "emb_random_projection"):
+        assert "Exchange" not in plan(name), name
+
+
+def test_feature_hashing_is_single_shuffle(plan):
+    """Hashing-trick bag-of-words: one (doc, bucket) hash aggregation
+    and nothing else — the stateless fixed-width contract."""
+    p = plan("text_feature_hashing")
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_vocab_encode_corpus_never_shuffles(plan):
+    """The corpus side must reach the encoder through a BROADCAST join
+    (vocab is <= budget rows); the only hash exchange allowed is the
+    vocabulary count aggregation itself."""
+    p = plan("text_vocab_encode")
+    assert "BroadcastHashJoin" in p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_ivf_pq_prunes_with_broadcast_before_adc(plan):
+    """IVF-PQ: the probed-label prune must be a broadcast join (the
+    partition-pruning stand-in), and ADC scoring adds no exchange of
+    its own — only the two centroid-aggregation exchanges exist."""
+    p = plan("sim_ivf_pq_topk")
+    assert "BroadcastHashJoin" in p
+    assert p.count("Exchange hashpartitioning") == 2, p
