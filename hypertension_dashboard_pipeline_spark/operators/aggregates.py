@@ -13,6 +13,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.expressions import round_fixed
+
 
 def count_distinct_per_key(df: DataFrame, key: str | Sequence[str],
                            cols: Sequence[str]) -> DataFrame:
@@ -132,7 +134,7 @@ def freq_table(df: DataFrame, col: str, pct_scale: int = 6) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn(
             "percent",
-            F.round(F.lit(100.0) * F.col("n") / F.sum("n").over(w), pct_scale),
+            round_fixed(F.lit(100.0) * F.col("n") / F.sum("n").over(w), pct_scale),
         )
     )
 
@@ -382,7 +384,7 @@ def grouped_percentiles(df: DataFrame, key: str, value_col: str,
     map-side combinable, bounded memory) instead.
     """
     aggs = [
-        F.round(F.percentile(F.col(value_col), F.lit(p)), scale).alias(
+        round_fixed(F.percentile(F.col(value_col), F.lit(p)), scale).alias(
             f"p{str(p).replace('0.', '')}"
         )
         for p in percentiles

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..functions.expressions import round_fixed
 from ..functions.text import word_shingles
 
 
@@ -194,7 +195,7 @@ def shingle_pairs_jaccard(df: DataFrame, id_col: str = "doc_id",
                            F.col("n_sh").alias("n_b")), "id_b")
         .withColumn(
             "jaccard",
-            F.round(
+            round_fixed(
                 F.col("n_inter").cast("double")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
                 scale,
@@ -524,7 +525,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         .select(
             "id_a",
             "id_b",
-            F.round(matches.cast("double") / F.lit(float(n_hashes)), scale).alias(
+            round_fixed(matches.cast("double") / F.lit(float(n_hashes)), scale).alias(
                 "est_jaccard"
             ),
         )

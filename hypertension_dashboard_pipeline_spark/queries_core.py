@@ -17,6 +17,7 @@ from .functions.expressions import (
     age_from_birth_year,
     flag,
     recode,
+    round_fixed,
     round_half_even,
     strip_ends,
     trim_chars,
@@ -449,7 +450,8 @@ def a5_global_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a6_freq_table",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n,
-           ROUND(100.0 * COUNT(*) / SUM(COUNT(*)) OVER (), 6) AS percent
+           FLOOR(100.0 * COUNT(*) / SUM(COUNT(*)) OVER ()
+                 * 1000000.0 + 0.5) / 1000000.0 AS percent
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -566,7 +568,7 @@ def f17_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT COUNT(*) AS n_rows,
            COUNT(c_acctbal) AS n_nonnull,
-           ROUND(AVG(c_acctbal), 4) AS bal_avg,
+           FLOOR(AVG(c_acctbal) * 10000.0 + 0.5) / 10000.0 AS bal_avg,
            MIN(c_acctbal) AS bal_min,
            MAX(c_acctbal) AS bal_max
     FROM customer
@@ -578,7 +580,7 @@ def f16_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "customer").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("c_acctbal").alias("n_nonnull"),
-        F.round(F.avg("c_acctbal"), 4).alias("bal_avg"),
+        round_fixed(F.avg("c_acctbal"), 4).alias("bal_avg"),
         F.min("c_acctbal").alias("bal_min"),
         F.max("c_acctbal").alias("bal_max"),
     )
@@ -613,9 +615,10 @@ def a9_dedup_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(*) AS n_total,
            CAST(SUM(CASE WHEN l_quantity BETWEEN 10 AND 40 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_kept,
-           ROUND(100.0 * (COUNT(*) - CAST(SUM(CASE WHEN l_quantity BETWEEN 10
+           FLOOR(100.0 * (COUNT(*) - CAST(SUM(CASE WHEN l_quantity BETWEEN 10
                                               AND 40 THEN 1 ELSE 0 END)
-                                          AS BIGINT)) / COUNT(*), 6)
+                                          AS BIGINT)) / COUNT(*)
+                 * 1000000.0 + 0.5) / 1000000.0
                AS pct_excluded
     FROM lineitem
     """,
@@ -634,7 +637,7 @@ def a11_attrition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_total",
             "n_kept",
-            F.round(
+            round_fixed(
                 100.0 * (F.col("n_total") - F.col("n_kept")) / F.col("n_total"), 6
             ).alias("pct_excluded"),
         )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions import text as tx
+from .functions.expressions import round_fixed
 from .io import load_table
 from .operators import dedup as dd
 from .operators import multimodal as mm
@@ -215,10 +216,12 @@ def _dk_max_df(src: str = "ex", out: str = "exf") -> str:
         GROUP BY 1, 2
     )
     SELECT id_a, id_b,
-           ROUND(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+           FLOOR(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter)
+                 * 1000000.0 + 0.5) / 1000000.0 AS jaccard
     FROM inter JOIN sizes sa ON inter.id_a = sa.id
                JOIN sizes sb ON inter.id_b = sb.id
-    WHERE ROUND(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.1
+    WHERE FLOOR(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter)
+                 * 1000000.0 + 0.5) / 1000000.0 >= 0.1
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -292,7 +295,7 @@ _DK_EX_DUPS = f"""
         SELECT id, shingle, COUNT(*) AS c FROM exd GROUP BY 1, 2
     )
     SELECT id AS doc_id,
-           ROUND(MAX(c)::DOUBLE / SUM(c), 6) AS rep_ratio
+           FLOOR(MAX(c)::DOUBLE / SUM(c) * 1000000.0 + 0.5) / 1000000.0 AS rep_ratio
     FROM cnt GROUP BY id
     """,
 )
@@ -308,7 +311,7 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cnt.groupBy("id")
         .agg(
-            F.round(
+            round_fixed(
                 F.max("c").cast("double") / F.sum("c"), 6
             ).alias("rep_ratio")
         )
@@ -353,7 +356,8 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT id_a, id_b
         FROM inter JOIN sizes sa ON inter.id_a = sa.id
                    JOIN sizes sb ON inter.id_b = sb.id
-        WHERE ROUND(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.1
+        WHERE FLOOR(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter)
+                 * 1000000.0 + 0.5) / 1000000.0 >= 0.1
     ), edges AS (
         SELECT id_a AS a, id_b AS b FROM pairs
         UNION SELECT id_b, id_a FROM pairs
@@ -420,7 +424,8 @@ _DK_QUALITY = f"""
         SELECT id_a, id_b
         FROM inter JOIN sizes sa ON inter.id_a = sa.id
                    JOIN sizes sb ON inter.id_b = sb.id
-        WHERE ROUND(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+        WHERE FLOOR(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter)
+                 * 1000000.0 + 0.5) / 1000000.0 >= 0.5
     ), edges AS (
         SELECT id_a AS a, id_b AS b FROM pairs
         UNION SELECT id_b, id_a FROM pairs
@@ -508,7 +513,8 @@ def _minhash_oracle(n_hashes: int = 16, bands: int = 4) -> str:
         WHERE a.id < b.id
     )
     SELECT id_a, id_b,
-           ROUND(({match_sum})::DOUBLE / {n_hashes}, 6) AS est_jaccard
+           FLOOR(({match_sum})::DOUBLE / {n_hashes}
+                 * 1000000.0 + 0.5) / 1000000.0 AS est_jaccard
     FROM cand JOIN sigs sa ON cand.id_a = sa.id
               JOIN sigs sb ON cand.id_b = sb.id
     """
@@ -1177,9 +1183,9 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a13_grouped_percentiles",
     oracle="""
     SELECT l_returnflag,
-           ROUND(quantile_cont(l_quantity, 0.5), 4) AS p5,
-           ROUND(quantile_cont(l_quantity, 0.9), 4) AS p9,
-           ROUND(quantile_cont(l_quantity, 0.99), 4) AS p99
+           FLOOR(quantile_cont(l_quantity, 0.5) * 10000.0 + 0.5) / 10000.0 AS p5,
+           FLOOR(quantile_cont(l_quantity, 0.9) * 10000.0 + 0.5) / 10000.0 AS p9,
+           FLOOR(quantile_cont(l_quantity, 0.99) * 10000.0 + 0.5) / 10000.0 AS p99
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -1420,7 +1426,8 @@ def _curation_oracle() -> str:
         SELECT DISTINCT id_b AS doc_id
         FROM inter JOIN sizes sa ON inter.id_a = sa.id
                    JOIN sizes sb ON inter.id_b = sb.id
-        WHERE ROUND(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+        WHERE FLOOR(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter)
+                 * 1000000.0 + 0.5) / 1000000.0 >= 0.5
     )
     SELECT source, COUNT(*) AS n_docs,
            FLOOR(AVG(quality) * 10000.0 + 0.5) / 10000.0 AS avg_quality

@@ -126,71 +126,70 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      prioritize (1) drift, (2) flagships, (3) debuts touching shared
 #      callees being migrated, (4) oldest evidence, and spill the
 #      rest to r8.
+#      r7 window (this round): CORRECTNESS_r06 was 50/50 green, so the
+#      window executes the plan above verbatim — the dedup family
+#      rotates together with the round_fixed migration of its shared
+#      callees (shingle_pairs_jaccard / minhash_lsh_pairs — the LAST
+#      F.round family), the five solo F.round stragglers (a6, a11,
+#      a13, f16, text_repetition_ratio) migrate while rotated in, all
+#      8 displaced carries + streaming_static_join re-verify, and
+#      every remaining r6 debut gets its external debut.  That seats
+#      42; the tail slots go to r7 debuts.  NOT in this window
+#      (externally green r6, fingerprint-pinned, locally swept):
+#      everything CORRECTNESS_r06 just verified.
 _FRONT: list[str] = [
     # flagship + headline extension pipeline (always externally gated;
-    # curation also drifted via quality_score)
+    # curation also drifted via the shingle_pairs_jaccard migration)
     "flagship_cohort_pipeline",
     "curation_pipeline",
-    # --- round_fixed non-finite passthrough drift (r5-green set) ---
-    "a15_time_rollup",
-    "a23_incremental_rollup",
-    "streaming_incremental_rollup",
-    "w3_moving_avg",
-    "w4_lag_delta",
-    "w5_ntile_quartiles",
-    "w6_time_range_avg",
-    "a20_grouped_regression",
-    "a21_histogram_totalprice",
-    "a24_key_skew_profile",
-    "a25_winsorized_stats",
-    "a27_pricing_summary",
-    "cust_rfm_segments",
-    "events_funnel",
-    "events_path_transitions",
-    "events_anomaly_zscore",
-    "emb_kmeans_lloyd",
-    "emb_gram_matrix",
-    "graph_pagerank_transitions",
-    "dq_drift_kl",
-    "text_lm_bigram_score",
-    "sim_pq_adc_topk",
-    # --- cosine family: round_fixed migration ---
-    "sim_cosine_topk",
-    "sim_ivf_topk",
-    "sim_lsh_bucket_topk",
-    "sim_lsh_bucket_topk_indexed",
-    "sim_batch_ann_topk",
-    "sim_semdedup",
-    "sim_cosine_near_dup",
-    # --- quality_score family: round_fixed migration ---
-    "text_quality_score",
+    # --- r7 centerpiece: the dedup family, rotated TOGETHER with the
+    # round_fixed migration of its shared callees shingle_pairs_jaccard
+    # / minhash_lsh_pairs (the last F.round family) ---
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "dedup_simhash_groups",
     "dedup_quality_survivor",
-    # --- per-query round_fixed migrations riding their rotation ---
-    "emb_label_centroids",
-    "sim_quantized_topk",
-    "text_bm25_topk",
-    "text_decontaminate",
-    # --- bounded-run partition pin (streaming/runner.py) ---
-    "streaming_dedup",
-    "streaming_daily_window",
-    "streaming_session_window",
-    "streaming_stateful_counters",
-    # --- never externally verified ---
-    "a28_unpivot_priority",
-    # --- oldest r4-debut evidence: re-verification picks ---
-    "omop_pipeline_e2e",
-    "omop_phenotype_stats",
-    "j10_asof_join",
-    "j11_range_join",
-    "a16_kll_merge_quantiles",
-    "a17_hll_union_profile",
-    # --- r6 debuts: the previously pytest-only IO/catalog surface as
-    # driver-checkable queries (new names are absent from the snapshot
-    # => in-window; they took the last two re-verification slots from
-    # dedup_incremental_bloom / dedup_simhash_pairs, both r4-green,
-    # fingerprint-pinned and locally swept — first picks for r7) ---
-    "s2_sink_partitioned_roundtrip",
-    "s6_catalog_schema_contract",
+    "dedup_prefix_filter_pairs",   # r6 debut; shares exploded_shingles
+    "dedup_duplicate_spans",       # r6 debut, span family
+    "dedup_span_coverage",         # r6 debut, span family
+    # --- displaced r6 re-verification carries (r4-green since) ---
+    "dedup_simhash_pairs",
+    "dedup_incremental_bloom",
+    "j12_fuzzy_join_blocked",
+    "j13_merge_upsert",
+    "a14_sketch_profile",
+    "text_chunk_documents",
+    "sample_temperature_mix",
+    "sample_k_per_group",
+    "streaming_static_join",
+    # --- solo F.round backlog: migrated to round_fixed THIS round,
+    # riding their rotation (SURVEY §7 round-boundary step 5) ---
+    "a6_freq_table",
+    "a11_attrition_stats",
+    "a13_grouped_percentiles",
+    "f16_profile_stats",
+    "text_repetition_ratio",
+    # --- r6 debuts: first external verification ---
+    "sim_ivf_pq_topk",
+    "graph_triangle_count",        # also drifts: persist + content record
+    "a29_heavy_hitters_sampled",
+    "a30_grouped_mad_outliers",
+    "a31_cms_point_estimates",
+    "ts_gap_fill_interpolate",
+    "dq_drift_psi",
+    "text_tfidf_top_terms",
+    "text_gopher_rules",
+    "text_vocab_encode",
+    "text_feature_hashing",
+    "emb_top_component",
+    "emb_remove_top_component",
+    "emb_random_projection",
+    "f17_json_extract_stats",
+    "sample_global_index",
+    "s3_csv_roundtrip",
+    "s8_jsonl_orc_roundtrip",
+    # --- r7 debuts take the remaining slots (appended as built) ---
 ]
 
 # Driver window size (observed: the external gate samples the first 50
