@@ -167,16 +167,26 @@ def shingle_pairs_jaccard(df: DataFrame, id_col: str = "doc_id",
         release_persisted()
     ex = exploded_shingles(df, id_col, text_col, k)
     if max_df is not None:
-        rare = (
-            ex.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
+        # document frequency as a count-over-window, NOT a groupBy +
+        # semi-join back: the window's partitionBy("shingle") exchange
+        # is the SAME partitioning the inverted-index self-join below
+        # needs, so the cut rides an exchange the plan pays anyway —
+        # the groupBy+semi-join form cost two extra full shuffles of
+        # the (id, shingle) rows (r7 profile: ~3s of curation's
+        # near-dup stage at sf0.1, pruning zero rows on this corpus).
+        from pyspark.sql.window import Window
+
+        ex = (
+            ex.withColumn(
+                "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+            )
             .filter(F.col("df") <= max_df)
-            .select("shingle")
+            .drop("df")
         )
-        ex = ex.join(rare, "shingle", "left_semi")
 
     # ex feeds both sides of the self-join plus the two size lookups;
-    # persisted it is computed once instead of four times.
+    # persisted it is computed once instead of four times (and the
+    # cache preserves the shingle partitioning for the self-join).
     ex = _maybe_persist(ex, persist)
     sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 

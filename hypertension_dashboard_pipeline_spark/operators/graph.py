@@ -144,6 +144,16 @@ def triangle_stats(edges: DataFrame, a_col: str = "a",
     Wedge count (open+closed paths of length 2) = Σ_v C(deg(v), 2)
     from the degree table alone; global clustering = 3·T / W, floor-
     rounded; NULL when the graph has no wedges.
+
+    Deliberately NOT persisted: ``und`` feeds four consumers and
+    ``fwd`` two, but every consumer sits behind the same shuffle
+    boundaries and AQE's runtime exchange reuse computes each shared
+    exchange once (9 ReusedExchange nodes in the executed sf0.01
+    plan).  An explicit ``.persist()`` on both frames was measured
+    STRICTLY SLOWER (sf0.01: 2.31s -> 3.14s; sf0.1: 8.75s -> 9.19s,
+    same VM, best-of-2) — block-store writes plus broken whole-stage
+    pipelines cost more than the zero recomputation they would save
+    (SCALING.md r7 triangle note).
     """
     und = (
         edges.select(
