@@ -456,3 +456,94 @@ def test_span_coverage_match_bruteforce(spark, corpus, k):
         )
         want[i] = (len(toks), len(cov), frac)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Deterministic edge cases the generators rarely hit (r6 verdict item 6):
+# corpus-wide-frequent shingles (prefix = whole document), k-token docs
+# (exactly one span), and byte-identical docs at different ids.
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_filter_all_shingles_corpus_frequent(spark):
+    """When EVERY shingle appears in every document, the global
+    (df, shingle) order gives no rare prefix entries — the prefix
+    degenerates toward the whole document, and the filter must still
+    reproduce exhaustive all-pairs exactly (here: all docs are
+    3-shingle-identical permuted paddings of one shared core)."""
+    import math
+
+    core = "alpha beta gamma alpha beta gamma alpha beta gamma"
+    corpus = [core, core + " alpha beta gamma", core, core]
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.prefix_filter_pairs(
+            _corpus_df(spark, corpus), t_num=1, t_den=2, persist=False
+        ).collect()
+    }
+    want = {}
+    for a in range(len(corpus)):
+        for b in range(a + 1, len(corpus)):
+            sa, sb = _shingles(corpus[a]), _shingles(corpus[b])
+            inter, union = len(sa & sb), len(sa | sb)
+            if 2 * inter >= union:
+                want[(a, b)] = math.floor(inter / union * 1e6 + 0.5) / 1e6
+    assert got == want
+    # the identical docs must pair at exactly 1.0
+    assert got[(0, 2)] == 1.0 and got[(0, 3)] == 1.0 and got[(2, 3)] == 1.0
+
+
+def test_prefix_filter_byte_identical_docs_all_thresholds(spark):
+    """Byte-identical docs at different ids must surface at jaccard
+    1.0 for every threshold including t=1 (prefix = single shingle)."""
+    corpus = ["alpha beta gamma delta eps"] * 4 + ["zeta zeta zeta"]
+    for t_num, t_den in [(1, 1), (9, 10), (1, 2)]:
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dd.prefix_filter_pairs(
+                _corpus_df(spark, corpus), t_num=t_num, t_den=t_den,
+                persist=False,
+            ).collect()
+        }
+        assert got == {
+            (a, b): 1.0 for a in range(4) for b in range(a + 1, 4)
+        }, (t_num, t_den)
+
+
+def test_duplicate_spans_exactly_k_tokens(spark):
+    """A k-token document contributes exactly ONE span; two identical
+    k-token docs make that span a flagged duplicate with 2 docs /
+    2 occurrences, and their coverage is exactly 1.0."""
+    corpus = ["alpha beta gamma", "alpha beta gamma", "delta eps zeta"]
+    spans = {
+        r.span_hash: (r.n_docs, r.n_occurrences)
+        for r in dd.duplicate_spans(
+            _corpus_df(spark, corpus), k=3, min_docs=2
+        ).collect()
+    }
+    h = hashlib.md5(b"alpha beta gamma").hexdigest()
+    assert spans == {h: (2, 2)}
+    cov = {
+        r.doc_id: (r.n_tokens, r.n_covered, r.dup_coverage)
+        for r in dd.duplicate_span_coverage(
+            _corpus_df(spark, corpus), k=3, persist=False
+        ).collect()
+    }
+    assert cov[0] == (3, 3, 1.0)
+    assert cov[1] == (3, 3, 1.0)
+    assert cov[2] == (3, 0, 0.0)
+
+
+def test_span_coverage_byte_identical_docs_is_one(spark):
+    """Byte-identical documents (any length >= k) must each report
+    dup_coverage exactly 1.0 — every position sits under a flagged
+    span — while a unique doc reports 0.0."""
+    dup = "alpha beta gamma delta eps zeta alpha beta"
+    corpus = [dup, dup, "zeta eps delta"]
+    cov = {
+        r.doc_id: r.dup_coverage
+        for r in dd.duplicate_span_coverage(
+            _corpus_df(spark, corpus), k=4, persist=False
+        ).collect()
+    }
+    assert cov == {0: 1.0, 1: 1.0, 2: 0.0}
