@@ -165,6 +165,29 @@ def shingle_pairs_jaccard(df: DataFrame, id_col: str = "doc_id",
     """
     if release:
         release_persisted()
+    scored = _pair_intersections(df, id_col, text_col, k, max_df, persist)
+    scored = scored.withColumn(
+        "jaccard",
+        round_fixed(
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            scale,
+        ),
+    )
+    return scored.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def _pair_intersections(df: DataFrame, id_col: str, text_col: str,
+                        k: int, max_df: int | None,
+                        persist: bool) -> DataFrame:
+    """Shared candidate stage of the set-overlap family
+    (``shingle_pairs_jaccard`` / ``containment_pairs``): inverted-index
+    self-join on shared shingles, returning one row per candidate pair
+    with ``(id_a, id_b, n_inter, n_a, n_b)``.  The caller applies its
+    own overlap measure — the candidate set (docs sharing >= 1
+    surviving shingle) is measure-independent."""
     ex = exploded_shingles(df, id_col, text_col, k)
     if max_df is not None:
         # document frequency as a count-over-window, NOT a groupBy +
@@ -198,22 +221,50 @@ def shingle_pairs_jaccard(df: DataFrame, id_col: str = "doc_id",
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
 
-    scored = (
+    return (
         inter.join(sizes.select(F.col("id").alias("id_a"),
                                 F.col("n_sh").alias("n_a")), "id_a")
         .join(sizes.select(F.col("id").alias("id_b"),
                            F.col("n_sh").alias("n_b")), "id_b")
-        .withColumn(
-            "jaccard",
-            round_fixed(
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                scale,
-            ),
-        )
     )
-    return scored.filter(F.col("jaccard") >= threshold).select(
-        "id_a", "id_b", "jaccard"
+
+
+def containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 3,
+                      threshold: float = 0.8, scale: int = 6,
+                      max_df: int | None = DEFAULT_MAX_DF,
+                      persist: bool = True,
+                      release: bool = True) -> DataFrame:
+    """Asymmetric near-dup: shingle CONTAINMENT of the smaller set in
+    the larger, ``|A∩B| / min(|A|, |B|)`` — the quote/subset detector
+    Jaccard structurally misses.  A short document fully embedded in a
+    long one has Jaccard ≈ |A|/|B| (arbitrarily small) but containment
+    exactly 1.0, so threshold-on-Jaccard keeps every excerpt/expansion
+    pair while threshold-on-containment catches them (Broder '97
+    resemblance-vs-containment distinction — public literature).
+
+    Same candidate machinery as ``shingle_pairs_jaccard``
+    (inverted-index self-join + windowed ``max_df`` hot-shingle guard;
+    containment is measured over the filtered shingle space), so the
+    100 TB shape is identical: only (id, shingle) and count rows move,
+    no cross join, fan-out bounded per shingle.
+
+    Output: (id_a, id_b, n_a, n_b, containment) for pairs at or above
+    ``threshold``.
+    """
+    if release:
+        release_persisted()
+    scored = _pair_intersections(df, id_col, text_col, k, max_df, persist)
+    scored = scored.withColumn(
+        "containment",
+        round_fixed(
+            F.col("n_inter").cast("double")
+            / F.least(F.col("n_a"), F.col("n_b")),
+            scale,
+        ),
+    )
+    return scored.filter(F.col("containment") >= threshold).select(
+        "id_a", "id_b", "n_a", "n_b", "containment"
     )
 
 
@@ -1113,5 +1164,111 @@ def duplicate_span_coverage(df: DataFrame, id_col: str = "doc_id",
                 / F.col("n_tokens"),
                 scale,
             )).otherwise(F.lit(0.0)).alias("dup_coverage"),
+        )
+    )
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3,
+                        w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD '03 "Winnowing: Local Algorithms for Document
+    Fingerprinting" — the MOSS algorithm; public literature): hash
+    every k-token shingle, slide a window of ``w`` consecutive shingle
+    hashes over the document, and keep the MINIMUM hash of each
+    window.  The selected set is position-robust — any shared
+    substring of at least w+k-1 tokens between two documents is
+    guaranteed to contribute at least one common fingerprint — at
+    ~2/(w+1) the density of the full shingle set.
+
+    Relational shape: the positional shingle explode is narrow; the
+    per-window minimum is ONE window function partitioned by document
+    (bounded by document length, never by corpus size — no global
+    sort), and the output is the per-document DISTINCT fingerprint
+    set.  The shingle hash is the first 8 md5 hex digits as a BIGINT,
+    the same engine-reproducible construction MinHash uses
+    (``minhash_signatures``), so an independent SQL engine rebuilds
+    identical fingerprints.
+
+    Output: (id, fp) — one row per distinct selected fingerprint per
+    document; documents with fewer than k+w-1 tokens (no full window)
+    yield no rows.
+    """
+    from pyspark.sql.window import Window
+
+    ex = _span_starts(df, id_col, text_col, k)
+    h = F.conv(F.substring(F.md5(F.col("span")), 1, 8), 16, 10).cast("long")
+    hashed = ex.select("id", "start", h.alias("h"))
+
+    by_doc = Window.partitionBy("id")
+    win = (
+        Window.partitionBy("id")
+        .orderBy("start")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        hashed.withColumn("n_sp", F.count(F.lit(1)).over(by_doc))
+        .withColumn("fp", F.min("h").over(win))
+        # only full windows: starts 1 .. n_spans - w + 1
+        .filter(F.col("start") <= F.col("n_sp") - F.lit(w - 1))
+        .select("id", "fp")
+        .distinct()
+    )
+
+
+def contaminated_spans(corpus: DataFrame, bench: DataFrame,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       k: int = 8) -> DataFrame:
+    """Positional benchmark decontamination (the span-level complement
+    of ``decontam.contamination_scores``): flag every k-token sliding
+    window of a corpus document that appears VERBATIM anywhere in the
+    benchmark set, and report per contaminated document where the hits
+    sit — total hit spans, first/last hit position, and the longest
+    run of consecutive hit starts (a long run = a long verbatim quote;
+    scattered singletons = boilerplate collisions).  This is the
+    exact-substring protocol (the GPT-3 appendix-C 13-gram form) at
+    the position granularity a REMOVAL pass needs, where
+    ``text_decontaminate`` only scores whole documents.
+
+    Plan: both sides go through the shared narrow span explode; the
+    benchmark side collapses to DISTINCT span digests (tiny — ids
+    never leave the benchmark), corpus hits are a digest semi-join
+    (broadcast at scale), and the run structure is the classic
+    gaps-and-islands grouping ``start - row_number()`` — one window
+    partitioned by document, bounded by document length.
+    """
+    from pyspark.sql.window import Window
+
+    bench_spans = (
+        _span_starts(bench, id_col, text_col, k)
+        .select(F.md5(F.col("span")).alias("h"))
+        .distinct()
+    )
+    hits = (
+        _span_starts(corpus, id_col, text_col, k)
+        .withColumn("h", F.md5(F.col("span")))
+        .join(bench_spans, "h", "left_semi")
+    )
+    seq = Window.partitionBy("id").orderBy("start")
+    runs = hits.withColumn(
+        "island", F.col("start") - F.row_number().over(seq)
+    )
+    per_island = runs.groupBy("id", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        runs.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_spans"),
+            F.min("start").alias("first_hit"),
+            F.max("start").alias("last_hit"),
+        )
+        .join(
+            per_island.groupBy("id").agg(F.max("run_len").alias("max_run")),
+            "id",
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_hit_spans", "max_run", "first_hit", "last_hit",
         )
     )

@@ -110,3 +110,47 @@ def vocab_encode(df: DataFrame, id_col: str = "doc_id",
         "pos",
         F.coalesce(F.col("token_id"), F.lit(0)).alias("token_id"),
     )
+
+
+def token_entropy(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", scale: int = 6) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (bits):
+    ``H = log2(n) − Σ c·log2(c) / n`` over per-token counts ``c`` —
+    the numerically stable rearrangement of ``−Σ p·log2(p)`` that
+    keeps every aggregated term an integer-weighted ``c·log2(c)``
+    (no per-term division before the sum).  Low entropy flags looping
+    or template-generated text (complementary to
+    ``text_repetition_ratio``, which only sees the single most
+    frequent shingle); H = 0 for single-token-vocabulary docs.
+
+    Two map-side-combinable hash aggregations ((id, token) counts,
+    then per-id moments) — no arrays through the shuffle, no window.
+    Empty documents yield no rows.
+    """
+    from ..functions.expressions import round_fixed
+    from ..functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") > 0)
+    cnt = (
+        toks.select("id", F.explode("toks").alias("token"))
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        cnt.groupBy("id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c").cast("double") * F.log2("c")).alias("slc"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            round_fixed(
+                F.log2(F.col("n_tokens").cast("double"))
+                - F.col("slc") / F.col("n_tokens"),
+                scale,
+            ).alias("token_entropy"),
+        )
+    )

@@ -201,3 +201,54 @@ def global_index(df: DataFrame, key_col: str,
             (F.col("_off") + F.col("_rk") - 1).alias(out_col),
         )
     )
+
+
+def stratified_exact(df: DataFrame, strata_col: str, key_col: str,
+                     frac_num: int = 1, frac_den: int = 10) -> DataFrame:
+    """Exact proportional stratified sampling: from every stratum of
+    size ``n_g`` keep exactly ``round(n_g · frac)`` rows (half-up in
+    exact integer arithmetic: ``(2·n_g·num + den) DIV (2·den)`` — no
+    float ever touches the allocation), selected as the stratum's
+    lowest content-hash keys.  Hash-ranked selection makes the sample
+    simultaneously deterministic, repartition-stable, and uniform
+    within each stratum — rerunning on re-bucketed data returns the
+    identical row set, which a train/eval split pipeline depends on.
+
+    Plan: one window over ``partitionBy(strata_col)`` computing the
+    stratum size and the hash rank together (single exchange).  The
+    per-stratum rank sorts only within a stratum — at 100 TB a
+    pathologically hot stratum serializes one reducer; for that shape
+    switch the rank to the two-level prefix-sum construction of
+    ``global_index`` applied per stratum, or accept the ~frac
+    approximation of ``deterministic_sample`` which needs no rank at
+    all.  The hash is the engine-agnostic md5 construction of
+    ``hash_bucket``; ties cannot occur because (hash, key) embeds the
+    unique key.
+    """
+    from pyspark.sql.window import Window
+
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+        ).cast("long")
+    )
+    by_stratum = Window.partitionBy(strata_col)
+    ranked = (
+        df.withColumn("__h", h)
+        .withColumn("__n_g", F.count(F.lit(1)).over(by_stratum))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                by_stratum.orderBy(F.col("__h"), F.col(key_col))
+            ),
+        )
+    )
+    # integral `div`, not `/` (which is double division in Spark and
+    # would silently reintroduce the float the docstring rules out)
+    n_take = F.expr(
+        f"(cast({2 * frac_num} as bigint) * __n_g + {frac_den})"
+        f" div {2 * frac_den}"
+    )
+    return ranked.filter(F.col("__rn") <= n_take).drop(
+        "__h", "__n_g", "__rn"
+    )

@@ -479,3 +479,50 @@ def random_projection(df: DataFrame, id_col: str = "vec_id",
     return vecs.select(
         id_col, F.posexplode(proj).alias("j", "val")
     )
+
+
+def exact_vector_dup_groups(df: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            scale: int = 6) -> DataFrame:
+    """Exact embedding-duplicate groups: vectors are equal iff their
+    per-component fixed-point quantizations (``floor(v·10^s + 0.5)``,
+    the package's engine-exact rounding form) are equal, detected by
+    ONE hash aggregation on the md5 of the joined quantized string —
+    the embedding-space analog of ``dedup.exact_dedup_groups``.
+    Quantizing first makes the digest robust to the float-formatting
+    divergence raw ``CAST(float AS VARCHAR)`` would hit across
+    engines, and collapses re-encoded copies that differ only below
+    10^-s.
+
+    100 TB shape: narrow map (quantize + digest per row, vector never
+    leaves the map side un-hashed... the digest IS the shuffle key, 32
+    chars regardless of dimension) + one groupBy; map-side partial
+    aggregation absorbs hot duplicate clusters exactly as in exact
+    text dedup.
+
+    Output: (vec_hash, n_vectors, keep_id) for groups with >= 2
+    members — the report half; survivors = a min-id semi-join, same
+    as text exact dedup.
+    """
+    # the quantized INTEGER itself (floor(v·10^s + 0.5) as BIGINT), not
+    # round_fixed (which divides back to the original scale — casting
+    # that double would re-truncate);  pmod form == exact IEEE floor
+    # for finite v (functions.expressions.round_fixed docstring).
+    # Finite-component contract, like the cosine zero-norm contract:
+    # a NaN/Inf component would go NULL and concat_ws would silently
+    # skip it, so callers scrub non-finite vectors first.
+    def _qint(v):
+        x = v.cast("double") * F.lit(float(10 ** scale)) + F.lit(0.5)
+        return (x - F.pmod(x, F.lit(1.0))).cast("bigint")
+
+    q = F.transform(F.col(vec_col), _qint)
+    digest = F.md5(F.concat_ws(",", F.transform(q, lambda x: x.cast("string"))))
+    return (
+        df.select(digest.alias("vec_hash"), F.col(id_col))
+        .groupBy("vec_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_vectors") >= 2)
+    )

@@ -2316,3 +2316,121 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
     )
     return triangle_stats(edges)
+
+
+# --------------------------------------------------------------------------
+# r7 debuts: OHLC resampling, event-type PMI
+# --------------------------------------------------------------------------
+
+@register(
+    "ts_resample_ohlc",
+    oracle="""
+    WITH r AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, value,
+               FIRST_VALUE(value) OVER (
+                   PARTITION BY event_type, CAST(ts AS DATE)
+                   ORDER BY ts, event_id) AS open,
+               FIRST_VALUE(value) OVER (
+                   PARTITION BY event_type, CAST(ts AS DATE)
+                   ORDER BY ts DESC, event_id DESC) AS close
+        FROM events
+    )
+    SELECT event_type, day,
+           MIN(open) AS open, MAX(value) AS high,
+           MIN(value) AS low, MIN(close) AS close,
+           COUNT(*) AS n_events
+    FROM r GROUP BY event_type, day
+    """,
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC time-bucket resampling: per (event_type, day), the value at
+    the earliest and latest timestamp (ties broken by event_id — a
+    total order, so open/close are deterministic) plus high/low/count.
+    Open/close are struct-extremum aggregations — min/max over
+    (ts, event_id, value) structs ride the SAME hash aggregation as
+    the plain extrema, one shuffle total, no window over the fact
+    table; the oracle uses the window-function construction
+    (FIRST_VALUE two ways) precisely so the two engines compute the
+    answer differently.  All outputs are copied input doubles — zero
+    float arithmetic, so no rounding is needed at all."""
+    ev = load_table(spark, sf_dir, "events")
+    o = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    return (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.min(o)["value"].alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(o)["value"].alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("event_type", "day", "open", "high", "low", "close",
+                "n_events")
+    )
+
+
+@register(
+    "events_type_pmi",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    tot AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut),
+    marg AS (SELECT event_type, COUNT(*) AS n_t FROM ut GROUP BY 1),
+    p AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_ab
+        FROM ut a JOIN ut b USING (user_id)
+        WHERE a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_ab,
+           FLOOR(log2(CAST(n_ab AS DOUBLE) * n_users
+                      / (CAST(ma.n_t AS DOUBLE) * mb.n_t))
+                 * 1000000.0 + 0.5) / 1000000.0 AS pmi
+    FROM p JOIN marg ma ON p.type_a = ma.event_type
+           JOIN marg mb ON p.type_b = mb.event_type, tot
+    """,
+)
+def events_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event types over user-level
+    co-occurrence — log2(P(a,b) / P(a)P(b)) with all probabilities as
+    exact integer counts over the distinct (user, type) relation; the
+    same association statistic SGNS-style embedding pipelines factor.
+    The self-join fans out per user only over that user's DISTINCT
+    types (bounded by the type vocabulary, not activity volume), so a
+    hyperactive user costs |T|² rows, not events².  Marginals and the
+    1-row user total broadcast back onto the tiny pair relation."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    tot = ut.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    marg = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    pairs = (
+        ut.alias("a")
+        .join(ut.alias("b"), "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(marg.select(F.col("event_type").alias("type_a"),
+                                    F.col("n_t").alias("n_a"))), "type_a")
+        .join(
+            F.broadcast(marg.select(F.col("event_type").alias("type_b"),
+                                    F.col("n_t").alias("n_b"))), "type_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a", "type_b", "n_ab",
+            round_fixed(
+                F.log2(
+                    F.col("n_ab").cast("double") * F.col("n_users")
+                    / (F.col("n_a").cast("double") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

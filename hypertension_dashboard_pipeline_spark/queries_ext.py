@@ -3301,3 +3301,231 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+# --------------------------------------------------------------------------
+# r7 debuts: containment, winnowing, span decontamination, stratified
+# sampling, exact vector dedup, token entropy
+# --------------------------------------------------------------------------
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH {_DK_EX}, {_dk_max_df()}, sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM exf GROUP BY id
+    ), inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+        FROM exf a JOIN exf b USING (shingle) WHERE a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           FLOOR(n_inter::DOUBLE / LEAST(sa.n_sh, sb.n_sh)
+                 * 1000000.0 + 0.5) / 1000000.0 AS containment
+    FROM inter JOIN sizes sa ON inter.id_a = sa.id
+               JOIN sizes sb ON inter.id_b = sb.id
+    WHERE FLOOR(n_inter::DOUBLE / LEAST(sa.n_sh, sb.n_sh)
+                * 1000000.0 + 0.5) / 1000000.0 >= 0.8
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (Broder '97
+    resemblance-vs-containment): |A∩B| / min(|A|,|B|) >= 0.8 over
+    3-word shingles — catches a short document quoted inside a long
+    one, which Jaccard scores near |A|/|B| and misses.  Same inverted-
+    index candidate machinery and windowed max_df hot-shingle guard as
+    dedup_ngram_jaccard (operators/dedup.py containment_pairs)."""
+    return dd.containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+@register(
+    "text_winnow_fingerprints",
+    oracle=f"""
+    WITH tk AS (
+        SELECT doc_id AS id, {_DK_TOKENS.format(c='text')} AS ws
+        FROM documents
+    ), sh AS (
+        SELECT id, u.s AS start,
+               ('0x' || substr(md5(array_to_string(ws[u.s:u.s+2], ' ')),
+                               1, 8))::BIGINT AS hv
+        FROM tk, LATERAL unnest(range(1, len(ws) - 1)) AS u(s)
+        WHERE len(ws) >= 3
+    ), wm AS (
+        SELECT id,
+               start,
+               COUNT(*) OVER (PARTITION BY id) AS n_sp,
+               MIN(hv) OVER (PARTITION BY id ORDER BY start
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                   AS fp
+        FROM sh
+    )
+    SELECT DISTINCT id AS doc_id, fp
+    FROM wm WHERE start <= n_sp - 3
+    """,
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. SIGMOD'03 / MOSS):
+    minimum shingle hash per sliding window of w=4 consecutive
+    3-shingles, distinct per document — the guarantee-carrying
+    sub-sample of the shingle set (any shared run of >= w+k-1 tokens
+    shares a fingerprint) at ~2/(w+1) density.  One document-bounded
+    window, no corpus-wide sort (operators/dedup.py
+    winnow_fingerprints)."""
+    return dd.winnow_fingerprints(
+        load_table(spark, sf_dir, "documents"), k=3, w=4
+    ).withColumnRenamed("id", "doc_id")
+
+
+@register(
+    "dedup_contaminated_spans",
+    oracle=f"""
+    WITH tk AS (
+        SELECT doc_id AS id, {_DK_TOKENS.format(c='text')} AS ws
+        FROM documents
+    ), sp AS (
+        SELECT id, u.s AS start,
+               md5(array_to_string(ws[u.s:u.s+7], ' ')) AS h
+        FROM tk, LATERAL unnest(range(1, len(ws) - 6)) AS u(s)
+        WHERE len(ws) >= 8
+    ), hits AS (
+        SELECT id, start FROM sp
+        WHERE id % 13 <> 0
+          AND h IN (SELECT h FROM sp WHERE id % 13 = 0)
+    ), runs AS (
+        SELECT id, start,
+               start - ROW_NUMBER() OVER (PARTITION BY id ORDER BY start)
+                   AS island
+        FROM hits
+    ), isl AS (
+        SELECT id, island, COUNT(*) AS run_len FROM runs GROUP BY 1, 2
+    ), a1 AS (
+        SELECT id, COUNT(*) AS n_hit_spans, MIN(start) AS first_hit,
+               MAX(start) AS last_hit
+        FROM hits GROUP BY id
+    ), a2 AS (
+        SELECT id, MAX(run_len) AS max_run FROM isl GROUP BY id
+    )
+    SELECT a1.id AS doc_id, n_hit_spans, max_run, first_hit, last_hit
+    FROM a1 JOIN a2 USING (id)
+    """,
+)
+def dedup_contaminated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional exact-substring decontamination: every 8-token
+    sliding window of a corpus document that appears verbatim in the
+    benchmark split (doc_id % 13 = 0, the text_decontaminate
+    convention), reported per document with first/last hit position
+    and the longest consecutive-hit run — the position granularity a
+    removal pass needs where text_decontaminate only scores documents.
+    Benchmark digests collapse to a distinct set (broadcast at scale);
+    runs are gaps-and-islands on start - row_number(), one
+    document-bounded window (operators/dedup.py contaminated_spans)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.contaminated_spans(
+        docs.filter(F.col("doc_id") % 13 != 0),
+        docs.filter(F.col("doc_id") % 13 == 0),
+        k=8,
+    )
+
+
+@register(
+    "sample_stratified_exact",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey, o_orderpriority,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                               1, 15))::BIGINT AS h,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n_g
+        FROM orders
+    ), r AS (
+        SELECT o_orderkey, o_orderpriority, n_g,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY h, o_orderkey) AS rn
+        FROM t
+    )
+    SELECT o_orderkey, o_orderpriority
+    FROM r WHERE rn <= (2 * n_g + 10) // 20
+    """,
+)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact proportional stratified sample: exactly round(n_g/10) rows
+    per o_orderpriority stratum, selected as the lowest content-hash
+    keys — deterministic, repartition-stable, integer-exact allocation
+    (operators/sampling.py stratified_exact)."""
+    from .operators.sampling import stratified_exact
+
+    return stratified_exact(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ),
+        "o_orderpriority", "o_orderkey", 1, 10,
+    )
+
+
+@register(
+    "sim_exact_vector_dup",
+    oracle="""
+    WITH allv AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000, embedding FROM embeddings
+        WHERE vec_id % 2 = 0
+    ), qd AS (
+        SELECT vec_id,
+               md5(array_to_string(list_transform(embedding,
+                   v -> CAST(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0
+                                        + 0.5) AS BIGINT) AS VARCHAR)),
+                   ',')) AS vec_hash
+        FROM allv
+    )
+    SELECT vec_hash, COUNT(*) AS n_vectors, MIN(vec_id) AS keep_id
+    FROM qd GROUP BY vec_hash HAVING COUNT(*) >= 2
+    """,
+)
+def sim_exact_vector_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-duplicate groups over a dup-injected set (every
+    even vec_id re-delivered at vec_id+100000 — the
+    dedup_incremental_ingest convention): per-component fixed-point
+    quantization -> joined digest -> one hash aggregation; the
+    embedding-space analog of exact text dedup
+    (operators/similarity.py exact_vector_dup_groups)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dup = emb.filter(F.col("vec_id") % 2 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100_000
+    )
+    return sim.exact_vector_dup_groups(
+        emb.select("vec_id", "embedding").unionByName(
+            dup.select("vec_id", "embedding")
+        )
+    )
+
+
+@register(
+    "text_token_entropy",
+    oracle=f"""
+    WITH tk AS (
+        SELECT doc_id AS id,
+               unnest({_DK_TOKENS.format(c='text')}) AS token
+        FROM documents
+    ), cnt AS (
+        SELECT id, token, COUNT(*) AS c FROM tk GROUP BY 1, 2
+    ), m AS (
+        SELECT id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               SUM(c * log2(c)) AS slc
+        FROM cnt GROUP BY id
+    )
+    SELECT id AS doc_id, n_tokens,
+           FLOOR((log2(CAST(n_tokens AS DOUBLE)) - slc / n_tokens)
+                 * 1000000.0 + 0.5) / 1000000.0 AS token_entropy
+    FROM m
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy (bits) in the
+    stable integer-weighted form H = log2(n) - Σ c·log2(c)/n — the
+    whole-distribution repetition signal complementing
+    text_repetition_ratio's single-mode view (operators/relevance.py
+    token_entropy)."""
+    from .operators.relevance import token_entropy
+
+    return token_entropy(load_table(spark, sf_dir, "documents"))

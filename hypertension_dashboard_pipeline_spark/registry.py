@@ -190,6 +190,14 @@ _FRONT: list[str] = [
     "s3_csv_roundtrip",
     "s8_jsonl_orc_roundtrip",
     # --- r7 debuts take the remaining slots (appended as built) ---
+    "dedup_containment_pairs",
+    "text_winnow_fingerprints",
+    "dedup_contaminated_spans",
+    "sample_stratified_exact",
+    "sim_exact_vector_dup",
+    "text_token_entropy",
+    "ts_resample_ohlc",
+    "events_type_pmi",
 ]
 
 # Driver window size (observed: the external gate samples the first 50

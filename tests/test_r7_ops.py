@@ -1,0 +1,355 @@
+"""Unit + property tests for the round-7 operators: containment
+pairs, winnowing fingerprints, positional span decontamination,
+exact stratified sampling, exact vector dedup, token entropy, OHLC
+resampling, and event-type PMI — each cross-checked against an
+independent brute-force Python implementation (the recompute-by-hand
+QC idiom, 3_blood_pressure.R:177-182, SURVEY.md §5.4)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+from datetime import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hypertension_dashboard_pipeline_spark.operators import dedup as dd
+from hypertension_dashboard_pipeline_spark.operators import relevance as rel
+from hypertension_dashboard_pipeline_spark.operators import sampling as smp
+from hypertension_dashboard_pipeline_spark.operators import similarity as sim
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+
+corpus_strategy = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=0, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=6,
+)
+
+
+def _corpus_df(spark, corpus):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+
+
+def _shingles(text: str, k: int = 3) -> set[str]:
+    toks = text.split()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _rf(x: float, s: int = 6) -> float:
+    return math.floor(x * 10**s + 0.5) / 10**s
+
+
+# ---------------------------------------------------------------------------
+# containment
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(corpus=corpus_strategy)
+def test_containment_pairs_match_bruteforce(spark, corpus):
+    got = {
+        (r.id_a, r.id_b): (r.n_a, r.n_b, r.containment)
+        for r in dd.containment_pairs(
+            _corpus_df(spark, corpus), threshold=0.5, max_df=None,
+            persist=False,
+        ).collect()
+    }
+    want = {}
+    for a in range(len(corpus)):
+        for b in range(a + 1, len(corpus)):
+            sa, sb = _shingles(corpus[a]), _shingles(corpus[b])
+            if not sa or not sb:
+                continue
+            c = _rf(len(sa & sb) / min(len(sa), len(sb)))
+            if c >= 0.5:
+                want[(a, b)] = (len(sa), len(sb), c)
+    assert got == want
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    """A short doc verbatim inside a long one: containment 1.0 even
+    though Jaccard is far below any useful threshold."""
+    quote = "alpha beta gamma delta"
+    filler = " ".join(f"tok{i}" for i in range(40))
+    long_doc = filler + " " + quote + " " + " ".join(
+        f"pad{i}" for i in range(40)
+    )
+    df = _corpus_df(spark, [quote, long_doc])
+    got = dd.containment_pairs(df, threshold=0.9, persist=False).collect()
+    assert len(got) == 1 and got[0].containment == 1.0
+    sa, sb = _shingles(quote), _shingles(long_doc)
+    assert len(sa & sb) / len(sa | sb) < 0.1  # Jaccard would miss it
+
+
+# ---------------------------------------------------------------------------
+# winnowing
+# ---------------------------------------------------------------------------
+
+
+def _winnow_brute(corpus, k=3, w=4):
+    want = defaultdict(set)
+    for i, text in enumerate(corpus):
+        toks = text.split()
+        hashes = [
+            int(hashlib.md5(
+                " ".join(toks[s : s + k]).encode()
+            ).hexdigest()[:8], 16)
+            for s in range(len(toks) - k + 1)
+        ]
+        for s in range(len(hashes) - w + 1):
+            want[i].add(min(hashes[s : s + w]))
+    return {i: fps for i, fps in want.items() if fps}
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(corpus=st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=0, max_size=15).map(" ".join),
+    min_size=1, max_size=5,
+))
+def test_winnow_fingerprints_match_bruteforce(spark, corpus):
+    got = defaultdict(set)
+    for r in dd.winnow_fingerprints(_corpus_df(spark, corpus)).collect():
+        got[r.id].add(r.fp)
+    assert dict(got) == _winnow_brute(corpus)
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Any shared token run of length >= w + k - 1 (= 6 here) must
+    contribute at least one common fingerprint — the winnowing
+    guarantee the MOSS matcher depends on."""
+    shared = "alpha beta gamma delta eps zeta"  # 6 tokens
+    a = "zeta eps " + shared + " beta alpha"
+    b = shared + " gamma gamma delta"
+    fps = defaultdict(set)
+    for r in dd.winnow_fingerprints(_corpus_df(spark, [a, b])).collect():
+        fps[r.id].add(r.fp)
+    assert fps[0] & fps[1]
+
+
+# ---------------------------------------------------------------------------
+# positional span decontamination
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from(VOCAB[:3]), min_size=0, max_size=12)
+        .map(" ".join),
+        min_size=2, max_size=6,
+    ),
+    k=st.sampled_from([2, 3]),
+)
+def test_contaminated_spans_match_bruteforce(spark, corpus, k):
+    bench_texts, corp_texts = corpus[:1], corpus[1:]
+    bench = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(bench_texts)],
+        "doc_id long, text string",
+    )
+    corp = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corp_texts)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_hit_spans, r.max_run, r.first_hit, r.last_hit)
+        for r in dd.contaminated_spans(corp, bench, k=k).collect()
+    }
+    bench_spans = set()
+    for t in bench_texts:
+        toks = t.split()
+        for s in range(len(toks) - k + 1):
+            bench_spans.add(" ".join(toks[s : s + k]))
+    want = {}
+    for i, t in enumerate(corp_texts):
+        toks = t.split()
+        hits = [
+            s + 1
+            for s in range(len(toks) - k + 1)
+            if " ".join(toks[s : s + k]) in bench_spans
+        ]
+        if not hits:
+            continue
+        runs, cur = [], 1
+        for prev, nxt in zip(hits, hits[1:]):
+            if nxt == prev + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        want[i] = (len(hits), max(runs), hits[0], hits[-1])
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10_000), st.sampled_from(["a", "b", "c"])),
+        min_size=1, max_size=60, unique_by=lambda t: t[0],
+    ),
+    frac=st.sampled_from([(1, 10), (1, 3), (1, 2), (1, 1)]),
+)
+def test_stratified_exact_allocation_and_determinism(spark, rows, frac):
+    num, den = frac
+    df = spark.createDataFrame(rows, "k long, s string")
+    out = smp.stratified_exact(df, "s", "k", num, den).collect()
+    sizes = Counter(s for _, s in rows)
+    taken = Counter(r.s for r in out)
+    for s, n_g in sizes.items():
+        assert taken.get(s, 0) == (2 * n_g * num + den) // (2 * den), s
+    # repartition-stable: same row set from a different layout
+    out2 = smp.stratified_exact(
+        df.repartition(7), "s", "k", num, den
+    ).collect()
+    assert sorted(r.k for r in out) == sorted(r.k for r in out2)
+    # hash-ranked: the selected keys are the stratum's lowest-hash keys
+    def h(k):
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+    for s, n_g in sizes.items():
+        keys = sorted((k for k, s2 in rows if s2 == s), key=lambda k: (h(k), k))
+        assert sorted(r.k for r in out if r.s == s) == sorted(
+            keys[: (2 * n_g * num + den) // (2 * den)]
+        )
+
+
+# ---------------------------------------------------------------------------
+# exact vector dedup
+# ---------------------------------------------------------------------------
+
+
+def test_exact_vector_dup_quantization_boundary(spark):
+    """Vectors differing below the quantization step collapse; above,
+    they stay distinct; groups report min-id survivor and true size."""
+    rows = [
+        (1, [0.5, 1.0]),
+        (2, [0.5 + 4e-8, 1.0]),        # below 1e-6 step -> same group
+        (3, [0.5 + 2e-6, 1.0]),        # above step -> different digest
+        (4, [0.5, 1.0]),
+        (5, [-0.25, 3.0]),
+        (6, [-0.25, 3.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r.vec_hash: (r.n_vectors, r.keep_id)
+        for r in sim.exact_vector_dup_groups(df).collect()
+    }
+    assert sorted(got.values()) == [(2, 5), (3, 1)]
+
+
+# ---------------------------------------------------------------------------
+# token entropy
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(corpus=corpus_strategy)
+def test_token_entropy_matches_bruteforce(spark, corpus):
+    got = {
+        r.doc_id: (r.n_tokens, r.token_entropy)
+        for r in rel.token_entropy(_corpus_df(spark, corpus)).collect()
+    }
+    want = {}
+    for i, t in enumerate(corpus):
+        toks = t.split()
+        if not toks:
+            continue
+        n = len(toks)
+        cnt = Counter(toks)
+        h = math.log2(n) - sum(
+            c * math.log2(c) for c in cnt.values()
+        ) / n
+        want[i] = (n, _rf(h))
+    assert got == want
+
+
+def test_token_entropy_extremes(spark):
+    df = _corpus_df(spark, ["alpha alpha alpha alpha",
+                            "alpha beta gamma delta"])
+    got = {r.doc_id: r.token_entropy for r in rel.token_entropy(df).collect()}
+    assert got[0] == 0.0          # single-token vocabulary
+    assert got[1] == 2.0          # 4 distinct tokens -> log2(4) bits
+
+
+# ---------------------------------------------------------------------------
+# OHLC + PMI brute force
+# ---------------------------------------------------------------------------
+
+
+def test_ohlc_deterministic_on_duplicate_timestamps(spark):
+    ts = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, ts, "click", 5.0),
+        (2, ts, "click", 3.0),          # same ts: event_id breaks the tie
+        (3, datetime(2024, 1, 1, 18, 0, 0), "click", 9.0),
+        (4, datetime(2024, 1, 2, 1, 0, 0), "click", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    from pyspark.sql import functions as F
+
+    g = (
+        df.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.min(F.struct("ts", "event_id", "value"))["value"].alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.struct("ts", "event_id", "value"))["value"].alias("close"),
+        )
+        .orderBy("day")
+        .collect()
+    )
+    assert (g[0].open, g[0].high, g[0].low, g[0].close) == (5.0, 9.0, 3.0, 9.0)
+    assert (g[1].open, g[1].close) == (7.0, 7.0)
+
+
+def test_type_pmi_bruteforce(spark):
+    rows = [
+        (1, "a"), (1, "b"), (1, "a"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "b"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    from pyspark.sql import functions as F
+
+    ut = df.distinct()
+    tot = ut.select("user_id").distinct().count()
+    marg = Counter(r.event_type for r in ut.collect())
+    co = Counter()
+    by_user = defaultdict(set)
+    for r in ut.collect():
+        by_user[r.user_id].add(r.event_type)
+    for types in by_user.values():
+        ts = sorted(types)
+        for i in range(len(ts)):
+            for j in range(i + 1, len(ts)):
+                co[(ts[i], ts[j])] += 1
+    pairs = (
+        ut.alias("x").join(ut.alias("y"), "user_id")
+        .filter(F.col("x.event_type") < F.col("y.event_type"))
+        .groupBy(F.col("x.event_type").alias("ta"),
+                 F.col("y.event_type").alias("tb"))
+        .count()
+        .collect()
+    )
+    got = {(r.ta, r.tb): r["count"] for r in pairs}
+    assert got == dict(co)
+    # PMI sign sanity: (a,b) co-occur in 2 of 4 users with P(a)=P(b)=3/4
+    pmi_ab = math.log2((co[("a", "b")] * tot) / (marg["a"] * marg["b"]))
+    assert pmi_ab < 0  # less than independence under these marginals
