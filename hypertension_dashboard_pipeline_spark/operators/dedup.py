@@ -1272,3 +1272,23 @@ def contaminated_spans(corpus: DataFrame, bench: DataFrame,
             "n_hit_spans", "max_run", "first_hit", "last_hit",
         )
     )
+
+
+def merge_minhash_signatures(parts: DataFrame,
+                             n_hashes: int = 16) -> DataFrame:
+    """Merge per-part MinHash signatures into whole-document
+    signatures: elementwise MIN per permutation — exact because
+    ``min over (A ∪ B) = min(min A, min B)`` holds per hash, so the
+    merged signature is BIT-IDENTICAL to recomputing over the union of
+    the parts' shingle sets.  This mergeability is what makes a
+    minhash dedup index maintainable incrementally at 100 TB: stored
+    per-document signatures absorb a new chunk/revision batch with ONE
+    n_hashes-column min aggregation — the corpus text is never
+    re-read, only the delta is shingled (cf. ``incremental_ingest``
+    for the exact-dedup analog).  Input: signature frames from
+    ``minhash_signatures`` (columns id, h0..h{n-1}), any number of
+    parts unioned; parts shorter than the shingle width simply
+    contribute no row."""
+    return parts.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]
+    )

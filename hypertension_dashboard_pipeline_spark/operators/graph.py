@@ -223,3 +223,72 @@ def triangle_stats(edges: DataFrame, a_col: str = "a",
             ).alias("global_clustering"),
         )
     )
+
+
+def kcore(edges: DataFrame, k: int, a_col: str = "a", b_col: str = "b",
+          max_iter: int = 50) -> DataFrame:
+    """k-core decomposition for a FIXED k (Seidman '83; the standard
+    iterative-peeling algorithm, e.g. Batagelj & Zaveršnik '03 —
+    public literature): repeatedly remove every vertex of degree < k
+    until none remains; the surviving induced subgraph is the k-core.
+    Cores locate the dense nucleus near-dup/spam clusters form in
+    similarity graphs, at a fraction of triangle counting's cost.
+
+    Plan per round: ONE degree aggregation over the live edge list +
+    a double semi-join (both endpoints must survive).  The edge list
+    shrinks monotonically, so iteration cost falls every round;
+    ``localCheckpoint`` between rounds truncates the growing lineage
+    exactly as ``pagerank`` does, and the loop exits when a round
+    removes no edges (count is the same action that materializes the
+    checkpoint — no extra job).  Rounds needed = peeling depth, which
+    is small for real graphs (the degeneracy ordering removes whole
+    shells at a time, not single vertices).
+
+    Returns (vertex, degree) — the induced-subgraph degree within the
+    k-core; empty when the graph has no k-core.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("u"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    live = und
+    n_edges = live.count()
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        deg = (
+            live.select(F.col("u").alias("x"))
+            .unionAll(live.select(F.col("v").alias("x")))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("x")
+        nxt = (
+            live.join(keep.withColumnRenamed("x", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("x", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n_next = nxt.count()
+        if n_next == n_edges:
+            break
+        live, n_edges = nxt, n_next
+    else:
+        import warnings
+
+        warnings.warn(
+            f"kcore did not converge within {max_iter} rounds",
+            stacklevel=2,
+        )
+    return (
+        live.select(F.col("u").alias("x"))
+        .unionAll(live.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("x").alias("vertex"), "degree")
+    )

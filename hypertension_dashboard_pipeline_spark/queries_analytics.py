@@ -2292,30 +2292,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/graph.py triangle_stats)."""
     from .operators.graph import triangle_stats
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    pairs = (
-        li.alias("x")
-        .join(
-            li.alias("y"),
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
-        )
-        .groupBy(
-            F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    tot = pairs.agg(
-        F.sum("w").alias("tw"), F.count(F.lit(1)).alias("np")
-    )
-    edges = (
-        pairs.crossJoin(F.broadcast(tot))
-        .filter(F.col("w") > F.expr("tw DIV np"))
-        .select("a", "b")
-    )
-    return triangle_stats(edges)
+    return triangle_stats(_supplier_cooccurrence_edges(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
@@ -2432,5 +2409,222 @@ def events_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 6,
             ).alias("pmi"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# r8-candidate debuts: k-core, referential-integrity audit, interval
+# overlap join
+# --------------------------------------------------------------------------
+
+
+def _kcore_oracle(k: int, rounds: int = 24) -> str:
+    """Unrolled peeling: DuckDB's recursive CTEs cannot aggregate in
+    the recursive term, so the oracle unrolls ``rounds`` peel rounds
+    as chained CTEs — exact as long as peeling converges within
+    ``rounds`` (peeling is idempotent once converged, so extra rounds
+    are harmless; the Spark side iterates to a true fixpoint and the
+    parity sweep would fail loudly if the corpus ever needed more)."""
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+    # reference, and each round references the previous one three
+    # times -> 3^rounds expansion (observed as "Too many open files"
+    # from exponentially many parquet scans).  Materializing makes the
+    # unroll linear.
+    parts = ["""
+    WITH p AS MATERIALIZED (
+        SELECT x.l_suppkey AS u, y.l_suppkey AS v, COUNT(*) AS w
+        FROM lineitem x
+        JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+                       AND x.l_suppkey < y.l_suppkey
+        GROUP BY 1, 2
+    ), t AS (SELECT SUM(w) AS tw, COUNT(*) AS np FROM p),
+    e0 AS MATERIALIZED (SELECT u, v FROM p, t WHERE w > tw // np)"""]
+    for i in range(rounds):
+        parts.append(f"""
+    , v{i} AS MATERIALIZED (
+        SELECT x FROM (SELECT u AS x FROM e{i} UNION ALL SELECT v FROM e{i})
+        GROUP BY x HAVING COUNT(*) >= {k}
+    ), e{i + 1} AS MATERIALIZED (
+        SELECT u, v FROM e{i}
+        WHERE u IN (SELECT x FROM v{i}) AND v IN (SELECT x FROM v{i})
+    )""")
+    parts.append(f"""
+    SELECT x AS vertex, COUNT(*) AS degree
+    FROM (SELECT u AS x FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+    GROUP BY x""")
+    return "".join(parts)
+
+
+def _supplier_cooccurrence_edges(spark: SparkSession, sf_dir: str):
+    """Shared above-mean supplier co-occurrence graph (the
+    graph_triangle_count construction): suppliers adjacent when their
+    same-order co-occurrence count exceeds the graph-wide mean, the
+    threshold in exact integer floor-division form."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        li.alias("x")
+        .join(
+            li.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .groupBy(
+            F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    tot = pairs.agg(
+        F.sum("w").alias("tw"), F.count(F.lit(1)).alias("np")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .filter(F.col("w") > F.expr("tw DIV np"))
+        .select("a", "b")
+    )
+
+
+@register("graph_kcore", oracle=_kcore_oracle(4))
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core of the supplier co-occurrence graph: iterative peeling
+    (one degree agg + double semi-join per round, localCheckpoint
+    lineage truncation — operators/graph.py kcore), returning each
+    surviving vertex with its induced-subgraph degree.  The dense
+    nucleus finder for similarity/spam graphs at a fraction of
+    triangle counting's cost; the oracle unrolls the peel as chained
+    CTEs (see _kcore_oracle)."""
+    from .operators.graph import kcore
+
+    return kcore(_supplier_cooccurrence_edges(spark, sf_dir), k=4)
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+    WITH bad AS (
+        SELECT l_orderkey + 1 AS l_orderkey
+        FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 97 = 0
+    ), child AS (
+        SELECT l_orderkey FROM lineitem UNION ALL SELECT l_orderkey FROM bad
+    )
+    SELECT 'lineitem.l_orderkey->orders' AS relationship,
+           (SELECT COUNT(*) FROM child) AS n_child,
+           (SELECT COUNT(*) FROM child c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = c.l_orderkey))
+               AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit — the referential half of the DQ
+    expectation suite: per relationship, child row count and the count
+    of children whose key has no parent, via LEFT ANTI joins (null-safe
+    where NOT IN is not, matching the oracle's NOT EXISTS).  The
+    lineitem->orders edge is audited on a deliberately corrupted child
+    (every 97th order's first line re-delivered at l_orderkey+1 — some
+    collide with real orders, some fall in TPC-H's key gaps, so the
+    orphan count is a REAL measurement, not all-or-nothing).  Each
+    audit is one broadcast-or-shuffle anti-join + a 1-row count;
+    results union into the report relation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+
+    bad = li.filter(
+        (F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 97 == 0)
+    ).select((F.col("l_orderkey") + 1).alias("l_orderkey"))
+    child = li.select("l_orderkey").unionByName(bad)
+
+    def audit(name, child_df, child_key, parent_df, parent_key):
+        orphans = child_df.join(
+            parent_df.select(F.col(parent_key).alias(child_key)),
+            child_key,
+            "left_anti",
+        )
+        return (
+            child_df.agg(F.count(F.lit(1)).alias("n_child"))
+            .crossJoin(
+                orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            )
+            .select(
+                F.lit(name).alias("relationship"), "n_child", "n_orphans"
+            )
+        )
+
+    return (
+        audit("lineitem.l_orderkey->orders", child, "l_orderkey",
+              orders, "o_orderkey")
+        .unionByName(
+            audit("orders.o_custkey->customer",
+                  orders.select("o_custkey"), "o_custkey",
+                  customer, "c_custkey"))
+        .unionByName(
+            audit("lineitem.l_partkey->part",
+                  li.select("l_partkey"), "l_partkey", part, "p_partkey"))
+    )
+
+
+@register(
+    "j14_interval_overlap",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_type, MIN(ts) AS s, MAX(ts) AS e
+        FROM events GROUP BY 1, 2
+    )
+    SELECT a.user_id, a.event_type AS type_a, b.event_type AS type_b,
+           CAST(date_diff('microseconds',
+                          GREATEST(a.s, b.s),
+                          LEAST(a.e, b.e)) AS BIGINT) AS overlap_us
+    FROM iv a JOIN iv b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    WHERE a.s <= b.e AND b.s <= a.e
+    """,
+)
+def j14_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (the temporal-algebra sibling of j10/j11):
+    per-user activity intervals [first, last] per event type, joined on
+    the classic overlap predicate s1 <= e2 AND s2 <= e1, reporting the
+    exact overlap duration in microseconds (pure integer timestamp
+    arithmetic — no floats).  The join is keyed on user_id, so fanout
+    per user is bounded by the type vocabulary squared — the blocking
+    key that keeps interval joins off the cross-join cliff at 100 TB;
+    for unkeyed interval sets the same plan applies over coarse
+    time-bucket blocking keys instead."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    a, b = iv.alias("a"), iv.alias("b")
+    lo = F.greatest(F.col("a.s"), F.col("b.s"))
+    hi = F.least(F.col("a.e"), F.col("b.e"))
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            # unix_micros, not a long cast (which truncates to seconds)
+            (F.unix_micros(hi) - F.unix_micros(lo)).alias("overlap_us"),
         )
     )

@@ -3529,3 +3529,63 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.relevance import token_entropy
 
     return token_entropy(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_merge_oracle(n_hashes: int = 16) -> str:
+    p = dd.MINHASH_PRIME
+    mins = ",\n           ".join(
+        f"MIN(({a} * x + {b}) % {p}) AS h{i}"
+        for i, (a, b) in enumerate(dd.perm_params(n_hashes))
+    )
+    return f"""
+    WITH tk AS (
+        SELECT doc_id AS id, {_DK_TOKENS.format(c='text')} AS ws
+        FROM documents
+    ), halves AS (
+        SELECT id, ws[1:(len(ws)+1)//2] AS hw FROM tk
+        UNION ALL
+        SELECT id, ws[(len(ws)+1)//2+1:len(ws)] AS hw FROM tk
+    ), sh AS (
+        SELECT id, unnest(CASE WHEN len(hw) >= 3 THEN
+                   list_transform(range(1, len(hw) - 1),
+                                  i -> array_to_string(hw[i:i+2], ' '))
+               ELSE []::VARCHAR[] END) AS shingle
+        FROM halves
+    ), xs AS (
+        SELECT id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT % {p} AS x
+        FROM sh
+    )
+    SELECT id AS doc_id,
+           {mins}
+    FROM xs GROUP BY id
+    """
+
+
+@register("dedup_minhash_merge", oracle=_minhash_merge_oracle())
+def dedup_minhash_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash index maintenance: each document arrives as
+    TWO chunks (front/back token halves — the multi-part delivery
+    shape), each chunk is signed independently, and the stored
+    signatures merge by elementwise MIN (operators/dedup.py
+    merge_minhash_signatures) — bit-identical to signing the union of
+    the chunks' shingle sets, which is what the oracle computes
+    DIRECTLY (one-sided check of the mergeability law minhash's
+    incremental story rests on).  At 100 TB this is the difference
+    between re-shingling the corpus per batch and one 16-column min
+    aggregation over (stored ∪ delta) signature rows."""
+    from .functions.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    m = F.expr("(size(toks) + 1) div 2")
+    front = toked.select(
+        "doc_id", F.concat_ws(" ", F.slice("toks", F.lit(1), m)).alias("text")
+    )
+    back = toked.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.slice("toks", m + 1, F.greatest(F.size("toks") - m, F.lit(0)))
+        ).alias("text"),
+    )
+    sigs = dd.minhash_signatures(front.unionByName(back), "doc_id", "text")
+    return dd.merge_minhash_signatures(sigs).withColumnRenamed("id", "doc_id")

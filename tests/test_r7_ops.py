@@ -353,3 +353,131 @@ def test_type_pmi_bruteforce(spark):
     # PMI sign sanity: (a,b) co-occur in 2 of 4 users with P(a)=P(b)=3/4
     pmi_ab = math.log2((co[("a", "b")] * tot) / (marg["a"] * marg["b"]))
     assert pmi_ab < 0  # less than independence under these marginals
+
+
+# ---------------------------------------------------------------------------
+# k-core, minhash merge law, interval overlap
+# ---------------------------------------------------------------------------
+
+
+def _kcore_brute(edges, k):
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in [v for v, ns in adj.items() if len(ns) < k]:
+            for u in adj.pop(v):
+                adj[u].discard(v)
+            changed = True
+    return {v: len(ns) for v, ns in adj.items() if ns}
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=0, max_size=40,
+    ),
+    k=st.sampled_from([2, 3]),
+)
+def test_kcore_matches_bruteforce(spark, edges, k):
+    from hypertension_dashboard_pipeline_spark.operators.graph import kcore
+
+    df = spark.createDataFrame(
+        edges or [(0, 0)], "a long, b long"  # empty-frame schema guard
+    )
+    got = {r.vertex: r.degree for r in kcore(df, k=k).collect()}
+    assert got == _kcore_brute(edges, k)
+
+
+def test_kcore_peels_transitively(spark):
+    """A chain hanging off a triangle: the chain must peel away round
+    by round (degree-1 ends first), leaving exactly the triangle as
+    the 2-core — the case a single-pass degree filter gets wrong."""
+    from hypertension_dashboard_pipeline_spark.operators.graph import kcore
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r.vertex: r.degree for r in kcore(df, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.lists(  # each doc: 1-3 parts of 0-10 tokens
+            st.lists(st.sampled_from(VOCAB), min_size=0, max_size=10)
+            .map(" ".join),
+            min_size=1, max_size=3,
+        ),
+        min_size=1, max_size=4,
+    ),
+)
+def test_minhash_merge_law(spark, docs):
+    """merge(sigs(parts)) must equal the brute-force signature of the
+    UNION of the parts' shingle sets — the mergeability law."""
+    rows = [
+        (i, part) for i, parts in enumerate(docs) for part in parts
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merged = {
+        r.id: tuple(r[f"h{i}"] for i in range(16))
+        for r in dd.merge_minhash_signatures(
+            dd.minhash_signatures(df, "doc_id", "text")
+        ).collect()
+    }
+    P = dd.MINHASH_PRIME
+    params = dd.perm_params(16)
+    want = {}
+    for i, parts in enumerate(docs):
+        shingles = set()
+        for part in parts:
+            shingles |= _shingles(part)
+        if not shingles:
+            continue
+        xs = [
+            int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % P
+            for s in shingles
+        ]
+        want[i] = tuple(
+            min((a * x + b) % P for x in xs) for a, b in params
+        )
+    assert merged == want
+
+
+def test_interval_overlap_bruteforce(spark):
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0), datetime(2024, 1, 1, 10), "a"),
+        (1, datetime(2024, 1, 1, 5), datetime(2024, 1, 1, 20), "b"),
+        (1, datetime(2024, 1, 1, 21), datetime(2024, 1, 1, 22), "c"),
+        (2, datetime(2024, 1, 1, 0), datetime(2024, 1, 1, 1), "a"),
+    ]
+    iv = spark.createDataFrame(rows, "user_id long, s timestamp, e timestamp, t string")
+    a, b = iv.alias("a"), iv.alias("b")
+    got = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.t") < F.col("b.t"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .select(
+            "a.user_id", F.col("a.t").alias("ta"), F.col("b.t").alias("tb"),
+            (F.unix_micros(F.least(F.col("a.e"), F.col("b.e")))
+             - F.unix_micros(F.greatest(F.col("a.s"), F.col("b.s"))))
+            .alias("ov"),
+        )
+        .collect()
+    )
+    assert {(r.user_id, r.ta, r.tb, r.ov) for r in got} == {
+        (1, "a", "b", 5 * 3600 * 1_000_000)  # 05:00..10:00 overlap
+    }
