@@ -168,6 +168,8 @@ def test_no_registered_query_plans_a_cartesian_product(spark, sf_dir):
         "dq_drift_psi",  # day-grid x |event types| dense scaffold (bounded) + 1-row total
         "text_tfidf_top_terms",  # 1-row scalar side (document count N)
         "graph_triangle_count",  # 1-row scalar sides (mean-weight threshold; tri x wedges final join)
+        "dq_referential_integrity",  # 1-row scalar sides (n_child x n_orphans per audited relationship)
+        "events_type_pmi",  # 1-row scalar side (global distinct-user count N)
     }
     offenders = []
     for name, fn in registry.QUERIES.items():
