@@ -252,3 +252,26 @@ def stratified_exact(df: DataFrame, strata_col: str, key_col: str,
     return ranked.filter(F.col("__rn") <= n_take).drop(
         "__h", "__n_g", "__rn"
     )
+
+
+def weighted_sample_k_per_group(df: DataFrame, group_cols: list[str],
+                                key_col: str, weight_col: str,
+                                k: int) -> DataFrame:
+    """Weighted sampling without replacement, k PER GROUP: the
+    Efraimidis–Spirakis exponential-keys scheme of
+    ``weighted_sample_topk`` composed with the map-side-truncating
+    grouped top-k — every row scores ``ln(u)/w`` locally from its
+    content hash, and ``grouped_topk_partial`` keeps each Arrow
+    batch's per-group top-k before the shuffle, so a 100 TB group
+    never shuffles whole.  Deterministic, repartition-stable, and
+    engine-reproducible like its global sibling; rows with
+    non-positive weight are excluded (zero inclusion mass)."""
+    from .windows import grouped_topk_partial
+
+    w = F.col(weight_col).cast("double")
+    scored = df.filter(w > 0).withColumn(
+        "score", F.log(hash_uniform(key_col)) / w
+    )
+    return grouped_topk_partial(
+        scored, list(group_cols), "score", key_col, k=k, ascending=False
+    )

@@ -2628,3 +2628,91 @@ def j14_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros(hi) - F.unix_micros(lo)).alias("overlap_us"),
         )
     )
+
+
+@register(
+    "sample_weighted_k_per_group",
+    oracle="""
+    WITH s AS (
+        SELECT source, doc_id,
+               ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    ::BIGINT + 1.0) / 4294967297.0))
+               / CAST(n_chars AS DOUBLE) AS score
+        FROM documents WHERE n_chars > 0
+    ), r AS (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM s
+    )
+    SELECT source, doc_id, rank FROM r WHERE rank <= 10
+    """,
+)
+def sample_weighted_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, 10 docs PER SOURCE
+    (operators/sampling.weighted_sample_k_per_group): Efraimidis-
+    Spirakis exponential keys from a content hash, composed with the
+    map-side-truncating grouped top-k so a 100 TB source never
+    shuffles whole — the per-domain quota draw a training-mix builder
+    runs after temperature weighting."""
+    from .operators.sampling import weighted_sample_k_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    return weighted_sample_k_per_group(
+        docs, ["source"], "doc_id", "n_chars", k=10
+    ).select("source", "doc_id", "rank")
+
+
+@register(
+    "emb_centroid_drift",
+    oracle="""
+    WITH ex AS (
+        SELECT label, vec_id % 2 AS split,
+               unnest(embedding::DOUBLE[]) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    ), cent AS (
+        SELECT label, pos,
+               FLOOR(AVG(CASE WHEN split = 0 THEN v END)
+                     * 1000000.0 + 0.5) / 1000000.0 AS c0,
+               FLOOR(AVG(CASE WHEN split = 1 THEN v END)
+                     * 1000000.0 + 0.5) / 1000000.0 AS c1
+        FROM ex GROUP BY 1, 2
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_dims,
+           FLOOR(sqrt(SUM((c0 - c1) * (c0 - c1))) * 10000.0 + 0.5)
+               / 10000.0 AS drift_l2
+    FROM cent GROUP BY label
+    """,
+)
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: per-label L2 distance between the
+    centroids of two halves of the corpus (even vs odd vec_id — the
+    stand-in for yesterday's batch vs today's).  Centroid components
+    are rounded with the engine-safe floor form BEFORE differencing,
+    so both engines square identical values and cross-engine float-sum
+    ordering has only the final 4dp rounding to flip (it cannot, at
+    64-term sums).  Shape: one posexplode + (label, pos) hash agg +
+    label-sized final agg — k x dim state, the label_centroids scale
+    argument."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("split"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("p", "v"),
+    )
+    cent = ex.groupBy("label", (F.col("p") + 1).alias("pos")).agg(
+        round_fixed(
+            F.avg(F.when(F.col("split") == 0, F.col("v"))), 6
+        ).alias("c0"),
+        round_fixed(
+            F.avg(F.when(F.col("split") == 1, F.col("v"))), 6
+        ).alias("c1"),
+    )
+    d = F.col("c0") - F.col("c1")
+    return cent.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        round_fixed(F.sqrt(F.sum(d * d)), 4).alias("drift_l2"),
+    )

@@ -3589,3 +3589,74 @@ def dedup_minhash_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sigs = dd.minhash_signatures(front.unionByName(back), "doc_id", "text")
     return dd.merge_minhash_signatures(sigs).withColumnRenamed("id", "doc_id")
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH tf AS (
+        SELECT token, COUNT(*) AS c
+        FROM (SELECT unnest({_DK_TOKENS.format(c='text')}) AS token
+              FROM documents)
+        GROUP BY token
+    ), r AS (
+        SELECT c,
+               ROW_NUMBER() OVER (ORDER BY c DESC, token) AS rank
+        FROM tf
+    ), m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(ln(rank)) AS sx, SUM(ln(c)) AS sy,
+               SUM(ln(rank) * ln(c)) AS sxy,
+               SUM(ln(rank) * ln(rank)) AS sxx
+        FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_vocab,
+           FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                 * 10000.0 + 0.5) / 10000.0 AS slope,
+           FLOOR((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n * 10000.0 + 0.5) / 10000.0 AS intercept
+    FROM m
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary: OLS of
+    ln(freq) on ln(rank) in the same closed-moment form as
+    a20_grouped_regression (slope ≈ -1 for natural language; a corpus
+    of templated/generated text bends the tail, making the slope a
+    cheap corpus-health number).  The token-frequency aggregation is
+    corpus-wide and map-side-combinable; the rank window sorts only
+    the VOCABULARY relation (types, not tokens — bounded by the
+    language, not the corpus), and the final moments are one 1-row
+    aggregate.  Tie ranks break by token text identically on both
+    engines."""
+    from pyspark.sql.window import Window
+
+    from .functions.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = tf.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy().orderBy(F.col("c").desc(), F.col("token"))
+        ),
+    )
+    lx, ly = F.log(F.col("rank").cast("double")), F.log(F.col("c").cast("double"))
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(lx).alias("sx"), F.sum(ly).alias("sy"),
+        F.sum(lx * ly).alias("sxy"), F.sum(lx * lx).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_vocab"),
+        round_fixed(slope, 4).alias("slope"),
+        round_fixed((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4)
+            .alias("intercept"),
+    )
