@@ -32,6 +32,9 @@ QUERIES = [
     "dedup_minhash_merge",
     "dq_referential_integrity",
     "j14_interval_overlap",
+    "sample_weighted_k_per_group",
+    "emb_centroid_drift",
+    "text_zipf_fit",
 ]
 
 
