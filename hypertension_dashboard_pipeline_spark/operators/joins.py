@@ -280,3 +280,54 @@ def fuzzy_join_blocked(a: DataFrame, b: DataFrame, col_a: str, col_b: str,
         .filter(F.col("dist") <= max_dist)
         .drop("__blk")
     )
+
+
+def asof_join_forward(left: DataFrame, right: DataFrame, on: Sequence[str],
+                      left_ts: str = "ts", right_ts: str = "ts",
+                      payload: Sequence[str] | None = None) -> DataFrame:
+    """Forward as-of join: attach to each left row the EARLIEST right
+    row with ``right_ts >= left_ts`` sharing the key — the
+    "next event after" lookup (time-to-next-purchase, next sensor
+    reading after an alarm).  Mirror of ``asof_join``; kept as a
+    separate function rather than a direction flag so the verified
+    backward operator's fingerprint is untouched.
+
+    Same Spark-first shape: tag + union + ONE per-key window, here an
+    unbounded-FOLLOWING frame with ``F.first(ignorenulls)`` carrying
+    the nearest right payload backward.  Left rows sort BEFORE right
+    rows at equal ts (side 1 < right side 2... ordering by side puts
+    left first), so an equal-timestamp right row IS eligible —
+    ``>=`` semantics, matching ASOF forward.  One shuffle on the key,
+    output size of the left input, no range explosion.
+    """
+    keys = list(on)
+    pay = list(payload) if payload is not None else [
+        c for c in right.columns if c not in {*keys, right_ts}
+    ]
+    clash = [c for c in pay if c in left.columns]
+    if clash:
+        raise ValueError(f"payload columns collide with left side: {clash}")
+
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__asof_ts"),
+        F.struct(*[F.col(c) for c in pay]).alias("__asof_pay"),
+        F.lit(2).alias("__asof_side"),
+    )
+    l = left.withColumn("__asof_ts", F.col(left_ts)).withColumn(
+        "__asof_side", F.lit(1)
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__asof_ts").asc(), F.col("__asof_side").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    matched = (
+        l.unionByName(r, allowMissingColumns=True)
+        .withColumn("__asof_m", F.first("__asof_pay", ignorenulls=True).over(w))
+        .filter(F.col("__asof_side") == 1)
+    )
+    return matched.select(
+        *left.columns,
+        *[F.col("__asof_m")[c].alias(c) for c in pay],
+    )

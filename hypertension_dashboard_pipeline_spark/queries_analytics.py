@@ -2716,3 +2716,83 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_dims"),
         round_fixed(F.sqrt(F.sum(d * d)), 4).alias("drift_l2"),
     )
+
+
+@register(
+    "dq_drift_ks",
+    oracle="""
+    WITH vals AS (
+        SELECT value,
+               SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+               SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+        FROM events WHERE value IS NOT NULL GROUP BY value
+    ), cum AS (
+        SELECT value,
+               SUM(ca) OVER (ORDER BY value
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum_a,
+               SUM(cb) OVER (ORDER BY value
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum_b,
+               SUM(ca) OVER () AS n_a,
+               SUM(cb) OVER () AS n_b
+        FROM vals
+    )
+    SELECT FLOOR(ABS(CAST(cum_a AS DOUBLE) / n_a
+                     - CAST(cum_b AS DOUBLE) / n_b)
+                 * 1000000.0 + 0.5) / 1000000.0 AS ks_d,
+           value AS at_value,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+    FROM cum
+    ORDER BY ABS(CAST(cum_a AS DOUBLE) / n_a
+                 - CAST(cum_b AS DOUBLE) / n_b) DESC, value
+    LIMIT 1
+    """,
+)
+def dq_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the even-
+    and odd-event_id halves of the value distribution (the stand-in
+    for reference window vs production window): D = max |F_A - F_B|
+    over the pooled support, with the attaining value reported.  The
+    ECDF ordinates are INTEGER cumulative counts over one ordered
+    window on the grouped-value relation — support-bounded, not
+    row-bounded (events values are discrete 2dp readings; a truly
+    continuous column gets pre-binned, same as the KL/PSI queries) —
+    so both engines divide identical integers and the argmax is
+    engine-exact.  Complements dq_drift_kl (density view) and
+    dq_drift_psi (binned view) with the distribution-free sup-norm
+    view."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    vals = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_id") % 2 == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("event_id") % 2 == 1, 1).otherwise(0)).alias("cb"),
+    )
+    wo = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = vals.select(
+        "value",
+        F.sum("ca").over(wo).alias("cum_a"),
+        F.sum("cb").over(wo).alias("cum_b"),
+        F.sum("ca").over(wall).alias("n_a"),
+        F.sum("cb").over(wall).alias("n_b"),
+    )
+    d = F.abs(
+        F.col("cum_a").cast("double") / F.col("n_a")
+        - F.col("cum_b").cast("double") / F.col("n_b")
+    )
+    return (
+        cum.orderBy(d.desc(), F.col("value"))
+        .limit(1)
+        .select(
+            round_fixed(d, 6).alias("ks_d"),
+            F.col("value").alias("at_value"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+        )
+    )

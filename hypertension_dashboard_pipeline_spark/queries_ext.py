@@ -3660,3 +3660,199 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_fixed((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4)
             .alias("intercept"),
     )
+
+
+@register(
+    "streaming_ohlc",
+    oracle="""
+    WITH wm AS (
+        SELECT MAX(ts) - INTERVAL 1 DAY AS w FROM events
+    ), r AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               value,
+               FIRST_VALUE(value) OVER (
+                   PARTITION BY event_type, date_trunc('day', ts)
+                   ORDER BY ts, event_id) AS open,
+               FIRST_VALUE(value) OVER (
+                   PARTITION BY event_type, date_trunc('day', ts)
+                   ORDER BY ts DESC, event_id DESC) AS close
+        FROM events
+    ), daily AS (
+        SELECT event_type, day, MIN(open) AS open, MAX(value) AS high,
+               MIN(value) AS low, MIN(close) AS close,
+               COUNT(*) AS n_events
+        FROM r GROUP BY event_type, day
+    )
+    SELECT event_type, day, open, high, low, close, n_events
+    FROM daily, wm
+    WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= wm.w
+    """,
+)
+def streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC: the ts_resample_ohlc struct-extremum
+    aggregation run incrementally (streaming/ohlc.py) — struct min/max
+    are associative+commutative, so they fold in the window state
+    store like plain extrema; FIRST_VALUE-style formulations would
+    not.  availableNow + watermark => emitted rows are exactly the
+    closed (type, day) windows; the oracle is the batch OHLC with the
+    same cutoff."""
+    name = "ohlc_sink"
+    spark.catalog.dropTempView(name)
+    from .streaming.ohlc import run_available_now as run_ohlc
+
+    return run_ohlc(spark, sf_dir, name=name)
+
+
+@register(
+    "j18_asof_join_forward",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts, value AS click_value
+        FROM events WHERE event_type = 'click'
+    ), purchases AS (
+        SELECT user_id, ts, ts AS next_purchase_at, MAX(value) AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id, c.ts, c.click_value,
+           p.next_purchase_at, p.purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+)
+def j18_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each click annotated with the user's NEXT
+    purchase at-or-after it (time-to-conversion lookup) —
+    operators/joins.asof_join_forward, the unbounded-FOLLOWING mirror
+    of the verified backward operator; one union + one per-key window,
+    no range explosion.  Oracle: DuckDB's native ASOF LEFT JOIN with
+    the <= inequality (forward direction)."""
+    from .operators import joins as jn
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("value").alias("click_value")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+        .withColumn("next_purchase_at", F.col("ts"))
+    )
+    return jn.asof_join_forward(
+        clicks, purchases, on=["user_id"],
+        payload=["next_purchase_at", "purchase_value"],
+    )
+
+
+def _source_sim_oracle(n_hashes: int = 16) -> str:
+    p = dd.MINHASH_PRIME
+    mins = ",\n               ".join(
+        f"MIN(({a} * x + {b}) % {p}) AS h{i}"
+        for i, (a, b) in enumerate(dd.perm_params(n_hashes))
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+        for i in range(n_hashes)
+    )
+    return f"""
+    WITH st AS (
+        SELECT DISTINCT source,
+               unnest({_DK_TOKENS.format(c='text')}) AS token
+        FROM documents
+    ), xs AS (
+        SELECT source,
+               ('0x' || substr(md5(token), 1, 8))::BIGINT % {p} AS x
+        FROM st
+    ), sigs AS (
+        SELECT source,
+               {mins}
+        FROM xs GROUP BY source
+    ), sizes AS (
+        SELECT source, COUNT(*) AS n_tok FROM st GROUP BY source
+    ), inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_inter
+        FROM st a JOIN st b USING (token)
+        WHERE a.source < b.source GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b,
+           FLOOR(({match_sum})::DOUBLE / {n_hashes}
+                 * 1000000.0 + 0.5) / 1000000.0 AS est_jaccard,
+           FLOOR(i.n_inter::DOUBLE
+                 / (za.n_tok + zb.n_tok - i.n_inter)
+                 * 1000000.0 + 0.5) / 1000000.0 AS exact_jaccard
+    FROM inter i
+    JOIN sigs sa ON sa.source = i.source_a
+    JOIN sigs sb ON sb.source = i.source_b
+    JOIN sizes za ON za.source = i.source_a
+    JOIN sizes zb ON zb.source = i.source_b
+    """
+
+
+@register("text_source_similarity", oracle=_source_sim_oracle())
+def text_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level vocabulary similarity, sketch vs truth in one
+    relation: per-source MinHash signatures over the DISTINCT token
+    set (group-level sketch — signatures min-aggregate straight off
+    the (source, token) relation, demonstrating the same mergeability
+    as dedup_minhash_merge at GROUP granularity) next to the exact
+    token-set Jaccard from the inverted-index join.  est vs exact in
+    the same row is the sketch-accuracy report a pipeline prints
+    before trusting banded LSH on a new corpus.  Sources with a
+    shared token pair via that token — at 20 sources the pair
+    relation is tiny; the signature self-join is vocabulary-free."""
+    from .functions.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(_tokens(F.col("text"))).alias("token"))
+        .distinct()
+    )
+    x = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10)
+        .cast("long") % dd.MINHASH_PRIME
+    )
+    xs = st.select("source", x.alias("x"))
+    aggs = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % dd.MINHASH_PRIME)
+        .alias(f"h{i}")
+        for i, (a, b) in enumerate(dd.perm_params(16))
+    ]
+    sigs = xs.groupBy("source").agg(*aggs)
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("n_tok"))
+    inter = (
+        st.alias("a").join(st.alias("b"), "token")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    matches = sum(
+        F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
+        for i in range(16)
+    )
+    return (
+        inter
+        .join(F.broadcast(sigs.alias("sa")),
+              F.col("source_a") == F.col("sa.source"))
+        .join(F.broadcast(sigs.alias("sb")),
+              F.col("source_b") == F.col("sb.source"))
+        .join(F.broadcast(sizes.select(F.col("source").alias("source_a"),
+                                       F.col("n_tok").alias("n_a"))),
+              "source_a")
+        .join(F.broadcast(sizes.select(F.col("source").alias("source_b"),
+                                       F.col("n_tok").alias("n_b"))),
+              "source_b")
+        .select(
+            "source_a", "source_b",
+            round_fixed(matches.cast("double") / F.lit(16.0), 6)
+                .alias("est_jaccard"),
+            round_fixed(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("exact_jaccard"),
+        )
+    )

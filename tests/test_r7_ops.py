@@ -583,3 +583,80 @@ def test_zipf_fit_recovers_planted_slope(spark):
     ).collect()[0]
     slope = (m.n * m.sxy - m.sx * m.sy) / (m.n * m.sxx - m.sx * m.sx)
     assert abs(slope - (-0.7)) < 0.02
+
+
+# ---------------------------------------------------------------------------
+# forward as-of, KS drift
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)),
+                   min_size=1, max_size=15),
+    rights=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)),
+                    min_size=0, max_size=15,
+                    unique_by=lambda t: (t[0], t[1])),
+)
+def test_asof_forward_matches_bruteforce(spark, lefts, rights):
+    from hypertension_dashboard_pipeline_spark.operators.joins import (
+        asof_join_forward,
+    )
+
+    l = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lefts)],
+        "lid long, k long, ts long",
+    )
+    r = spark.createDataFrame(
+        rights or [(99, -1)], "k long, ts long"
+    ).withColumn("pay", (F_col("ts") * 10).cast("long"))
+    got = {
+        row.lid: row.pay
+        for row in asof_join_forward(l, r, on=["k"], payload=["pay"]).collect()
+    }
+    want = {}
+    for i, (k, t) in enumerate(lefts):
+        cand = [rt for rk, rt in (rights or [(99, -1)]) if rk == k and rt >= t]
+        want[i] = (min(cand) * 10) if cand else None
+    assert got == want
+
+
+def F_col(name):
+    from pyspark.sql import functions as F
+
+    return F.col(name)
+
+
+def test_ks_drift_bruteforce(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    import bisect
+
+    rows = [(i, float(v)) for i, v in enumerate(
+        [1, 1, 2, 3, 5, 5, 5, 8, 9, 2, 2, 4, 6, 7, 9, 9]
+    )]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    vals = df.groupBy("value").agg(
+        F.sum(F.when(F.col("event_id") % 2 == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("event_id") % 2 == 1, 1).otherwise(0)).alias("cb"),
+    )
+    wo = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = vals.select(
+        "value",
+        F.sum("ca").over(wo).alias("ca"), F.sum("cb").over(wo).alias("cb"),
+        F.sum("ca").over(wall).alias("na"), F.sum("cb").over(wall).alias("nb"),
+    ).collect()
+    d_spark = max(abs(r.ca / r.na - r.cb / r.nb) for r in cum)
+    a = sorted(v for i, v in rows if i % 2 == 0)
+    b = sorted(v for i, v in rows if i % 2 == 1)
+    support = sorted(set(a) | set(b))
+    d_brute = max(
+        abs(bisect.bisect_right(a, x) / len(a)
+            - bisect.bisect_right(b, x) / len(b))
+        for x in support
+    )
+    assert abs(d_spark - d_brute) < 1e-12
