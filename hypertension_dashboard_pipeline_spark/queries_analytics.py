@@ -2796,3 +2796,281 @@ def dq_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_b").cast("long").alias("n_b"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# r8-candidate debuts, wave 2: TPC-H Q7/Q8 shapes, co-purchase lift,
+# CDC last-writer-wins fold
+# --------------------------------------------------------------------------
+
+_DEC_REV = (
+    "CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2))))"
+    " AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE)"
+)
+
+
+@register(
+    "j19_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(year FROM l.l_shipdate) AS l_year,
+           {_DEC_REV} AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+def j19_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations, both
+    directions, by ship year): the fact table shuffles ONCE (onto
+    orders); supplier/customer/nation are broadcast, and the
+    two-direction nation-pair predicate rides the broadcast chain so
+    fact rows from uninvolved nations are dropped before the
+    orderkey shuffle.  Exact DECIMAL revenue, dec_present output."""
+    from .functions.expressions import dec_present
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_name").alias("cust_nation"))
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            dec_present(
+                F.sum(price * (F.lit(1) - disc)).cast("decimal(38,4)")
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "j20_market_share",
+    oracle=f"""
+    WITH rev AS (
+        SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+               n.n_name AS supp_nation,
+               {_DEC_REV} AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN region r ON cn.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE r.r_name = 'EUROPE'
+        GROUP BY 1, 2
+    )
+    SELECT o_year,
+           FLOOR(SUM(CASE WHEN supp_nation = 'NATION_3'
+                          THEN revenue ELSE 0 END)
+                 / SUM(revenue) * 1000000.0 + 0.5) / 1000000.0
+               AS mkt_share
+    FROM rev GROUP BY o_year
+    """,
+)
+def j20_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_3's share of
+    supplier revenue into EUROPE customers per order year.  The
+    per-(year, supp_nation) revenue is EXACT DECIMAL presented via
+    dec_present before the share division, so both engines divide
+    identical doubles — the decimal/decimal division itself is
+    avoided (engines disagree on result scale).  Same
+    one-fact-shuffle + broadcast-dim chain as Q5/Q7."""
+    from .functions.expressions import dec_present
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cn = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_regionkey").alias("c_rk"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    rev = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(
+            F.year("o_orderdate").alias("o_year"), F.col("supp_nation")
+        )
+        .agg(
+            dec_present(
+                F.sum(price * (F.lit(1) - disc)).cast("decimal(38,4)")
+            ).alias("revenue")
+        )
+    )
+    return rev.groupBy("o_year").agg(
+        round_fixed(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("revenue"))
+                .otherwise(0.0)
+            )
+            / F.sum("revenue"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "rec_copurchase_lift",
+    oracle="""
+    WITH po AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), tot AS (
+        SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM po
+    ), cnt AS (
+        SELECT l_partkey, COUNT(*) AS n_x FROM po GROUP BY 1
+    ), pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS n_ab
+        FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ), top AS (
+        SELECT part_a, part_b, n_ab FROM pairs
+        ORDER BY n_ab DESC, part_a, part_b LIMIT 20
+    )
+    SELECT t.part_a, t.part_b, t.n_ab,
+           FLOOR(CAST(t.n_ab AS DOUBLE) * n_orders
+                 / (CAST(ca.n_x AS DOUBLE) * cb.n_x)
+                 * 1000000.0 + 0.5) / 1000000.0 AS lift
+    FROM top t
+    JOIN cnt ca ON t.part_a = ca.l_partkey
+    JOIN cnt cb ON t.part_b = cb.l_partkey, tot
+    """,
+)
+def rec_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase association mining: top-20 part pairs by same-order
+    co-occurrence, scored with lift n_ab·N / (n_a·n_b) — the
+    item-item signal a co-occurrence recommender ranks on (and the
+    basket analog of events_type_pmi's log form).  The pair join is
+    keyed on l_orderkey, so fan-out per order is C(parts-in-order, 2)
+    — bounded by basket size, never by catalog or order count.  Lift
+    attaches AFTER the top-20 truncation, so the 1-row order-count
+    product touches 20 rows, not the pair relation."""
+    po = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    tot = po.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    cnt = po.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_x"))
+    pairs = (
+        po.alias("a")
+        .join(
+            po.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    top = pairs.orderBy(
+        F.col("n_ab").desc(), "part_a", "part_b"
+    ).limit(20)
+    return (
+        top.join(F.broadcast(cnt.select(F.col("l_partkey").alias("part_a"),
+                                        F.col("n_x").alias("n_a"))), "part_a")
+        .join(F.broadcast(cnt.select(F.col("l_partkey").alias("part_b"),
+                                     F.col("n_x").alias("n_b"))), "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a", "part_b", "n_ab",
+            round_fixed(
+                F.col("n_ab").cast("double") * F.col("n_orders")
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "j21_cdc_apply",
+    oracle="""
+    WITH ops AS (
+        SELECT o_orderkey, 'U' AS op, o_orderdate AS ts,
+               o_totalprice FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'D', o_orderdate + INTERVAL 10 DAY, NULL
+        FROM orders WHERE o_orderkey % 5 = 0
+    ), latest AS (
+        SELECT o_orderkey, op, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                  ORDER BY ts DESC,
+                                           CASE op WHEN 'D' THEN 1
+                                                   ELSE 0 END DESC) AS rn
+        FROM ops
+    )
+    SELECT o_orderkey, o_totalprice AS final_price
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def j21_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log fold, last-writer-wins with deletes: an upsert/delete
+    op stream (synthesized: every order inserts, every 5th deletes 10
+    days later) collapses to final state via ONE latest-per-key window
+    — delete beats upsert at equal timestamp (deterministic total
+    order), surviving rows keep the latest payload.  This is the
+    APPLY half of a streaming CDC pipeline (j13_merge_upsert is the
+    single-batch merge; SCD-2 keeps history; this keeps heads), and
+    it's the compaction a Delta/Hudi-style table runs on every
+    checkpoint.  One shuffle on the key; payloads never fan out."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    ins = o.select(
+        "o_orderkey", F.lit("U").alias("op"),
+        F.col("o_orderdate").alias("ts"), "o_totalprice",
+    )
+    dels = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", F.lit("D").alias("op"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 10 DAYS")).alias("ts"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("ts").desc(),
+        F.when(F.col("op") == "D", 1).otherwise(0).desc(),
+    )
+    return (
+        ins.unionByName(dels)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("o_orderkey", F.col("o_totalprice").alias("final_price"))
+    )
