@@ -480,3 +480,41 @@ def test_ivf_pq_prunes_with_broadcast_before_adc(plan):
     p = plan("sim_ivf_pq_topk")
     assert "BroadcastHashJoin" in p
     assert p.count("Exchange hashpartitioning") == 2, p
+
+
+def test_asof_joins_plan_no_join_operator(plan):
+    """Both as-of directions compile to union + ONE per-key window —
+    there must be NO join operator anywhere in the plan (the entire
+    point of the formulation: no range explosion, no match
+    cross-product)."""
+    for name in ("j10_asof_join", "j18_asof_join_forward"):
+        p = plan(name)
+        assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, name
+        assert "BroadcastHashJoin" not in p and "NestedLoop" not in p, name
+        assert "Window" in p, name
+
+
+def test_cdc_apply_plans_single_window_no_join(plan):
+    """CDC fold = union + one latest-per-key window; no join."""
+    p = plan("j21_cdc_apply")
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert p.count("Window") >= 1
+
+
+def test_stratified_sample_single_exchange(plan):
+    """The stratum count and the hash rank share ONE
+    partitionBy(strata) exchange — a second hashpartitioning exchange
+    would mean the window specs diverged."""
+    import re
+
+    p = plan("sample_stratified_exact")
+    hashex = re.findall(r"Exchange hashpartitioning\(([^,]+)", p)
+    assert len(hashex) == 1, hashex
+    assert "o_orderpriority" in hashex[0]
+
+
+def test_winnow_no_global_sort(plan):
+    """Winnowing's window is document-partitioned; nothing in the plan
+    may funnel the corpus through a single partition."""
+    p = plan("text_winnow_fingerprints")
+    assert "SinglePartition" not in p
