@@ -1292,3 +1292,31 @@ def merge_minhash_signatures(parts: DataFrame,
     return parts.groupBy("id").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]
     )
+
+
+def winnow_pairs(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", k: int = 3, w: int = 4,
+                 min_shared: int = 2) -> DataFrame:
+    """The MOSS match step over winnowing fingerprints: candidate
+    document pairs sharing >= ``min_shared`` selected fingerprints,
+    via an inverted index on the fingerprint value — the guarantee of
+    ``winnow_fingerprints`` (every shared >= w+k-1-token run leaves a
+    common fingerprint) makes this a RECALL-SAFE candidate generator
+    for long verbatim overlaps at ~2/(w+1) the index size of the full
+    shingle inverted index.  Same bounded-bucket shape as the shingle
+    index: a fingerprint selected by D docs contributes ~D²/2 pairs,
+    and winnowing's min-hash selection has no boilerplate
+    concentration pathology (a corpus-frequent run selects the same
+    few fingerprints, one bucket each).
+
+    Output: (id_a, id_b, n_shared) — downstream exact scoring (e.g.
+    ``shingle_pairs_jaccard`` restricted to candidates) confirms."""
+    fp = winnow_fingerprints(df, id_col, text_col, k, w)
+    return (
+        fp.alias("a")
+        .join(fp.alias("b"), on="fp")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -3856,3 +3856,39 @@ def text_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_jaccard"),
         )
     )
+
+
+@register(
+    "dedup_winnow_pairs",
+    oracle=f"""
+    WITH tk AS (
+        SELECT doc_id AS id, {_DK_TOKENS.format(c='text')} AS ws
+        FROM documents
+    ), sh AS (
+        SELECT id, u.s AS start,
+               ('0x' || substr(md5(array_to_string(ws[u.s:u.s+2], ' ')),
+                               1, 8))::BIGINT AS hv
+        FROM tk, LATERAL unnest(range(1, len(ws) - 1)) AS u(s)
+        WHERE len(ws) >= 3
+    ), wm AS (
+        SELECT id, start,
+               COUNT(*) OVER (PARTITION BY id) AS n_sp,
+               MIN(hv) OVER (PARTITION BY id ORDER BY start
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                   AS fp
+        FROM sh
+    ), fps AS (
+        SELECT DISTINCT id, fp FROM wm WHERE start <= n_sp - 3
+    )
+    SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared
+    FROM fps a JOIN fps b USING (fp) WHERE a.id < b.id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS match step: document pairs sharing >= 2 winnowing
+    fingerprints via an inverted index on the fingerprint value —
+    recall-safe for any shared run of >= w+k-1 tokens at ~2/(w+1) the
+    index size of the full shingle index (operators/dedup.py
+    winnow_pairs)."""
+    return dd.winnow_pairs(load_table(spark, sf_dir, "documents"))

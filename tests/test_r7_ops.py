@@ -660,3 +660,25 @@ def test_ks_drift_bruteforce(spark):
         for x in support
     )
     assert abs(d_spark - d_brute) < 1e-12
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(corpus=st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=0, max_size=15).map(" ".join),
+    min_size=2, max_size=5,
+))
+def test_winnow_pairs_match_bruteforce(spark, corpus):
+    got = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in dd.winnow_pairs(
+            _corpus_df(spark, corpus), min_shared=1
+        ).collect()
+    }
+    fps = _winnow_brute(corpus)
+    want = {}
+    for a in sorted(fps):
+        for b in sorted(fps):
+            if a < b and fps[a] & fps[b]:
+                want[(a, b)] = len(fps[a] & fps[b])
+    assert got == want
