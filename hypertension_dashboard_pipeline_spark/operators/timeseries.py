@@ -130,3 +130,62 @@ def gap_fill_interpolate(daily: DataFrame, key_col: str, day_col: str,
         round_fixed(filled, scale).alias(filled_alias),
         F.col(value_col).isNull().alias(gap_alias),
     )
+
+
+def ewma_last(df: DataFrame, key_col: str, order_cols: list[str],
+              value_col: str, decay: float = 0.9,
+              tail: int = 8) -> DataFrame:
+    """Per-key exponentially-weighted moving average of the LAST
+    ``tail`` values in ``order_cols`` order (normalized weights —
+    the pandas ``ewm(adjust=True)`` form restricted to a bounded
+    tail; the reference smooths BP series with grouped running means,
+    3_blood_pressure.R:141-166 — this is the exponentially-decayed
+    generalization).
+
+    One groupBy collects each key's ordered (order..., value) structs;
+    ``sort_array`` orders them (the trailing order column must be
+    unique per key for determinism) and a single left fold
+    ``acc*decay + x`` over the tail slice IS the weighted numerator:
+    after folding L values it equals sum_i decay^(L-1-i) * x_i.  The
+    weight sum is computed by the SAME fold over constant 1.0s rather
+    than the closed form (1-decay^L)/(1-decay) — deliberately: the
+    closed form mixes engine-specific literal arithmetic (DuckDB's
+    `1.0 - 0.9` is exact DECIMAL 0.1, Python/Spark's is the double
+    0.09999999999999998), while twin folds run the identical IEEE op
+    sequence on both engines and agree bit-for-bit before any
+    presentation round.  No per-row window state, no recursion, no
+    UDF.
+
+    Scale: one shuffle on the key; per-key state is the collected
+    event list.  For unbounded histories, pre-truncate with a
+    latest-k-per-key window; a streaming variant carries the same
+    ``tail``-value state in applyInPandasWithState.
+
+    Output: (key, n_events, ewma_last) — ewma_last is an unrounded
+    double (callers present with round_fixed)."""
+    seq = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sort_array(
+            F.collect_list(F.struct(*order_cols, value_col))
+        ).alias("seq"),
+    )
+    l8 = F.slice(
+        F.col("seq"),
+        F.greatest(F.size("seq") - (tail - 1), F.lit(1)),
+        F.lit(tail),
+    )
+    vals = F.transform(l8, lambda x: x[value_col])
+    length = F.size(vals)
+    num = F.aggregate(
+        F.slice(vals, 2, F.greatest(length - 1, F.lit(1))),
+        F.element_at(vals, 1).cast("double"),
+        lambda acc, x: acc * F.lit(decay) + x,
+    )
+    denom = F.aggregate(
+        F.slice(vals, 2, F.greatest(length - 1, F.lit(1))),
+        F.lit(1.0),
+        lambda acc, x: acc * F.lit(decay) + F.lit(1.0),
+    )
+    return seq.select(
+        F.col(key_col), F.col("n_events"), (num / denom).alias("ewma_last")
+    )

@@ -3074,3 +3074,238 @@ def j21_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("op") != "D"))
         .select("o_orderkey", F.col("o_totalprice").alias("final_price"))
     )
+
+
+# --------------------------------------------------------------------------
+# r8-candidate debuts, wave 3: TPC-H Q10/Q13/Q22 shapes, EWMA fold
+# --------------------------------------------------------------------------
+
+
+@register(
+    "j22_returned_item_revenue",
+    oracle=f"""
+    WITH rev AS (
+        SELECT o.o_custkey, {_DEC_REV} AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+        GROUP BY 1
+    )
+    SELECT c.c_custkey, c.c_name, r.revenue, c.c_acctbal,
+           n.n_name
+    FROM rev r
+    JOIN customer c ON r.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ORDER BY r.revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def j22_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): the top 20 customers
+    by EXACT DECIMAL revenue lost to returned lineitems in a 6-month
+    order window.  The fact-fact join shuffles lineitem once onto
+    orderkey WITH both filters (returnflag on the lineitem scan, the
+    date band on the orders scan) pushed below the exchange; the
+    per-customer aggregate is the second and last shuffle, and the
+    customer/nation name attachment happens AFTER the top-20
+    truncation so the dimension join touches 20 rows, broadcast both
+    sides.  Deterministic tie-break on custkey; dec_present output."""
+    from .functions.expressions import dec_present
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    rev = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(price * (F.lit(1) - disc))
+            .cast("decimal(38,4)")
+            .alias("rev_dec")
+        )
+    )
+    top = rev.orderBy(
+        F.col("rev_dec").desc(), F.col("o_custkey")
+    ).limit(20)
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        top.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey", "c_name",
+            dec_present(F.col("rev_dec")).alias("revenue"),
+            "c_acctbal", "n_name",
+        )
+    )
+
+
+@register(
+    "a32_custdist",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority = '1-URGENT'
+        GROUP BY 1
+    )
+    GROUP BY 1
+    """,
+)
+def a32_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): how many
+    customers placed exactly N urgent orders, INCLUDING the
+    zero-order bucket — which is why the priority predicate must live
+    in the LEFT JOIN's ON clause (a WHERE would silently demote the
+    join and drop the zeros; the reference's j7 lesson applied in
+    reverse).  COUNT(o_orderkey) counts only matched rows.  Two
+    inherent shuffles (per-customer count, then count-of-counts);
+    the second aggregates ~max(c_count) distinct keys, so its
+    exchange is a few dozen rows per partition."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") == "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@register(
+    "j23_sales_opportunity",
+    oracle="""
+    WITH thr AS (
+        SELECT CAST(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                         AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE)
+               / COUNT(*) AS cutoff
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n.n_name,
+           COUNT(*) AS numcust,
+           CAST(CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2)))
+                          AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE)
+               AS totacctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    CROSS JOIN thr
+    WHERE c.c_acctbal > thr.cutoff
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderpriority = '1-URGENT'
+      )
+    GROUP BY 1
+    """,
+)
+def j23_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers whose
+    balance beats the global positive-balance average but who have
+    never placed an urgent order, counted and totalled per nation.
+    The threshold is a 1-row scalar broadcast (the scalar-subquery
+    compile shape) computed EXACTLY — DECIMAL sum presented via
+    dec_present, then ONE double division by the count, so both
+    engines compare against bit-identical cutoffs and no boundary
+    customer can flip.  The no-urgent-orders predicate is a LEFT ANTI
+    join on the pre-filtered orders side (shuffles only urgent
+    orders); nation attaches by broadcast.  Both aggregates exact."""
+    from .functions.expressions import dec_present
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    thr = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                dec_present(F.sum(bal).cast("decimal(38,2)"))
+                / F.count(F.lit(1))
+            ).alias("cutoff")
+        )
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("cutoff"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dec_present(F.sum(bal).cast("decimal(38,2)")).alias(
+                "totacctbal"
+            ),
+        )
+    )
+
+
+@register(
+    "ts_ewma_last8",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, COUNT(*) AS n_events,
+               list(value ORDER BY ts, event_id) AS vs
+        FROM events GROUP BY 1
+    ), cut AS (
+        SELECT user_id, n_events,
+               list_slice(vs, GREATEST(len(vs) - 7, 1), len(vs)) AS l8
+        FROM seq
+    )
+    SELECT user_id, n_events,
+           -- the transform's constant MUST be cast to DOUBLE:
+           -- list_reduce re-casts its accumulator to the list's
+           -- element type each step, and a bare 1.0 makes a
+           -- DECIMAL(2,1) list that truncates the fold
+           FLOOR(list_reduce(l8, (acc, x) -> acc * 0.9 + x)
+                 / list_reduce(list_transform(l8,
+                                              x -> CAST(1.0 AS DOUBLE)),
+                               (acc, x) -> acc * 0.9 + x)
+                 * 1000000.0 + 0.5) / 1000000.0 AS ewma_last
+    FROM cut
+    """,
+)
+def ts_ewma_last8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average over the LAST 8
+    events (decay 0.9 per step, normalized weights — the pandas
+    ewm(adjust=True) form restricted to a bounded tail):
+    operators/timeseries.ewma_last — one groupBy collects each user's
+    (ts, event_id, value) sequence (event_id breaks ts ties
+    deterministically) and twin left folds acc*0.9 + x over the tail
+    slice compute numerator and weight sum by the IDENTICAL IEEE op
+    sequence on both engines (the closed-form weight sum would not:
+    DuckDB's literal 1.0-0.9 is exact DECIMAL, Spark's is double), so
+    the doubles agree bit-for-bit before the 6dp presentation round.
+    One shuffle on user_id; the tail slice bounds the fold regardless
+    of history length."""
+    from .operators.timeseries import ewma_last
+
+    ev = load_table(spark, sf_dir, "events")
+    out = ewma_last(
+        ev, "user_id", ["ts", "event_id"], "value", decay=0.9, tail=8
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        round_fixed(F.col("ewma_last"), 6).alias("ewma_last"),
+    )

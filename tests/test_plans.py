@@ -171,6 +171,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark, sf_dir):
         "dq_referential_integrity",  # 1-row scalar sides (n_child x n_orphans per audited relationship)
         "events_type_pmi",  # 1-row scalar side (global distinct-user count N)
         "rec_copurchase_lift",  # 1-row scalar side (order count N) applied AFTER the top-20 truncation
+        "j23_sales_opportunity",  # 1-row scalar side (global avg-balance cutoff) — the Q22 scalar-subquery shape
     }
     offenders = []
     for name, fn in registry.QUERIES.items():

@@ -1,0 +1,174 @@
+"""Unit + property tests for the round-7 wave-3 operators: the
+TPC-H Q10/Q13/Q22 shapes and the bounded-tail EWMA fold — each
+cross-checked against an independent brute-force Python
+implementation (the recompute-by-hand QC idiom,
+3_blood_pressure.R:177-182, SURVEY.md §5.4)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hypertension_dashboard_pipeline_spark import registry
+from hypertension_dashboard_pipeline_spark.operators.timeseries import ewma_last
+
+registry.load_all()
+
+
+@pytest.fixture(scope="module")
+def plan(spark, sf_dir):
+    def get(name: str) -> str:
+        df = registry.QUERIES[name](spark, sf_dir)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    return get
+
+
+def _brute_ewma(vals: list[float], decay: float = 0.9,
+                tail: int = 8) -> float:
+    t = vals[-tail:]
+    acc, w = float(t[0]), 1.0
+    for x in t[1:]:
+        acc = acc * decay + x
+        w = w * decay + 1.0
+    return acc / w
+
+
+# ---------------------------------------------------------------------------
+# EWMA fold
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(series=st.lists(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=20,
+    ),
+    min_size=1, max_size=4,
+))
+def test_ewma_last_matches_bruteforce(spark, series):
+    rows = [
+        (uid, seq, float(seq), v)
+        for uid, vals in enumerate(series)
+        for seq, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts double, value double"
+    )
+    got = {
+        r.user_id: (r.n_events, r.ewma_last)
+        for r in ewma_last(
+            df, "user_id", ["ts", "event_id"], "value"
+        ).collect()
+    }
+    want = {
+        uid: (len(vals), _brute_ewma(vals))
+        for uid, vals in enumerate(series)
+    }
+    assert set(got) == set(want)
+    for uid in want:
+        assert got[uid][0] == want[uid][0]
+        assert math.isclose(got[uid][1], want[uid][1],
+                            rel_tol=0, abs_tol=0), uid
+
+
+def test_ewma_last_single_event_is_identity(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 0.0, 42.5)],
+        "user_id long, event_id long, ts double, value double",
+    )
+    r = ewma_last(df, "user_id", ["ts", "event_id"], "value").collect()[0]
+    assert (r.n_events, r.ewma_last) == (1, 42.5)
+
+
+def test_ewma_last_ts_ties_break_on_event_id(spark):
+    """Two events at the SAME timestamp: event_id must decide fold
+    order, or the result is nondeterministic across shuffles."""
+    df = spark.createDataFrame(
+        [(1, 1, 5.0, 10.0), (1, 2, 5.0, 20.0), (1, 0, 1.0, 0.0)],
+        "user_id long, event_id long, ts double, value double",
+    )
+    r = ewma_last(df, "user_id", ["ts", "event_id"], "value").collect()[0]
+    assert math.isclose(r.ewma_last, _brute_ewma([0.0, 10.0, 20.0]),
+                        abs_tol=0)
+
+
+def test_ewma_tail_bounds_lookback(spark):
+    """History beyond the tail must not influence the result: a huge
+    early value disappears once >tail later events exist."""
+    vals = [1e9] + [1.0] * 8
+    df = spark.createDataFrame(
+        [(1, i, float(i), v) for i, v in enumerate(vals)],
+        "user_id long, event_id long, ts double, value double",
+    )
+    r = ewma_last(df, "user_id", ["ts", "event_id"], "value").collect()[0]
+    assert r.ewma_last == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Q10 / Q13 / Q22 registered-query plan + value invariants
+# ---------------------------------------------------------------------------
+
+
+def test_custdist_left_join_not_demoted(plan):
+    """a32: the urgent-priority predicate lives in the LEFT JOIN's ON
+    clause — if it ever migrates to a WHERE, Catalyst demotes the
+    join to inner and the zero-order bucket silently vanishes."""
+    p = plan("a32_custdist")
+    assert "LeftOuter" in p, p
+
+
+def test_custdist_has_zero_bucket(spark, sf_dir):
+    """The sf0.01 corpus has customers with no urgent orders; the
+    distribution must include c_count = 0 (the row a demoted join
+    would drop)."""
+    from hypertension_dashboard_pipeline_spark import registry
+
+    rows = {
+        r.c_count: r.custdist
+        for r in registry.QUERIES["a32_custdist"](spark, sf_dir).collect()
+    }
+    assert 0 in rows and rows[0] > 0
+
+
+def test_returned_item_dims_join_after_truncation(plan):
+    """j22: customer/nation attach AFTER the top-20 truncation — both
+    dimension joins must be broadcast, and the limit operator must
+    sit below them (TakeOrderedAndProject feeding the broadcast
+    probes, never the other way around)."""
+    p = plan("j22_returned_item_revenue")
+    # >= 2: the two dimension joins; at small SF the date-filtered
+    # orders side of the fact join may legitimately broadcast too
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "TakeOrderedAndProject" in p
+    # the truncation feeds the customer join's probe side, not after it
+    assert p.index("TakeOrderedAndProject") > p.index("BroadcastHashJoin")
+    # the returnflag filter reaches the lineitem scan
+    scans = [l for l in p.splitlines() if "FileScan" in l and "lineitem" in l]
+    assert scans and any("R" in s for s in scans), scans
+
+
+def test_sales_opportunity_anti_join_prefiltered(plan):
+    """j23: the no-urgent-orders check compiles to a LEFT ANTI join
+    whose build side scans only urgent orders (pushed filter), and
+    the global cutoff is a 1-row broadcast product."""
+    p = plan("j23_sales_opportunity")
+    assert "LeftAnti" in p, p
+    assert "BroadcastNestedLoopJoin" in p  # the declared scalar product
+    scans = [l for l in p.splitlines() if "FileScan" in l and "orders" in l]
+    assert scans and any("1-URGENT" in s for s in scans), scans
+
+
+def test_ewma_query_single_exchange(plan):
+    """ts_ewma_last8: one hash exchange on user_id and nothing else —
+    the fold is array-local, so any extra exchange or a global sort
+    means the formulation regressed."""
+    p = plan("ts_ewma_last8")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "SinglePartition" not in p
