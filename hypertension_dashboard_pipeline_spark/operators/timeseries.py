@@ -189,3 +189,61 @@ def ewma_last(df: DataFrame, key_col: str, order_cols: list[str],
     return seq.select(
         F.col(key_col), F.col("n_events"), (num / denom).alias("ewma_last")
     )
+
+
+def cusum_alarms(df: DataFrame, key_col: str, order_cols: list[str],
+                 value_col: str, level: float = 55.0,
+                 threshold: float = 30.0) -> DataFrame:
+    """Per-key one-sided CUSUM change detector with reset-on-alarm:
+    S_t = max(0, S_{t-1} + x_t - level); when S_t exceeds
+    ``threshold`` an alarm fires and S resets to 0 (Page 1954's
+    decision-interval scheme — the sequential upgrade of the
+    reference's fixed plausibility bands, 3_blood_pressure.R:87-96:
+    a run of mildly-high values alarms even though no single value
+    crosses a band).
+
+    The recurrence is nonlinear (max + conditional reset), so no
+    window frame expresses it; like ``ewma_last`` it distributes as
+    ONE groupBy collecting each key's ordered values and a single
+    left fold with a (state, alarm-count) struct accumulator — each
+    step computes max(0, s + x - level) ONCE from the previous
+    struct and branches both fields on it.  No per-row window state,
+    no UDF, no iteration.
+
+    Scale: one shuffle on the key; per-key state is the collected
+    value list (pre-truncate unbounded histories with a
+    latest-k-per-key window; a streaming variant carries (s, a) in
+    applyInPandasWithState).
+
+    Output: (key, n_events, n_alarms, final_s) — final_s unrounded
+    (callers present with round_fixed)."""
+    seq = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sort_array(
+            F.collect_list(F.struct(*order_cols, value_col))
+        ).alias("seq"),
+    )
+    vals = F.transform(F.col("seq"), lambda x: x[value_col])
+
+    def step(acc, x):
+        t = F.greatest(
+            F.lit(0.0), acc["s"] + x.cast("double") - F.lit(level)
+        )
+        fired = t > F.lit(threshold)
+        return F.struct(
+            F.when(fired, F.lit(0.0)).otherwise(t).alias("s"),
+            (acc["a"] + F.when(fired, F.lit(1)).otherwise(F.lit(0)))
+            .alias("a"),
+        )
+
+    folded = F.aggregate(
+        vals,
+        F.struct(F.lit(0.0).alias("s"), F.lit(0).alias("a")),
+        step,
+    )
+    return seq.select(
+        F.col(key_col),
+        F.col("n_events"),
+        folded["a"].alias("n_alarms"),
+        folded["s"].alias("final_s"),
+    )

@@ -3309,3 +3309,62 @@ def ts_ewma_last8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         round_fixed(F.col("ewma_last"), 6).alias("ewma_last"),
     )
+
+
+@register(
+    "ts_cusum_alarm",
+    oracle="""
+    WITH RECURSIVE ev AS (
+        SELECT user_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               value
+        FROM events
+    ), cusum AS (
+        SELECT user_id, 0 AS rn, CAST(0.0 AS DOUBLE) AS s, 0 AS a
+        FROM (SELECT DISTINCT user_id FROM ev)
+        UNION ALL
+        SELECT e.user_id, e.rn,
+               CASE WHEN GREATEST(0.0, c.s + e.value - 90.0) > 120.0
+                    THEN CAST(0.0 AS DOUBLE)
+                    ELSE GREATEST(0.0, c.s + e.value - 90.0) END,
+               c.a + CASE WHEN GREATEST(0.0, c.s + e.value - 90.0)
+                               > 120.0
+                          THEN 1 ELSE 0 END
+        FROM cusum c
+        JOIN ev e ON e.user_id = c.user_id AND e.rn = c.rn + 1
+    )
+    SELECT c.user_id, c.rn AS n_events, c.a AS n_alarms,
+           FLOOR(c.s * 1000000.0 + 0.5) / 1000000.0 AS final_s
+    FROM cusum c
+    JOIN (SELECT user_id, MAX(rn) AS mx FROM cusum GROUP BY 1) m
+      ON c.user_id = m.user_id AND c.rn = m.mx
+    """,
+)
+def ts_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user one-sided CUSUM change detector (Page's
+    decision-interval scheme, level 90 / threshold 120, reset on
+    alarm): operators/timeseries.cusum_alarms — the recurrence
+    max(0, s + x - level) with conditional reset is nonlinear, so no
+    window frame expresses it; it distributes as ONE groupBy + a
+    single struct-accumulator array fold.  The oracle is deliberately
+    a DIFFERENT construction (a recursive CTE advancing every user
+    one event per step) — NOT a list_reduce: DuckDB's list_reduce
+    mutates struct-accumulator fields IN PLACE during lambda
+    evaluation (a later field reads an earlier field's NEW value),
+    which silently corrupts any fold whose fields share a
+    subexpression; row-level recursive SQL has no such aliasing.
+    One shuffle on user_id at any scale."""
+    from .operators.timeseries import cusum_alarms
+
+    ev = load_table(spark, sf_dir, "events")
+    out = cusum_alarms(
+        ev, "user_id", ["ts", "event_id"], "value",
+        level=90.0, threshold=120.0,
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        "n_alarms",
+        round_fixed(F.col("final_s"), 6).alias("final_s"),
+    )

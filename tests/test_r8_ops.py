@@ -172,3 +172,101 @@ def test_ewma_query_single_exchange(plan):
     p = plan("ts_ewma_last8")
     assert p.count("Exchange hashpartitioning") == 1, p
     assert "SinglePartition" not in p
+
+
+# ---------------------------------------------------------------------------
+# CUSUM fold
+# ---------------------------------------------------------------------------
+
+from hypertension_dashboard_pipeline_spark.operators.timeseries import (  # noqa: E402
+    cusum_alarms,
+)
+
+
+def _brute_cusum(vals, level, threshold):
+    s, a = 0.0, 0
+    for x in vals:
+        t = max(0.0, s + x - level)
+        if t > threshold:
+            a += 1
+            s = 0.0
+        else:
+            s = t
+    return a, s
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(series=st.lists(
+    st.lists(
+        st.floats(min_value=0.0, max_value=100.0,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=25,
+    ),
+    min_size=1, max_size=4,
+))
+def test_cusum_matches_bruteforce(spark, series):
+    rows = [
+        (uid, seq, float(seq), v)
+        for uid, vals in enumerate(series)
+        for seq, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts double, value double"
+    )
+    got = {
+        r.user_id: (r.n_events, r.n_alarms, r.final_s)
+        for r in cusum_alarms(
+            df, "user_id", ["ts", "event_id"], "value",
+            level=30.0, threshold=40.0,
+        ).collect()
+    }
+    for uid, vals in enumerate(series):
+        a, s = _brute_cusum(vals, 30.0, 40.0)
+        assert got[uid][0] == len(vals)
+        assert got[uid][1] == a, uid
+        assert math.isclose(got[uid][2], s, rel_tol=0, abs_tol=0), uid
+
+
+def test_cusum_exact_threshold_does_not_fire(spark):
+    """S == threshold exactly must NOT alarm (strict inequality) —
+    the boundary where the in-place list_reduce aliasing corrupted
+    the DuckDB formulation this operator's oracle deliberately
+    avoids."""
+    # level 10, threshold 30: x=40 -> t=30 exactly -> no alarm
+    df = spark.createDataFrame(
+        [(1, 0, 0.0, 40.0)],
+        "user_id long, event_id long, ts double, value double",
+    )
+    r = cusum_alarms(df, "user_id", ["ts", "event_id"], "value",
+                     level=10.0, threshold=30.0).collect()[0]
+    assert (r.n_alarms, r.final_s) == (0, 30.0)
+    # one epsilon above fires and resets
+    df2 = spark.createDataFrame(
+        [(1, 0, 0.0, 40.000001)],
+        "user_id long, event_id long, ts double, value double",
+    )
+    r2 = cusum_alarms(df2, "user_id", ["ts", "event_id"], "value",
+                      level=10.0, threshold=30.0).collect()[0]
+    assert (r2.n_alarms, r2.final_s) == (1, 0.0)
+
+
+def test_cusum_reset_isolates_bursts(spark):
+    """Two separated bursts must alarm twice — the reset makes the
+    detector re-arm instead of saturating."""
+    vals = [100.0, 0.0, 0.0, 100.0]
+    df = spark.createDataFrame(
+        [(1, i, float(i), v) for i, v in enumerate(vals)],
+        "user_id long, event_id long, ts double, value double",
+    )
+    r = cusum_alarms(df, "user_id", ["ts", "event_id"], "value",
+                     level=30.0, threshold=40.0).collect()[0]
+    assert r.n_alarms == 2
+
+
+def test_cusum_query_single_exchange(plan):
+    """ts_cusum_alarm: one hash exchange on user_id, array-local
+    fold, no global sort."""
+    p = plan("ts_cusum_alarm")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "SinglePartition" not in p
