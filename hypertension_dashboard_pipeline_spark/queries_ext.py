@@ -3892,3 +3892,49 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     index size of the full shingle index (operators/dedup.py
     winnow_pairs)."""
     return dd.winnow_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _ivf_recall_oracle(k: int = 10, n_probe: int = 2) -> str:
+    return f"""
+    WITH ivf AS (
+        {_ivf_oracle(n_probe=n_probe, k=k)}
+    ), brute AS (
+        {_cosine_oracle_topk()}
+    )
+    SELECT {k} AS k, COUNT(*) AS n_overlap,
+           FLOOR(COUNT(*) * 1.0 / {k} * 1000000.0 + 0.5) / 1000000.0
+               AS recall_at_k
+    FROM ivf JOIN brute USING (vec_id)
+    """
+
+
+@register("sim_ivf_recall", oracle=_ivf_recall_oracle())
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality evaluation as ONE relational plan: recall@10
+    of the IVF probe (2 of the label clusters) against the exhaustive
+    cosine baseline for the same query vector — the measurement every
+    ANN deployment runs before trusting an index, expressed as the
+    inner join of the two top-k sets.  Both sides are deterministic
+    (centroid rounding + vec_id tie-breaks), so even the EVALUATION
+    is oracle-checked, not just eyeballed.  At 100 TB the brute side
+    is the expensive half — run it on a sampled query set; the IVF
+    side reuses the standing centroid table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()["embedding"]
+    ]
+    ivf = sim.ivf_topk(emb, qv, k=10, n_probe=2).select("vec_id")
+    brute = sim.brute_force_topk(emb, qv, k=10).select("vec_id")
+    return (
+        ivf.join(brute, "vec_id")
+        .agg(
+            F.lit(10).alias("k"),
+            F.count(F.lit(1)).alias("n_overlap"),
+            round_fixed(
+                F.count(F.lit(1)) * F.lit(1.0) / F.lit(10), 6
+            ).alias("recall_at_k"),
+        )
+    )
