@@ -3260,9 +3260,9 @@ def j23_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ts_ewma_last8",
-    oracle="""
+# shared with streaming_ewma (queries_ext.py): the bounded single-file
+# stream's final update per user equals this batch fold
+EWMA_LAST8_ORACLE = """
     WITH seq AS (
         SELECT user_id, COUNT(*) AS n_events,
                list(value ORDER BY ts, event_id) AS vs
@@ -3283,8 +3283,10 @@ def j23_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
                                (acc, x) -> acc * 0.9 + x)
                  * 1000000.0 + 0.5) / 1000000.0 AS ewma_last
     FROM cut
-    """,
-)
+    """
+
+
+@register("ts_ewma_last8", oracle=EWMA_LAST8_ORACLE)
 def ts_ewma_last8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponentially-weighted moving average over the LAST 8
     events (decay 0.9 per step, normalized weights — the pandas

@@ -3938,3 +3938,36 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+def _ewma_oracle() -> str:
+    from .queries_analytics import EWMA_LAST8_ORACLE
+
+    return EWMA_LAST8_ORACLE
+
+
+@register("streaming_ewma", oracle=_ewma_oracle())
+def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EWMA (applyInPandasWithState): the bounded-tail fold
+    of ts_ewma_last8 with the state contract made explicit — the fold
+    only ever needs the last 8 values, so that tail IS the per-user
+    state (fixed width, unbounded-stream safe; streaming/ewma.py).
+    The pandas fold runs the identical IEEE op sequence as the batch
+    operator and the DuckDB oracle, so with the bounded single-file
+    source the final update per user is bit-equal to the batch
+    query's answer — a streaming operator with a full value-level
+    oracle, not a rows-only check."""
+    import itertools
+
+    from .streaming.ewma import run_available_now as run_ewma
+
+    if not hasattr(streaming_ewma, "_seq"):
+        streaming_ewma._seq = itertools.count()
+    out = run_ewma(
+        spark, sf_dir, name=f"ewma_stream_{next(streaming_ewma._seq)}"
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        round_fixed(F.col("ewma_last"), 6).alias("ewma_last"),
+    )

@@ -270,3 +270,65 @@ def test_cusum_query_single_exchange(plan):
     p = plan("ts_cusum_alarm")
     assert p.count("Exchange hashpartitioning") == 1, p
     assert "SinglePartition" not in p
+
+
+# ---------------------------------------------------------------------------
+# streaming EWMA: cross-microbatch state carry
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_ewma_state_carries_across_microbatches(spark, tmp_path):
+    """Two files delivered as two microbatches (maxFilesPerTrigger=1):
+    the LAST update per user must equal the batch fold over the FULL
+    series — the tail state carried between batches, it wasn't
+    recomputed from batch-local rows.  This is the first multi-batch
+    state test in the repo: the registered bounded runs form a single
+    microbatch, which would mask a state bug."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from hypertension_dashboard_pipeline_spark.streaming.ewma import (
+        running_user_ewma,
+    )
+    from hypertension_dashboard_pipeline_spark.streaming.runner import (
+        run_bounded,
+    )
+
+    vals = [float(v) for v in [10, 20, 30, 40, 55, 65, 75, 85, 95, 105]]
+    rows = [
+        (1, i, f"2024-01-0{i + 1} 00:00:00" if i < 9 else
+         "2024-01-10 00:00:00", v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_s string, value double"
+    ).select(
+        "user_id", "event_id",
+        F.to_timestamp("ts_s").alias("ts"), "value",
+    )
+    src_dir = str(tmp_path / "ewma_src")
+    # first half, then second half as a LATER file (mtime order)
+    df.filter(F.col("event_id") < 5).coalesce(1).write.parquet(
+        src_dir, mode="overwrite"
+    )
+    time.sleep(1.1)
+    df.filter(F.col("event_id") >= 5).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    src = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    sink = run_bounded(
+        spark, running_user_ewma(src), "ewma_multibatch_test",
+        ckpt_prefix="spark_graft_ewma_test_", output_mode="update",
+    )
+    updates = sink.collect()
+    # one update per microbatch that contained user 1
+    assert len(updates) == 2, updates
+    final = max(updates, key=lambda r: r.n_events)
+    assert final.n_events == 10
+    assert math.isclose(final.ewma_last, _brute_ewma(vals),
+                        rel_tol=0, abs_tol=0)
