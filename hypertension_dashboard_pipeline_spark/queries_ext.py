@@ -3971,3 +3971,111 @@ def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         round_fixed(F.col("ewma_last"), 6).alias("ewma_last"),
     )
+
+
+@register(
+    "curation_dsir_weights",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS bucket
+        FROM (
+            SELECT doc_id, source,
+                   unnest({_DK_TOKENS.format(c='text')}) AS tok
+            FROM documents
+        )
+    ), stats AS (
+        SELECT bucket,
+               SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS t_c,
+               SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS r_c
+        FROM toks GROUP BY 1
+    ), tot AS (
+        SELECT SUM(t_c) AS t_n, SUM(r_c) AS r_n FROM stats
+    ), docb AS (
+        SELECT doc_id, bucket, COUNT(*) AS cnt
+        FROM toks GROUP BY 1, 2
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.cnt) AS BIGINT) AS n_tokens,
+           FLOOR(SUM(d.cnt * (LN((s.t_c + 1)::DOUBLE / (tot.t_n + 64))
+                              - LN((s.r_c + 1)::DOUBLE
+                                   / (tot.r_n + 64))))
+                 * 1000000.0 + 0.5) / 1000000.0 AS dsir_logweight
+    FROM docb d JOIN stats s USING (bucket) CROSS JOIN tot
+    GROUP BY 1
+    """,
+)
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public literature):
+    per-document log importance weight log p_target(x)/q_raw(x) under
+    hashed-unigram bag-of-words models (md5 bucket mod 64, Laplace
+    +1), target = the 'src0' source, raw = everything else.  Feed the
+    weights to sample_weighted_topk / sample_weighted_k_per_group for
+    the resampling step.
+
+    Shape: the corpus tokenizes ONCE; bucket statistics are a 64-row
+    aggregate enriched with the two global totals by a 1-row
+    broadcast product (declared) and then BROADCAST to the per-doc
+    join — the corpus-sized (doc, bucket) frame never shuffles except
+    for its own count and the final per-doc sum.  All model counts
+    are integer-exact; the only doubles are the LN terms, computed by
+    the identical formula both engines and rounded 6dp (the
+    KL/PSI-drift convention)."""
+    from .functions.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source",
+        F.explode(_tokens(F.col("text"))).alias("tok"),
+    ).select(
+        "doc_id", "source",
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
+            .cast("long") % 64
+        ).alias("bucket"),
+    )
+    # ONE tokenize + ONE (doc, bucket) shuffle: source is functionally
+    # dependent on doc_id, so carrying it through the groupBy adds no
+    # cardinality, and the 64-row bucket model derives from the same
+    # aggregated frame instead of re-scanning the corpus.  docb is
+    # referenced from three branches (model stats, totals, final sum)
+    # and two of them sit under EAGER broadcast exchanges where AQE's
+    # runtime exchange reuse cannot help — so persist it (the
+    # curation_pipeline treatment; corpus-sized but strictly smaller
+    # than the token explosion it replaces).
+    dd.release_persisted()
+    docb = dd._maybe_persist(
+        toks.groupBy("doc_id", "source", "bucket").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ),
+        persist=True,
+    )
+    stats = docb.groupBy("bucket").agg(
+        F.sum(
+            F.when(F.col("source") == "src0", F.col("cnt")).otherwise(0)
+        ).alias("t_c"),
+        F.sum(
+            F.when(F.col("source") != "src0", F.col("cnt")).otherwise(0)
+        ).alias("r_c"),
+    )
+    tot = stats.agg(
+        F.sum("t_c").alias("t_n"), F.sum("r_c").alias("r_n")
+    )
+    enriched = stats.crossJoin(F.broadcast(tot))
+    contrib = F.col("cnt") * (
+        F.log(
+            (F.col("t_c") + 1).cast("double") / (F.col("t_n") + 64)
+        )
+        - F.log(
+            (F.col("r_c") + 1).cast("double") / (F.col("r_n") + 64)
+        )
+    )
+    return (
+        docb.join(F.broadcast(enriched), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            round_fixed(F.sum(contrib), 6).alias("dsir_logweight"),
+        )
+    )

@@ -332,3 +332,48 @@ def test_streaming_ewma_state_carries_across_microbatches(spark, tmp_path):
     assert final.n_events == 10
     assert math.isclose(final.ewma_last, _brute_ewma(vals),
                         rel_tol=0, abs_tol=0)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_target_scores_above_raw_on_separable_corpus(spark, sf_dir):
+    """On the real corpus the target source's own documents must
+    score a higher MEAN log-weight than the raw pool — the defining
+    property of an importance weight (the target model assigns its
+    own data more mass).  Catches sign flips, swapped numerators,
+    and smoothing applied to the wrong side."""
+    from pyspark.sql import functions as F
+
+    from hypertension_dashboard_pipeline_spark.io import load_table
+
+    w = registry.QUERIES["curation_dsir_weights"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    per_side = (
+        w.join(docs, "doc_id")
+        .groupBy(F.col("source") == "src0")
+        .agg(F.avg("dsir_logweight").alias("mean_w"))
+        .collect()
+    )
+    means = {r[0]: r.mean_w for r in per_side}
+    assert means[True] > means[False]
+
+
+def test_dsir_corpus_never_in_a_shuffle_join(spark, sf_dir):
+    """The corpus-sized (doc, bucket) frame reaches the bucket model
+    through a BROADCAST join only (never a shuffled join), and the
+    three consumers (model stats, totals, final sum) read it from the
+    persisted copy — the corpus is tokenized and shuffled ONCE."""
+    df = registry.QUERIES["curation_dsir_weights"](
+        spark, sf_dir
+    )
+    df.collect()  # executed plan: the broadcast subtrees are eager
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    # every consumer reads the cached docb, not a fresh scan chain
+    assert "InMemoryTableScan" in p
