@@ -217,6 +217,7 @@ def test_no_registered_query_uses_row_python_eval(spark, sf_dir):
         "multimodal_frame_sample",
         "sim_batch_ann_topk",              # map-side truncating top-k
         "sample_k_per_group",              # (grouped_topk_partial)
+        "sample_weighted_k_per_group",     # (grouped_topk_partial, E-S keys)
     }
     ARROW_NODES = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
     row_eval, undeclared_arrow = [], []
