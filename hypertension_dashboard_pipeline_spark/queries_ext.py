@@ -4079,3 +4079,70 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_fixed(F.sum(contrib), 6).alias("dsir_logweight"),
         )
     )
+
+
+def _bpe_oracle(n_merges: int = 8) -> str:
+    """Unrolled BPE training oracle: each merge iteration is a CTE
+    trio (pair counts -> 1-row argmax -> fold rewrite), generated the
+    way the simhash chunk oracles are.  The rewrite fold's accumulator
+    is a single list (no struct fields), so DuckDB's in-place
+    list_reduce aliasing cannot bite; elements are lifted to
+    single-element lists because list_reduce re-casts the accumulator
+    to the element type."""
+    ctes = [f"""w0 AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+               string_split(word, '') AS s
+        FROM (
+            SELECT unnest({_DK_TOKENS.format(c='text')}) AS word
+            FROM documents
+        )
+        GROUP BY word
+    )"""]
+    finals = []
+    for k in range(1, n_merges + 1):
+        ctes.append(f"""p{k} AS (
+        SELECT s[i] AS a, s[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM w{k - 1}, LATERAL unnest(range(1, len(s))) AS u(i)
+        WHERE len(s) >= 2
+        GROUP BY 1, 2
+    )""")
+        ctes.append(f"""m{k} AS (
+        SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1
+    )""")
+        ctes.append(f"""w{k} AS (
+        SELECT w.word, w.freq,
+               list_reduce(
+                   list_transform(w.s, x -> [x]),
+                   (acc, e) -> CASE
+                       WHEN len(acc) > 0 AND acc[-1] = m.a
+                            AND e[1] = m.b
+                       THEN list_append(acc[1:len(acc) - 1], m.a || m.b)
+                       ELSE list_append(acc, e[1]) END
+               ) AS s
+        FROM w{k - 1} w CROSS JOIN m{k} m
+    )""")
+        finals.append(
+            f"SELECT {k} AS rank, a AS left, b AS right,"
+            f" a || b AS merged, cnt AS support FROM m{k}"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    "
+        + "\n    UNION ALL ".join(finals)
+    )
+
+
+@register("text_bpe_train", oracle=_bpe_oracle())
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table training (Sennrich et al. 2016), 8 merges over
+    the corpus word-frequency table: operators/bpe.bpe_train.  The
+    corpus-sized work is ONE tokenize + distinct-word count; every
+    iteration then runs against the compact (word, freq, symbols)
+    relation — pair-count aggregation, deterministic 1-row argmax
+    (count DESC then lexicographic), and a narrow per-word array fold
+    applying the merge left-to-right non-overlapping.  The oracle
+    unrolls the identical 8 iterations as CTE trios — an iterative
+    training algorithm with a full value-level oracle."""
+    from .operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe.bpe_train(spark, docs, "text", n_merges=8)

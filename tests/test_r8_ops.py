@@ -377,3 +377,80 @@ def test_dsir_corpus_never_in_a_shuffle_join(spark, sf_dir):
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
     # every consumer reads the cached docb, not a fresh scan chain
     assert "InMemoryTableScan" in p
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training
+# ---------------------------------------------------------------------------
+
+from collections import Counter  # noqa: E402
+
+from hypertension_dashboard_pipeline_spark.operators.bpe import bpe_train  # noqa: E402
+
+
+def _brute_bpe(corpus: list[str], n_merges: int):
+    freqs = Counter(w for doc in corpus for w in doc.split())
+    words = {w: list(w) for w in freqs}
+    merges = []
+    for k in range(1, n_merges + 1):
+        pairs = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += freqs[w]
+        if not pairs:
+            break
+        (a, b), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((k, a, b, a + b, cnt))
+        for w, syms in words.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            words[w] = out
+    return merges
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(corpus=st.lists(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=1, max_size=8,
+    ).map(" ".join),
+    min_size=1, max_size=4,
+))
+def test_bpe_train_matches_bruteforce(spark, corpus):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in bpe_train(spark, df, "text", n_merges=4)
+           .collect()]
+    assert got == _brute_bpe(corpus, 4)
+
+
+def test_bpe_single_char_words_learn_nothing(spark):
+    """A corpus with only 1-char words has no adjacent pairs: the
+    trainer must stop immediately with an empty merge table (the
+    early-exit branch), not crash or emit rows."""
+    df = spark.createDataFrame(
+        [(0, "a b c a b")], "doc_id long, text string"
+    )
+    assert bpe_train(spark, df, "text", n_merges=4).count() == 0
+
+
+def test_bpe_overlapping_runs_merge_left_to_right(spark):
+    """'aaaa' under merge (a,a): left-to-right non-overlap yields
+    [aa, aa] — the fold must not double-merge the shared middle."""
+    df = spark.createDataFrame(
+        [(0, "aaaa")], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in bpe_train(spark, df, "text", n_merges=2)
+           .collect()]
+    # merge 1: (a,a) support 3 (three adjacent pairs in 'aaaa');
+    # merge 2: the rewritten word is [aa, aa] -> pair (aa, aa)
+    assert got[0] == (1, "a", "a", "aa", 3)
+    assert got[1] == (2, "aa", "aa", "aaaa", 1)
