@@ -57,6 +57,20 @@ def bpe_train(spark: SparkSession, df: DataFrame, text_col: str = "text",
     merge table (rank, left, right, merged, support) — support is the
     frequency-weighted pair count at the time of the merge.  Stops
     early if the corpus runs out of adjacent pairs."""
+    merges, _ = bpe_train_encode(spark, df, text_col, n_merges)
+    return merges
+
+
+def bpe_train_encode(
+    spark: SparkSession, df: DataFrame, text_col: str = "text",
+    n_merges: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Train AND encode in one pass: the final iteration's symbol
+    table IS the encoding of every distinct word under the learned
+    merges, so it comes for free.  Returns (merge table,
+    (word, freq, s) encoded-word table) — downstream, corpora encode
+    by joining their exploded tokens against the word table (shuffle
+    on word, or broadcast when the vocabulary fits)."""
     words = (
         df.select(F.explode(tokens(F.col(text_col))).alias("word"))
         .groupBy("word")
@@ -97,7 +111,8 @@ def bpe_train(spark: SparkSession, df: DataFrame, text_col: str = "text",
             "s", _merge_once(F.col("s"), a, b)
         ).localCheckpoint()
 
-    return spark.createDataFrame(
+    merge_df = spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, "
                 "support long",
     )
+    return merge_df, syms

@@ -4131,6 +4131,29 @@ def _bpe_oracle(n_merges: int = 8) -> str:
     )
 
 
+def _bpe_encode_oracle(n_merges: int = 8) -> str:
+    """Encode oracle: the training CTE chain's FINAL symbol table is
+    the per-word encoding; docs join their exploded tokens against
+    it."""
+    train = _bpe_oracle(n_merges)
+    ctes = train[: train.rindex("SELECT 1 AS rank")].rstrip()
+    return (
+        ctes
+        + f""",
+    toks AS (
+        SELECT doc_id, unnest({_DK_TOKENS.format(c='text')}) AS word
+        FROM documents
+    )
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(len(w.s)) AS BIGINT) AS n_subwords,
+           FLOOR(SUM(len(w.s))::DOUBLE / COUNT(*)
+                 * 1000000.0 + 0.5) / 1000000.0 AS subwords_per_token
+    FROM toks t JOIN w{n_merges} w USING (word)
+    GROUP BY 1
+    """
+    )
+
+
 @register("text_bpe_train", oracle=_bpe_oracle())
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-table training (Sennrich et al. 2016), 8 merges over
@@ -4146,3 +4169,35 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe.bpe_train(spark, docs, "text", n_merges=8)
+
+
+@register("text_bpe_encode", oracle=_bpe_encode_oracle())
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding stats per document under the 8 merges learned by
+    text_bpe_train: operators/bpe.bpe_train_encode — the final
+    training iteration's symbol table IS the per-word encoding, so
+    encode costs one more join, not a re-tokenize: each document's
+    exploded tokens join the (word, symbols) table and aggregate to
+    (n_tokens, n_subwords, subwords_per_token).  At 100 TB the word
+    table shuffles once against the exploded corpus (or broadcasts
+    when the vocabulary fits); nothing re-iterates."""
+    from .functions.text import tokens as _tokens
+    from .operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, encoded = bpe.bpe_train_encode(spark, docs, "text", n_merges=8)
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("word")
+    )
+    return (
+        toks.join(encoded.select("word", F.size("s").alias("n_sub")),
+                  "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_sub").alias("n_subwords"),
+            round_fixed(
+                F.sum("n_sub").cast("double") / F.count(F.lit(1)), 6
+            ).alias("subwords_per_token"),
+        )
+    )

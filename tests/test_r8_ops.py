@@ -454,3 +454,31 @@ def test_bpe_overlapping_runs_merge_left_to_right(spark):
     # merge 2: the rewritten word is [aa, aa] -> pair (aa, aa)
     assert got[0] == (1, "a", "a", "aa", 3)
     assert got[1] == (2, "aa", "aa", "aaaa", 1)
+
+
+def test_bpe_encode_counts_match_bruteforce(spark):
+    """Encoded symbol counts per word equal the brute-force trainer's
+    final segmentation."""
+    corpus = ["abab abab cd", "abab cd cd ab"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    from hypertension_dashboard_pipeline_spark.operators.bpe import (
+        bpe_train_encode,
+    )
+
+    _, encoded = bpe_train_encode(spark, df, "text", n_merges=3)
+    got = {r.word: list(r.s) for r in encoded.collect()}
+    # replicate with the brute trainer's word rewrite
+    freqs = Counter(w for doc in corpus for w in doc.split())
+    words = {w: list(w) for w in freqs}
+    for _, a, b, _, _ in _brute_bpe(corpus, 3):
+        for w, syms in words.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            words[w] = out
+    assert got == words
