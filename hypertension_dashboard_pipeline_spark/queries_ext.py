@@ -4201,3 +4201,104 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("subwords_per_token"),
         )
     )
+
+
+@register(
+    "text_tfidf_cosine_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_DK_TOKENS.format(c='lower(text)')}) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY 1),
+    nd AS (SELECT COUNT(*) AS N FROM documents),
+    w AS (
+        SELECT t.doc_id, t.term,
+               FLOOR((t.tf * (ln((1.0 + N) / (1.0 + dfc)) + 1.0))
+                     * 1000000.0 + 0.5) / 1000000.0 AS w
+        FROM tf t JOIN dfreq USING (term) CROSS JOIN nd
+        WHERE dfc <= 25
+    ),
+    norms AS (
+        SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY 1
+    ),
+    dots AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               SUM(a.w * b.w) AS dot
+        FROM w a JOIN w b USING (term)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           FLOOR(dot / (na.nrm * nb.nrm) * 1000000.0 + 0.5)
+               / 1000000.0 AS cos_sim
+    FROM dots
+    JOIN norms na ON id_a = na.doc_id
+    JOIN norms nb ON id_b = nb.doc_id
+    WHERE FLOOR(dot / (na.nrm * nb.nrm) * 1000000.0 + 0.5)
+          / 1000000.0 >= 0.3
+    """,
+)
+def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse cosine similarity join over TF-IDF vectors (the
+    real-valued sibling of the shingle-Jaccard inverted index):
+    document pairs with cosine >= 0.3 in the df<=25-pruned term space
+    — the classic sparse all-pairs-similarity shape (Bayardo et al.
+    WWW'07): dot products accumulate TERM-WISE through the inverted
+    index (join on term, partial products, one (id_a, id_b) sum), so
+    no document vector ever materializes densely and no pair outside
+    a shared rare term is ever considered.  The integer max_df prune
+    both bounds the per-term bucket (<= 25²/2 pairs) and drops the
+    stopword mass that contributes least weight; weights are rounded
+    BEFORE pairing so both engines pair identical components.  Scale:
+    term-keyed shuffles only; the threshold filter runs on the
+    engine-stable rounded cosine."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(tx.tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
+    nd = docs.agg(F.count(F.lit(1)).alias("N"))
+    idf = F.log(
+        (F.lit(1.0) + F.col("N")) / (F.lit(1.0) + F.col("dfc"))
+    ) + F.lit(1.0)
+    w = (
+        tf.join(dfreq, "term")
+        .filter(F.col("dfc") <= 25)
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id", "term",
+            round_fixed(F.col("tf") * idf, 6).alias("w"),
+        )
+    )
+    dd.release_persisted()
+    w = dd._maybe_persist(w, persist=True)
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"),
+                      F.col("nrm").alias("nrm_a"))
+    nb = norms.select(F.col("doc_id").alias("id_b"),
+                      F.col("nrm").alias("nrm_b"))
+    cos = round_fixed(
+        F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")), 6
+    )
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.3)
+    )

@@ -482,3 +482,44 @@ def test_bpe_encode_counts_match_bruteforce(spark):
                     out.append(x)
             words[w] = out
     assert got == words
+
+
+# ---------------------------------------------------------------------------
+# sparse TF-IDF cosine join
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_cosine_pairs_nonempty_and_bounded(spark, sf_dir):
+    """The registered query must produce pairs on the real corpus and
+    every cosine must lie in (0, 1] — a pair above 1+eps means the
+    norms came from a different pruned space than the dots."""
+    rows = registry.QUERIES["text_tfidf_cosine_pairs"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    assert all(0.0 < r.cos_sim <= 1.000001 for r in rows)
+    assert all(r.id_a < r.id_b for r in rows)
+
+
+def test_tfidf_cosine_identical_docs_score_one(spark, tmp_path):
+    """Two byte-identical documents must score cosine 1.0 (rounded)
+    through the REAL registered pipeline, and a doc sharing no
+    sub-max_df term with them must pair with neither."""
+    corpus = [
+        (0, "alpha beta gamma", "en", "src0", 16),
+        (1, "alpha beta gamma", "en", "src0", 16),
+        (2, "delta eps zeta", "en", "src1", 14),
+    ]
+    df = spark.createDataFrame(
+        corpus, "doc_id long, text string, lang string, source string, "
+                "n_chars long"
+    )
+    d = str(tmp_path / "toy_sf")
+    df.coalesce(1).write.parquet(d + "/documents.parquet")
+    rows = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in registry.QUERIES["text_tfidf_cosine_pairs"](
+            spark, d
+        ).collect()
+    }
+    assert rows == {(0, 1): 1.0}
