@@ -4218,7 +4218,7 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                FLOOR((t.tf * (ln((1.0 + N) / (1.0 + dfc)) + 1.0))
                      * 1000000.0 + 0.5) / 1000000.0 AS w
         FROM tf t JOIN dfreq USING (term) CROSS JOIN nd
-        WHERE dfc <= 25
+        WHERE dfc <= 25 OR dfc * 20 <= N
     ),
     norms AS (
         SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY 1
@@ -4243,7 +4243,11 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse cosine similarity join over TF-IDF vectors (the
     real-valued sibling of the shingle-Jaccard inverted index):
-    document pairs with cosine >= 0.3 in the df<=25-pruned term space
+    document pairs with cosine >= 0.3 in the df<=5%-of-N pruned term
+    space (prune df <= max(25, 5% of N), integer-exact as
+    dfc <= 25 OR dfc*20 <= N: a purely absolute cap silently empties
+    the result when duplicate families inflate df past it — measured
+    at sf0.1 — and a purely relative one empties tiny corpora)
     — the classic sparse all-pairs-similarity shape (Bayardo et al.
     WWW'07): dot products accumulate TERM-WISE through the inverted
     index (join on term, partial products, one (id_a, id_b) sum), so
@@ -4267,8 +4271,8 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) + F.lit(1.0)
     w = (
         tf.join(dfreq, "term")
-        .filter(F.col("dfc") <= 25)
         .crossJoin(F.broadcast(nd))
+        .filter((F.col("dfc") <= 25) | (F.col("dfc") * 20 <= F.col("N")))
         .select(
             "doc_id", "term",
             round_fixed(F.col("tf") * idf, 6).alias("w"),
