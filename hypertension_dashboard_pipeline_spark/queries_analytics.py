@@ -3313,9 +3313,9 @@ def ts_ewma_last8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ts_cusum_alarm",
-    oracle="""
+# shared with streaming_cusum (queries_ext.py): the bounded
+# single-file stream's final update per user equals this batch fold
+CUSUM_ORACLE = """
     WITH RECURSIVE ev AS (
         SELECT user_id,
                ROW_NUMBER() OVER (PARTITION BY user_id
@@ -3341,8 +3341,10 @@ def ts_ewma_last8(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cusum c
     JOIN (SELECT user_id, MAX(rn) AS mx FROM cusum GROUP BY 1) m
       ON c.user_id = m.user_id AND c.rn = m.mx
-    """,
-)
+    """
+
+
+@register("ts_cusum_alarm", oracle=CUSUM_ORACLE)
 def ts_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user one-sided CUSUM change detector (Page's
     decision-interval scheme, level 90 / threshold 120, reset on

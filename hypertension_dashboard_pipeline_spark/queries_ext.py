@@ -4306,3 +4306,33 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.3)
     )
+
+
+def _cusum_oracle() -> str:
+    from .queries_analytics import CUSUM_ORACLE
+
+    return CUSUM_ORACLE
+
+
+@register("streaming_cusum", oracle=_cusum_oracle())
+def streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM change detection (applyInPandasWithState):
+    the recurrence is Markov in (s, alarm_count), so the ENTIRE
+    per-user state is two numbers at any history length — the
+    canonical monitor-every-entity stream operator
+    (streaming/cusum.py).  Identical IEEE fold to the batch operator
+    and the recursive-CTE oracle; bounded single-file run is
+    value-level checked."""
+    import itertools
+
+    from .streaming.cusum import run_available_now as run_cusum
+
+    if not hasattr(streaming_cusum, "_seq"):
+        streaming_cusum._seq = itertools.count()
+    out = run_cusum(
+        spark, sf_dir, name=f"cusum_stream_{next(streaming_cusum._seq)}"
+    )
+    return out.select(
+        "user_id", "n_events", "n_alarms",
+        round_fixed(F.col("final_s"), 6).alias("final_s"),
+    )
