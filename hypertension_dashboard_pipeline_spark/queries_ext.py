@@ -4336,3 +4336,78 @@ def streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "n_events", "n_alarms",
         round_fixed(F.col("final_s"), 6).alias("final_s"),
     )
+
+
+@register(
+    "emb_standardize",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    ), fit AS (
+        SELECT pos,
+               FLOOR(AVG(v) * 1000000.0 + 0.5) / 1000000.0 AS mu,
+               FLOOR(AVG(v * v) * 1000000.0 + 0.5) / 1000000.0 AS m2
+        FROM ex GROUP BY 1
+    ), model AS (
+        SELECT pos, mu, sqrt(m2 - mu * mu) AS sigma FROM fit
+    ), z AS (
+        SELECT e.pos, (e.v - m.mu) / m.sigma AS z
+        FROM ex e JOIN model m USING (pos)
+    )
+    SELECT m.pos,
+           m.mu AS mean,
+           FLOOR(m.sigma * 1000000.0 + 0.5) / 1000000.0 AS std,
+           FLOOR(AVG(z.z) * 1000000.0 + 0.5) / 1000000.0
+               AS post_mean,
+           FLOOR(AVG(z.z * z.z) * 1000000.0 + 0.5) / 1000000.0
+               AS post_m2
+    FROM z JOIN model m USING (pos)
+    GROUP BY 1, 2, 3
+    """,
+)
+def emb_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature standardization fit + transform verification in ONE
+    relation: per-dimension mean and population std fitted over the
+    corpus (the moments are ROUNDED 6dp before sigma = sqrt(m2-mu²),
+    so both engines derive sigma from identical inputs — the
+    emb_centroid_drift convention), then every element re-scaled
+    z = (v-mu)/sigma and the POST-moments emitted per dimension:
+    post_mean ≡ 0 and post_m2 ≡ 1 up to rounding, which is the
+    transform's contract and what this query proves.  Scale: one
+    posexplode + (pos) aggregation fits the 64-row model, which
+    BROADCASTS back onto the exploded corpus for the transform —
+    vectors never shuffle; the z re-aggregation rides the same
+    (pos) partitioning."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "vf")
+    ).select(
+        "vec_id", (F.col("pos0") + 1).alias("pos"),
+        F.col("vf").cast("double").alias("v"),
+    )
+    fit = ex.groupBy("pos").agg(
+        round_fixed(F.avg("v"), 6).alias("mu"),
+        round_fixed(F.avg(F.col("v") * F.col("v")), 6).alias("m2"),
+    )
+    model = fit.select(
+        "pos", "mu",
+        F.sqrt(F.col("m2") - F.col("mu") * F.col("mu")).alias("sigma"),
+    )
+    z = (
+        ex.join(F.broadcast(model), "pos")
+        .select(
+            "pos", "mu", "sigma",
+            ((F.col("v") - F.col("mu")) / F.col("sigma")).alias("z"),
+        )
+    )
+    return z.groupBy("pos", "mu", "sigma").agg(
+        round_fixed(F.avg("z"), 6).alias("post_mean"),
+        round_fixed(F.avg(F.col("z") * F.col("z")), 6).alias("post_m2"),
+    ).select(
+        "pos",
+        F.col("mu").alias("mean"),
+        round_fixed(F.col("sigma"), 6).alias("std"),
+        "post_mean", "post_m2",
+    )

@@ -569,3 +569,14 @@ def test_streaming_cusum_state_carries_across_microbatches(spark, tmp_path):
     a, s = _brute_cusum(vals1 + vals2, LEVEL, THRESHOLD)
     assert updates[-1].n_alarms == a
     assert math.isclose(updates[-1].final_s, s, rel_tol=0, abs_tol=0)
+
+
+def test_standardize_post_moments_are_identity(spark, sf_dir):
+    """The transform's contract: every dimension's post-scaling mean
+    is 0 and second moment is 1, to the model's 6dp rounding
+    amplified by 1/sigma (~8 here): |post_mean| <= 1e-5,
+    |post_m2 - 1| <= 2e-4."""
+    rows = registry.QUERIES["emb_standardize"](spark, sf_dir).collect()
+    assert len(rows) == 64
+    assert all(abs(r.post_mean) <= 1e-5 for r in rows)
+    assert all(abs(r.post_m2 - 1.0) <= 2e-4 for r in rows)
