@@ -526,3 +526,98 @@ def exact_vector_dup_groups(df: DataFrame, id_col: str = "vec_id",
         )
         .filter(F.col("n_vectors") >= 2)
     )
+
+
+def hard_negatives(df: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", label_col: str = "label",
+                   k: int = 4, n_tables: int = 4,
+                   planes_per_table: int = 4, scale: int = 6,
+                   dim: int | None = None,
+                   persist: bool = True, release: bool = True) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, the top-``k`` most cosine-similar vectors bearing a
+    DIFFERENT label — the negatives that actually teach an embedding
+    model something (random negatives are trivially separable; the
+    hard ones sit just across the decision boundary).
+
+    Same banded-LSH candidate generation as
+    ``cosine_near_dup_pairs`` (agree on all bits of any table), but
+    DIRECTED: every vector is an anchor and receives its own ranked
+    negatives, so the bucket join keeps both (a, b) and (b, a).
+    Candidates are ids-only until scoring; ranking runs per anchor on
+    the ROUNDED cosine (ties to the lower neg id) so the cutoff is
+    engine-stable.  A 100 TB corpus never sees an all-pairs product —
+    the miss risk (a hard negative in no shared bucket) is the
+    standard LSH recall trade, tunable via n_tables.
+
+    Zero-norm vectors are excluded on both sides (cosine undefined).
+    Output: (anchor_id, neg_id, label_a, label_b, cos_sim, rank)."""
+    from pyspark.sql.window import Window
+
+    from .dedup import _maybe_persist, release_persisted
+
+    d = dim if dim is not None else int(
+        df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    )
+    if release:
+        release_persisted()
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("lbl"),
+        as_double_array(F.col(vec_col)).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"),
+    ).filter(F.col("nrm") > 0)
+    sigs = []
+    for t in range(n_tables):
+        planes = [
+            _hyperplane(t * planes_per_table + j, d)
+            for j in range(planes_per_table)
+        ]
+        sigs.append(
+            F.struct(
+                F.lit(t).alias("t"),
+                sign_bucket(F.col("v"), planes).alias("b"),
+            )
+        )
+    tagged = _maybe_persist(
+        base.select("id", "lbl", F.explode(F.array(*sigs)).alias("tb")),
+        persist,
+    )
+    cand = (
+        tagged.select(F.col("id").alias("anchor_id"),
+                      F.col("lbl").alias("label_a"), "tb")
+        .join(
+            tagged.select(F.col("id").alias("neg_id"),
+                          F.col("lbl").alias("label_b"), "tb"),
+            "tb",
+        )
+        .filter(F.col("label_a") != F.col("label_b"))
+        .select("anchor_id", "neg_id", "label_a", "label_b")
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            base.select(F.col("id").alias("anchor_id"),
+                        F.col("v").alias("v_a"),
+                        F.col("nrm").alias("nrm_a")), "anchor_id"
+        )
+        .join(
+            base.select(F.col("id").alias("neg_id"),
+                        F.col("v").alias("v_b"),
+                        F.col("nrm").alias("nrm_b")), "neg_id"
+        )
+        .select(
+            "anchor_id", "neg_id", "label_a", "label_b",
+            round_fixed(
+                dot(F.col("v_a"), F.col("v_b"))
+                / (F.col("nrm_a") * F.col("nrm_b")),
+                scale,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neg_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -4411,3 +4411,76 @@ def emb_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_fixed(F.col("sigma"), 6).alias("std"),
         "post_mean", "post_m2",
     )
+
+
+def _hard_negatives_oracle(k: int = 4, n_tables: int = 4,
+                           planes_per_table: int = 4,
+                           dim: int = 64) -> str:
+    """Directed variant of the near-dup blocking oracle: anchors keep
+    both directions, candidates must differ in label, and ranking
+    runs per anchor on the rounded cosine."""
+    from .operators.similarity import _hyperplane
+
+    table_buckets = []
+    for t in range(n_tables):
+        bits = []
+        for j in range(planes_per_table):
+            comps = _hyperplane(t * planes_per_table + j, dim)
+            lit = "[" + ",".join(repr(c) for c in comps) + "]::DOUBLE[]"
+            dotp = _DK_DOT.format(a="v", b=f"({lit})")
+            bits.append(f"(CASE WHEN {dotp} >= 0 THEN '1' ELSE '0' END)")
+        table_buckets.append(
+            f"SELECT {t} AS t, vec_id, label, {' || '.join(bits)} AS b"
+            f" FROM e"
+        )
+    sigs = " UNION ALL ".join(table_buckets)
+    dot_ab = _DK_DOT.format(a="a.v", b="b.v")
+    dot_aa = _DK_DOT.format(a="a.v", b="a.v")
+    dot_bb = _DK_DOT.format(a="b.v", b="b.v")
+    dot_vv = _DK_DOT.format(a="v", b="v")
+    return f"""
+    WITH e AS (
+        SELECT * FROM (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v
+            FROM embeddings
+        ) WHERE {dot_vv} > 0
+    ), sigs AS (
+        {sigs}
+    ), cand AS (
+        SELECT DISTINCT x.vec_id AS anchor_id, y.vec_id AS neg_id,
+               x.label AS label_a, y.label AS label_b
+        FROM sigs x JOIN sigs y ON x.t = y.t AND x.b = y.b
+        WHERE x.label <> y.label
+    ), scored AS (
+        SELECT c.anchor_id, c.neg_id, c.label_a, c.label_b,
+               FLOOR({dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb}))
+                     * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+        FROM cand c
+        JOIN e a ON c.anchor_id = a.vec_id
+        JOIN e b ON c.neg_id = b.vec_id
+    )
+    SELECT anchor_id, neg_id, label_a, label_b, cos_sim,
+           CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY anchor_id
+            ORDER BY cos_sim DESC, neg_id) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register("sim_hard_negatives", oracle=_hard_negatives_oracle())
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (operators/similarity.hard_negatives): per anchor, the top-4 most
+    cosine-similar vectors with a DIFFERENT label, candidates from
+    the same deterministic banded-LSH blocking as
+    sim_cosine_near_dup but DIRECTED — random negatives are trivially
+    separable, these sit just across the boundary.  Ranked on the
+    rounded cosine, ties to the lower neg id; exactly oracle-checked
+    despite being approximate, because the hyperplanes are
+    md5-derived constants."""
+    return sim.hard_negatives(
+        load_table(spark, sf_dir, "embeddings"), k=4, dim=64,
+    )

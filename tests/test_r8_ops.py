@@ -580,3 +580,43 @@ def test_standardize_post_moments_are_identity(spark, sf_dir):
     assert len(rows) == 64
     assert all(abs(r.post_mean) <= 1e-5 for r in rows)
     assert all(abs(r.post_m2 - 1.0) <= 2e-4 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_never_same_label_and_ranked(spark, sf_dir):
+    rows = registry.QUERIES["sim_hard_negatives"](spark, sf_dir).collect()
+    assert rows
+    assert all(r.label_a != r.label_b for r in rows)
+    per_anchor = {}
+    for r in rows:
+        per_anchor.setdefault(r.anchor_id, []).append(r)
+    for anchor, rs in per_anchor.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r.cos_sim for r in rs]
+        assert sims == sorted(sims, reverse=True), anchor
+
+
+def test_hard_negatives_finds_planted_boundary_pair(spark):
+    """A planted near-identical cross-label pair must surface as each
+    other's rank-1 negative; a far-away vector must not outrank it."""
+    import math as m
+
+    base = [1.0] + [0.0] * 63
+    near = [0.999] + [0.0447] + [0.0] * 62  # cos ~ 0.9990 with base
+    far = [0.0] * 62 + [1.0, 0.0]
+    df = spark.createDataFrame(
+        [(0, base, 0), (1, near, 1), (2, far, 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    from hypertension_dashboard_pipeline_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    rows = hard_negatives(df, k=2, dim=64).collect()
+    r1 = {r.anchor_id: r.neg_id for r in rows if r.rank == 1}
+    assert r1[0] == 1 and r1[1] == 0
