@@ -528,32 +528,16 @@ def exact_vector_dup_groups(df: DataFrame, id_col: str = "vec_id",
     )
 
 
-def hard_negatives(df: DataFrame, id_col: str = "vec_id",
-                   vec_col: str = "embedding", label_col: str = "label",
-                   k: int = 4, n_tables: int = 4,
-                   planes_per_table: int = 4, scale: int = 6,
-                   dim: int | None = None,
-                   persist: bool = True, release: bool = True) -> DataFrame:
-    """Hard-negative mining for contrastive training: for each anchor
-    vector, the top-``k`` most cosine-similar vectors bearing a
-    DIFFERENT label — the negatives that actually teach an embedding
-    model something (random negatives are trivially separable; the
-    hard ones sit just across the decision boundary).
-
-    Same banded-LSH candidate generation as
-    ``cosine_near_dup_pairs`` (agree on all bits of any table), but
-    DIRECTED: every vector is an anchor and receives its own ranked
-    negatives, so the bucket join keeps both (a, b) and (b, a).
-    Candidates are ids-only until scoring; ranking runs per anchor on
-    the ROUNDED cosine (ties to the lower neg id) so the cutoff is
-    engine-stable.  A 100 TB corpus never sees an all-pairs product —
-    the miss risk (a hard negative in no shared bucket) is the
-    standard LSH recall trade, tunable via n_tables.
-
-    Zero-norm vectors are excluded on both sides (cosine undefined).
-    Output: (anchor_id, neg_id, label_a, label_b, cos_sim, rank)."""
-    from pyspark.sql.window import Window
-
+def _directed_lsh_scored(df: DataFrame, id_col: str, vec_col: str,
+                         label_col: str, n_tables: int,
+                         planes_per_table: int, scale: int,
+                         dim: int | None, persist: bool,
+                         release: bool, cross_label_only: bool) -> DataFrame:
+    """Shared engine for the directed banded-LSH scorers: every
+    non-zero vector is an anchor; candidates share a bucket in any
+    table; scored on the rounded cosine.  ``cross_label_only``
+    restricts candidates to differing labels (hard negatives) vs any
+    non-self vector (kNN)."""
     from .dedup import _maybe_persist, release_persisted
 
     d = dim if dim is not None else int(
@@ -582,6 +566,10 @@ def hard_negatives(df: DataFrame, id_col: str = "vec_id",
         base.select("id", "lbl", F.explode(F.array(*sigs)).alias("tb")),
         persist,
     )
+    pair_filter = (
+        F.col("label_a") != F.col("label_b") if cross_label_only
+        else F.col("anchor_id") != F.col("neg_id")
+    )
     cand = (
         tagged.select(F.col("id").alias("anchor_id"),
                       F.col("lbl").alias("label_a"), "tb")
@@ -590,11 +578,11 @@ def hard_negatives(df: DataFrame, id_col: str = "vec_id",
                           F.col("lbl").alias("label_b"), "tb"),
             "tb",
         )
-        .filter(F.col("label_a") != F.col("label_b"))
+        .filter(pair_filter)
         .select("anchor_id", "neg_id", "label_a", "label_b")
         .distinct()
     )
-    scored = (
+    return (
         cand.join(
             base.select(F.col("id").alias("anchor_id"),
                         F.col("v").alias("v_a"),
@@ -614,10 +602,99 @@ def hard_negatives(df: DataFrame, id_col: str = "vec_id",
             ).alias("cos_sim"),
         )
     )
+
+
+def hard_negatives(df: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", label_col: str = "label",
+                   k: int = 4, n_tables: int = 4,
+                   planes_per_table: int = 4, scale: int = 6,
+                   dim: int | None = None,
+                   persist: bool = True, release: bool = True) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, the top-``k`` most cosine-similar vectors bearing a
+    DIFFERENT label — the negatives that actually teach an embedding
+    model something (random negatives are trivially separable; the
+    hard ones sit just across the decision boundary).
+
+    Same banded-LSH candidate generation as
+    ``cosine_near_dup_pairs`` (agree on all bits of any table), but
+    DIRECTED: every vector is an anchor and receives its own ranked
+    negatives, so the bucket join keeps both (a, b) and (b, a).
+    Candidates are ids-only until scoring; ranking runs per anchor on
+    the ROUNDED cosine (ties to the lower neg id) so the cutoff is
+    engine-stable.  A 100 TB corpus never sees an all-pairs product —
+    the miss risk (a hard negative in no shared bucket) is the
+    standard LSH recall trade, tunable via n_tables.
+
+    Zero-norm vectors are excluded on both sides (cosine undefined).
+    Output: (anchor_id, neg_id, label_a, label_b, cos_sim, rank)."""
+    from pyspark.sql.window import Window
+
+    scored = _directed_lsh_scored(
+        df, id_col, vec_col, label_col, n_tables, planes_per_table,
+        scale, dim, persist, release, cross_label_only=True,
+    )
     w = Window.partitionBy("anchor_id").orderBy(
         F.col("cos_sim").desc(), F.col("neg_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def knn_label_accuracy(df: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       label_col: str = "label", k: int = 5,
+                       n_tables: int = 4, planes_per_table: int = 4,
+                       scale: int = 6, dim: int | None = None,
+                       persist: bool = True,
+                       release: bool = True) -> DataFrame:
+    """Embedding-quality evaluation by leave-one-out kNN label vote:
+    each vector's label is predicted by the majority label of its
+    ``k`` nearest same-bucket neighbors (ties on vote count break to
+    the smaller label; ranking on the rounded cosine, ties to the
+    smaller neighbor id) and compared to its own — the standard
+    "do the labels cluster?" probe run before trusting an encoder,
+    as one relational plan over the SAME directed LSH blocking the
+    mining operators use.  Anchors with no bucket neighbor are
+    excluded (reported via n_anchors).
+
+    Output: 1 row (n_anchors, n_correct, accuracy)."""
+    from pyspark.sql.window import Window
+
+    scored = _directed_lsh_scored(
+        df, id_col, vec_col, label_col, n_tables, planes_per_table,
+        scale, dim, persist, release, cross_label_only=False,
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neg_id")
+    )
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    votes = topk.groupBy("anchor_id", "label_a", "label_b").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("anchor_id").orderBy(
+        F.col("n_votes").desc(), F.col("label_b")
+    )
+    pred = (
+        votes.withColumn("vrank", F.row_number().over(wv))
+        .filter(F.col("vrank") == 1)
+        .select(
+            "anchor_id",
+            (F.col("label_b") == F.col("label_a")).alias("correct"),
+        )
+    )
+    return pred.agg(
+        F.count(F.lit(1)).alias("n_anchors"),
+        F.sum(F.col("correct").cast("int")).cast("long")
+        .alias("n_correct"),
+        round_fixed(
+            F.sum(F.col("correct").cast("int")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("accuracy"),
     )

@@ -4484,3 +4484,86 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.hard_negatives(
         load_table(spark, sf_dir, "embeddings"), k=4, dim=64,
     )
+
+
+def _knn_accuracy_oracle(k: int = 5, n_tables: int = 4,
+                         planes_per_table: int = 4,
+                         dim: int = 64) -> str:
+    from .operators.similarity import _hyperplane
+
+    table_buckets = []
+    for t in range(n_tables):
+        bits = []
+        for j in range(planes_per_table):
+            comps = _hyperplane(t * planes_per_table + j, dim)
+            lit = "[" + ",".join(repr(c) for c in comps) + "]::DOUBLE[]"
+            dotp = _DK_DOT.format(a="v", b=f"({lit})")
+            bits.append(f"(CASE WHEN {dotp} >= 0 THEN '1' ELSE '0' END)")
+        table_buckets.append(
+            f"SELECT {t} AS t, vec_id, label, {' || '.join(bits)} AS b"
+            f" FROM e"
+        )
+    sigs = " UNION ALL ".join(table_buckets)
+    dot_ab = _DK_DOT.format(a="a.v", b="b.v")
+    dot_aa = _DK_DOT.format(a="a.v", b="a.v")
+    dot_bb = _DK_DOT.format(a="b.v", b="b.v")
+    dot_vv = _DK_DOT.format(a="v", b="v")
+    return f"""
+    WITH e AS (
+        SELECT * FROM (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v
+            FROM embeddings
+        ) WHERE {dot_vv} > 0
+    ), sigs AS (
+        {sigs}
+    ), cand AS (
+        SELECT DISTINCT x.vec_id AS anchor_id, y.vec_id AS neg_id,
+               x.label AS label_a, y.label AS label_b
+        FROM sigs x JOIN sigs y ON x.t = y.t AND x.b = y.b
+        WHERE x.vec_id <> y.vec_id
+    ), scored AS (
+        SELECT c.anchor_id, c.neg_id, c.label_a, c.label_b,
+               FLOOR({dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb}))
+                     * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+        FROM cand c
+        JOIN e a ON c.anchor_id = a.vec_id
+        JOIN e b ON c.neg_id = b.vec_id
+    ), topk AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY anchor_id
+                ORDER BY cos_sim DESC, neg_id) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    ), votes AS (
+        SELECT anchor_id, label_a, label_b, COUNT(*) AS n_votes
+        FROM topk GROUP BY 1, 2, 3
+    ), pred AS (
+        SELECT anchor_id, label_a, label_b FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY anchor_id
+                ORDER BY n_votes DESC, label_b) AS vrank
+            FROM votes
+        ) WHERE vrank = 1
+    )
+    SELECT COUNT(*) AS n_anchors,
+           CAST(SUM(CASE WHEN label_b = label_a THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           FLOOR(SUM(CASE WHEN label_b = label_a THEN 1 ELSE 0 END)
+                 ::DOUBLE / COUNT(*) * 1000000.0 + 0.5) / 1000000.0
+               AS accuracy
+    FROM pred
+    """
+
+
+@register("sim_knn_accuracy", oracle=_knn_accuracy_oracle())
+def sim_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN label-vote accuracy over the embedding
+    corpus (operators/similarity.knn_label_accuracy) — the standard
+    "do the labels cluster?" encoder probe as one relational plan on
+    the directed LSH blocking; fully deterministic (rounded-cosine
+    rank ties to neighbor id, vote ties to the smaller label), so
+    the evaluation itself is oracle-checked, like sim_ivf_recall."""
+    return sim.knn_label_accuracy(
+        load_table(spark, sf_dir, "embeddings"), k=5, dim=64,
+    )

@@ -620,3 +620,28 @@ def test_hard_negatives_finds_planted_boundary_pair(spark):
     rows = hard_negatives(df, k=2, dim=64).collect()
     r1 = {r.anchor_id: r.neg_id for r in rows if r.rank == 1}
     assert r1[0] == 1 and r1[1] == 0
+
+
+def test_knn_accuracy_perfect_on_separable_clusters(spark):
+    """Two tight clusters, labels = clusters: leave-one-out 5-NN must
+    score accuracy 1.0."""
+    from hypertension_dashboard_pipeline_spark.operators.similarity import (
+        knn_label_accuracy,
+    )
+
+    rows = []
+    for i in range(6):
+        v = [0.0] * 64
+        v[0] = 1.0
+        v[1] = 0.01 * i
+        rows.append((i, v, 0))
+    for i in range(6, 12):
+        v = [0.0] * 64
+        v[32] = 1.0
+        v[33] = 0.01 * i
+        rows.append((i, v, 1))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    r = knn_label_accuracy(df, k=5, dim=64).collect()[0]
+    assert r.n_anchors == 12 and r.accuracy == 1.0
