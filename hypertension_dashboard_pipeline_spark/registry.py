@@ -137,6 +137,34 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      42; the tail slots go to r7 debuts.  NOT in this window
 #      (externally green r6, fingerprint-pinned, locally swept):
 #      everything CORRECTNESS_r06 just verified.
+#      NEVER EXTERNALLY VERIFIED after r7 (r7 debuts registered
+#      outside the window under the new-query exemption; all
+#      sf0.01 + sf0.001 oracle-green locally) — the r8-window
+#      candidates, in rough priority (largest algorithmic surface
+#      first): text_bpe_train + text_bpe_encode (shared train
+#      chain — rotate together), curation_dsir_weights,
+#      text_tfidf_cosine_pairs, sim_hard_negatives +
+#      sim_knn_accuracy (shared _directed_lsh_scored — rotate
+#      together), sim_ivf_recall (composes sim_ivf_topk +
+#      sim_cosine_topk oracles), ts_ewma_last8 + streaming_ewma
+#      (shared oracle), ts_cusum_alarm + streaming_cusum (shared
+#      oracle), emb_standardize, dedup_winnow_pairs (shares
+#      winnow_fingerprints with in-window text_winnow_fingerprints),
+#      j22_returned_item_revenue, a32_custdist,
+#      j23_sales_opportunity, plus the wave-1/2 r7 debuts already
+#      listed in QUERIES.md (graph_kcore, dedup_minhash_merge,
+#      dq_referential_integrity, j14_interval_overlap,
+#      sample_weighted_k_per_group, emb_centroid_drift,
+#      text_zipf_fit, streaming_ohlc, j18_asof_join_forward,
+#      text_source_similarity, dq_drift_ks, j19_volume_shipping,
+#      j20_market_share, rec_copurchase_lift, j21_cdc_apply,
+#      dedup_containment_pairs, text_winnow_fingerprints*,
+#      dedup_contaminated_spans*, sample_stratified_exact*,
+#      sim_exact_vector_dup*, text_token_entropy*,
+#      ts_resample_ohlc*, events_type_pmi* — the *-marked eight
+#      already sit in the r7 window tail).  More debuts than one
+#      window: spill by the standard priority rule (drift >
+#      flagships > shared-callee groups > oldest evidence).
 _FRONT: list[str] = [
     # flagship + headline extension pipeline (always externally gated;
     # curation also drifted via the shingle_pairs_jaccard migration)
