@@ -161,8 +161,15 @@ def ewma_last(df: DataFrame, key_col: str, order_cols: list[str],
     latest-k-per-key window; a streaming variant carries the same
     ``tail``-value state in applyInPandasWithState.
 
+    Null measurements are SKIPPED (the SUM/AVG convention) — without
+    the explicit filter, Spark's collect_list silently drops nulls
+    while count() keeps them, desynchronizing n_events from the
+    folded list (and DuckDB's list() keeps nulls, diverging further).
+    Keys whose every value is null emit no row.
+
     Output: (key, n_events, ewma_last) — ewma_last is an unrounded
     double (callers present with round_fixed)."""
+    df = df.filter(F.col(value_col).isNotNull())
     seq = df.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sort_array(
@@ -215,8 +222,12 @@ def cusum_alarms(df: DataFrame, key_col: str, order_cols: list[str],
     latest-k-per-key window; a streaming variant carries (s, a) in
     applyInPandasWithState).
 
+    Null measurements are SKIPPED (same contract and reason as
+    ``ewma_last``); all-null keys emit no row.
+
     Output: (key, n_events, n_alarms, final_s) — final_s unrounded
     (callers present with round_fixed)."""
+    df = df.filter(F.col(value_col).isNotNull())
     seq = df.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sort_array(

@@ -3266,7 +3266,7 @@ EWMA_LAST8_ORACLE = """
     WITH seq AS (
         SELECT user_id, COUNT(*) AS n_events,
                list(value ORDER BY ts, event_id) AS vs
-        FROM events GROUP BY 1
+        FROM events WHERE value IS NOT NULL GROUP BY 1
     ), cut AS (
         SELECT user_id, n_events,
                list_slice(vs, GREATEST(len(vs) - 7, 1), len(vs)) AS l8
@@ -3321,7 +3321,7 @@ CUSUM_ORACLE = """
                ROW_NUMBER() OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id) AS rn,
                value
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ), cusum AS (
         SELECT user_id, 0 AS rn, CAST(0.0 AS DOUBLE) AS s, 0 AS a
         FROM (SELECT DISTINCT user_id FROM ev)

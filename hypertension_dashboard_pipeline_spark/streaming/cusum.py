@@ -45,7 +45,8 @@ def _update_user(key, batches: Iterable[pd.DataFrame],
                  state: GroupState):
     n, s, a = state.get if state.exists else (0, 0.0, 0)
     for pdf in batches:
-        pdf = pdf.sort_values(["ts", "event_id"])
+        # null measurements are skipped (the batch operator's contract)
+        pdf = pdf[pdf["value"].notna()].sort_values(["ts", "event_id"])
         n += len(pdf)
         for x in pdf["value"]:
             t = max(0.0, s + float(x) - LEVEL)
@@ -55,6 +56,9 @@ def _update_user(key, batches: Iterable[pd.DataFrame],
             else:
                 s = t
     state.update((n, s, a))
+    if n == 0:
+        # all-null user so far: the batch operator emits no row
+        return
     yield pd.DataFrame(
         {
             "user_id": [key[0]],

@@ -59,18 +59,24 @@ def _update_user(key, batches: Iterable[pd.DataFrame],
     n_events, tail = state.get if state.exists else (0, [])
     tail = list(tail)
     for pdf in batches:
-        pdf = pdf.sort_values(["ts", "event_id"])
+        # null measurements are skipped (the batch operator's
+        # contract); NaN is how Arrow surfaces them here
+        pdf = pdf[pdf["value"].notna()].sort_values(["ts", "event_id"])
         n_events += len(pdf)
         tail.extend(float(v) for v in pdf["value"])
         tail = tail[-TAIL:]
     state.update((n_events, tail))
-    yield pd.DataFrame(
-        {
-            "user_id": [key[0]],
-            "n_events": [n_events],
-            "ewma_last": [_fold(tail)],
-        }
-    )
+    # a user whose rows were ALL null this batch (and before) has no
+    # observation yet: the batch operator emits no row for it, so
+    # neither do we
+    if tail:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n_events],
+                "ewma_last": [_fold(tail)],
+            }
+        )
 
 
 def running_user_ewma(events: DataFrame) -> DataFrame:

@@ -68,6 +68,15 @@ EVENTS_QUERIES = [
     "streaming_dedup",
     "streaming_stateful_counters",
     "streaming_static_join",
+    # r7 wave-3/4 fold operators: null measurements skipped by
+    # contract (the sweep's NULL rows are exactly the case that
+    # desynchronized collect_list from count() before the explicit
+    # filter); duplicate-instant bursts exercise the event_id
+    # tie-break in the fold order
+    "ts_ewma_last8",
+    "ts_cusum_alarm",
+    "streaming_ewma",
+    "streaming_cusum",
 ]
 
 _TYPES = ["click", "signup", "error", "view", "purchase"]
