@@ -40,6 +40,12 @@ DOCS_QUERIES = [
     "text_vocab_encode",
     "dedup_span_coverage",
     "text_feature_hashing",
+    # r7 wave-3+ debuts over documents
+    "dedup_winnow_pairs",
+    "text_tfidf_cosine_pairs",
+    "curation_dsir_weights",
+    "text_bpe_train",
+    "text_bpe_encode",
 ]
 
 _WORDS = ("the fast key order sort table scan merge part window small hash "
