@@ -3895,11 +3895,24 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_recall_oracle(k: int = 10, n_probe: int = 2) -> str:
+    # both sub-oracles run against a zero-norm-excluded view of the
+    # corpus (cosine undefined; matches the query's explicit
+    # pre-filter).  The pinned sim_cosine_topk / sim_ivf_topk oracles
+    # read the raw table — their operator-level exclusion is queued
+    # for the r8 rotation (registry.py backlog).
+    dot_vv = _DK_DOT.format(a="vv", b="vv")
+    excl = (
+        "(SELECT vec_id, embedding, label FROM "
+        "(SELECT *, embedding::DOUBLE[] AS vv FROM embeddings) "
+        f"WHERE {dot_vv} > 0)"
+    )
+    ivf = _ivf_oracle(n_probe=n_probe, k=k).replace("embeddings", excl)
+    brute = _cosine_oracle_topk().replace("embeddings", excl)
     return f"""
     WITH ivf AS (
-        {_ivf_oracle(n_probe=n_probe, k=k)}
+        {ivf}
     ), brute AS (
-        {_cosine_oracle_topk()}
+        {brute}
     )
     SELECT {k} AS k, COUNT(*) AS n_overlap,
            FLOOR(COUNT(*) * 1.0 / {k} * 1000000.0 + 0.5) / 1000000.0
@@ -3918,8 +3931,16 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (centroid rounding + vec_id tie-breaks), so even the EVALUATION
     is oracle-checked, not just eyeballed.  At 100 TB the brute side
     is the expensive half — run it on a sampled query set; the IVF
-    side reuses the standing centroid table."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    side reuses the standing centroid table.  Zero-norm vectors are
+    excluded up front (cosine undefined; under ANSI the division is
+    a runtime error, not a quiet NaN — this query found that hazard
+    latent in the pinned top-k operators, fix queued for their r8
+    rotation)."""
+    from .functions.vectors import norm
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        norm(F.col("embedding")) > 0
+    )
     qv = [
         float(x)
         for x in emb.filter(F.col("vec_id") == 0)

@@ -165,6 +165,16 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      already sit in the r7 window tail).  More debuts than one
 #      window: spill by the standard priority rule (drift >
 #      flagships > shared-callee groups > oldest evidence).
+#      LATENT-BUG ROTATION (r8, found by sim_ivf_recall's
+#      adversarial run): brute_force_topk / ivf_topk
+#      (operators/similarity.py) crash on zero-norm corpus vectors
+#      under ANSI (DIVIDE_BY_ZERO in cosine) — the near-dup
+#      operator's exclusion contract never reached them.  Fix the
+#      operators + their oracles (_cosine_oracle_topk, _ivf_oracle,
+#      _lsh_bucket_topk_oracle) in r8 and rotate sim_cosine_topk,
+#      sim_ivf_topk, sim_lsh_bucket_topk(+indexed), sim_batch_ann_topk
+#      into that window TOGETHER (shared-callee rule).  Until then
+#      sim_ivf_recall carries its own exclusion on both sides.
 _FRONT: list[str] = [
     # flagship + headline extension pipeline (always externally gated;
     # curation also drifted via the shingle_pairs_jaccard migration)

@@ -32,6 +32,13 @@ EMB_QUERIES = [
     "sim_cosine_near_dup",
     "emb_top_component",
     "emb_remove_top_component",
+    # r7 wave-4+ debuts: the shared directed-LSH scorer must hold the
+    # zero-norm exclusion contract; standardize divides by sigma
+    # (constant dims would 0/0 — absent from this corpus, the
+    # operator's documented precondition)
+    "sim_hard_negatives",
+    "sim_knn_accuracy",
+    "sim_ivf_recall",
 ]
 
 _DIM = 64
