@@ -3372,3 +3372,243 @@ def ts_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_alarms",
         round_fixed(F.col("final_s"), 6).alias("final_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# r8-candidate debuts, wave 9: the remaining TPC-H join/agg shapes
+# (Q2/Q4/Q6/Q9), adapted to this corpus (no partsupp table, no
+# commit/receipt dates — supplier-part offers derive from lineitem,
+# lateness derives from shipdate vs orderdate)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "j24_min_cost_supplier",
+    oracle="""
+    WITH offers AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               MIN(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS offer
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT o.l_partkey, o.l_suppkey, o.offer,
+               ROW_NUMBER() OVER (PARTITION BY o.l_partkey
+                                  ORDER BY o.offer, o.l_suppkey) AS rn
+        FROM offers o
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
+           CAST(CAST(k.offer AS VARCHAR) AS DOUBLE) AS min_price
+    FROM ranked k
+    JOIN part p ON k.l_partkey = p.p_partkey
+    JOIN supplier s ON k.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE k.rn = 1 AND p.p_size BETWEEN 10 AND 20
+      AND p.p_type = 'STANDARD'
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 20
+    """,
+)
+def j24_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each mid-size
+    STANDARD part, the EUROPE supplier offering the lowest observed
+    price.  The classic correlated-MIN subquery is expressed as a
+    window rank over the per-(part, supplier) offer relation — the
+    offer aggregation shuffles the fact table ONCE on (partkey,
+    suppkey) and the per-part rank reuses hash partitioning on the
+    prefix key; supplier/nation/region/part are all broadcast dims, so
+    region pruning happens BEFORE the fact shuffle.  Offers compare as
+    exact DECIMAL (ties broken on suppkey), so the rn=1 winner is
+    deterministic cross-engine; top-20 by acctbal is TakeOrdered, not
+    a global sort."""
+    from pyspark.sql import Window
+
+    from .functions.expressions import dec_present
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD")
+    )
+    offers = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                "offer"
+            )
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy("offer", "l_suppkey")
+    best = offers.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        best.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            dec_present(F.col("offer")).alias("min_price"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+@register(
+    "a33_order_priority_late",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE CAST(o.o_orderdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY 1
+    """,
+)
+def a33_order_priority_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders from one year
+    with at least one lineitem shipped >90 days after the order date,
+    counted per priority.  The EXISTS is a LEFT SEMI join whose
+    correlated predicate (shipdate vs the outer row's orderdate) rides
+    the join condition — the semi join deduplicates map-side before
+    the count, so multi-lineitem orders never inflate the shuffle.
+    Both sides shuffle on the orderkey they already share; the year
+    filter pushes to the orders scan."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+@register(
+    "a34_forecast_revenue",
+    oracle="""
+    SELECT
+        CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(l_discount AS DECIMAL(18,2)))
+                       AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE)
+            AS revenue_delta,
+        COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def a34_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): a pure scan-and-
+    aggregate — the query whose ENTIRE cost at 100 TB is how much of
+    the scan the predicates prune, so all three filters (ship year,
+    discount band, quantity cap) must reach the parquet reader as
+    PushedFilters; no join, no wide shuffle, one partial-agg exchange
+    of a single running pair.  The discount band compares doubles that
+    are bit-identical on both engines (the column's value set is
+    exactly representable multiples read from the same parquet);
+    revenue is the exact DECIMAL sum of price x discount."""
+    from .functions.expressions import dec_present
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return li.agg(
+        dec_present(F.sum(price * disc).cast("decimal(38,4)")).alias(
+            "revenue_delta"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "j25_product_profit",
+    oracle="""
+    SELECT n.n_name AS supp_nation,
+           EXTRACT(year FROM o.o_orderdate) AS o_year,
+           CAST(CAST(CAST(SUM(
+               CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+               - CAST(p.p_retailprice AS DECIMAL(18,2))
+                   * CAST(l.l_quantity AS DECIMAL(18,2))
+           ) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def j25_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): per supplier nation and
+    order year, net amount on 'widget' parts — revenue minus a unit
+    cost (p_retailprice stands in for ps_supplycost; this corpus has
+    no partsupp table).  The name-filtered part dim broadcasts and
+    prunes the fact table BEFORE its one shuffle onto orders;
+    supplier/nation broadcast too, so the only exchange moving fact
+    rows is the orderkey join.  The amount stays exact DECIMAL
+    end-to-end (price x (1-disc) minus retail x qty), summed, then
+    crosses the boundary via dec_present."""
+    from .functions.expressions import dec_present
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    retail = F.col("p_retailprice").cast("decimal(18,2)")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    amount = price * (F.lit(1) - disc) - retail * qty
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            dec_present(F.sum(amount).cast("decimal(38,4)")).alias("profit")
+        )
+    )
