@@ -3612,3 +3612,234 @@ def j25_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_present(F.sum(amount).cast("decimal(38,4)")).alias("profit")
         )
     )
+
+
+@register(
+    "a35_important_parts",
+    oracle="""
+    WITH val AS (
+        SELECT l.l_partkey,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS part_value
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_3'
+        GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(part_value) AS DECIMAL(38,2)) AS total_value
+        FROM val
+    )
+    SELECT v.l_partkey,
+           CAST(CAST(v.part_value AS VARCHAR) AS DOUBLE) AS part_value
+    FROM val v, tot t
+    WHERE v.part_value * 1000 > t.total_value * 2
+    ORDER BY v.part_value DESC, v.l_partkey
+    """,
+)
+def a35_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): parts whose
+    supplied value from one nation exceeds a fixed fraction (0.2%) of
+    that nation's total — the grouped-aggregate-vs-GLOBAL-scalar
+    HAVING.  The scalar threshold is a 1-row re-aggregation of the
+    grouped relation crossJoined back (broadcast by size), so the fact
+    table shuffles once on partkey and is never re-scanned.  The
+    fraction test stays in exact integer DECIMAL arithmetic
+    (value*1000 > total*2, i.e. value > 0.002*total) — no double
+    division anywhere near the cut boundary."""
+    from .functions.expressions import dec_present
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    val = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("part_value")
+        )
+    )
+    tot = val.agg(
+        F.sum("part_value").cast("decimal(38,2)").alias("total_value")
+    )
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("part_value") * F.lit(1000)
+            > F.col("total_value") * F.lit(2)
+        )
+        .select(
+            "l_partkey", dec_present(F.col("part_value")).alias("part_value")
+        )
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+@register(
+    "j26_late_shipment_priority",
+    oracle="""
+    SELECT l.l_returnflag,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND CAST(l.l_shipdate AS DATE) >= DATE '1998-01-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1999-01-01'
+    GROUP BY 1
+    """,
+)
+def j26_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode / priority split; l_returnflag
+    stands in for the absent l_shipmode): late-shipped 1998 lineitems
+    split into high/low-priority counts per flag.  The conditional
+    aggregation is two CASE sums over ONE pass — never two filtered
+    joins; the lateness predicate (shipdate vs orderdate + 60d) rides
+    the join condition, and the ship-year filter pushes to the fact
+    scan before the single orderkey shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1998-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1999-01-01").cast("date"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "a36_promo_revenue_share",
+    oracle="""
+    SELECT
+        FLOOR(
+            100.0
+            * CAST(CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                ELSE CAST(0 AS DECIMAL(18,2)) END)
+                AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE)
+            / CAST(CAST(CAST(SUM(
+                CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE)
+            * 1000000.0 + 0.5) / 1000000.0 AS promo_share_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1997-06-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1997-07-01'
+    """,
+)
+def a36_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): PROMO parts' percentage of
+    one ship-month's revenue.  Both the conditional and total revenue
+    are EXACT DECIMAL sums computed in the same single aggregation
+    (one broadcast join, one 1-row exchange); each is presented to
+    double via the string-mediated dec_present route BEFORE the
+    division, so both engines divide bit-identical doubles, and the
+    ratio rounds 6dp via the floor form."""
+    from .functions.expressions import dec_present
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-06-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1997-07-01").cast("date"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    rev = price * (F.lit(1) - disc)
+    zero = F.lit(0).cast("decimal(18,2)")
+    agg = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            dec_present(
+                F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+                ).cast("decimal(38,4)")
+            ).alias("promo_rev"),
+            dec_present(F.sum(rev).cast("decimal(38,4)")).alias("total_rev"),
+        )
+    )
+    return agg.select(
+        round_fixed(
+            F.lit(100.0) * F.col("promo_rev") / F.col("total_rev"), 6
+        ).alias("promo_share_pct")
+    )
+
+
+@register(
+    "j27_top_supplier",
+    oracle="""
+    WITH rev AS (
+        SELECT l.l_suppkey,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                    AS DECIMAL(38,4)) AS total_rev
+        FROM lineitem l
+        WHERE CAST(l.l_shipdate AS DATE) >= DATE '1998-01-01'
+          AND CAST(l.l_shipdate AS DATE) < DATE '1998-04-01'
+        GROUP BY 1
+    ), mx AS (
+        SELECT MAX(total_rev) AS max_rev FROM rev
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(CAST(r.total_rev AS VARCHAR) AS DOUBLE) AS total_rev
+    FROM rev r
+    JOIN supplier s ON r.l_suppkey = s.s_suppkey, mx
+    WHERE r.total_rev = mx.max_rev
+    ORDER BY s.s_suppkey
+    """,
+)
+def j27_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): supplier(s) achieving the
+    maximum quarterly revenue — the view-vs-scalar-subquery pattern.
+    The quarterly revenue relation aggregates the date-pruned fact
+    ONCE on suppkey; the global max is a 1-row re-aggregation
+    crossJoined back, and the equality test runs on exact DECIMAL
+    (double equality against an aggregate would be engine-dependent;
+    decimal equality is well-defined), presenting only at output."""
+    from .functions.expressions import dec_present
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1998-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1998-04-01").cast("date"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(price * (F.lit(1) - disc))
+        .cast("decimal(38,4)")
+        .alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            dec_present(F.col("total_rev")).alias("total_rev"),
+        )
+        .orderBy("s_suppkey")
+    )
