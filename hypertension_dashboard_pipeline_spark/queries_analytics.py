@@ -3843,3 +3843,310 @@ def j27_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "a37_supplier_part_breadth",
+    oracle="""
+    WITH ps AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    )
+    SELECT p.p_brand, p.p_type,
+           COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM ps
+    JOIN part p ON ps.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND ps.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2
+    """,
+)
+def a37_supplier_part_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many
+    distinct suppliers serve each (brand, type), excluding one brand
+    and complaint-flagged suppliers (negative account balance stands
+    in for the LIKE '%Customer%Complaints%' predicate; this corpus
+    derives the part-supplier relation from lineitem — no partsupp).
+    The NOT IN is a broadcast LEFT ANTI join (the excluded-supplier
+    set is tiny by construction); the distinct (part, supp) pairs
+    collapse map-side before the count-distinct shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") != "Brand#1"
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "j28_small_qty_revenue",
+    oracle="""
+    WITH pq AS (
+        SELECT l.l_partkey,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS sum_qty,
+               COUNT(*) AS n_lines
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand = 'Brand#3'
+        GROUP BY 1
+    )
+    SELECT
+        CAST(CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                       AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE)
+            AS small_qty_revenue,
+        COUNT(*) AS n_rows
+    FROM lineitem l
+    JOIN pq ON l.l_partkey = pq.l_partkey
+    WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * pq.n_lines
+          < pq.sum_qty
+    """,
+)
+def j28_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): revenue from
+    Brand#3 lineitems whose quantity is below 20% of that part's
+    average.  The correlated AVG subquery is a groupBy + join-back on
+    partkey — and the 0.2*avg comparison is restated as the EXACT
+    integer-DECIMAL cross-multiplication qty*5*n < sum_qty, so no
+    double division ever sits near the cut boundary (quantities are
+    integral).  Both joins shuffle on the partkey the aggregate
+    already produced; the brand filter prunes via the broadcast part
+    dim before either shuffle."""
+    from .functions.expressions import dec_present
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#3"
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    branded = li.join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    pq = branded.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
+        F.count("*").alias("n_lines"),
+    )
+    return (
+        li.join(pq, F.col("l_partkey") == F.col("pk"))
+        .filter(qty * F.lit(5) * F.col("n_lines") < F.col("sum_qty"))
+        .agg(
+            dec_present(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "decimal(38,2)"
+                )
+            ).alias("small_qty_revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "a38_disjunctive_revenue",
+    oracle="""
+    SELECT
+        CAST(CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                       AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE)
+            AS revenue,
+        COUNT(*) AS n_rows
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def a38_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    three OR'd brand/size/quantity conjunctions across the join — the
+    stress test for predicate pushdown through a join.  Catalyst
+    factors the common l_quantity bounds below the join and keeps the
+    cross-table disjunction as the join residual; the part side
+    broadcasts, so the fact table is scanned once, never shuffled.
+    Exact DECIMAL revenue."""
+    from .functions.expressions import dec_present
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            dec_present(
+                F.sum(price * (F.lit(1) - disc)).cast("decimal(38,4)")
+            ).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "j29_dominant_suppliers",
+    oracle="""
+    WITH sp AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS supp_qty
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_name LIKE 'red%'
+        GROUP BY 1, 2
+    ), pt AS (
+        SELECT l_partkey,
+               CAST(SUM(supp_qty) AS DECIMAL(38,2)) AS part_qty
+        FROM sp GROUP BY 1
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name
+    FROM sp
+    JOIN pt ON sp.l_partkey = pt.l_partkey
+    JOIN supplier s ON sp.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE sp.supp_qty * 8 > pt.part_qty
+    ORDER BY s.s_suppkey
+    """,
+)
+def j29_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (excess-availability suppliers): suppliers who
+    shipped more than an EIGHTH of some 'red' part's total volume
+    (the dominance threshold scales with the per-part supplier fan-out) — the
+    nested semi-join chain (name-filtered parts -> per-(part, supp)
+    volume -> per-part threshold -> supplier identity).  The
+    threshold is the exact cross-multiplication supp_qty*8 > part_qty
+    (no 0.125* double); the per-part total re-aggregates the
+    per-(part, supp) relation rather than re-scanning the fact, so
+    the fact shuffles once on (part, supp) and the threshold join
+    reuses partkey partitioning.  DISTINCT collapses multi-part
+    winners to one supplier row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    sp = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(qty).cast("decimal(38,2)").alias("supp_qty"))
+    )
+    pt = sp.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("supp_qty").cast("decimal(38,2)").alias("part_qty")
+    )
+    return (
+        sp.join(pt, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("supp_qty") * F.lit(8) > F.col("part_qty"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "j30_waiting_suppliers",
+    oracle="""
+    WITH ls AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               MAX(CASE WHEN l.l_shipdate > o.o_orderdate
+                             + INTERVAL 90 DAY
+                        THEN 1 ELSE 0 END) AS late
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY 1, 2
+    ), po AS (
+        SELECT l_orderkey, COUNT(*) AS n_supps,
+               SUM(late) AS n_late
+        FROM ls GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+    FROM ls
+    JOIN po ON ls.l_orderkey = po.l_orderkey
+    JOIN supplier s ON ls.l_suppkey = s.s_suppkey
+    WHERE ls.late = 1 AND po.n_supps > 1 AND po.n_late = 1
+    GROUP BY 1, 2
+    ORDER BY numwait DESC, s.s_suppkey
+    LIMIT 20
+    """,
+)
+def j30_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for
+    finished orders with multiple suppliers, count per supplier the
+    orders where THAT supplier alone shipped late (>90 days after the
+    order date) — the classic EXISTS + NOT EXISTS double correlation.
+    Both correlated subqueries collapse into ONE per-(order, supplier)
+    late-flag aggregation plus a per-order rollup of (supplier count,
+    late count): the sole-blame test is then late=1 AND n_supps>1 AND
+    n_late=1, turning two fact re-scans into re-aggregations of an
+    already-shuffled relation — the orderkey partitioning is reused by
+    every step.  Counting is all-integer; top-20 is TakeOrdered with a
+    suppkey tie-break."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    late_flag = F.max(
+        F.when(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+            1,
+        ).otherwise(0)
+    ).alias("late")
+    ls = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(late_flag)
+    )
+    po = ls.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count("*").alias("n_supps"), F.sum("late").alias("n_late")
+    )
+    return (
+        ls.join(po, F.col("l_orderkey") == F.col("ok"))
+        .filter(
+            (F.col("late") == 1)
+            & (F.col("n_supps") > 1)
+            & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(20)
+    )
