@@ -832,3 +832,82 @@ def kmeans_lloyd(
             round_fixed(F.avg("d"), 4).alias("mean_dist"),
         )
     )
+
+
+def _sq_dist(vec: Column, cent: list[float]) -> Column:
+    """Squared L2 to a literal center, as the same left-to-right
+    IEEE fold both engines run (see _nearest_centroid)."""
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            F.array(*[F.lit(float(c)) for c in cent]),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def kcenter_greedy(
+    emb: DataFrame,
+    k: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Greedy k-center (farthest-point traversal, Gonzalez 1985) —
+    the diversity-selection pass a curation pipeline runs to pick a
+    maximally-spread coreset of embeddings (2-approximation of the
+    optimal k-center cover).
+
+    Deterministic: seeded at the lowest id; each step picks the point
+    maximizing its min squared-L2 distance to the chosen set, raw
+    IEEE doubles compared (both engines compute the identical fold),
+    ties broken on the lower id.  Distributed shape: each of the k-1
+    steps is ONE narrow scan against literal center vectors (k x dim
+    driver state, no shuffle — F.least over per-center fold
+    expressions) reduced by a 1-row TakeOrdered; the final coverage
+    pass assigns every point to its nearest selected center and
+    aggregates per-center counts and the coverage radius.  At 100 TB:
+    k scans, zero wide shuffles, the same contract as kmeans_lloyd.
+
+    Returns ``sel_step, center_id, n_assigned, radius_sq`` (radius =
+    max assigned squared distance, 6dp).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    base = emb.select(F.col(id_col).alias("vec_id"), v.alias("v"))
+    first = base.orderBy("vec_id").limit(1).collect()[0]
+    centers: list[tuple[int, list[float]]] = [
+        (first["vec_id"], [float(x) for x in first["v"]])
+    ]
+    for _ in range(1, k):
+        dists = [_sq_dist(F.col("v"), cent) for _, cent in centers]
+        dmin = dists[0] if len(dists) == 1 else F.least(*dists)
+        pick = (
+            base.select("vec_id", "v", dmin.alias("d"))
+            .orderBy(F.col("d").desc(), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append((pick["vec_id"], [float(x) for x in pick["v"]]))
+    cent_vecs = [cent for _, cent in centers]
+    cent_ids = F.array(*[F.lit(int(cid)) for cid, _ in centers])
+    step = _nearest_centroid(F.col("v"), cent_vecs)
+    d_assigned = F.coalesce(
+        *[
+            F.when(F.col("sel_step") == i, _sq_dist(F.col("v"), cent))
+            for i, cent in enumerate(cent_vecs)
+        ]
+    )
+    return (
+        base.select("v", step.alias("sel_step"))
+        .select(
+            "sel_step",
+            F.element_at(cent_ids, F.col("sel_step") + 1).alias("center_id"),
+            d_assigned.alias("d"),
+        )
+        .groupBy("sel_step", "center_id")
+        .agg(
+            F.count("*").alias("n_assigned"),
+            round_fixed(F.max("d"), 6).alias("radius_sq"),
+        )
+    )

@@ -4150,3 +4150,220 @@ def j30_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_suppkey")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# r8-candidate debuts, wave 10: diversity selection, link prediction,
+# engagement stickiness
+# --------------------------------------------------------------------------
+
+
+def _kcenter_oracle(k: int = 6, dim: int = 64) -> str:
+    """Unrolled greedy farthest-point traversal in DuckDB: one CTE per
+    selection step (argmax of the LEAST of per-center fold distances,
+    id tie-break), then the same ROW_NUMBER nearest-center assignment
+    as the k-means oracle."""
+
+    def sq(a: str, c: str) -> str:
+        return (
+            "CAST(list_sum(list_transform(range(1, {d} + 1), "
+            "i -> ({a}.v[i] - {c}.v[i]) * ({a}.v[i] - {c}.v[i]))) "
+            "AS DOUBLE)"
+        ).format(d=dim, a=a, c=c)
+
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "s0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)",
+    ]
+    for t in range(1, k):
+        prev = ", ".join(f"s{j} c{j}" for j in range(t))
+        dists = ", ".join(sq("e", f"c{j}") for j in range(t))
+        dmin = dists if t == 1 else f"LEAST({dists})"
+        ctes.append(
+            f"""s{t} AS (
+        SELECT e.vec_id, e.v FROM e, {prev}
+        ORDER BY {dmin} DESC, e.vec_id LIMIT 1
+    )"""
+        )
+    cents = " UNION ALL ".join(
+        f"SELECT {t} AS sel_step, vec_id, v FROM s{t}" for t in range(k)
+    )
+    ctes.append(f"cents AS ({cents})")
+    ctes.append(
+        f"""fin AS (
+        SELECT vec_id, sel_step, cvid, dist FROM (
+            SELECT e.vec_id, c.sel_step, c.vec_id AS cvid,
+                   {sq('e', 'c')} AS dist,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {sq('e', 'c')}, c.sel_step)
+                       AS rn
+            FROM e, cents c
+        ) WHERE rn = 1
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT sel_step, cvid AS center_id, COUNT(*) AS n_assigned,
+           FLOOR(MAX(dist) * 1000000.0 + 0.5) / 1000000.0 AS radius_sq
+    FROM fin GROUP BY 1, 2
+    """
+    )
+
+
+@register("sample_kcenter_diversity", oracle=_kcenter_oracle())
+def sample_kcenter_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity selection by greedy k-center (farthest-point
+    traversal) over the embedding corpus — the coreset pick a
+    curation pipeline uses to maximize coverage of embedding space
+    (contrast SemDeDup, which REMOVES near-duplicates; this SELECTS
+    spread exemplars).  operators/analytics.kcenter_greedy: k-1
+    narrow scans against literal centers + one assignment pass — no
+    wide shuffle at any step, k x dim driver state, the same
+    100 TB contract as k-means.  The oracle unrolls the identical
+    greedy steps as CTE argmaxes over the same IEEE fold."""
+    from .operators.analytics import kcenter_greedy
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_greedy(emb, k=6)
+
+
+@register(
+    "graph_adamic_adar",
+    oracle="""
+    WITH po AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), deg AS (
+        SELECT l_orderkey, COUNT(*) AS d FROM po GROUP BY 1
+    ), byd AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               g.d, COUNT(*) AS cnt
+        FROM po a
+        JOIN po b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+        JOIN deg g ON a.l_orderkey = g.l_orderkey
+        GROUP BY 1, 2, 3
+    ), score AS (
+        SELECT part_a, part_b, SUM(cnt) AS n_shared,
+               list_reduce(
+                   list(CAST(cnt AS DOUBLE) / ln(CAST(d AS DOUBLE))
+                        ORDER BY d),
+                   (acc, x) -> acc + x) AS aa
+        FROM byd GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_shared,
+           FLOOR(aa * 1000000.0 + 0.5) / 1000000.0 AS aa_score
+    FROM score
+    ORDER BY aa_score DESC, part_a, part_b LIMIT 20
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the bipartite order-part
+    graph: candidate part pairs scored by sum over shared orders of
+    1/ln(order degree) — rare shared baskets count more than huge
+    ones (the degree-discounted sibling of rec_copurchase_lift).
+    Scale shape: the pair join is blocked by orderkey exactly like
+    the co-purchase miner (never all-pairs over parts) and the order
+    degree joins BEFORE the pair groupBy on the partitioning all
+    three relations already share.  The float sum is made
+    order-independent by first grouping per (pair, degree) — integer
+    counts — then folding cnt/ln(d) over the SORTED degree list, the
+    identical left-to-right IEEE fold on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.select("l_orderkey", "l_partkey").distinct()
+    deg = po.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count("*").alias("d")
+    )
+    a = po.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a")
+    )
+    b = po.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("part_b")
+    )
+    byd = (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("part_a") < F.col("part_b")))
+        .join(deg, F.col("o") == F.col("ok"))
+        .groupBy("part_a", "part_b", "d")
+        .agg(F.count("*").alias("cnt"))
+    )
+    score = byd.groupBy("part_a", "part_b").agg(
+        F.sum("cnt").alias("n_shared"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("d", "cnt"))),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + x["cnt"].cast("double") / F.log(x["d"].cast("double")),
+        ).alias("aa"),
+    )
+    return (
+        score.select(
+            "part_a",
+            "part_b",
+            "n_shared",
+            round_fixed(F.col("aa"), 6).alias("aa_score"),
+        )
+        .orderBy(F.col("aa_score").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@register(
+    "events_user_stickiness",
+    oracle="""
+    WITH mdu AS (
+        SELECT DISTINCT CAST(date_trunc('month', ts) AS DATE) AS month_start,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               user_id
+        FROM events
+    ), daily AS (
+        SELECT month_start, day, COUNT(*) AS dau
+        FROM mdu GROUP BY 1, 2
+    ), monthly AS (
+        SELECT month_start, COUNT(DISTINCT user_id) AS mau
+        FROM mdu GROUP BY 1
+    )
+    SELECT d.month_start, SUM(d.dau) AS sum_dau, COUNT(*) AS n_days, m.mau,
+           FLOOR(CAST(SUM(d.dau) AS DOUBLE) / COUNT(*) / m.mau
+                 * 1000000.0 + 0.5) / 1000000.0 AS stickiness
+    FROM daily d JOIN monthly m ON d.month_start = m.month_start
+    GROUP BY 1, m.mau
+    """,
+)
+def events_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — the engagement ratio product
+    dashboards track (avg daily actives over monthly actives).  ONE
+    distinct (month, day, user) relation feeds both sides: daily
+    actives are a re-aggregation and monthly actives a
+    count-distinct over the same deduplicated frame, so the raw
+    events shuffle once; the ratio divides exact integer counts as
+    identical doubles on both engines, 6dp floor-rounded."""
+    ev = load_table(spark, sf_dir, "events")
+    mdu = ev.select(
+        F.to_date(F.date_trunc("month", "ts")).alias("month_start"),
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "user_id",
+    ).distinct()
+    daily = mdu.groupBy("month_start", "day").agg(
+        F.count("*").alias("dau")
+    )
+    monthly = mdu.groupBy(F.col("month_start").alias("m2")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return (
+        daily.groupBy("month_start")
+        .agg(F.sum("dau").alias("sum_dau"), F.count("*").alias("n_days"))
+        .join(monthly, F.col("month_start") == F.col("m2"))
+        .select(
+            "month_start",
+            "sum_dau",
+            "n_days",
+            "mau",
+            round_fixed(
+                F.col("sum_dau").cast("double")
+                / F.col("n_days")
+                / F.col("mau"),
+                6,
+            ).alias("stickiness"),
+        )
+    )

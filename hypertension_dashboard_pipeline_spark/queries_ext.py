@@ -4588,3 +4588,73 @@ def sim_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_label_accuracy(
         load_table(spark, sf_dir, "embeddings"), k=5, dim=64,
     )
+
+
+# --------------------------------------------------------------------------
+# r8-candidate debuts, wave 10 (ext side): corpus mixture report
+# --------------------------------------------------------------------------
+
+
+@register(
+    "curation_mixture_report",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT source, lang,
+               len({_DK_TOKENS.format(c='text')}) AS n_toks
+        FROM documents
+    ), agg AS (
+        SELECT source, lang, COUNT(*) AS n_docs,
+               SUM(n_toks) AS n_tokens
+        FROM per_doc GROUP BY 1, 2
+    )
+    SELECT source, lang, n_docs, n_tokens,
+           FLOOR(100.0 * n_docs / SUM(n_docs) OVER ()
+                 * 1000000.0 + 0.5) / 1000000.0 AS doc_share_pct,
+           FLOOR(100.0 * n_tokens / SUM(n_tokens) OVER ()
+                 * 1000000.0 + 0.5) / 1000000.0 AS token_share_pct,
+           FLOOR(CAST(n_tokens AS DOUBLE) / n_docs
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_doc_tokens
+    FROM agg
+    """,
+)
+def curation_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix composition report: per (source, lang) document
+    and token counts with corpus shares and mean document length —
+    the first table anyone asks of a 100 TB corpus before setting
+    mixture weights (the descriptive input to temperature/DSIR
+    reweighting).  One scan computes per-doc token counts narrowly
+    (whitespace tokenizer, no explode — F.size avoids materializing
+    the token array rows), one groupBy shuffles |sources x langs|
+    keys, and the share percentages are empty-frame windows over that
+    TINY aggregated relation (the a6 pattern — never a second scan of
+    the corpus).  All counts integer-exact; shares divide identical
+    doubles, 6dp floor-rounded."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    agg = (
+        docs.select(
+            "source", "lang", tx.token_count(F.col("text")).alias("n_toks")
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        round_fixed(
+            F.lit(100.0) * F.col("n_docs") / F.sum("n_docs").over(w), 6
+        ).alias("doc_share_pct"),
+        round_fixed(
+            F.lit(100.0) * F.col("n_tokens") / F.sum("n_tokens").over(w), 6
+        ).alias("token_share_pct"),
+        round_fixed(
+            F.col("n_tokens").cast("double") / F.col("n_docs"), 6
+        ).alias("mean_doc_tokens"),
+    )

@@ -173,6 +173,8 @@ def test_no_registered_query_plans_a_cartesian_product(spark, sf_dir):
         "rec_copurchase_lift",  # 1-row scalar side (order count N) applied AFTER the top-20 truncation
         "j23_sales_opportunity",  # 1-row scalar side (global avg-balance cutoff) — the Q22 scalar-subquery shape
         "curation_dsir_weights",  # 64-row bucket stats x 1-row global token totals, by design
+        "text_tfidf_cosine_pairs",  # 1-row scalar side (document count N)
+        "a35_important_parts",  # 1-row scalar side (nation inventory total)
     }
     offenders = []
     for name, fn in registry.QUERIES.items():
