@@ -698,3 +698,125 @@ def knn_label_accuracy(df: DataFrame, id_col: str = "vec_id",
             6,
         ).alias("accuracy"),
     )
+
+
+def _py_round_fixed(x: float, digits: int = 6) -> float:
+    """Driver-side mirror of functions.expressions.round_fixed for
+    bounded-pool arithmetic: floor(x*10^d + 0.5)/10^d in IEEE doubles
+    (Python floats ARE IEEE doubles, so this matches the Spark/DuckDB
+    floor form bit-for-bit on the finite, small-magnitude values the
+    MMR scores take)."""
+    import math
+
+    scale = 10.0 ** digits
+    return math.floor(x * scale + 0.5) / scale
+
+
+def _py_cosine6(a: list[float], b: list[float]) -> float:
+    """Driver-side cosine, 6dp — the identical left-to-right IEEE
+    fold the engines run (sequential sum, math.sqrt is correctly
+    rounded on every platform)."""
+    import math
+
+    dot_ab = 0.0
+    dot_aa = 0.0
+    dot_bb = 0.0
+    for x, y in zip(a, b):
+        dot_ab += x * y
+    for x in a:
+        dot_aa += x * x
+    for y in b:
+        dot_bb += y * y
+    return _py_round_fixed(dot_ab / (math.sqrt(dot_aa) * math.sqrt(dot_bb)))
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): from the cosine top-``pool`` candidates for a query
+    (the lowest-id vector), greedily select ``k`` maximizing
+    lam*relevance - (1-lam)*max-similarity-to-already-selected — the
+    diversity-aware top-k an IR/RAG stack serves instead of raw ANN
+    hits.
+
+    Distributed shape: the corpus-sized work (cosine scoring + the
+    top-``pool`` cut) is ONE narrow scan + TakeOrdered, exactly the
+    brute-force-topk plan; the greedy selection then runs on the
+    bounded pool (pool x dim driver state, the kmeans-centroid
+    contract) with every number produced by the same IEEE
+    fold + 6dp floor-round both engines compute, so the pick
+    sequence is deterministic cross-engine.  Zero-norm vectors are
+    excluded up front (cosine undefined — the similarity-family
+    contract).
+
+    Returns ``sel_step, vec_id, rel, mmr_score`` (k rows; step 0's
+    score IS its relevance)."""
+    v = as_double_array(vec_col)
+    first = (
+        emb.orderBy(id_col)
+        .select(F.col(id_col).alias("qid"), v.alias("qv"))
+        .limit(1)
+        .collect()[0]
+    )
+    qid, qv = first["qid"], [float(x) for x in first["qv"]]
+    qlit = F.array(*[F.lit(c) for c in qv])
+    base = emb.select(F.col(id_col).alias("vec_id"), v.alias("v")).filter(
+        (F.col("vec_id") != qid) & (dot("v", "v") > 0)
+    )
+    pool_rows = (
+        base.select(
+            "vec_id", "v", cosine(F.col("v"), qlit, scale=6).alias("rel")
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(pool)
+        .collect()
+    )
+    cand = {
+        r["vec_id"]: ([float(x) for x in r["v"]], float(r["rel"]))
+        for r in pool_rows
+    }
+    # greedy selection over the bounded pool — driver arithmetic is
+    # the same IEEE ops both engines run on identical doubles
+    red: dict[int, float] = {}
+    picked: list[tuple[int, int, float, float]] = []  # step, id, rel, score
+    remaining = dict(cand)
+    for step in range(min(k, len(cand))):
+        if step == 0:
+            best_id = max(remaining, key=lambda i: (remaining[i][1], -i))
+            score = remaining[best_id][1]
+        else:
+            def mmr(i: int) -> float:
+                return lam * remaining[i][1] - (1.0 - lam) * red[i]
+
+            best_id = max(remaining, key=lambda i: (mmr(i), -i))
+            score = _py_round_fixed(mmr(best_id))
+        picked.append((step, best_id, remaining[best_id][1], score))
+        best_vec = remaining.pop(best_id)[0]
+        for i in remaining:
+            s = _py_cosine6(remaining[i][0], best_vec)
+            red[i] = s if i not in red else max(red[i], s)
+    steps = F.create_map(
+        *[x for st, vid, _, _ in picked for x in (F.lit(vid), F.lit(st))]
+    )
+    scores = F.create_map(
+        *[x for _, vid, _, sc in picked for x in (F.lit(vid), F.lit(sc))]
+    )
+    ids = [vid for _, vid, _, _ in picked]
+    return (
+        base.select(
+            "vec_id", cosine(F.col("v"), qlit, scale=6).alias("rel")
+        )
+        .filter(F.col("vec_id").isin(ids))
+        .select(
+            steps[F.col("vec_id")].alias("sel_step"),
+            "vec_id",
+            "rel",
+            scores[F.col("vec_id")].alias("mmr_score"),
+        )
+    )

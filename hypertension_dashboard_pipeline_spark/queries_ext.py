@@ -4658,3 +4658,84 @@ def curation_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens").cast("double") / F.col("n_docs"), 6
         ).alias("mean_doc_tokens"),
     )
+
+
+def _mmr_oracle(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
+    """Unrolled MMR greedy selection in DuckDB: the pool cut is the
+    brute-force top-``pool`` (cosine 6dp, id tie-break), then one CTE
+    pair per pick — argmax of lam*rel - (1.0-lam)*red, red folded as
+    GREATEST over the growing selected set.  The redundancy weight is
+    spelled ``(1.0 - 0.7)``, NOT 0.3: the Spark operator computes
+    ``1.0 - lam`` in IEEE doubles (= 0.30000000000000004) and the
+    oracle must run the bit-identical multiplier."""
+    cos = (
+        "FLOOR({d} / (sqrt({na}) * sqrt({nb})) * 1000000.0 + 0.5) "
+        "/ 1000000.0"
+    )
+
+    def c(a: str, b: str) -> str:
+        return cos.format(
+            d=_DK_DOT.format(a=a, b=b),
+            na=_DK_DOT.format(a=a, b=a),
+            nb=_DK_DOT.format(a=b, b=b),
+        )
+
+    ctes = [
+        """q AS (
+        SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        FROM embeddings ORDER BY vec_id LIMIT 1
+    )""",
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""rel AS (
+        SELECT e.vec_id, e.v, {c('e.v', 'q.qv')} AS rel
+        FROM e, q
+        WHERE e.vec_id <> q.qid
+          AND {_DK_DOT.format(a='e.v', b='e.v')} > 0
+    )""",
+        f"""pool AS (
+        SELECT * FROM rel ORDER BY rel DESC, vec_id LIMIT {pool}
+    )""",
+        """s0 AS (
+        SELECT vec_id, v, rel, rel AS score
+        FROM pool ORDER BY rel DESC, vec_id LIMIT 1
+    )""",
+        f"""r0 AS (
+        SELECT p.vec_id, p.v, p.rel, {c('p.v', 's.v')} AS red
+        FROM pool p, s0 s WHERE p.vec_id <> s.vec_id
+    )""",
+    ]
+    for t in range(1, k):
+        prev_r = f"r{t - 1}"
+        ctes.append(
+            f"""s{t} AS (
+        SELECT vec_id, v, rel,
+               FLOOR(({lam} * rel - (1.0 - {lam}) * red)
+                     * 1000000.0 + 0.5) / 1000000.0 AS score
+        FROM {prev_r}
+        ORDER BY {lam} * rel - (1.0 - {lam}) * red DESC, vec_id LIMIT 1
+    )"""
+        )
+        if t < k - 1:
+            ctes.append(
+                f"""r{t} AS (
+        SELECT r.vec_id, r.v, r.rel,
+               GREATEST(r.red, {c('r.v', 's.v')}) AS red
+        FROM {prev_r} r, s{t} s WHERE r.vec_id <> s.vec_id
+    )"""
+            )
+    sel = " UNION ALL ".join(
+        f"SELECT {t} AS sel_step, vec_id, rel, score AS mmr_score FROM s{t}"
+        for t in range(k)
+    )
+    return "WITH " + ",\n    ".join(ctes) + f"\n    {sel}"
+
+
+@register("sim_mmr_rerank", oracle=_mmr_oracle())
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware top-k: MMR re-ranking of the brute-force
+    cosine top-20 for the lowest-id query vector
+    (operators/similarity.mmr_rerank — corpus scoring distributed,
+    greedy selection on the bounded pool, every score the same IEEE
+    fold + 6dp floor both engines run).  The RAG-serving counterpart
+    of sample_kcenter_diversity's corpus-level spread selection."""
+    return sim.mmr_rerank(load_table(spark, sf_dir, "embeddings"), k=5)
