@@ -759,7 +759,15 @@ def mmr_rerank(
     score IS its relevance)."""
     v = as_double_array(vec_col)
     first = (
-        emb.orderBy(id_col)
+        emb.filter(
+            F.aggregate(
+                F.zip_with(v, v, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0
+        )
+        .orderBy(id_col)
         .select(F.col(id_col).alias("qid"), v.alias("qv"))
         .limit(1)
         .collect()[0]

@@ -4683,7 +4683,11 @@ def _mmr_oracle(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
     ctes = [
         """q AS (
         SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
-        FROM embeddings ORDER BY vec_id LIMIT 1
+        FROM (SELECT vec_id, embedding, embedding::DOUBLE[] AS ev
+              FROM embeddings) t
+        WHERE list_sum(list_transform(
+                  range(1, len(ev) + 1), i -> ev[i] * ev[i])) > 0
+        ORDER BY vec_id LIMIT 1
     )""",
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         f"""rel AS (

@@ -162,8 +162,20 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      dedup_contaminated_spans*, sample_stratified_exact*,
 #      sim_exact_vector_dup*, text_token_entropy*,
 #      ts_resample_ohlc*, events_type_pmi* — the *-marked eight
-#      already sit in the r7 window tail).  More debuts than one
-#      window: spill by the standard priority rule (drift >
+#      already sit in the r7 window tail).  Late-r7 wave-9/10 debuts
+#      (also never externally verified; local oracle-green at
+#      sf0.01 + sf0.001): the remaining TPC-H shapes
+#      j24_min_cost_supplier (Q2), a33_order_priority_late (Q4),
+#      a34_forecast_revenue (Q6), j25_product_profit (Q9),
+#      a35_important_parts (Q11), j26_late_shipment_priority (Q12),
+#      a36_promo_revenue_share (Q14), j27_top_supplier (Q15),
+#      a37_supplier_part_breadth (Q16), j28_small_qty_revenue (Q17),
+#      a38_disjunctive_revenue (Q19), j29_dominant_suppliers (Q20),
+#      j30_waiting_suppliers (Q21) — the TPC-H Q1-Q22 shape surface
+#      is now CLOSED — plus sample_kcenter_diversity, sim_mmr_rerank
+#      (unrolled greedy oracles), graph_adamic_adar,
+#      events_user_stickiness, curation_mixture_report.  More debuts
+#      than one window: spill by the standard priority rule (drift >
 #      flagships > shared-callee groups > oldest evidence).
 #      LATENT-BUG ROTATION (r8, found by sim_ivf_recall's
 #      adversarial run): brute_force_topk / ivf_topk

@@ -39,6 +39,11 @@ EMB_QUERIES = [
     "sim_hard_negatives",
     "sim_knn_accuracy",
     "sim_ivf_recall",
+    # wave-10 debuts: kcenter works in raw squared-L2 (zero/huge
+    # vectors are legitimate points); MMR excludes zero-norm rows and
+    # guards the query pick the same way
+    "sample_kcenter_diversity",
+    "sim_mmr_rerank",
 ]
 
 _DIM = 64

@@ -46,6 +46,23 @@ TPCH_QUERIES = [
     "j17_large_volume_orders",
     "w5_ntile_quartiles",
     "a30_grouped_mad_outliers",
+    # wave-9 debuts: the remaining TPC-H shapes — huge-magnitude
+    # sums, midpoint money, tie blocks and threshold straddles all
+    # flow through their exact-DECIMAL / cross-multiplied predicates
+    "j24_min_cost_supplier",
+    "a33_order_priority_late",
+    "a34_forecast_revenue",
+    "j25_product_profit",
+    "a35_important_parts",
+    "j26_late_shipment_priority",
+    "a36_promo_revenue_share",
+    "j27_top_supplier",
+    "a37_supplier_part_breadth",
+    "j28_small_qty_revenue",
+    "a38_disjunctive_revenue",
+    "j29_dominant_suppliers",
+    "j30_waiting_suppliers",
+    "graph_adamic_adar",
 ]
 
 _FLAGS = [("R", "F"), ("A", "F"), ("N", "O")]
