@@ -4367,3 +4367,243 @@ def events_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+@register(
+    "w8_percent_rank_cume",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           FLOOR(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal, c_custkey)
+                 * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
+           FLOOR(CUME_DIST() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal, c_custkey)
+                 * 1000000.0 + 0.5) / 1000000.0 AS cume
+    FROM customer
+    """,
+)
+def w8_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window functions (percent_rank + cume_dist) per
+    market segment — the remaining rank-function family beyond w5's
+    ntile.  The order key includes the unique custkey so neither
+    function ever sees peers (tie groups would otherwise make
+    cume_dist counts data-order-dependent); one shuffle + one sort
+    per partition serves both functions from the same window frame.
+    Both ratios divide identical small integers, 6dp floor-rounded."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        round_fixed(F.percent_rank().over(w), 6).alias("pct_rank"),
+        round_fixed(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "ts_seasonality_profile",
+    oracle="""
+    SELECT EXTRACT(dow FROM ts) + 1 AS day_of_week,
+           EXTRACT(hour FROM ts) AS hour_of_day,
+           COUNT(*) AS n_events,
+           CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                          AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE)
+               AS value_sum,
+           FLOOR(CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                                AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE)
+                 / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS value_avg
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def ts_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality grid: event volume and value by (day-of-week,
+    hour-of-day) — the cheap seasonal-profile read (load curves,
+    staffing heatmaps) that precedes any real decomposition.  One
+    scan, one <=168-key shuffle; at 100 TB this is a map-side-combine
+    showcase (the partial aggregate collapses each task to <=168
+    rows).  Day-of-week matched across engines (Spark dayofweek is
+    1=Sunday; DuckDB dow is 0=Sunday, offset +1); the value sum is
+    the exact-DECIMAL pattern (values are 2dp money doubles) and the
+    mean divides the presented double by the integer count."""
+    from .functions.expressions import dec_present
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    vsum = F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)")
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").alias("day_of_week"),
+            F.hour("ts").alias("hour_of_day"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_present(vsum).alias("value_sum"),
+        )
+        .select(
+            "day_of_week",
+            "hour_of_day",
+            "n_events",
+            "value_sum",
+            round_fixed(F.col("value_sum") / F.col("n_events"), 6).alias(
+                "value_avg"
+            ),
+        )
+    )
+
+
+@register(
+    "events_cohort_ltv",
+    oracle="""
+    WITH first AS (
+        SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY 1
+    ), enr AS (
+        SELECT CAST(date_trunc('month', f.t0) AS DATE) AS cohort_month,
+               CAST(FLOOR(date_diff('day', CAST(f.t0 AS DATE),
+                                    CAST(e.ts AS DATE)) / 7.0)
+                    AS BIGINT) AS week_idx,
+               e.value
+        FROM events e JOIN first f ON e.user_id = f.user_id
+        WHERE e.value IS NOT NULL
+    ), wk AS (
+        SELECT cohort_month, week_idx, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                   AS wk_value
+        FROM enr GROUP BY 1, 2
+    )
+    SELECT cohort_month, week_idx, n_events,
+           CAST(CAST(CAST(SUM(wk_value) OVER (
+                    PARTITION BY cohort_month ORDER BY week_idx)
+                AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS cum_value
+    FROM wk
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users grouped by first-seen month,
+    cumulative event value per week since acquisition — the LTV
+    companion of events_retention.  The first-event relation and the
+    enriched join share the user_id shuffle; weekly sums stay exact
+    DECIMAL and the cumulative is a decimal running window over the
+    TINY (cohort, week) aggregate, presented via dec_present only at
+    the boundary.  Week indexing counts calendar-day deltas (both
+    engines difference DATEs, no sub-day ambiguity) floor-divided
+    by 7."""
+    from .functions.expressions import dec_present
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy(F.col("user_id").alias("uid")).agg(
+        F.min("ts").alias("t0")
+    )
+    enr = (
+        ev.filter(F.col("value").isNotNull())
+        .join(first, F.col("user_id") == F.col("uid"))
+        .select(
+            F.to_date(F.date_trunc("month", "t0")).alias("cohort_month"),
+            F.floor(
+                F.datediff(F.to_date("ts"), F.to_date("t0")) / F.lit(7.0)
+            )
+            .cast("bigint")
+            .alias("week_idx"),
+            "value",
+        )
+    )
+    wk = enr.groupBy("cohort_month", "week_idx").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("wk_value"),
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("week_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return wk.select(
+        "cohort_month",
+        "week_idx",
+        "n_events",
+        dec_present(F.sum("wk_value").over(w).cast("decimal(38,2)")).alias(
+            "cum_value"
+        ),
+    )
+
+
+@register(
+    "a39_grouped_corr",
+    oracle="""
+    WITH oc AS (
+        SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1
+    ), xy AS (
+        SELECT c.c_nationkey,
+               CAST(c.c_acctbal AS DECIMAL(18,2)) AS x,
+               COALESCE(oc.n_orders, 0) AS y
+        FROM customer c LEFT JOIN oc ON c.c_custkey = oc.o_custkey
+    ), m AS (
+        SELECT c_nationkey, COUNT(*) AS n,
+               CAST(CAST(CAST(SUM(x) AS DECIMAL(38,2)) AS VARCHAR)
+                    AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(CAST(CAST(SUM(x * y) AS DECIMAL(38,2)) AS VARCHAR)
+                    AS DOUBLE) AS sxy,
+               CAST(CAST(CAST(SUM(x * x) AS DECIMAL(38,4)) AS VARCHAR)
+                    AS DOUBLE) AS sx2,
+               CAST(SUM(y * y) AS DOUBLE) AS sy2
+        FROM xy GROUP BY 1
+    )
+    SELECT c_nationkey, n,
+           FLOOR((n * sxy - sx * sy)
+                 / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy))
+                 * 1000000.0 + 0.5) / 1000000.0 AS corr_bal_orders
+    FROM m WHERE n > 1 AND (n * sx2 - sx * sx) > 0
+                 AND (n * sy2 - sy * sy) > 0
+    """,
+)
+def a39_grouped_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Pearson correlation (account balance vs order count per
+    customer nation) in the a20 closed-moment form: every moment is
+    an EXACT sum — balances as DECIMAL(18,2), counts as integers —
+    presented to identical doubles before the one closed-form
+    division, so the correlation is bit-stable cross-engine without
+    trusting either engine's CORR() accumulation order.  The order
+    counts pre-aggregate BEFORE the customer join (map-side-combined
+    custkey shuffle), and zero-variance groups are excluded by exact
+    integer/decimal predicates."""
+    from .functions.expressions import dec_present
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    oc = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.count("*").alias("n_orders")
+    )
+    x = F.col("c_acctbal").cast("decimal(18,2)")
+    xy = c.join(oc, F.col("c_custkey") == F.col("ck"), "left").select(
+        "c_nationkey",
+        x.alias("x"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("y"),
+    )
+    m = xy.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"),
+        dec_present(F.sum("x").cast("decimal(38,2)")).alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        dec_present(
+            F.sum(F.col("x") * F.col("y")).cast("decimal(38,2)")
+        ).alias("sxy"),
+        dec_present(
+            F.sum(F.col("x") * F.col("x")).cast("decimal(38,4)")
+        ).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("sy2"),
+    )
+    varx = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")
+    return m.filter((F.col("n") > 1) & (varx > 0) & (vary > 0)).select(
+        "c_nationkey",
+        "n",
+        round_fixed(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.sqrt(varx) * F.sqrt(vary)),
+            6,
+        ).alias("corr_bal_orders"),
+    )

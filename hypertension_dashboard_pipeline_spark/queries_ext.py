@@ -4743,3 +4743,61 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold + 6dp floor both engines run).  The RAG-serving counterpart
     of sample_kcenter_diversity's corpus-level spread selection."""
     return sim.mmr_rerank(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+@register(
+    "dedup_cluster_size_profile",
+    oracle=f"""
+    WITH RECURSIVE {_DK_EX}, {_dk_max_df()}, sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM exf GROUP BY id
+    ), inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+        FROM exf a JOIN exf b USING (shingle) WHERE a.id < b.id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b
+        FROM inter JOIN sizes sa ON inter.id_a = sa.id
+                   JOIN sizes sb ON inter.id_b = sb.id
+        WHERE FLOOR(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter)
+                 * 1000000.0 + 0.5) / 1000000.0 >= 0.1
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+        SELECT a AS id, a AS r FROM edges
+        UNION
+        SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+    ), comp AS (
+        SELECT id, MIN(r) AS component FROM reach GROUP BY id
+    ), csz AS (
+        SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY 1
+    )
+    SELECT cluster_size, COUNT(*) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM csz GROUP BY 1
+    """,
+)
+def dedup_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the curation report that
+    says HOW a corpus duplicates (a fat tail of 2-copies vs a few
+    thousand-copy boilerplate families demand different dedup
+    budgets).  Re-aggregates the same near-dup components as
+    dedup_components (shared shingle_pairs_jaccard +
+    connected_components callees — reuse, not reimplementation) into
+    (cluster_size, n_clusters, n_docs); singleton documents carry no
+    edge and are deliberately absent on both sides.  The two extra
+    groupBys run over the tiny component relation — corpus-sized work
+    is unchanged from the components operator."""
+    pairs = dd.shingle_pairs_jaccard(
+        load_table(spark, sf_dir, "documents"), threshold=0.1
+    )
+    comp = dd.connected_components(pairs, release=False)
+    csz = comp.groupBy("component").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return csz.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.col("cluster_size") * F.count("*"))
+        .cast("bigint")
+        .alias("n_docs"),
+    )

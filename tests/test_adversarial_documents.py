@@ -46,6 +46,9 @@ DOCS_QUERIES = [
     "curation_dsir_weights",
     "text_bpe_train",
     "text_bpe_encode",
+    # wave-10 debuts over documents
+    "dedup_cluster_size_profile",
+    "curation_mixture_report",
 ]
 
 _WORDS = ("the fast key order sort table scan merge part window small hash "

@@ -77,6 +77,12 @@ EVENTS_QUERIES = [
     "ts_cusum_alarm",
     "streaming_ewma",
     "streaming_cusum",
+    # wave-10 debuts: LTV sums NULL-heavy money via exact DECIMAL;
+    # seasonality buckets duplicate-instant bursts; stickiness
+    # deduplicates (month, day, user) before either count
+    "events_cohort_ltv",
+    "ts_seasonality_profile",
+    "events_user_stickiness",
 ]
 
 _TYPES = ["click", "signup", "error", "view", "purchase"]

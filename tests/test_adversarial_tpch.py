@@ -63,6 +63,9 @@ TPCH_QUERIES = [
     "j29_dominant_suppliers",
     "j30_waiting_suppliers",
     "graph_adamic_adar",
+    # wave-10: exact-moment correlation under 1e9-scale balances
+    "a39_grouped_corr",
+    "w8_percent_rank_cume",
 ]
 
 _FLAGS = [("R", "F"), ("A", "F"), ("N", "O")]
