@@ -859,10 +859,12 @@ def kcenter_greedy(
     maximally-spread coreset of embeddings (2-approximation of the
     optimal k-center cover).
 
-    Deterministic: seeded at the lowest id; each step picks the point
-    maximizing its min squared-L2 distance to the chosen set, raw
-    IEEE doubles compared (both engines compute the identical fold),
-    ties broken on the lower id.  Distributed shape: each of the k-1
+    Deterministic: seeded at the lowest id; each step picks the
+    not-yet-selected point maximizing its min squared-L2 distance to
+    the chosen set, raw IEEE doubles compared (both engines compute
+    the identical fold), ties broken on the lower id (so an
+    all-duplicates corpus still yields k distinct ids, never a
+    re-pick).  Distributed shape: each of the k-1
     steps is ONE narrow scan against literal center vectors (k x dim
     driver state, no shuffle — F.least over per-center fold
     expressions) reduced by a 1-row TakeOrdered; the final coverage
@@ -882,15 +884,16 @@ def kcenter_greedy(
     for _ in range(1, k):
         dists = [_sq_dist(F.col("v"), cent) for _, cent in centers]
         dmin = dists[0] if len(dists) == 1 else F.least(*dists)
+        chosen = [cid for cid, _ in centers]
         pick = (
-            base.select("vec_id", "v", dmin.alias("d"))
+            base.filter(~F.col("vec_id").isin(chosen))
+            .select("vec_id", "v", dmin.alias("d"))
             .orderBy(F.col("d").desc(), "vec_id")
             .limit(1)
             .collect()[0]
         )
         centers.append((pick["vec_id"], [float(x) for x in pick["v"]]))
     cent_vecs = [cent for _, cent in centers]
-    cent_ids = F.array(*[F.lit(int(cid)) for cid, _ in centers])
     step = _nearest_centroid(F.col("v"), cent_vecs)
     d_assigned = F.coalesce(
         *[
@@ -898,16 +901,27 @@ def kcenter_greedy(
             for i, cent in enumerate(cent_vecs)
         ]
     )
-    return (
+    agg = (
         base.select("v", step.alias("sel_step"))
-        .select(
-            "sel_step",
-            F.element_at(cent_ids, F.col("sel_step") + 1).alias("center_id"),
-            d_assigned.alias("d"),
-        )
-        .groupBy("sel_step", "center_id")
+        .select("sel_step", d_assigned.alias("d"))
+        .groupBy("sel_step")
         .agg(
             F.count("*").alias("n_assigned"),
             round_fixed(F.max("d"), 6).alias("radius_sq"),
         )
+    )
+    # every selected center emits a row even when assignment ties
+    # drain it (duplicate-point corpora assign whole tie groups to the
+    # earliest step): left-join the k-row selection literal
+    sel = emb.sparkSession.createDataFrame(
+        [(i, int(cid)) for i, (cid, _) in enumerate(centers)],
+        "sel_step int, center_id long",
+    )
+    return sel.join(agg, "sel_step", "left").select(
+        "sel_step",
+        "center_id",
+        F.coalesce(F.col("n_assigned"), F.lit(0).cast("bigint")).alias(
+            "n_assigned"
+        ),
+        F.col("radius_sq"),
     )

@@ -292,3 +292,52 @@ def kcore(edges: DataFrame, k: int, a_col: str = "a", b_col: str = "b",
         .agg(F.count(F.lit(1)).alias("degree"))
         .select(F.col("x").alias("vertex"), "degree")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007), deterministic variant: labels start as node ids; each
+    round every node adopts the most frequent label among its
+    neighbors, ties broken toward the SMALLEST label; fixed iteration
+    count (async/random-order LPA is irreproducible — the synchronous
+    min-tie form is what an engine can oracle-check).
+
+    ``edges`` must be symmetric (both directions present).  Per
+    round: one join of edges to current labels on the neighbor key,
+    one (node, label) count, one per-node window argmax — every step
+    keyed on the node id, so a cluster runs each round as one
+    co-partitioned shuffle; label skew (giant communities) never
+    concentrates work because counting is per (node, label), bounded
+    by each node's degree.
+
+    Returns per-node ``(node, community)`` — callers aggregate.
+    """
+    from pyspark.sql import Window
+
+    nodes = edges.select(F.col(src).alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("lbl")
+    )
+    for _ in range(iterations):
+        neigh = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("nb"), F.col("lbl")
+                ),
+                F.col(dst) == F.col("nb"),
+            )
+            .groupBy(F.col(src).alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            neigh.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

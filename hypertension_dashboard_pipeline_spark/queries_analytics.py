@@ -3684,10 +3684,10 @@ def a35_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j26_late_shipment_priority",
     oracle="""
     SELECT l.l_returnflag,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
@@ -4179,9 +4179,13 @@ def _kcenter_oracle(k: int = 6, dim: int = 64) -> str:
         prev = ", ".join(f"s{j} c{j}" for j in range(t))
         dists = ", ".join(sq("e", f"c{j}") for j in range(t))
         dmin = dists if t == 1 else f"LEAST({dists})"
+        exclude = " AND ".join(
+            f"e.vec_id <> c{j}.vec_id" for j in range(t)
+        )
         ctes.append(
             f"""s{t} AS (
         SELECT e.vec_id, e.v FROM e, {prev}
+        WHERE {exclude}
         ORDER BY {dmin} DESC, e.vec_id LIMIT 1
     )"""
         )
@@ -4204,10 +4208,15 @@ def _kcenter_oracle(k: int = 6, dim: int = 64) -> str:
     return (
         "WITH "
         + ",\n    ".join(ctes)
-        + """
-    SELECT sel_step, cvid AS center_id, COUNT(*) AS n_assigned,
-           FLOOR(MAX(dist) * 1000000.0 + 0.5) / 1000000.0 AS radius_sq
-    FROM fin GROUP BY 1, 2
+        + """,
+    agg AS (
+        SELECT sel_step, COUNT(*) AS n_assigned,
+               FLOOR(MAX(dist) * 1000000.0 + 0.5) / 1000000.0 AS radius_sq
+        FROM fin GROUP BY 1
+    )
+    SELECT c.sel_step, c.vec_id AS center_id,
+           COALESCE(a.n_assigned, 0) AS n_assigned, a.radius_sq
+    FROM cents c LEFT JOIN agg a ON c.sel_step = a.sel_step
     """
     )
 
@@ -4245,7 +4254,7 @@ def sample_kcenter_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN deg g ON a.l_orderkey = g.l_orderkey
         GROUP BY 1, 2, 3
     ), score AS (
-        SELECT part_a, part_b, SUM(cnt) AS n_shared,
+        SELECT part_a, part_b, CAST(SUM(cnt) AS BIGINT) AS n_shared,
                list_reduce(
                    list(CAST(cnt AS DOUBLE) / ln(CAST(d AS DOUBLE))
                         ORDER BY d),
@@ -4323,7 +4332,8 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT month_start, COUNT(DISTINCT user_id) AS mau
         FROM mdu GROUP BY 1
     )
-    SELECT d.month_start, SUM(d.dau) AS sum_dau, COUNT(*) AS n_days, m.mau,
+    SELECT d.month_start, CAST(SUM(d.dau) AS BIGINT) AS sum_dau,
+           COUNT(*) AS n_days, m.mau,
            FLOOR(CAST(SUM(d.dau) AS DOUBLE) / COUNT(*) / m.mau
                  * 1000000.0 + 0.5) / 1000000.0 AS stickiness
     FROM daily d JOIN monthly m ON d.month_start = m.month_start
@@ -4606,4 +4616,190 @@ def a39_grouped_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(varx) * F.sqrt(vary)),
             6,
         ).alias("corr_bal_orders"),
+    )
+
+
+def _lpa_oracle(iterations: int = 3) -> str:
+    """Unrolled synchronous LPA rounds over the co-purchase graph —
+    all-integer (counts and min-label tie-breaks), no float anywhere."""
+    ctes = [
+        "po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )""",
+        """edges AS (
+        SELECT pa AS a, pb AS b FROM pairs
+        UNION ALL SELECT pb, pa FROM pairs
+    )""",
+        "l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM edges)",
+    ]
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"""n{t} AS (
+        SELECT e.a AS node, l.lbl, COUNT(*) AS c
+        FROM edges e JOIN l{t - 1} l ON e.b = l.node
+        GROUP BY 1, 2
+    ), l{t} AS (
+        SELECT node, lbl FROM (
+            SELECT node, lbl,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY c DESC, lbl) AS rn
+            FROM n{t}
+        ) WHERE rn = 1
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT lbl AS community, COUNT(*) AS n_members, MIN(node) AS min_node
+    FROM l{iterations} GROUP BY 1
+    """
+    )
+
+
+@register("graph_lpa_communities", oracle=_lpa_oracle())
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    part co-purchase graph (operators/graph.label_propagation, 3
+    fixed rounds, min-label tie-break): community label, size, and
+    smallest member per community.  The deterministic LPA variant —
+    async/random-order LPA is irreproducible; this one is
+    oracle-checked round for round.  Distinct pair edges keep
+    multi-line orders from double-weighting a neighbor; each round is
+    one co-partitioned node-key shuffle regardless of community
+    sizes."""
+    from .operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.select("l_orderkey", "l_partkey").distinct()
+    a = po.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa")
+    )
+    b = po.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("pa") < F.col("pb")))
+        .select("pa", "pb")
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("pa").alias("a"), F.col("pb").alias("b")
+    ).unionAll(pairs.select(F.col("pb").alias("a"), F.col("pa").alias("b")))
+    comm = label_propagation(edges, iterations=3)
+    return comm.groupBy(F.col("community")).agg(
+        F.count("*").alias("n_members"),
+        F.min("node").alias("min_node"),
+    )
+
+
+@register(
+    "events_user_features",
+    oracle="""
+    WITH ut AS (
+        SELECT user_id, event_type, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ), ut2 AS (
+        SELECT user_id, event_type, c,
+               SUM(c) OVER (PARTITION BY user_id) AS n_tot
+        FROM ut
+    ), ent AS (
+        SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+               COUNT(*) AS n_event_types,
+               list_reduce(
+                   list(-(CAST(c AS DOUBLE) / n_tot)
+                        * ln(CAST(c AS DOUBLE) / n_tot)
+                        ORDER BY event_type),
+                   (acc, x) -> acc + x) AS h
+        FROM ut2
+        GROUP BY user_id
+    ), base AS (
+        SELECT user_id,
+               COUNT(DISTINCT CAST(date_trunc('day', ts) AS DATE))
+                   AS n_active_days,
+               date_diff('day', CAST(MIN(ts) AS DATE),
+                         CAST(MAX(ts) AS DATE)) + 1 AS span_days,
+               COUNT(value) AS n_valued,
+               CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                              AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE)
+                   AS value_sum
+        FROM events GROUP BY 1
+    )
+    SELECT b.user_id, e.n_events, b.n_active_days, b.span_days,
+           e.n_event_types,
+           FLOOR(e.h * 1000000.0 + 0.5) / 1000000.0 AS type_entropy,
+           b.value_sum,
+           CASE WHEN b.n_valued > 0
+                THEN FLOOR(b.value_sum / b.n_valued * 1000000.0 + 0.5)
+                     / 1000000.0 END AS value_mean
+    FROM base b JOIN ent e ON b.user_id = e.user_id
+    """,
+)
+def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral feature table — the one-pass feature
+    engineering a churn/propensity model trains on: activity counts,
+    active days, lifetime span, event-type diversity (Shannon entropy
+    over the user's type distribution), and monetary sums.  Two
+    aggregations over the SAME user_id partitioning (per-(user, type)
+    counts re-aggregated for entropy; per-user scan aggregates for
+    the rest) joined on that key — no second corpus shuffle.  The
+    entropy fold runs over the SORTED per-type list (deterministic
+    left-to-right IEEE sum, the adamic-adar convention); money is
+    exact DECIMAL presented once."""
+    from .functions.expressions import dec_present
+
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # the entropy fold needs the per-user total BEFORE aggregation —
+    # precompute it as a window over the (user, type) relation so the
+    # groupBy sees it as a plain struct field (same partitioning, no
+    # extra join)
+    from pyspark.sql import Window
+
+    wu = Window.partitionBy("user_id")
+    ut2 = ut.withColumn("n_ev_tot", F.sum("c").over(wu).cast("double"))
+    ent = ut2.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.count(F.lit(1)).alias("n_event_types"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("event_type", "c", "n_ev_tot"))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc
+            - (x["c"].cast("double") / x["n_ev_tot"])
+            * F.log(x["c"].cast("double") / x["n_ev_tot"]),
+        ).alias("h"),
+    )
+    base = ev.groupBy(F.col("user_id").alias("uid")).agg(
+        F.countDistinct(F.to_date("ts")).alias("n_active_days"),
+        (
+            F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts")))
+            + F.lit(1)
+        ).alias("span_days"),
+        F.count("value").alias("n_valued"),
+        dec_present(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast(
+                "decimal(38,2)"
+            )
+        ).alias("value_sum"),
+    )
+    return base.join(ent, F.col("uid") == F.col("user_id")).select(
+        "user_id",
+        "n_events",
+        "n_active_days",
+        "span_days",
+        "n_event_types",
+        round_fixed(F.col("h"), 6).alias("type_entropy"),
+        "value_sum",
+        F.when(
+            F.col("n_valued") > 0,
+            round_fixed(F.col("value_sum") / F.col("n_valued"), 6),
+        ).alias("value_mean"),
     )

@@ -4604,7 +4604,7 @@ def sim_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ), agg AS (
         SELECT source, lang, COUNT(*) AS n_docs,
-               SUM(n_toks) AS n_tokens
+               CAST(SUM(n_toks) AS BIGINT) AS n_tokens
         FROM per_doc GROUP BY 1, 2
     )
     SELECT source, lang, n_docs, n_tokens,

@@ -174,7 +174,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      j30_waiting_suppliers (Q21) — the TPC-H Q1-Q22 shape surface
 #      is now CLOSED — plus sample_kcenter_diversity, sim_mmr_rerank
 #      (unrolled greedy oracles), graph_adamic_adar,
-#      events_user_stickiness, curation_mixture_report.  More debuts
+#      graph_lpa_communities (unrolled synchronous rounds),
+#      events_user_stickiness, events_cohort_ltv, events_user_features,
+#      ts_seasonality_profile, w8_percent_rank_cume, a39_grouped_corr,
+#      curation_mixture_report, dedup_cluster_size_profile.  More debuts
 #      than one window: spill by the standard priority rule (drift >
 #      flagships > shared-callee groups > oldest evidence).
 #      LATENT-BUG ROTATION (r8, found by sim_ivf_recall's

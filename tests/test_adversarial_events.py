@@ -83,6 +83,7 @@ EVENTS_QUERIES = [
     "events_cohort_ltv",
     "ts_seasonality_profile",
     "events_user_stickiness",
+    "events_user_features",
 ]
 
 _TYPES = ["click", "signup", "error", "view", "purchase"]

@@ -66,6 +66,7 @@ TPCH_QUERIES = [
     # wave-10: exact-moment correlation under 1e9-scale balances
     "a39_grouped_corr",
     "w8_percent_rank_cume",
+    "graph_lpa_communities",
 ]
 
 _FLAGS = [("R", "F"), ("A", "F"), ("N", "O")]
