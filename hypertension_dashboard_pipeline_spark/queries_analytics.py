@@ -3627,26 +3627,30 @@ def j25_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE n.n_name = 'NATION_3'
         GROUP BY 1
     ), tot AS (
-        SELECT CAST(SUM(part_value) AS DECIMAL(38,2)) AS total_value
+        SELECT CAST(SUM(part_value) AS DECIMAL(38,2)) AS total_value,
+               COUNT(*) AS n_parts
         FROM val
     )
     SELECT v.l_partkey,
            CAST(CAST(v.part_value AS VARCHAR) AS DOUBLE) AS part_value
     FROM val v, tot t
-    WHERE v.part_value * 1000 > t.total_value * 2
+    WHERE v.part_value * t.n_parts > t.total_value * 2
     ORDER BY v.part_value DESC, v.l_partkey
     """,
 )
 def a35_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (important stock identification): parts whose
-    supplied value from one nation exceeds a fixed fraction (0.2%) of
-    that nation's total — the grouped-aggregate-vs-GLOBAL-scalar
-    HAVING.  The scalar threshold is a 1-row re-aggregation of the
-    grouped relation crossJoined back (broadcast by size), so the fact
-    table shuffles once on partkey and is never re-scanned.  The
-    fraction test stays in exact integer DECIMAL arithmetic
-    (value*1000 > total*2, i.e. value > 0.002*total) — no double
-    division anywhere near the cut boundary."""
+    supplied value from one nation exceeds TWICE the mean per-part
+    share of that nation's total — the grouped-aggregate-vs-GLOBAL-
+    scalar HAVING.  The cut is mean-relative (value*n_parts >
+    total*2) the way Q11's own fraction scales with 1/SF: a fixed
+    fraction is degenerate at some corpus size in either direction
+    (measured: 0.2% returns 171 rows at sf0.001 and ZERO at sf0.1).
+    The scalar (total, n_parts) is a 1-row re-aggregation of the
+    grouped relation crossJoined back, so the fact table shuffles
+    once on partkey and is never re-scanned; the threshold stays in
+    exact integer-DECIMAL cross-multiplication — no double division
+    near the cut boundary."""
     from .functions.expressions import dec_present
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -3665,12 +3669,13 @@ def a35_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tot = val.agg(
-        F.sum("part_value").cast("decimal(38,2)").alias("total_value")
+        F.sum("part_value").cast("decimal(38,2)").alias("total_value"),
+        F.count("*").alias("n_parts"),
     )
     return (
         val.crossJoin(F.broadcast(tot))
         .filter(
-            F.col("part_value") * F.lit(1000)
+            F.col("part_value") * F.col("n_parts")
             > F.col("total_value") * F.lit(2)
         )
         .select(

@@ -40,6 +40,13 @@ QUERIES = [
     "events_user_stickiness",
     "curation_mixture_report",
     "sim_mmr_rerank",
+    "graph_lpa_communities",
+    "events_user_features",
+    "events_cohort_ltv",
+    "ts_seasonality_profile",
+    "w8_percent_rank_cume",
+    "a39_grouped_corr",
+    "dedup_cluster_size_profile",
 ]
 
 
