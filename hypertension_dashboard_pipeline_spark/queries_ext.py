@@ -4801,3 +4801,259 @@ def dedup_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_docs"),
     )
+
+
+def _lsh_recall_oracle(threshold: float = 0.5) -> str:
+    """Composes the exact shingle-Jaccard truth (the dedup_components
+    pair SQL at the eval threshold) with the minhash oracle's banded
+    candidate CTEs and FULL OUTER joins the two pair sets — one
+    aggregation yields truth/candidate/hit counts and the recall."""
+    mh = _minhash_oracle()
+    # reuse the minhash oracle's CTE block (everything between its
+    # WITH and the final SELECT), dropping its own _DK_EX prefix so
+    # the composed query declares ex/exf once
+    body = mh.split("WITH ", 1)[1].rsplit("SELECT id_a", 1)[0].rstrip()
+    body = body.split(", xs AS", 1)[1]
+    return f"""
+    WITH {_DK_EX}, {_dk_max_df()}, sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM exf GROUP BY id
+    ), inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+        FROM exf a JOIN exf b USING (shingle) WHERE a.id < b.id
+        GROUP BY 1, 2
+    ), truth AS (
+        SELECT id_a, id_b
+        FROM inter JOIN sizes sa ON inter.id_a = sa.id
+                   JOIN sizes sb ON inter.id_b = sb.id
+        WHERE FLOOR(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter)
+                 * 1000000.0 + 0.5) / 1000000.0 >= {threshold}
+    ), xs AS {body}, m AS (
+        SELECT t.id_a AS ta, c.id_a AS ca
+        FROM truth t FULL OUTER JOIN cand c
+          ON t.id_a = c.id_a AND t.id_b = c.id_b
+    )
+    SELECT CAST(COUNT(ta) AS BIGINT) AS n_truth,
+           CAST(COUNT(ca) AS BIGINT) AS n_candidates,
+           CAST(COUNT(CASE WHEN ta IS NOT NULL AND ca IS NOT NULL
+                      THEN 1 END) AS BIGINT) AS n_hit,
+           FLOOR(COUNT(CASE WHEN ta IS NOT NULL AND ca IS NOT NULL
+                       THEN 1 END)::DOUBLE / COUNT(ta)
+                 * 1000000.0 + 0.5) / 1000000.0 AS recall
+    FROM m
+    """
+
+
+@register("dedup_lsh_recall", oracle=_lsh_recall_oracle())
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generation recall of MinHash-LSH against exact
+    shingle-Jaccard ground truth at the curation threshold (0.5) —
+    the dedup counterpart of sim_ivf_recall: the measurement a
+    pipeline owner runs before trusting banded LSH to replace the
+    exact inverted index at 100 TB (16 hashes x 4 bands SHOULD catch
+    >=0.5-Jaccard pairs with prob ~1-(1-0.5^4)^4 ~ 0.23 per band
+    family — the observed recall makes that trade explicit).  Truth
+    and candidates FULL OUTER join on the pair key, so all three
+    counts and the recall come from ONE aggregation — no scalar
+    cross joins; both sides reuse the verified production operators
+    (shared callees untouched)."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = dd.shingle_pairs_jaccard(docs, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    cand = dd.minhash_lsh_pairs(docs, n_hashes=16, bands=4).select(
+        F.col("id_a").alias("ca"), F.col("id_b").alias("cb")
+    )
+    m = truth.withColumn("t", F.lit(1)).join(
+        cand.withColumn("c", F.lit(1)),
+        (F.col("id_a") == F.col("ca")) & (F.col("id_b") == F.col("cb")),
+        "full_outer",
+    )
+    hit = F.count(
+        F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1)
+    )
+    return m.agg(
+        F.count("t").alias("n_truth"),
+        F.count("c").alias("n_candidates"),
+        hit.alias("n_hit"),
+        round_fixed(
+            hit.cast("double") / F.count("t"),
+            6,
+        ).alias("recall"),
+    )
+
+
+def _ndcg_oracle(terms: list[str], k: int = 10) -> str:
+    """Oracle twin of text_retrieval_ndcg: BM25 top-k ranking (the
+    verified _bm25_oracle), GRADED gains (total query-term
+    occurrences, capped at 32), and DCG/IDCG folded over
+    position-sorted lists with PYTHON-precomputed discount literals
+    spliced into both engines — no runtime ln anywhere near the
+    metric."""
+    import math
+
+    disc_case = " ".join(
+        f"WHEN pos = {p} THEN {repr(1.0 / math.log2(p + 1))}"
+        for p in range(1, k + 1)
+    )
+    tf_sum = " + ".join(
+        f"len(list_filter(ws, x -> x = '{t}'))" for t in terms
+    )
+    top = _bm25_oracle(terms, k=k).strip()
+    return f"""
+    WITH topk AS ({top}),
+    rels AS (
+        SELECT doc_id, LEAST({tf_sum}, 32) AS gain
+        FROM (SELECT doc_id,
+                     CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(lower(text)),
+                                                     '\\s+') END AS ws
+              FROM documents)
+    ), ranked AS (
+        SELECT t.doc_id, r.gain,
+               ROW_NUMBER() OVER (ORDER BY t.bm25 DESC, t.doc_id) AS pos
+        FROM topk t JOIN rels r ON t.doc_id = r.doc_id
+    ), ideal AS (
+        SELECT gain,
+               ROW_NUMBER() OVER (ORDER BY gain DESC, doc_id) AS pos
+        FROM rels ORDER BY gain DESC, doc_id LIMIT {k}
+    ), dcg AS (
+        SELECT CAST(SUM(CASE WHEN gain > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hit_topk,
+               list_reduce(
+                   list(gain * (CASE {disc_case} END) ORDER BY pos),
+                   (acc, x) -> acc + x) AS dcg
+        FROM ranked
+    ), idcg AS (
+        SELECT list_reduce(
+                   list(gain * (CASE {disc_case} END) ORDER BY pos),
+                   (acc, x) -> acc + x) AS idcg
+        FROM ideal
+    )
+    SELECT dcg.n_hit_topk,
+           FLOOR(dcg.dcg * 1000000.0 + 0.5) / 1000000.0 AS dcg_at_10,
+           CASE WHEN idcg.idcg > 0 THEN
+               FLOOR(dcg.dcg / idcg.idcg * 1000000.0 + 0.5) / 1000000.0
+           END AS ndcg_at_10
+    FROM dcg, idcg
+    """
+
+
+@register(
+    "text_retrieval_ndcg",
+    oracle=_ndcg_oracle(["hash", "join", "scan", "vector"]),
+)
+def text_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: NDCG@10 of the BM25 ranking under
+    GRADED relevance (a document's gain = its total query-term
+    occurrences, capped at 32) — the ranking-metric probe beside
+    sim_knn_accuracy and dedup_lsh_recall.  Discriminative by
+    construction: BM25 length-normalizes while raw gain does not, so
+    the two orderings genuinely differ and NDCG < 1 measures that
+    gap.  Discounts 1/log2(pos+1) are Python-precomputed literals on
+    BOTH engines; DCG and the data-dependent IDCG (the corpus's own
+    ideal top-10 gain profile) each fold over a position-sorted
+    bounded list; the two 1-row aggregates meet in a declared
+    broadcast product.  Corpus-sized work: the BM25 scoring scan +
+    one gain scan + one TakeOrdered."""
+    import math
+
+    from .operators.relevance import bm25_topk
+    from pyspark.sql import Window
+
+    terms = ["hash", "join", "scan", "vector"]
+    k = 10
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.lower(F.col("text")))
+    def _eq(term):
+        # factory, not a default-arg closure: a 2-arg lambda would
+        # receive the ARRAY INDEX as its second argument (SKILL gotcha)
+        return lambda x: x == F.lit(term)
+
+    tf_total = None
+    for t in terms:
+        tf = F.size(F.filter(toks, _eq(t)))
+        tf_total = tf if tf_total is None else tf_total + tf
+    rels = docs.select(
+        "doc_id", F.least(tf_total, F.lit(32)).alias("gain")
+    )
+    disc = {p: 1.0 / math.log2(p + 1) for p in range(1, k + 1)}
+    disc_map = F.create_map(
+        *[x for p, d in disc.items() for x in (F.lit(p), F.lit(d))]
+    )
+
+    def fold_dcg(frame):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", "gain"))),
+            F.lit(0.0),
+            lambda a, x: a + x["gain"] * F.element_at(disc_map, x["pos"]),
+        )
+
+    topk = bm25_topk(docs, terms, k=k)
+    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    ranked = topk.withColumn("pos", F.row_number().over(w)).join(
+        rels, "doc_id"
+    )
+    dcg_df = ranked.agg(
+        F.sum(F.when(F.col("gain") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hit_topk"),
+        fold_dcg(ranked).alias("dcg"),
+    )
+    wi = Window.orderBy(F.col("gain").desc(), "doc_id")
+    ideal = (
+        rels.orderBy(F.col("gain").desc(), "doc_id")
+        .limit(k)
+        .withColumn("pos", F.row_number().over(wi))
+    )
+    idcg_df = ideal.agg(fold_dcg(ideal).alias("idcg"))
+    return dcg_df.crossJoin(F.broadcast(idcg_df)).select(
+        "n_hit_topk",
+        round_fixed(F.col("dcg"), 6).alias("dcg_at_10"),
+        F.when(
+            F.col("idcg") > 0,
+            round_fixed(F.col("dcg") / F.col("idcg"), 6),
+        ).alias("ndcg_at_10"),
+    )
+
+
+# NOTE: frozen copy of a31_cms_point_estimates' oracle text (the
+# deliberate-duplication convention, see the _DK_QUALITY note): the
+# bounded stream's final sketch state equals the batch sketch, so the
+# same batch SQL is the value-level oracle for the STREAMING operator.
+_CMS_ORACLE = """
+    WITH sk AS (
+        SELECT j,
+               ('0x' || substr(md5(j::VARCHAR || '_' || user_id::VARCHAR),
+                               1, 8))::BIGINT % 64 AS bucket,
+               COUNT(*) AS cnt
+        FROM events, range(0, 4) t(j)
+        GROUP BY 1, 2
+    ), probes AS (
+        SELECT p::VARCHAR AS key, j
+        FROM range(1, 11) s(p), range(0, 4) t(j)
+    )
+    SELECT key,
+           MIN(COALESCE(cnt, 0)) AS est_count
+    FROM probes LEFT JOIN sk
+      ON sk.j = probes.j
+     AND sk.bucket = ('0x' || substr(md5(probes.j::VARCHAR || '_' || key),
+                                     1, 8))::BIGINT % 64
+    GROUP BY key
+    """
+
+
+@register("streaming_cms_estimates", oracle=_CMS_ORACLE)
+def streaming_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min sketch maintenance (streaming/cms.py): the
+    sketch IS the aggregation state — at most depth x width counters
+    regardless of stream length or key cardinality, which is why a
+    CMS (not an exact histogram) is the unbounded-stream frequency
+    monitor.  The batch operator count_min_profile runs UNCHANGED as
+    an incremental streaming aggregation in complete mode; with the
+    bounded source the final state equals the batch sketch row for
+    row, so a31's batch oracle value-checks the streaming path.
+    Point estimates for users 1-10 read the final sketch — the fact
+    stream is never rescanned."""
+    from .streaming.cms import run_cms_estimates
+
+    return run_cms_estimates(spark, sf_dir)

@@ -49,6 +49,8 @@ DOCS_QUERIES = [
     # wave-10 debuts over documents
     "dedup_cluster_size_profile",
     "curation_mixture_report",
+    "dedup_lsh_recall",
+    "text_retrieval_ndcg",
 ]
 
 _WORDS = ("the fast key order sort table scan merge part window small hash "

@@ -84,6 +84,7 @@ EVENTS_QUERIES = [
     "ts_seasonality_profile",
     "events_user_stickiness",
     "events_user_features",
+    "streaming_cms_estimates",
 ]
 
 _TYPES = ["click", "signup", "error", "view", "purchase"]

@@ -175,6 +175,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark, sf_dir):
         "curation_dsir_weights",  # 64-row bucket stats x 1-row global token totals, by design
         "text_tfidf_cosine_pairs",  # 1-row scalar side (document count N)
         "a35_important_parts",  # 1-row scalar side (nation inventory total)
+        "text_retrieval_ndcg",  # 1-row scalar side (corpus relevant count)
     }
     offenders = []
     for name, fn in registry.QUERIES.items():
