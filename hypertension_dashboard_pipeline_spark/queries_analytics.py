@@ -4808,3 +4808,44 @@ def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_fixed(F.col("value_sum") / F.col("n_valued"), 6),
         ).alias("value_mean"),
     )
+
+
+@register(
+    "a40_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS g_id,
+           COUNT(*) AS n_rows,
+           CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                          AS DECIMAL(28,2)) AS VARCHAR) AS DOUBLE)
+               AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def a40_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((flag), (status)) — the third
+    multidimensional-aggregation API beside a18's CUBE and a7's
+    ROLLUP: two independent one-column breakdowns from ONE scan (the
+    Expand node emits 2 rows per input, partial-aggregated map-side
+    before the single shuffle — vs two unioned groupBys scanning the
+    fact twice).  Exact DECIMAL sums; the grouping-id column
+    disambiguates which set each row belongs to, and NULLed-out keys
+    sort null-safely on both engines."""
+    from .functions.expressions import dec_present
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(2 * GROUPING(l_returnflag)
+                    + GROUPING(l_linestatus) AS INT) AS g_id,
+               COUNT(*) AS n_rows,
+               CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                              AS DECIMAL(28,2)) AS STRING) AS DOUBLE)
+                   AS sum_qty
+        FROM {li}
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """,
+        li=li,
+    )

@@ -177,7 +177,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      graph_lpa_communities (unrolled synchronous rounds),
 #      events_user_stickiness, events_cohort_ltv, events_user_features,
 #      ts_seasonality_profile, w8_percent_rank_cume, a39_grouped_corr,
-#      curation_mixture_report, dedup_cluster_size_profile.  More debuts
+#      curation_mixture_report, dedup_cluster_size_profile, and the
+#      evaluation trio dedup_lsh_recall (MinHash-LSH candidate recall
+#      vs exact-Jaccard truth), text_retrieval_ndcg (graded NDCG@10 of
+#      the BM25 ranking), streaming_cms_estimates (CMS as streaming
+#      aggregation state, value-checked by a31's batch oracle).
+#      More debuts
 #      than one window: spill by the standard priority rule (drift >
 #      flagships > shared-callee groups > oldest evidence).
 #      LATENT-BUG ROTATION (r8, found by sim_ivf_recall's
