@@ -5057,3 +5057,114 @@ def streaming_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.cms import run_cms_estimates
 
     return run_cms_estimates(spark, sf_dir)
+
+
+def _attrition_oracle() -> str:
+    """Stage counts re-derived from the frozen curation CTE chain (the
+    deliberate-duplication convention) + the a11 attrition arithmetic:
+    each stage's share of raw and of the previous stage."""
+    base = _curation_oracle()
+    # reuse everything up to the final per-source SELECT
+    ctes = base.rsplit("SELECT source,", 1)[0].rstrip().rstrip(")")
+    return f"""{ctes})
+    , stages AS (
+        SELECT 0 AS stage_idx, 'raw' AS stage,
+               (SELECT COUNT(*) FROM documents) AS n_docs
+        UNION ALL
+        SELECT 1, 'lang_en',
+               (SELECT COUNT(*) FROM scored WHERE lang_pred = 'en')
+        UNION ALL
+        SELECT 2, 'quality', (SELECT COUNT(*) FROM kept)
+        UNION ALL
+        SELECT 3, 'exact_dedup', (SELECT COUNT(*) FROM kd)
+        UNION ALL
+        SELECT 4, 'near_dup',
+               (SELECT COUNT(*) FROM kd
+                WHERE doc_id NOT IN (SELECT doc_id FROM near_dup))
+    )
+    SELECT stage_idx, stage, CAST(n_docs AS BIGINT) AS n_docs,
+           FLOOR(n_docs::DOUBLE
+                 / MAX(CASE WHEN stage_idx = 0 THEN n_docs END) OVER ()
+                 * 1000000.0 + 0.5) / 1000000.0 AS pct_of_raw,
+           FLOOR(n_docs::DOUBLE
+                 / LAG(n_docs) OVER (ORDER BY stage_idx)
+                 * 1000000.0 + 0.5) / 1000000.0 AS pct_of_prev
+    FROM stages
+    """
+
+
+@register("curation_attrition_funnel", oracle=_attrition_oracle())
+def curation_attrition_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline's attrition table — the reference's own
+    reporting idiom (a11's stage percentages,
+    2_data_importing_cleaning.R:403-405) applied to the training-data
+    funnel: raw -> language filter -> quality threshold -> exact
+    dedup -> near-dup removal, each with its share of raw and of the
+    previous stage.  Stages 0-2 come from ONE conditional aggregation
+    of the scored scan; stages 3-4 count the same persisted dedup
+    relations curation_pipeline builds (shared callees untouched);
+    the percentage windows run over the 5-row funnel frame."""
+    from pyspark.sql import Window
+
+    from .functions.expressions import round_fixed
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        "source",
+        tx.lang_id("text").alias("lang_pred"),
+        tx.quality_score("text").alias("quality"),
+    )
+    en = F.col("lang_pred") == "en"
+    qual = en & (F.col("quality") >= 0.5)
+    s012 = scored.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.count(F.when(en, 1)).alias("n_lang"),
+        F.count(F.when(qual, 1)).alias("n_qual"),
+    ).select(
+        F.expr(
+            "stack(3, 0, 'raw', n_raw, 1, 'lang_en', n_lang, "
+            "2, 'quality', n_qual) AS (stage_idx, stage, n_docs)"
+        )
+    )
+    kept = scored.filter(qual)
+    dd.release_persisted()
+    kd = dd._maybe_persist(dd.exact_dedup(kept, "text", "doc_id"), True)
+    near = (
+        dd.shingle_pairs_jaccard(kd, threshold=0.5, release=False)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    s3 = kd.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit(3).alias("stage_idx"),
+        F.lit("exact_dedup").alias("stage"),
+        F.col("n").alias("n_docs"),
+    )
+    s4 = (
+        kd.join(near, "doc_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit(4).alias("stage_idx"),
+            F.lit("near_dup").alias("stage"),
+            F.col("n").alias("n_docs"),
+        )
+    )
+    funnel = s012.unionByName(s3).unionByName(s4)
+    w_all = Window.partitionBy()
+    w_ord = Window.orderBy("stage_idx")
+    raw_n = F.max(
+        F.when(F.col("stage_idx") == 0, F.col("n_docs"))
+    ).over(w_all)
+    return funnel.select(
+        "stage_idx",
+        "stage",
+        "n_docs",
+        round_fixed(F.col("n_docs").cast("double") / raw_n, 6).alias(
+            "pct_of_raw"
+        ),
+        round_fixed(
+            F.col("n_docs").cast("double") / F.lag("n_docs").over(w_ord),
+            6,
+        ).alias("pct_of_prev"),
+    )

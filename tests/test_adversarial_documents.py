@@ -51,6 +51,7 @@ DOCS_QUERIES = [
     "curation_mixture_report",
     "dedup_lsh_recall",
     "text_retrieval_ndcg",
+    "curation_attrition_funnel",
 ]
 
 _WORDS = ("the fast key order sort table scan merge part window small hash "
