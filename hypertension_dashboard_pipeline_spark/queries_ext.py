@@ -5168,3 +5168,26 @@ def curation_attrition_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pct_of_prev"),
     )
+
+
+@register(
+    "streaming_hll_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+           1 AS within_bounds
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL distinct-count maintenance (streaming/cms.py
+    run_hll_distinct) — a17's mergeable-sketch profile with the
+    per-(type, day) sketches built INCREMENTALLY by the stream:
+    per-key state is one fixed-size HLL register set, while the exact
+    COUNT DISTINCT the sketch replaces is precisely what a stream
+    cannot maintain with bounded state.  Register union is
+    commutative/associative (max), so microbatch boundaries are
+    invisible; the oracle (frozen copy of a17's) checks the exact
+    counts and the within-5%% flag."""
+    from .streaming.cms import run_hll_distinct
+
+    return run_hll_distinct(spark, sf_dir)

@@ -54,3 +54,54 @@ def run_cms_estimates(
         depth=depth,
         width=width,
     )
+
+
+def run_hll_distinct(
+    spark: SparkSession,
+    sf_dir: str,
+    tol: float = 0.05,
+    name: str = "hll_sketch_stream",
+) -> DataFrame:
+    """Streaming HLL distinct-count maintenance — the distinct twin of
+    :func:`run_cms_estimates`: the stream maintains one mergeable HLL
+    sketch per (event_type, day) (a few KB each, fixed state
+    regardless of user cardinality); the read path unions registers
+    per type and estimates ONCE.  Exact counts (for the
+    within-bounds check) come from the batch table — COUNT DISTINCT
+    is exactly the aggregation a stream cannot maintain with bounded
+    state, which is the point of the sketch."""
+    from pyspark.sql import functions as F
+
+    from ..io import load_table
+
+    ev = events_stream(spark, sf_dir)
+    per_bucket = ev.groupBy(
+        "event_type", F.to_date("ts").alias("__b")
+    ).agg(F.hll_sketch_agg("user_id").alias("__sk"))
+    sink = run_bounded(
+        spark,
+        per_bucket,
+        name,
+        ckpt_prefix="spark_graft_hll_stream_",
+        output_mode="complete",
+    )
+    merged = sink.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias(
+            "approx_distinct"
+        )
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("approx_distinct") - F.col("n_exact"))
+            <= F.lit(tol) * F.col("n_exact")
+        )
+        .cast("int")
+        .alias("within_bounds"),
+    )

@@ -85,6 +85,7 @@ EVENTS_QUERIES = [
     "events_user_stickiness",
     "events_user_features",
     "streaming_cms_estimates",
+    "streaming_hll_distinct",
 ]
 
 _TYPES = ["click", "signup", "error", "view", "purchase"]
