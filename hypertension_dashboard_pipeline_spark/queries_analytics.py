@@ -4849,3 +4849,77 @@ def a40_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         li=li,
     )
+
+
+@register(
+    "a41_yoy_growth",
+    oracle="""
+    WITH cy AS (
+        SELECT o_custkey, EXTRACT(year FROM o_orderdate) AS yr,
+               CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                              AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE)
+                   AS rev
+        FROM orders GROUP BY 1, 2
+    ), seq AS (
+        SELECT o_custkey, yr, rev,
+               LAG(yr) OVER w AS prev_yr,
+               LAG(rev) OVER w AS prev_rev
+        FROM cy WINDOW w AS (PARTITION BY o_custkey ORDER BY yr)
+    )
+    SELECT o_custkey, yr, rev, prev_rev,
+           FLOOR(rev / prev_rev * 1000000.0 + 0.5) / 1000000.0
+               AS growth_ratio
+    FROM seq
+    WHERE prev_yr = yr - 1 AND prev_rev > 0
+    ORDER BY growth_ratio DESC, o_custkey, yr
+    LIMIT 20
+    """,
+)
+def a41_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year customer spend growth (the TPC-DS Q4/Q11 shape):
+    top-20 consecutive-year revenue ratios.  The classic benchmark
+    phrasing self-joins the yearly aggregate with itself; the Spark
+    plan to WANT is a LAG window over the same relation — the
+    per-customer partitioning the aggregate already produced is
+    reused, halving the shuffles (the oracle uses the identical LAG
+    form, and a consecutive-year guard keeps gaps from pairing).
+    Yearly revenue is exact DECIMAL presented before the one ratio
+    division; top-20 is TakeOrdered with full tie-breaks."""
+    from pyspark.sql import Window
+
+    from .functions.expressions import dec_present
+
+    o = load_table(spark, sf_dir, "orders")
+    cy = o.groupBy(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    ).agg(
+        dec_present(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                "decimal(38,2)"
+            )
+        ).alias("rev")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("yr")
+    seq = cy.select(
+        "o_custkey",
+        "yr",
+        "rev",
+        F.lag("yr").over(w).alias("prev_yr"),
+        F.lag("rev").over(w).alias("prev_rev"),
+    )
+    return (
+        seq.filter(
+            (F.col("prev_yr") == F.col("yr") - 1) & (F.col("prev_rev") > 0)
+        )
+        .select(
+            "o_custkey",
+            "yr",
+            "rev",
+            "prev_rev",
+            round_fixed(F.col("rev") / F.col("prev_rev"), 6).alias(
+                "growth_ratio"
+            ),
+        )
+        .orderBy(F.col("growth_ratio").desc(), "o_custkey", "yr")
+        .limit(20)
+    )

@@ -67,6 +67,7 @@ TPCH_QUERIES = [
     "a39_grouped_corr",
     "w8_percent_rank_cume",
     "graph_lpa_communities",
+    "a41_yoy_growth",
 ]
 
 _FLAGS = [("R", "F"), ("A", "F"), ("N", "O")]
