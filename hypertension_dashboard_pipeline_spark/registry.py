@@ -181,8 +181,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      evaluation trio dedup_lsh_recall (MinHash-LSH candidate recall
 #      vs exact-Jaccard truth), text_retrieval_ndcg (graded NDCG@10 of
 #      the BM25 ranking), streaming_cms_estimates (CMS as streaming
-#      aggregation state, value-checked by a31's batch oracle).
-#      More debuts
+#      aggregation state, value-checked by a31's batch oracle),
+#      streaming_hll_distinct (per-(type, day) HLL sketches as
+#      streaming state, a17's oracle), curation_attrition_funnel
+#      (the reference's attrition idiom over the curation stages),
+#      a40_grouping_sets, a41_yoy_growth (TPC-DS Q4/Q11 shape as a
+#      LAG over the yearly aggregate).  More debuts
 #      than one window: spill by the standard priority rule (drift >
 #      flagships > shared-callee groups > oldest evidence).
 #      LATENT-BUG ROTATION (r8, found by sim_ivf_recall's
