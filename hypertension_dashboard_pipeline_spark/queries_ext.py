@@ -5191,3 +5191,61 @@ def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.cms import run_hll_distinct
 
     return run_hll_distinct(spark, sf_dir)
+
+
+@register(
+    "curation_budget_select",
+    oracle=f"""
+    WITH {_DK_QUALITY}, scored AS (
+        SELECT d.doc_id, d.lang,
+               len({_DK_TOKENS.format(c='d.text')}) AS n_toks,
+               q.quality
+        FROM documents d JOIN q ON d.doc_id = q.doc_id
+    ), ranked AS (
+        SELECT *,
+               SUM(n_toks) OVER (PARTITION BY lang
+                                 ORDER BY quality DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_toks
+        FROM scored
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_selected,
+           CAST(SUM(n_toks) AS BIGINT) AS tokens_selected,
+           MIN(quality) AS min_quality
+    FROM ranked WHERE cum_toks <= 2000
+    GROUP BY lang
+    """,
+)
+def curation_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection: per language, greedily keep the
+    highest-quality documents until a 2,000-token budget is exhausted
+    — the budgeted sampling step between mixture weights and training
+    export (greedy-by-quality under a knapsack-relaxed budget).  The
+    greedy order is a running token sum over (quality DESC, doc_id)
+    — ONE window per language partition, no iteration; counts are
+    integer-exact and the quality cut point (min selected quality)
+    comes out as the per-language price of the budget."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        tx.token_count(F.col("text")).alias("n_toks"),
+        tx.quality_score("text").alias("quality"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("quality").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = scored.withColumn("cum_toks", F.sum("n_toks").over(w))
+    return (
+        ranked.filter(F.col("cum_toks") <= 2000)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum("n_toks").cast("bigint").alias("tokens_selected"),
+            F.min("quality").alias("min_quality"),
+        )
+    )

@@ -52,6 +52,7 @@ DOCS_QUERIES = [
     "dedup_lsh_recall",
     "text_retrieval_ndcg",
     "curation_attrition_funnel",
+    "curation_budget_select",
 ]
 
 _WORDS = ("the fast key order sort table scan merge part window small hash "
