@@ -5249,3 +5249,27 @@ def curation_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("quality").alias("min_quality"),
         )
     )
+
+
+@register(
+    "streaming_kll_quantiles",
+    oracle="""
+    SELECT CAST(0.5 AS DOUBLE) AS quantile, 1 AS within_bounds
+    UNION ALL SELECT CAST(0.9 AS DOUBLE), 1
+    UNION ALL SELECT CAST(0.99 AS DOUBLE), 1
+    """,
+)
+def streaming_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KLL quantile maintenance (streaming/cms.py
+    run_kll_quantiles): per-day sketches built incrementally by the
+    stream (kll_sketch_agg_double IS the aggregation state), folded
+    and probed at read time — a16's store-sketches-not-values
+    pattern with the build half running on an unbounded stream.  All
+    three mergeable sketches (CMS frequencies, HLL distincts, KLL
+    quantiles) now maintain under Structured Streaming.  Oracle
+    contract as a16: within-bounds flags vs exact percentiles at
+    rank q +/- 0.05 (KLL compaction is randomized; the approximate
+    values themselves are pinned in tests)."""
+    from .streaming.cms import run_kll_quantiles
+
+    return run_kll_quantiles(spark, sf_dir)

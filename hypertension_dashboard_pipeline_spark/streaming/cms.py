@@ -105,3 +105,81 @@ def run_hll_distinct(
         .cast("int")
         .alias("within_bounds"),
     )
+
+
+def run_kll_quantiles(
+    spark: SparkSession,
+    sf_dir: str,
+    quantiles: tuple = (0.5, 0.9, 0.99),
+    rank_tol: float = 0.05,
+    name: str = "kll_sketch_stream",
+) -> DataFrame:
+    """Streaming KLL quantile maintenance — the third sketch beside
+    :func:`run_cms_estimates` (frequencies) and :func:`run_hll_distinct`
+    (distincts): the stream maintains one KLL sketch per day
+    (kll_sketch_agg_double IS a streaming aggregation; per-key state
+    is the fixed-size sketch), the read path folds the per-day
+    sketches in deterministic bucket order and probes the target
+    quantiles.  Verification mirrors the batch operator's contract
+    (operators/aggregates.mergeable_quantile_profile): KLL compaction
+    is randomized, so the oracle-checkable output is the
+    within-bounds flag against exact percentiles at rank q +/-
+    ``rank_tol`` from the batch table."""
+    from pyspark.sql import functions as F
+
+    from ..io import load_table
+
+    ev = events_stream(spark, sf_dir).filter(F.col("value").isNotNull())
+    per_bucket = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("__b")
+    ).agg(F.kll_sketch_agg_double("value").alias("__sk"))
+    sink = run_bounded(
+        spark,
+        per_bucket,
+        name,
+        ckpt_prefix="spark_graft_kll_stream_",
+        output_mode="complete",
+    )
+    merged = sink.agg(
+        F.sort_array(F.collect_list(F.struct("__b", "__sk"))).alias("__a")
+    ).select(
+        F.expr(
+            "aggregate(slice(__a, 2, size(__a) - 1), __a[0].__sk,"
+            " (acc, x) -> kll_sketch_merge_double(acc, x.__sk))"
+        ).alias("__sk")
+    )
+    probes = merged.select(
+        *[
+            F.kll_sketch_get_quantile_double("__sk", F.lit(q)).alias(
+                f"__q{i}"
+            )
+            for i, q in enumerate(quantiles)
+        ]
+    )
+    rank_points = []
+    for q in quantiles:
+        rank_points.append(max(0.0, q - rank_tol))
+        rank_points.append(min(1.0, q + rank_tol))
+    batch = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    bounds = batch.agg(
+        F.percentile(
+            "value", F.array(*[F.lit(p) for p in rank_points])
+        ).alias("__ex")
+    ).first()["__ex"]
+    per_q = [
+        F.struct(
+            F.lit(q).alias("quantile"),
+            (
+                (F.col(f"__q{i}") >= F.lit(bounds[2 * i]))
+                & (F.col(f"__q{i}") <= F.lit(bounds[2 * i + 1]))
+            )
+            .cast("int")
+            .alias("within_bounds"),
+        )
+        for i, q in enumerate(quantiles)
+    ]
+    return probes.select(F.explode(F.array(*per_q)).alias("r")).select(
+        "r.quantile", "r.within_bounds"
+    )

@@ -86,6 +86,7 @@ EVENTS_QUERIES = [
     "events_user_features",
     "streaming_cms_estimates",
     "streaming_hll_distinct",
+    "streaming_kll_quantiles",
 ]
 
 _TYPES = ["click", "signup", "error", "view", "purchase"]
