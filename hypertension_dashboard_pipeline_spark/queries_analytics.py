@@ -4923,3 +4923,162 @@ def a41_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("growth_ratio").desc(), "o_custkey", "yr")
         .limit(20)
     )
+
+
+@register(
+    "dq_uniqueness_report",
+    oracle="""
+    SELECT 'orders.o_orderkey' AS key, COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+               AS n_dup_rows
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem.(o_orderkey,l_linenumber)', COUNT(*),
+           COUNT(DISTINCT (l_orderkey, l_linenumber)),
+           CAST(COUNT(*)
+                - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'customer.c_custkey', COUNT(*), COUNT(DISTINCT c_custkey),
+           CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT)
+    FROM customer
+    """,
+)
+def dq_uniqueness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key uniqueness audit — the DQ check beside
+    dq_expectations (nulls/ranges/domains) and
+    dq_referential_integrity (foreign keys): for each declared key,
+    total rows vs distinct key values and the duplicate overhang.
+    Each audited table is ONE scan with a count-distinct aggregate
+    (composite keys count a distinct struct); the three 1-row audits
+    union into the report frame.  All integer-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+
+    def audit(df, key_label, key_cols):
+        nd = F.countDistinct(*key_cols).alias("n_distinct")
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"), nd
+        ).select(
+            F.lit(key_label).alias("key"),
+            "n_rows",
+            "n_distinct",
+            (F.col("n_rows") - F.col("n_distinct"))
+            .cast("bigint")
+            .alias("n_dup_rows"),
+        )
+
+    return (
+        audit(o, "orders.o_orderkey", ["o_orderkey"])
+        .unionByName(
+            audit(
+                li,
+                "lineitem.(o_orderkey,l_linenumber)",
+                ["l_orderkey", "l_linenumber"],
+            )
+        )
+        .unionByName(audit(c, "customer.c_custkey", ["c_custkey"]))
+    )
+
+
+def _bfs_oracle(depth: int = 3) -> str:
+    """Unrolled BFS frontier expansion: distance relation re-minimized
+    each round — all-integer, the LPA oracle's sibling."""
+    ctes = [
+        "po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )""",
+        """edges AS (
+        SELECT pa AS a, pb AS b FROM pairs
+        UNION ALL SELECT pb, pa FROM pairs
+    )""",
+        "d0 AS (SELECT (SELECT MIN(a) FROM edges) AS node, 0 AS d)",
+    ]
+    for t in range(1, depth + 1):
+        ctes.append(
+            f"""d{t} AS (
+        SELECT node, MIN(d) AS d FROM (
+            SELECT node, d FROM d{t - 1}
+            UNION ALL
+            SELECT e.b, p.d + 1 FROM d{t - 1} p JOIN edges e ON e.a = p.node
+        ) GROUP BY node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(d AS INT) AS distance, COUNT(*) AS n_nodes
+    FROM d{depth} GROUP BY d
+    UNION ALL
+    SELECT -1,
+           (SELECT COUNT(DISTINCT a) FROM edges)
+           - (SELECT COUNT(*) FROM d{depth})
+    """
+    )
+
+
+@register("graph_bfs_levels", oracle=_bfs_oracle())
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS from the smallest part in the co-purchase
+    graph: how many parts sit at each hop distance 0-3, plus the
+    unreached remainder (-1 bucket) — the reachability profile
+    (neighborhood growth rate) beside LPA's communities and
+    pagerank's centrality.  Each round is one frontier join + one
+    min re-aggregation on the node key (the same co-partitioned
+    per-round shuffle as label_propagation); the depth bound makes
+    the operator deterministic and oracle-checkable, and at 100 TB
+    bounded-hop BFS IS the production form (full BFS diameter sweeps
+    don't terminate on power-law graphs' long tails)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.select("l_orderkey", "l_partkey").distinct()
+    a = po.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa")
+    )
+    b = po.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("pa") < F.col("pb")))
+        .select("pa", "pb")
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("pa").alias("a"), F.col("pb").alias("b")
+    ).unionAll(pairs.select(F.col("pb").alias("a"), F.col("pa").alias("b")))
+    seed = edges.agg(F.min("a").alias("s")).first()["s"]
+    dist = (
+        edges.sparkSession.range(1)
+        .select(F.lit(int(seed)).alias("node"), F.lit(0).alias("d"))
+    )
+    for _ in range(3):
+        expanded = (
+            edges.join(
+                dist.select(F.col("node").alias("src"), "d"),
+                F.col("a") == F.col("src"),
+            )
+            .select(F.col("b").alias("node"), (F.col("d") + 1).alias("d"))
+        )
+        dist = (
+            dist.unionByName(expanded)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+    levels = dist.groupBy(F.col("d").cast("int").alias("distance")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    reached = dist.select("node")
+    unreached = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .join(reached, "node", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(F.lit(-1).alias("distance"), "n_nodes")
+    )
+    return levels.unionByName(unreached)

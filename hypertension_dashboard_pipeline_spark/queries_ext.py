@@ -5273,3 +5273,55 @@ def streaming_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.cms import run_kll_quantiles
 
     return run_kll_quantiles(spark, sf_dir)
+
+
+def _dot_topk_oracle(k: int = 10) -> str:
+    dot_vq = _DK_DOT.format(a="e.v", b="q.qv")
+    return f"""
+    WITH q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE vec_id <> 0
+    )
+    SELECT e.vec_id,
+           FLOOR({dot_vq} * 1000000.0 + 0.5) / 1000000.0 AS dot_score
+    FROM e, q
+    ORDER BY dot_score DESC, e.vec_id
+    LIMIT {k}
+    """
+
+
+@register("sim_mips_topk", oracle=_dot_topk_oracle())
+def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product top-k (MIPS) against the vec_id=0 query:
+    raw dot product, NOT cosine — the scoring a recommender's
+    user·item factor model runs, where vector NORM carries signal
+    (popular items have longer vectors) and cosine's normalization
+    would erase it.  One scan + TakeOrdered, the exact baseline; at
+    index scale MIPS reduces to cosine-ANN by the norm-augmentation
+    transform (append sqrt(M^2 - ||x||^2) so inner-product order
+    becomes angular order — Bachrach et al., RecSys'14), which slots
+    into the existing banded-LSH machinery unchanged.  Zero-norm
+    vectors are legitimate here (dot 0, never a division)."""
+    from .functions import vectors as vx
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()["embedding"]
+    ]
+    qlit = F.array(*[F.lit(c) for c in qv])
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            round_fixed(
+                vx.dot(vx.as_double_array("embedding"), qlit), 6
+            ).alias("dot_score"),
+        )
+        .orderBy(F.col("dot_score").desc(), "vec_id")
+        .limit(10)
+    )

@@ -44,6 +44,7 @@ EMB_QUERIES = [
     # guards the query pick the same way
     "sample_kcenter_diversity",
     "sim_mmr_rerank",
+    "sim_mips_topk",
 ]
 
 _DIM = 64

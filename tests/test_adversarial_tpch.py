@@ -68,6 +68,8 @@ TPCH_QUERIES = [
     "w8_percent_rank_cume",
     "graph_lpa_communities",
     "a41_yoy_growth",
+    "dq_uniqueness_report",
+    "graph_bfs_levels",
 ]
 
 _FLAGS = [("R", "F"), ("A", "F"), ("N", "O")]
