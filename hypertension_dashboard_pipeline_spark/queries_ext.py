@@ -5325,3 +5325,67 @@ def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dot_score").desc(), "vec_id")
         .limit(10)
     )
+
+
+def _dsir_sample_oracle(k: int = 50) -> str:
+    """Frozen-copy composition: the DSIR weight SQL (verbatim the
+    curation_dsir_weights oracle) feeds a Gumbel top-k — score =
+    rounded logweight - ln(-ln u) with u the same md5-derived
+    uniform as operators/sampling.hash_uniform — and the winners
+    aggregate per source."""
+    from .registry import ORACLES
+
+    dsir = ORACLES["curation_dsir_weights"].strip()
+    u = ("(('0x' || substr(md5(w.doc_id::VARCHAR), 1, 8))::BIGINT"
+         f" + 1.0) / {float(16**8 + 1)!r}")
+    return f"""
+    WITH w AS ({dsir}),
+    scored AS (
+        SELECT w.doc_id, w.n_tokens, w.dsir_logweight,
+               w.dsir_logweight - ln(-ln({u})) AS score
+        FROM w
+    ), top AS (
+        SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens
+    FROM top t JOIN documents d ON t.doc_id = d.doc_id
+    GROUP BY d.source
+    """
+
+
+@register("curation_dsir_sample", oracle=_dsir_sample_oracle())
+def curation_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR resampling step END TO END: importance log-weights
+    (curation_dsir_weights, reused verbatim — shared callee
+    untouched) drive a deterministic Gumbel top-k (score =
+    logweight - ln(-ln u), u the content-hash uniform — sampling
+    without replacement proportional to e^logweight, the log-space
+    twin of sample_weighted_topk's E-S keys, no exp() ever
+    evaluated so extreme weights cannot overflow), and the 50
+    winners aggregate per source — the "what did importance
+    resampling actually select" table.  One narrow map + TakeOrdered
+    on top of the weight relation; the corpus never re-shuffles."""
+    from .operators.sampling import hash_uniform
+
+    lw = curation_dsir_weights(spark, sf_dir)
+    score = F.col("dsir_logweight") - F.log(
+        -F.log(hash_uniform(F.col("doc_id")))
+    )
+    top = (
+        lw.withColumn("score", score)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(50)
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    return (
+        top.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )

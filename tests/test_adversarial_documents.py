@@ -53,6 +53,7 @@ DOCS_QUERIES = [
     "text_retrieval_ndcg",
     "curation_attrition_funnel",
     "curation_budget_select",
+    "curation_dsir_sample",
 ]
 
 _WORDS = ("the fast key order sort table scan merge part window small hash "
