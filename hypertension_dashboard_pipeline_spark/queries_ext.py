@@ -5389,3 +5389,52 @@ def curation_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "emb_norm_profile",
+    oracle=f"""
+    WITH n AS (
+        SELECT vec_id,
+               FLOOR(sqrt({_DK_DOT.format(a='v', b='v')})
+                     * 1000000.0 + 0.5) / 1000000.0 AS nrm
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_norm,
+           MIN(nrm) AS min_norm,
+           quantile_cont(nrm, 0.5) AS p50_norm,
+           quantile_cont(nrm, 0.9) AS p90_norm,
+           MAX(nrm) AS max_norm
+    FROM n
+    """,
+)
+def emb_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding norm distribution — the index-health read that
+    decides between cosine and MIPS scoring (uniform norms: cosine
+    loses nothing; spread norms: magnitude carries signal,
+    sim_mips_topk's regime) and surfaces zero-norm rows BEFORE they
+    hit a cosine operator's exclusion contract.  One narrow scan
+    computes each norm with the deterministic IEEE fold, rounded 6dp
+    so the exact percentile interpolation (F.percentile ==
+    quantile_cont, the a13 pairing) runs on identical doubles; min/
+    max/counts are order-free."""
+    from .functions import vectors as vx
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        round_fixed(vx.norm(vx.as_double_array("embedding")), 6).alias(
+            "nrm"
+        )
+    )
+    return n.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum(F.when(F.col("nrm") == 0.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_norm"),
+        F.min("nrm").alias("min_norm"),
+        F.percentile("nrm", F.lit(0.5)).alias("p50_norm"),
+        F.percentile("nrm", F.lit(0.9)).alias("p90_norm"),
+        F.max("nrm").alias("max_norm"),
+    )

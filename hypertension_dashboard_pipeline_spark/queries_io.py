@@ -252,3 +252,52 @@ def s8_jsonl_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p_retailprice").alias("min_price"),
         F.max("p_size").alias("max_size"),
     )
+
+
+@register(
+    "s13_compaction_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(16 AS BIGINT) AS n_files_before,
+           CAST(2 AS BIGINT) AS n_files_after,
+           CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                          AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE)
+               AS value_sum
+    FROM events
+    """,
+)
+def s13_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 table-maintenance contract: small-file compaction.  The
+    events table is deliberately fragmented into 16 files (the
+    streaming-ingest pathology — many small appends), then compacted
+    to 2 with a NARROW coalesce (no shuffle: compaction is a read +
+    concatenate, never a repartition of 100 TB), and the roundtrip
+    proves (a) the file counts via distinct input_file_name on each
+    copy — 16 is deterministic because an explicit repartition(16)
+    defeats AQE coalescing and 10k+ rows hash to every partition —
+    and (b) value integrity via the exact-DECIMAL sum against the
+    source oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    frag = tempfile.mkdtemp(prefix="spark_graft_frag_")
+    comp = tempfile.mkdtemp(prefix="spark_graft_compact_")
+    _SINK_DIRS.extend([frag, comp])
+    ev.repartition(16).write.mode("overwrite").parquet(frag)
+    frag_df = spark.read.parquet(frag)
+    n_before = (
+        frag_df.select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    frag_df.coalesce(2).write.mode("overwrite").parquet(comp)
+    back = spark.read.parquet(comp)
+    named = back.withColumn("__f", F.input_file_name())
+    return named.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(int(n_before)).cast("bigint").alias("n_files_before"),
+        F.countDistinct("__f").cast("bigint").alias("n_files_after"),
+        dec_present(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast(
+                "decimal(38,2)"
+            )
+        ).alias("value_sum"),
+    )

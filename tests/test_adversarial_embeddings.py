@@ -45,6 +45,7 @@ EMB_QUERIES = [
     "sample_kcenter_diversity",
     "sim_mmr_rerank",
     "sim_mips_topk",
+    "emb_norm_profile",
 ]
 
 _DIM = 64
