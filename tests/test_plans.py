@@ -176,6 +176,8 @@ def test_no_registered_query_plans_a_cartesian_product(spark, sf_dir):
         "text_tfidf_cosine_pairs",  # 1-row scalar side (document count N)
         "a35_important_parts",  # 1-row scalar side (nation inventory total)
         "text_retrieval_ndcg",  # 1-row scalar side (corpus relevant count)
+        "curation_dsir_sample",  # inherits dsir_weights' declared 1-row token-totals product
+        "graph_bfs_levels",  # round-1 frontier is a 1-row literal seed (constant-folded join key)
     }
     offenders = []
     for name, fn in registry.QUERIES.items():
