@@ -5082,3 +5082,71 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit(-1).alias("distance"), "n_nodes")
     )
     return levels.unionByName(unreached)
+
+
+@register(
+    "events_value_gini",
+    oracle="""
+    WITH uv AS (
+        SELECT user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                   AS v
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ), ranked AS (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY v, user_id) AS i
+        FROM uv
+    ), m AS (
+        SELECT COUNT(*) AS n,
+               CAST(CAST(CAST(SUM(v) AS DECIMAL(38,2)) AS VARCHAR)
+                    AS DOUBLE) AS total,
+               CAST(CAST(CAST(SUM(i * v) AS DECIMAL(38,2)) AS VARCHAR)
+                    AS DOUBLE) AS weighted
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           FLOOR((2.0 * weighted / (n * total)
+                  - (n + 1.0) / n) * 1000000.0 + 0.5) / 1000000.0
+               AS gini
+    FROM m
+    """,
+)
+def events_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-concentration Gini coefficient over per-user event value
+    — the whale-dependence number (0 = value spread evenly, ->1 = a
+    few users carry everything) behind every "top 1%% of users
+    produce X%% of revenue" claim.  Closed rank form
+    G = 2*sum(i*v_i)/(n*sum(v)) - (n+1)/n over values ranked
+    ascending (user_id tie-break): per-user sums AND the
+    rank-weighted sum both stay exact DECIMAL — i*v is int x decimal
+    — presented to identical doubles only for the final closed form,
+    so no order-dependent float accumulation anywhere.  One user_id
+    shuffle + one rank sort of the (small) per-user relation."""
+    from pyspark.sql import Window
+
+    from .functions.expressions import dec_present
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    uv = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("v")
+    )
+    w = Window.orderBy("v", "user_id")
+    ranked = uv.withColumn("i", F.row_number().over(w))
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_present(F.sum("v").cast("decimal(38,2)")).alias("total"),
+        dec_present(
+            F.sum(F.col("i") * F.col("v")).cast("decimal(38,2)")
+        ).alias("weighted"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        round_fixed(
+            F.lit(2.0) * F.col("weighted") / (F.col("n") * F.col("total"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )

@@ -5438,3 +5438,55 @@ def emb_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("nrm", F.lit(0.9)).alias("p90_norm"),
         F.max("nrm").alias("max_norm"),
     )
+
+
+def _range_search_oracle(threshold: float = 0.2) -> str:
+    dot_vq = _DK_DOT.format(a="e.v", b="q.qv")
+    dot_vv = _DK_DOT.format(a="e.v", b="e.v")
+    dot_qq = _DK_DOT.format(a="q.qv", b="q.qv")
+    return f"""
+    WITH q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE vec_id <> 0
+    ), scored AS (
+        SELECT e.vec_id,
+               FLOOR({dot_vq} / (sqrt({dot_vv}) * sqrt({dot_qq}))
+                     * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+        FROM e, q
+        WHERE {dot_vv} > 0
+    )
+    SELECT vec_id, cos_sim FROM scored WHERE cos_sim >= {threshold}
+    """
+
+
+@register("sim_range_search", oracle=_range_search_oracle())
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search (radius query): EVERY vector with cosine >= 0.2
+    to the vec_id=0 query — the other ANN API beside top-k (top-k
+    answers "best k whatever their quality"; range search answers
+    "everything above a similarity bar", the dedup/recall-style
+    contract where result size is data-dependent).  One scan, the
+    threshold filter on the engine-stable rounded cosine, zero-norm
+    excluded; at index scale the same banded-LSH blocking serves it
+    (a radius maps to a band-collision probability)."""
+    from .functions import vectors as vx
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()["embedding"]
+    ]
+    qlit = F.array(*[F.lit(c) for c in qv])
+    v = vx.as_double_array("embedding")
+    return (
+        emb.filter((F.col("vec_id") != 0) & (vx.dot(v, v) > 0))
+        .select(
+            "vec_id",
+            vx.cosine(v, qlit, scale=6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.2)
+    )

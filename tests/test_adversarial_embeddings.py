@@ -46,6 +46,7 @@ EMB_QUERIES = [
     "sim_mmr_rerank",
     "sim_mips_topk",
     "emb_norm_profile",
+    "sim_range_search",
 ]
 
 _DIM = 64

@@ -87,6 +87,7 @@ EVENTS_QUERIES = [
     "streaming_cms_estimates",
     "streaming_hll_distinct",
     "streaming_kll_quantiles",
+    "events_value_gini",
 ]
 
 _TYPES = ["click", "signup", "error", "view", "purchase"]
