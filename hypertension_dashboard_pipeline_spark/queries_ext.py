@@ -5468,9 +5468,21 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     answers "best k whatever their quality"; range search answers
     "everything above a similarity bar", the dedup/recall-style
     contract where result size is data-dependent).  One scan, the
-    threshold filter on the engine-stable rounded cosine, zero-norm
-    excluded; at index scale the same banded-LSH blocking serves it
-    (a radius maps to a band-collision probability)."""
+    threshold filter on the engine-stable rounded cosine; at index
+    scale the same banded-LSH blocking serves it (a radius maps to a
+    band-collision probability).
+
+    Zero-norm handling is the WHEN-GUARD form, not a separate filter:
+    Catalyst's CombineFilters merges a norm>0 pre-filter with the
+    threshold filter into one predicate, and codegen's subexpression
+    elimination then evaluates the division BEFORE the AND can
+    short-circuit — ANSI DIVIDE_BY_ZERO on the zero vector (found by
+    this query's adversarial run; the same mechanism behind the
+    pinned topk operators' r8 rotation, registry.py LATENT-BUG
+    ROTATION).  A conditional branch stays lazy where a conjunct does
+    not; the guarded NULL then drops at the threshold compare."""
+    import math
+
     from .functions import vectors as vx
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -5481,12 +5493,18 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .first()["embedding"]
     ]
     qlit = F.array(*[F.lit(c) for c in qv])
+    qq = 0.0
+    for x in qv:
+        qq += x * x
+    qn = math.sqrt(qq)  # identical fold + correctly-rounded sqrt
     v = vx.as_double_array("embedding")
+    dvv = vx.dot(v, v)
+    cos = F.when(
+        dvv > 0,
+        round_fixed(vx.dot(v, qlit) / (F.sqrt(dvv) * F.lit(qn)), 6),
+    )
     return (
-        emb.filter((F.col("vec_id") != 0) & (vx.dot(v, v) > 0))
-        .select(
-            "vec_id",
-            vx.cosine(v, qlit, scale=6).alias("cos_sim"),
-        )
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.2)
     )

@@ -199,6 +199,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      sim_ivf_topk, sim_lsh_bucket_topk(+indexed), sim_batch_ann_topk
 #      into that window TOGETHER (shared-callee rule).  Until then
 #      sim_ivf_recall carries its own exclusion on both sides.
+#      MECHANISM (pinned down by sim_range_search's adversarial run,
+#      late r7): a norm>0 PRE-FILTER does not protect the division —
+#      CombineFilters merges it with any later filter on the cosine
+#      and codegen subexpression elimination evaluates the division
+#      before the AND short-circuits.  The fix shape is the
+#      WHEN-GUARD (division inside F.when(norm>0, ...), NULL rows
+#      dropped by the downstream compare), as now implemented in
+#      sim_range_search and sim_mmr_rerank's query pick.
 _FRONT: list[str] = [
     # flagship + headline extension pipeline (always externally gated;
     # curation also drifted via the shingle_pairs_jaccard migration)
