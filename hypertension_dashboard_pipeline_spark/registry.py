@@ -206,7 +206,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      before the AND short-circuits.  The fix shape is the
 #      WHEN-GUARD (division inside F.when(norm>0, ...), NULL rows
 #      dropped by the downstream compare), as now implemented in
-#      sim_range_search and sim_mmr_rerank's query pick.
+#      sim_range_search.  (A pre-filter with NO later filter on the
+#      cosine — mmr_rerank's shape — is safe: the division lives in
+#      the projection, which only sees surviving rows.)
 _FRONT: list[str] = [
     # flagship + headline extension pipeline (always externally gated;
     # curation also drifted via the shingle_pairs_jaccard migration)
