@@ -210,3 +210,78 @@ def test_lpa_two_cliques_bridge(spark):
     got = {r["node"]: r["community"] for r in out}
     assert got == _py_lpa(pairs)
     assert len(set(got.values())) >= 2
+
+
+def test_gini_known_distributions(spark):
+    """Gini of a perfectly equal distribution is 0; a fully
+    concentrated one approaches 1 - 1/n (the closed rank form's
+    finite-n maximum)."""
+    from hypertension_dashboard_pipeline_spark.registry import QUERIES, load_all
+    import datetime as dt
+    import math
+
+    load_all()
+    # build a tiny events dir: 4 users equal value, then 1 whale
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    def events_dir(values):
+        root = tempfile.mkdtemp()
+        for t in ("region nation customer supplier part orders lineitem "
+                  "documents embeddings").split():
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                       f"{root}/{t}.parquet")
+        n = len(values)
+        pq.write_table(pa.table({
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array([dt.datetime(2020, 1, 1)] * n,
+                           pa.timestamp("us")),
+            "user_id": pa.array(range(n), pa.int64()),
+            "event_type": pa.array(["click"] * n),
+            "value": pa.array(values, pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }), f"{root}/events.parquet")
+        return root
+
+    equal = events_dir([10.0, 10.0, 10.0, 10.0])
+    row = QUERIES["events_value_gini"](spark, equal).collect()[0]
+    assert row["gini"] == 0.0
+
+    whale = events_dir([0.01, 0.01, 0.01, 1000.0])
+    row = QUERIES["events_value_gini"](spark, whale).collect()[0]
+    # closed form max for n=4 is 0.75; the tiny non-whale mass pulls
+    # it just below
+    assert 0.70 <= row["gini"] <= 0.75
+
+
+def test_range_search_zero_norm_and_threshold(spark):
+    """Range search drops zero-norm rows via the when-guard (no ANSI
+    divide crash) and returns exactly the rows at/above threshold."""
+    from hypertension_dashboard_pipeline_spark.registry import QUERIES, load_all
+    import tempfile, os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    load_all()
+    root = tempfile.mkdtemp()
+    for t in ("region nation customer supplier part orders lineitem "
+              "documents events").split():
+        os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                   f"{root}/{t}.parquet")
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],   # query
+        [1.0, 0.1, 0.0, 0.0],   # high cosine
+        [0.0, 0.0, 0.0, 0.0],   # zero norm — must not crash
+        [-1.0, 0.0, 0.0, 0.0],  # cosine -1
+        [1.0, 4.0, 0.0, 0.0],   # cosine ~0.24
+    ]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([0] * len(vecs), pa.int32()),
+    }), f"{root}/embeddings.parquet")
+    rows = QUERIES["sim_range_search"](spark, root).collect()
+    got = {r["vec_id"] for r in rows}
+    assert got == {1, 4}
+    assert all(r["cos_sim"] >= 0.2 for r in rows)
