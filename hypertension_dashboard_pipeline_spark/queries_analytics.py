@@ -5150,3 +5150,71 @@ def events_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "events_anomaly_seasonal",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               EXTRACT(dow FROM ts) + 1 AS dow,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ), prof AS (
+        SELECT dow, COUNT(*) AS n_days,
+               CAST(SUM(n_events) AS BIGINT) AS s1,
+               CAST(SUM(n_events * n_events) AS BIGINT) AS s2
+        FROM daily GROUP BY 1
+    )
+    SELECT d.day, d.n_events,
+           FLOOR((d.n_events - CAST(p.s1 AS DOUBLE) / p.n_days)
+                 / sqrt(CAST(p.s2 AS DOUBLE) / p.n_days
+                        - (CAST(p.s1 AS DOUBLE) / p.n_days)
+                          * (CAST(p.s1 AS DOUBLE) / p.n_days))
+                 * 1000000.0 + 0.5) / 1000000.0 AS z_seasonal
+    FROM daily d JOIN prof p ON d.dow = p.dow
+    WHERE p.n_days > 1
+      AND CAST(p.s2 AS DOUBLE) * p.n_days > CAST(p.s1 AS DOUBLE) * p.s1
+    """,
+)
+def events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted volume anomaly: each day's event count
+    z-scored against the SAME-WEEKDAY population — the deseasonalized
+    sibling of events_anomaly_zscore (a quiet Sunday is normal; a
+    quiet Tuesday is the anomaly, invisible to an all-days baseline).
+    The weekday profile is exact integer moments (n, sum, sum of
+    squares) re-aggregated from the daily relation — never a second
+    event scan — broadcast back onto the <=7-key join; zero-variance
+    weekdays are excluded by the exact integer cross-multiplication
+    s2*n > s1^2 (no epsilon against a float variance)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        F.dayofweek("ts").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    prof = daily.groupBy(F.col("dow").alias("dw")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").cast("bigint").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events"))
+        .cast("bigint")
+        .alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n_days")
+    var = F.col("s2").cast("double") / F.col("n_days") - mu * mu
+    return (
+        daily.join(F.broadcast(prof), F.col("dow") == F.col("dw"))
+        .filter(
+            (F.col("n_days") > 1)
+            & (
+                F.col("s2").cast("double") * F.col("n_days")
+                > F.col("s1").cast("double") * F.col("s1")
+            )
+        )
+        .select(
+            "day",
+            "n_events",
+            round_fixed(
+                (F.col("n_events") - mu) / F.sqrt(var), 6
+            ).alias("z_seasonal"),
+        )
+    )

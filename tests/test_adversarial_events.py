@@ -88,6 +88,7 @@ EVENTS_QUERIES = [
     "streaming_hll_distinct",
     "streaming_kll_quantiles",
     "events_value_gini",
+    "events_anomaly_seasonal",
 ]
 
 _TYPES = ["click", "signup", "error", "view", "purchase"]
