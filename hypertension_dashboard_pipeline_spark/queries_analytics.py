@@ -5218,3 +5218,55 @@ def events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z_seasonal"),
         )
     )
+
+
+@register(
+    "graph_degree_distribution",
+    oracle="""
+    WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ), deg AS (
+        SELECT node, COUNT(*) AS degree FROM (
+            SELECT pa AS node FROM pairs
+            UNION ALL SELECT pb FROM pairs
+        ) GROUP BY 1
+    )
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY 1
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part co-purchase graph — the first
+    structural read of any graph (heavy tail width decides salting,
+    skew joins, and whether triangle counting's degree-ordered
+    orientation matters).  Distinct pair edges, one node-key count,
+    one histogram re-aggregation — all integer; at 100 TB the
+    histogram is the canonical map-side-combine survivor (at most
+    |distinct degrees| rows per task)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.select("l_orderkey", "l_partkey").distinct()
+    a = po.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa")
+    )
+    b = po.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("pa") < F.col("pb")))
+        .select("pa", "pb")
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("pa").alias("node"))
+        .unionAll(pairs.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy(F.col("degree").cast("bigint").alias("degree")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )

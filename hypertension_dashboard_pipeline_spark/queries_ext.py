@@ -5508,3 +5508,91 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.2)
     )
+
+
+def _minhash_calibration_oracle() -> str:
+    """Composes the minhash oracle's candidate+estimate CTEs with the
+    exact-Jaccard SQL on the SAME pairs: per error bucket
+    floor(|est - exact| * 10), candidate-pair counts plus the maximum
+    absolute error (order-free aggregates only — no float MAE sum)."""
+    mh = _minhash_oracle()
+    body = mh.split("WITH ", 1)[1].rsplit("SELECT id_a", 1)[0].rstrip()
+    body = body.split(", xs AS", 1)[1]
+    match_sum = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+        for i in range(16)
+    )
+    return f"""
+    WITH {_DK_EX}, {_dk_max_df()}, sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM exf GROUP BY id
+    ), inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+        FROM exf a JOIN exf b USING (shingle) WHERE a.id < b.id
+        GROUP BY 1, 2
+    ), exact AS (
+        SELECT id_a, id_b,
+               FLOOR(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter)
+                     * 1000000.0 + 0.5) / 1000000.0 AS jac
+        FROM inter JOIN sizes sa ON inter.id_a = sa.id
+                   JOIN sizes sb ON inter.id_b = sb.id
+    ), xs AS {body}, est AS (
+        SELECT cand.id_a, cand.id_b,
+               ({match_sum})::DOUBLE / 16 AS est_jac
+        FROM cand JOIN sigs sa ON cand.id_a = sa.id
+                  JOIN sigs sb ON cand.id_b = sb.id
+    ), joined AS (
+        SELECT e.id_a, e.id_b, e.est_jac,
+               COALESCE(x.jac, 0.0) AS exact_jac
+        FROM est e LEFT JOIN exact x
+          ON e.id_a = x.id_a AND e.id_b = x.id_b
+    )
+    SELECT CAST(LEAST(FLOOR(ABS(est_jac - exact_jac) * 10.0), 9)
+                AS INT) AS err_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           FLOOR(MAX(ABS(est_jac - exact_jac)) * 1000000.0 + 0.5)
+               / 1000000.0 AS max_abs_err
+    FROM joined GROUP BY 1
+    """
+
+
+@register("dedup_minhash_calibration", oracle=_minhash_calibration_oracle())
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: for every LSH candidate pair,
+    |estimated - exact| Jaccard bucketed to 0.1 error bands (with the
+    band's max error) — the ACCURACY complement of dedup_lsh_recall's
+    coverage number: recall says which pairs the bands surface,
+    calibration says whether 16 hashes are enough to THRESHOLD on the
+    estimate.  Candidates missing from the exact relation (sub-
+    threshold survivors of the band collision) score against exact 0
+    via the max_df-filtered shingle space both operators share; all
+    aggregates are order-free (counts + max), no float MAE
+    accumulation."""
+    docs = load_table(spark, sf_dir, "documents")
+    est = dd.minhash_lsh_pairs(docs, n_hashes=16, bands=4).select(
+        "id_a", "id_b", F.col("est_jaccard").alias("est_jac")
+    )
+    exact = dd.shingle_pairs_jaccard(docs, threshold=0.0).select(
+        F.col("id_a").alias("xa"),
+        F.col("id_b").alias("xb"),
+        F.col("jaccard").alias("exact_jac"),
+    )
+    joined = est.join(
+        exact,
+        (F.col("id_a") == F.col("xa")) & (F.col("id_b") == F.col("xb")),
+        "left",
+    ).select(
+        "est_jac",
+        F.coalesce(F.col("exact_jac"), F.lit(0.0)).alias("exact_jac"),
+    )
+    err = F.abs(F.col("est_jac") - F.col("exact_jac"))
+    return (
+        joined.groupBy(
+            F.least(F.floor(err * 10.0), F.lit(9))
+            .cast("int")
+            .alias("err_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            round_fixed(F.max(err), 6).alias("max_abs_err"),
+        )
+    )

@@ -54,6 +54,7 @@ DOCS_QUERIES = [
     "curation_attrition_funnel",
     "curation_budget_select",
     "curation_dsir_sample",
+    "dedup_minhash_calibration",
 ]
 
 _WORDS = ("the fast key order sort table scan merge part window small hash "

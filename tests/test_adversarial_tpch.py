@@ -70,6 +70,7 @@ TPCH_QUERIES = [
     "a41_yoy_growth",
     "dq_uniqueness_report",
     "graph_bfs_levels",
+    "graph_degree_distribution",
 ]
 
 _FLAGS = [("R", "F"), ("A", "F"), ("N", "O")]
