@@ -183,10 +183,20 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      the BM25 ranking), streaming_cms_estimates (CMS as streaming
 #      aggregation state, value-checked by a31's batch oracle),
 #      streaming_hll_distinct (per-(type, day) HLL sketches as
-#      streaming state, a17's oracle), curation_attrition_funnel
+#      streaming state, a17's oracle), streaming_kll_quantiles
+#      (a16's sketch built by the stream), curation_attrition_funnel
 #      (the reference's attrition idiom over the curation stages),
-#      a40_grouping_sets, a41_yoy_growth (TPC-DS Q4/Q11 shape as a
-#      LAG over the yearly aggregate).  More debuts
+#      curation_budget_select, curation_dsir_sample (Gumbel top-k
+#      resampling over the verified weights — rotate with
+#      curation_dsir_weights, shared oracle text), a40_grouping_sets,
+#      a41_yoy_growth (TPC-DS Q4/Q11 as LAG over the yearly
+#      aggregate), dq_uniqueness_report, sim_mips_topk,
+#      sim_range_search (when-guard fix shape), emb_norm_profile,
+#      graph_bfs_levels, graph_degree_distribution,
+#      s13_compaction_roundtrip, events_value_gini,
+#      events_anomaly_seasonal, dedup_minhash_calibration (rotate
+#      with dedup_lsh_recall — both compose the minhash + exact
+#      oracles).  More debuts
 #      than one window: spill by the standard priority rule (drift >
 #      flagships > shared-callee groups > oldest evidence).
 #      LATENT-BUG ROTATION (r8, found by sim_ivf_recall's
