@@ -5270,3 +5270,135 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy(F.col("degree").cast("bigint").alias("degree")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     )
+
+
+@register(
+    "a42_top_customer_share",
+    oracle="""
+    WITH cv AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS v
+        FROM orders GROUP BY 1
+    ), ranked AS (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY v DESC, o_custkey) AS rn
+        FROM cv
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(CAST(CAST(SUM(CASE WHEN rn <= 10 THEN v
+                                   ELSE CAST(0 AS DECIMAL(38,2)) END)
+                          AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE)
+               AS top10_value,
+           FLOOR(CAST(CAST(CAST(SUM(CASE WHEN rn <= 10 THEN v
+                                   ELSE CAST(0 AS DECIMAL(38,2)) END)
+                          AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(CAST(SUM(v) AS DECIMAL(38,2)) AS VARCHAR)
+                        AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS top10_share
+    FROM ranked
+    """,
+)
+def a42_top_customer_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers' share of total order value — the entity-level
+    concentration headline beside events_value_gini's full-curve
+    summary.  One custkey aggregation, one rank over the (small)
+    per-customer relation, and BOTH the top-10 and total sums stay
+    exact DECIMAL inside one conditional aggregation (never a second
+    scan or a scalar cross join); the share divides the two presented
+    doubles."""
+    from pyspark.sql import Window
+
+    from .functions.expressions import dec_present
+
+    o = load_table(spark, sf_dir, "orders")
+    cv = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("v")
+    )
+    w = Window.orderBy(F.col("v").desc(), "o_custkey")
+    ranked = cv.withColumn("rn", F.row_number().over(w))
+    zero = F.lit(0).cast("decimal(38,2)")
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        dec_present(
+            F.sum(F.when(F.col("rn") <= 10, F.col("v")).otherwise(zero))
+            .cast("decimal(38,2)")
+        ).alias("top10_value"),
+        dec_present(F.sum("v").cast("decimal(38,2)")).alias("total_value"),
+    )
+    return m.select(
+        "n_customers",
+        "top10_value",
+        round_fixed(
+            F.col("top10_value") / F.col("total_value"), 6
+        ).alias("top10_share"),
+    )
+
+
+@register(
+    "ts_autocorr_lag1",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               COUNT(*) AS x
+        FROM events GROUP BY 1
+    ), pairs AS (
+        SELECT x, LEAD(x) OVER (ORDER BY day) AS y
+        FROM daily
+    ), m AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sx2,
+               CAST(SUM(y * y) AS DOUBLE) AS sy2
+        FROM pairs WHERE y IS NOT NULL
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           FLOOR((n * sxy - sx * sy)
+                 / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy))
+                 * 1000000.0 + 0.5) / 1000000.0 AS autocorr_lag1
+    FROM m WHERE n > 1 AND (n * sx2 - sx * sx) > 0
+                 AND (n * sy2 - sy * sy) > 0
+    """,
+)
+def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily event volume — the "is today
+    like yesterday" number that separates trending/bursty series from
+    noise (and the one-line feature a forecasting pipeline computes
+    before committing to any model).  (x_t, x_{t+1}) pairs come from
+    one LEAD over the tiny daily relation; all moments are exact
+    integer sums cast once, closed Pearson form (the a39 pattern) —
+    no engine CORR(), no order-dependent float accumulation."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    w = Window.orderBy("day")
+    pairs = daily.select(
+        "x", F.lead("x").over(w).alias("y")
+    ).filter(F.col("y").isNotNull())
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("sy2"),
+    )
+    varx = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")
+    return (
+        m.filter((F.col("n") > 1) & (varx > 0) & (vary > 0))
+        .select(
+            F.col("n").cast("bigint").alias("n_pairs"),
+            round_fixed(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.sqrt(varx) * F.sqrt(vary)),
+                6,
+            ).alias("autocorr_lag1"),
+        )
+    )

@@ -89,6 +89,7 @@ EVENTS_QUERIES = [
     "streaming_kll_quantiles",
     "events_value_gini",
     "events_anomaly_seasonal",
+    "ts_autocorr_lag1",
 ]
 
 _TYPES = ["click", "signup", "error", "view", "purchase"]

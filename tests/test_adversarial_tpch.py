@@ -71,6 +71,7 @@ TPCH_QUERIES = [
     "dq_uniqueness_report",
     "graph_bfs_levels",
     "graph_degree_distribution",
+    "a42_top_customer_share",
 ]
 
 _FLAGS = [("R", "F"), ("A", "F"), ("N", "O")]
