@@ -196,7 +196,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      s13_compaction_roundtrip, events_value_gini,
 #      events_anomaly_seasonal, dedup_minhash_calibration (rotate
 #      with dedup_lsh_recall — both compose the minhash + exact
-#      oracles).  More debuts
+#      oracles), a42_top_customer_share, ts_autocorr_lag1.
+#      More debuts
 #      than one window: spill by the standard priority rule (drift >
 #      flagships > shared-callee groups > oldest evidence).
 #      LATENT-BUG ROTATION (r8, found by sim_ivf_recall's
