@@ -301,3 +301,44 @@ def s13_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("value_sum"),
     )
+
+
+@register(
+    "s14_text_source_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n_lines,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_en_tagged
+    FROM documents
+    """,
+)
+def s14_text_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 raw-text interchange: documents exported one-per-line as
+    ``lang\\ttext`` through the plain text sink and re-read with
+    ``spark.read.text`` + a split projection — the lowest-common-
+    denominator corpus format every ingestion pipeline still meets.
+    The roundtrip checks line count, total text volume, and a parsed
+    field (the language tag) against the source table, proving the
+    writer emits one intact line per document and the reader's
+    single-column contract recovers structure losslessly (documents
+    contain no newlines/tabs by corpus construction — the format's
+    own precondition, which the count check would loudly break)."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="spark_graft_text_")
+    _SINK_DIRS.append(path)
+    docs.select(
+        F.concat_ws("\t", F.col("lang"), F.col("text")).alias("value")
+    ).write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    parsed = back.select(
+        F.substring_index(F.col("value"), "\t", 1).alias("lang"),
+        F.expr("substring(value, instr(value, '\t') + 1)").alias("text"),
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_en_tagged"),
+    )
