@@ -342,3 +342,56 @@ def s14_text_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_en_tagged"),
     )
+
+
+@register(
+    "s15_dpp_partitioned_join",
+    oracle="""
+    WITH ev_years AS (
+        SELECT DISTINCT EXTRACT(year FROM ts) AS yr FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT CAST(YEAR(o.o_orderdate) AS INT) AS year,
+           COUNT(*) AS n_orders,
+           CAST(CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                          AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE)
+               AS sum_price
+    FROM orders o JOIN ev_years e ON YEAR(o.o_orderdate) = e.yr
+    GROUP BY 1
+    """,
+)
+def s15_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 dynamic partition pruning: the year-partitioned orders copy
+    (io.write_partitioned, the s2 layout) joined on its PARTITION
+    column against a small derived dimension (the years present in
+    purchase events; the selective dim-side predicate is what arms
+    the optimizer's pruning-benefit check) — the shape where Spark
+    prunes fact partitions AT RUNTIME from the broadcast side's
+    values instead of scanning all years.
+    At 100 TB this is the difference between reading 2 partitions and
+    reading 7; the dynamicpruning subquery's presence in the plan is
+    pinned by tests/test_plans.py.  Values stay exact DECIMAL against
+    the unpartitioned-source oracle, so the pruned read provably
+    returns every row of the surviving partitions."""
+    path = tempfile.mkdtemp(prefix="spark_graft_dpp_")
+    _SINK_DIRS.append(path)
+    write_partitioned(load_table(spark, sf_dir, "orders"), path, "o_orderdate")
+    fact = spark.read.parquet(path)
+    ev_years = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.year("ts").alias("yr"))
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(ev_years), F.col("year") == F.col("yr"))
+        .groupBy(F.col("year").cast("int").alias("year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_present(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "decimal(38,2)"
+                )
+            ).alias("sum_price"),
+        )
+    )

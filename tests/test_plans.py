@@ -526,3 +526,15 @@ def test_winnow_no_global_sort(plan):
     may funnel the corpus through a single partition."""
     p = plan("text_winnow_fingerprints")
     assert "SinglePartition" not in p
+
+
+def test_dpp_join_prunes_partitions_at_runtime(spark, sf_dir):
+    """s15's partitioned-fact join must carry a dynamicpruning
+    subquery on the partition column — the runtime analog of static
+    partition pruning, and the feature that makes partitioned 100 TB
+    fact tables joinable by dimension filters without full scans."""
+    from hypertension_dashboard_pipeline_spark.registry import QUERIES
+
+    df = QUERIES["s15_dpp_partitioned_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan
