@@ -196,7 +196,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      s13_compaction_roundtrip, events_value_gini,
 #      events_anomaly_seasonal, dedup_minhash_calibration (rotate
 #      with dedup_lsh_recall — both compose the minhash + exact
-#      oracles), a42_top_customer_share, ts_autocorr_lag1.
+#      oracles), a42_top_customer_share, ts_autocorr_lag1,
+#      s14_text_source_roundtrip, s15_dpp_partitioned_join (the
+#      dynamicpruning plan invariant is pinned in test_plans).
 #      More debuts
 #      than one window: spill by the standard priority rule (drift >
 #      flagships > shared-callee groups > oldest evidence).
