@@ -347,16 +347,17 @@ def s14_text_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s15_dpp_partitioned_join",
     oracle="""
-    WITH ev_years AS (
-        SELECT DISTINCT EXTRACT(year FROM ts) AS yr FROM events
-        WHERE event_type = 'purchase'
+    WITH ship_years AS (
+        SELECT DISTINCT EXTRACT(year FROM l_shipdate) AS yr
+        FROM lineitem WHERE l_returnflag = 'R'
+          AND EXTRACT(year FROM l_shipdate) <= 1997
     )
     SELECT CAST(YEAR(o.o_orderdate) AS INT) AS year,
            COUNT(*) AS n_orders,
            CAST(CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
                           AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE)
                AS sum_price
-    FROM orders o JOIN ev_years e ON YEAR(o.o_orderdate) = e.yr
+    FROM orders o JOIN ship_years e ON YEAR(o.o_orderdate) = e.yr
     GROUP BY 1
     """,
 )
@@ -377,14 +378,17 @@ def s15_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     _SINK_DIRS.append(path)
     write_partitioned(load_table(spark, sf_dir, "orders"), path, "o_orderdate")
     fact = spark.read.parquet(path)
-    ev_years = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
-        .select(F.year("ts").alias("yr"))
+    ship_years = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_returnflag") == "R")
+            & (F.year("l_shipdate") <= 1997)
+        )
+        .select(F.year("l_shipdate").alias("yr"))
         .distinct()
     )
     return (
-        fact.join(F.broadcast(ev_years), F.col("year") == F.col("yr"))
+        fact.join(F.broadcast(ship_years), F.col("year") == F.col("yr"))
         .groupBy(F.col("year").cast("int").alias("year"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
