@@ -32,6 +32,40 @@ def norm(a: Column | str) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def cosine_guarded(a: Column | str, b: Column | str,
+                   scale: int | None = None) -> Column:
+    """Zero-norm-safe cosine: NULL when either operand has zero norm,
+    instead of an ANSI ``DIVIDE_BY_ZERO`` at runtime.
+
+    The division lives INSIDE an ``F.when`` branch conditioned on both
+    squared norms being positive.  A ``norm > 0`` pre-FILTER is not
+    equivalent: Catalyst's CombineFilters merges it with any later
+    filter on the cosine, and codegen's subexpression elimination then
+    evaluates the division before the AND can short-circuit — the
+    mechanism pinned down by ``sim_range_search``'s adversarial run
+    (registry.py LATENT-BUG ROTATION).  A conditional branch stays
+    lazy where a conjunct does not; callers drop the NULL rows with an
+    explicit ``isNotNull`` filter (safe — the filter predicate only
+    reaches the division through the lazy branch) or a threshold
+    compare.
+
+    For non-zero operands the value is bit-identical to ``cosine``:
+    the branch body is the same dot/(sqrt·sqrt) expression (``norm``
+    is literally ``sqrt(dot(a, a))``), rounded by the same
+    ``round_fixed`` floor form.  Oracles pair the exclusion with a
+    ``WHERE <self-dot> > 0`` guard on the scored rows.
+    """
+    from .expressions import round_fixed
+
+    daa = dot(a, a)
+    dbb = dot(b, b)
+    sim = dot(a, b) / (F.sqrt(daa) * F.sqrt(dbb))
+    return F.when(
+        (daa > 0) & (dbb > 0),
+        round_fixed(sim, scale) if scale is not None else sim,
+    )
+
+
 def cosine(a: Column | str, b: Column | str, scale: int | None = None) -> Column:
     """Cosine similarity; optionally rounded for stable cross-engine
     comparison (recommended when the value feeds a threshold/rank).

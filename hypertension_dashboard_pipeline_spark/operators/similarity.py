@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.expressions import round_fixed
-from ..functions.vectors import as_double_array, cosine, dot, norm
+from ..functions.vectors import as_double_array, cosine, cosine_guarded, dot, norm
 
 
 def _hyperplane(plane: int, dim: int) -> list[float]:
@@ -56,12 +56,20 @@ def brute_force_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      scale: int = 6) -> DataFrame:
     """Exact cosine top-k: rank by (rounded cosine desc, id) — the
-    rounding makes rank order reproducible across engines."""
+    rounding makes rank order reproducible across engines.
+
+    Zero-norm corpus vectors (failed-encoder output, legal in any real
+    corpus) score NULL via the when-guarded cosine and are dropped
+    before ranking — under ANSI the unguarded division is a runtime
+    DIVIDE_BY_ZERO, and a norm>0 pre-filter does NOT protect a
+    projection-time division (see ``cosine_guarded``).  Contract: a
+    zero vector is never a neighbor; a zero-norm QUERY returns the
+    empty set."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = df.select(
         F.col(id_col),
-        cosine(F.col(vec_col), q, scale=scale).alias("cos_sim"),
-    )
+        cosine_guarded(F.col(vec_col), q, scale=scale).alias("cos_sim"),
+    ).filter(F.col("cos_sim").isNotNull())
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
@@ -209,6 +217,11 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     trade: recall vs clusters probed. Here the pre-assigned ``label``
     column is the coarse assignment; ``label_centroids`` is its
     quantizer build.
+
+    Zero-norm handling mirrors ``brute_force_topk``: guarded cosine +
+    NULL drop on BOTH the centroid ranking (an all-zero cluster has a
+    zero centroid) and the probed scoring — never a norm>0 pre-filter
+    (``cosine_guarded`` documents why).
     """
     cents = label_centroids(df, label_col, vec_col)
     # assemble centroid vectors: sorted struct-collect per label
@@ -223,15 +236,17 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     probed = (
         cent_vecs.select(
-            "label", cosine(F.col("cvec"), q, scale=scale).alias("c_sim")
+            "label", cosine_guarded(F.col("cvec"), q, scale=scale).alias("c_sim")
         )
+        .filter(F.col("c_sim").isNotNull())
         .orderBy(F.col("c_sim").desc(), F.col("label"))
         .limit(n_probe)
         .select("label")
     )
     scored = df.join(F.broadcast(probed), label_col).select(
-        F.col(id_col), cosine(F.col(vec_col), q, scale=scale).alias("cos_sim")
-    )
+        F.col(id_col),
+        cosine_guarded(F.col(vec_col), q, scale=scale).alias("cos_sim"),
+    ).filter(F.col("cos_sim").isNotNull())
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
@@ -278,13 +293,18 @@ def lsh_bucket_topk_indexed(spark, index_path: str, query_vec: list[float],
     (``build_lsh_index``): the bucket equality lands in the scan's
     PartitionFilters, so only the query's bucket directory is read —
     the claimed 1/2^planes scan made real rather than computed on the
-    fly. Same result set as ``lsh_bucket_topk`` by construction."""
+    fly. Same result set as ``lsh_bucket_topk`` by construction —
+    including the zero-norm exclusion: a zero vector signs into the
+    all-ones bucket (every <0, plane> is >= 0), so it CAN share the
+    query's partition; the guarded cosine + NULL drop keeps it out of
+    the ranking instead of crashing the probe under ANSI."""
     qbits = query_sign_bits(query_vec, n_planes)
     bucketed = spark.read.parquet(index_path).filter(F.col("bucket") == qbits)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = bucketed.select(
-        F.col(id_col), cosine(F.col(vec_col), q, scale=scale).alias("cos_sim")
-    )
+        F.col(id_col),
+        cosine_guarded(F.col(vec_col), q, scale=scale).alias("cos_sim"),
+    ).filter(F.col("cos_sim").isNotNull())
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
@@ -344,6 +364,10 @@ def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     bucketed (pre-partitioned) index only ~1/2^planes of rows are
     scored. Recall is tunable via n_planes (fewer planes = bigger
     bucket = higher recall).
+
+    A zero-norm vector signs into the all-ones bucket, so it can land
+    in the probed set; the guarded cosine scores it NULL and the drop
+    filter removes it (ANSI-safe — see ``cosine_guarded``).
     """
     d = len(query_vec)
     planes = [_hyperplane(j, d) for j in range(n_planes)]
@@ -356,8 +380,9 @@ def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10,
         F.col("bucket") == qbits
     )
     scored = bucketed.select(
-        F.col(id_col), cosine(F.col(vec_col), q, scale=scale).alias("cos_sim")
-    )
+        F.col(id_col),
+        cosine_guarded(F.col(vec_col), q, scale=scale).alias("cos_sim"),
+    ).filter(F.col("cos_sim").isNotNull())
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 

@@ -1076,9 +1076,9 @@ SELECT c.segment,
        COUNT(*) AS n_cust,
        CAST(SUM(CASE WHEN COALESCE(p.n_hi, 0) >= 2 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_flagged,
-       ROUND(100.0 * CAST(SUM(CASE WHEN COALESCE(p.n_hi, 0) >= 2
+       FLOOR(100.0 * CAST(SUM(CASE WHEN COALESCE(p.n_hi, 0) >= 2
                               THEN 1 ELSE 0 END) AS BIGINT)
-             / COUNT(*), 6) AS pct_flagged
+             / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS pct_flagged
 FROM cohort c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
 GROUP BY c.segment
 """
@@ -1150,10 +1150,13 @@ def flagship_cohort_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_flagged", flag(F.col("n_hi") >= 2))
     )
 
+    # round_fixed, not F.round: 100·n/m ratios are exactly the class of
+    # doubles that can land on a 6dp shortest-repr midpoint (the r5
+    # failure mode) — this was the package's last F.round site
     return flagged.groupBy("segment").agg(
         F.count(F.lit(1)).alias("n_cust"),
         F.sum("is_flagged").alias("n_flagged"),
-        F.round(
+        round_fixed(
             100.0 * F.sum("is_flagged") / F.count(F.lit(1)), 6
         ).alias("pct_flagged"),
     )

@@ -690,6 +690,10 @@ _DK_DOT = (
 
 
 def _cosine_oracle_topk() -> str:
+    # zero-norm corpus vectors are excluded from scoring (WHERE guard),
+    # mirroring the operator's when-guarded cosine + NULL drop — the r8
+    # LATENT-BUG ROTATION fix (registry.py); on a zero-free corpus the
+    # result is unchanged
     dot_vq = _DK_DOT.format(a="e.v", b="q.qv")
     dot_vv = _DK_DOT.format(a="e.v", b="e.v")
     dot_qq = _DK_DOT.format(a="q.qv", b="q.qv")
@@ -703,6 +707,7 @@ def _cosine_oracle_topk() -> str:
            FLOOR({dot_vq} / (sqrt({dot_vv}) * sqrt({dot_qq}))
                  * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
     FROM e, q
+    WHERE {dot_vv} > 0
     ORDER BY cos_sim DESC, e.vec_id
     LIMIT 10
     """
@@ -800,8 +805,11 @@ def _ivf_oracle(n_probe: int = 2, k: int = 10) -> str:
     ), cvecs AS (
         SELECT label, list(cv ORDER BY pos) AS cvec FROM cents GROUP BY label
     ), probed AS (
+        -- zero-centroid clusters (all-zero members) are excluded from
+        -- the ranking, mirroring the operator's guarded centroid cosine
         SELECT label
         FROM cvecs, q
+        WHERE {dot('cvecs.cvec', 'cvecs.cvec')} > 0
         ORDER BY FLOOR({dot('cvecs.cvec', 'q.qv')}
                  / (sqrt({dot('cvecs.cvec', 'cvecs.cvec')})
                     * sqrt({dot('q.qv', 'q.qv')}))
@@ -816,6 +824,7 @@ def _ivf_oracle(n_probe: int = 2, k: int = 10) -> str:
                  * 1000000.0 + 0.5) / 1000000.0
                AS cos_sim
     FROM e JOIN probed USING (label), q
+    WHERE {dot('e.v', 'e.v')} > 0
     ORDER BY cos_sim DESC, e.vec_id
     LIMIT {k}
     """
@@ -867,6 +876,7 @@ def _lsh_bucket_topk_oracle(k: int = 10, n_planes: int = 4,
            FLOOR({dot_vq} / (sqrt({dot_vv}) * sqrt({dot_qq}))
                  * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
     FROM eb JOIN qb USING (b), q
+    WHERE {dot_vv} > 0
     ORDER BY cos_sim DESC, eb.vec_id
     LIMIT {k}
     """
@@ -2260,11 +2270,14 @@ def _batch_ann_oracle(k: int = 5, n_queries: int = 8) -> str:
     ), c AS (
         SELECT vec_id, v FROM e WHERE vec_id >= {n_queries}
     ), s AS (
+        -- zero-norm guard on BOTH sides (corpus vector AND query
+        -- vector are data here), mirroring the guarded cosine
         SELECT q.query_id, c.vec_id,
                FLOOR({dot_cq} / (sqrt({dot_cc}) * sqrt({dot_qq}))
                      * 1000000.0 + 0.5) / 1000000.0
                    AS cos_sim
         FROM c, q
+        WHERE {dot_cc} > 0 AND {dot_qq} > 0
     ), r AS (
         SELECT query_id, vec_id, cos_sim,
                ROW_NUMBER() OVER (PARTITION BY query_id
@@ -2282,9 +2295,13 @@ def sim_batch_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-side, then ``grouped_topk_partial`` truncates per Arrow
     batch BEFORE the shuffle. The window form would shuffle the whole
     corpus×queries score matrix; this shuffles ≤ k·queries·batches
-    rows — the difference between feasible and not at 100 TB."""
+    rows — the difference between feasible and not at 100 TB.
+
+    Zero-norm exclusion on BOTH sides via the when-guarded cosine +
+    NULL drop (corpus vector and query vector are both data here);
+    the oracle mirrors it with a two-sided self-dot WHERE guard."""
     from .operators.windows import grouped_topk_partial
-    from .functions.vectors import cosine
+    from .functions.vectors import cosine_guarded
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8).select(
@@ -2294,8 +2311,8 @@ def sim_batch_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = corpus.crossJoin(F.broadcast(queries_df)).select(
         "query_id",
         "vec_id",
-        cosine(F.col("embedding"), F.col("qv"), scale=6).alias("cos_sim"),
-    )
+        cosine_guarded(F.col("embedding"), F.col("qv"), scale=6).alias("cos_sim"),
+    ).filter(F.col("cos_sim").isNotNull())
     return grouped_topk_partial(
         scored, ["query_id"], "cos_sim", "vec_id", k=5
     ).select("query_id", "vec_id", "cos_sim", "rank")
@@ -3897,9 +3914,10 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_recall_oracle(k: int = 10, n_probe: int = 2) -> str:
     # both sub-oracles run against a zero-norm-excluded view of the
     # corpus (cosine undefined; matches the query's explicit
-    # pre-filter).  The pinned sim_cosine_topk / sim_ivf_topk oracles
-    # read the raw table — their operator-level exclusion is queued
-    # for the r8 rotation (registry.py backlog).
+    # pre-filter).  Since the r8 rotation the composed sim_cosine_topk
+    # / sim_ivf_topk oracles ALSO carry their own self-dot WHERE
+    # guards — redundant against the excluded view, kept so each
+    # oracle is safe standalone.
     dot_vv = _DK_DOT.format(a="vv", b="vv")
     excl = (
         "(SELECT vec_id, embedding, label FROM "

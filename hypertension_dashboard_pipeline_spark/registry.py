@@ -222,67 +222,92 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      sim_range_search.  (A pre-filter with NO later filter on the
 #      cosine — mmr_rerank's shape — is safe: the division lives in
 #      the projection, which only sees surviving rows.)
+#      r8 window (this round): CORRECTNESS_r07 was 50/50 green, so the
+#      window executes the r7→r8 plan: (1) the LATENT-BUG ROTATION —
+#      the five pinned cosine top-k queries rotate TOGETHER with the
+#      when-guard fix (cosine_guarded in functions/vectors.py; wired
+#      into brute_force_topk / ivf_topk / lsh_bucket_topk(+indexed)
+#      and the batch-ANN scoring) and the self-dot WHERE guards in
+#      _cosine_oracle_topk / _ivf_oracle / _lsh_bucket_topk_oracle /
+#      _batch_ann_oracle; sim_ivf_recall (composes the fixed oracles)
+#      and sim_range_search (the proven fix shape) debut beside them;
+#      the whole family is additionally parity-checked on the
+#      zero-norm adversarial corpus (test_adversarial_embeddings).
+#      (2) The flagship's last F.round (pct_flagged, the r5 midpoint
+#      class) migrates to round_fixed inside its standing slot —
+#      zero F.round sites remain in non-test source.  (3) The other
+#      41 slots DRAIN THE 80-QUERY EXTERNAL-EVIDENCE BACKLOG by the
+#      standard priority rule: shared-callee debut groups rotate
+#      together (bpe pair, ewma pair, cusum pair, directed-LSH pair,
+#      streaming-sketch trio, DSIR pair, winnow pair-half, the
+#      minhash-evaluation pair), then oldest evidence (the r7
+#      wave-1/2 debuts), then the S13–S15 IO roundtrips whose
+#      external rows were pending.  Debut velocity is capped (~15
+#      new registrations this round) so the r9 window can close the
+#      remaining ~37-name queue.
+#      NOT in this window (externally green ≤ r7, fingerprint-pinned,
+#      locally swept): everything CORRECTNESS_r07 just verified, and
+#      the r7-green carries.
 _FRONT: list[str] = [
-    # flagship + headline extension pipeline (always externally gated;
-    # curation also drifted via the shingle_pairs_jaccard migration)
+    # flagship (drifted: last F.round -> round_fixed) + headline
+    # extension pipeline (always externally gated)
     "flagship_cohort_pipeline",
     "curation_pipeline",
-    # --- r7 centerpiece: the dedup family, rotated TOGETHER with the
-    # round_fixed migration of its shared callees shingle_pairs_jaccard
-    # / minhash_lsh_pairs (the last F.round family) ---
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_components",
-    "dedup_simhash_groups",
-    "dedup_quality_survivor",
-    "dedup_prefix_filter_pairs",   # r6 debut; shares exploded_shingles
-    "dedup_duplicate_spans",       # r6 debut, span family
-    "dedup_span_coverage",         # r6 debut, span family
-    # --- displaced r6 re-verification carries (r4-green since) ---
-    "dedup_simhash_pairs",
-    "dedup_incremental_bloom",
-    "j12_fuzzy_join_blocked",
-    "j13_merge_upsert",
-    "a14_sketch_profile",
-    "text_chunk_documents",
-    "sample_temperature_mix",
-    "sample_k_per_group",
-    "streaming_static_join",
-    # --- solo F.round backlog: migrated to round_fixed THIS round,
-    # riding their rotation (SURVEY §7 round-boundary step 5) ---
-    "a6_freq_table",
-    "a11_attrition_stats",
-    "a13_grouped_percentiles",
-    "f16_profile_stats",
-    "text_repetition_ratio",
-    # --- r6 debuts: first external verification ---
-    "sim_ivf_pq_topk",
-    "graph_triangle_count",        # also drifts: persist + content record
-    "a29_heavy_hitters_sampled",
-    "a30_grouped_mad_outliers",
-    "a31_cms_point_estimates",
-    "ts_gap_fill_interpolate",
-    "dq_drift_psi",
-    "text_tfidf_top_terms",
-    "text_gopher_rules",
-    "text_vocab_encode",
-    "text_feature_hashing",
-    "emb_top_component",
-    "emb_remove_top_component",
-    "emb_random_projection",
-    "f17_json_extract_stats",
-    "sample_global_index",
-    "s3_csv_roundtrip",
-    "s8_jsonl_orc_roundtrip",
-    # --- r7 debuts take the remaining slots (appended as built) ---
-    "dedup_containment_pairs",
-    "text_winnow_fingerprints",
-    "dedup_contaminated_spans",
-    "sample_stratified_exact",
-    "sim_exact_vector_dup",
-    "text_token_entropy",
-    "ts_resample_ohlc",
-    "events_type_pmi",
+    # --- r8 centerpiece: zero-norm LATENT-BUG ROTATION (shared-callee
+    # rule: all five ride the cosine_guarded fix; ivf_recall composes
+    # the fixed oracles; range_search is the fix-shape debut) ---
+    "sim_cosine_topk",
+    "sim_ivf_topk",
+    "sim_lsh_bucket_topk",
+    "sim_lsh_bucket_topk_indexed",
+    "sim_batch_ann_topk",
+    "sim_ivf_recall",
+    "sim_range_search",
+    # --- backlog drain: shared-callee debut groups rotate together ---
+    "text_bpe_train",
+    "text_bpe_encode",
+    "ts_ewma_last8",
+    "streaming_ewma",
+    "ts_cusum_alarm",
+    "streaming_cusum",
+    "sim_hard_negatives",
+    "sim_knn_accuracy",
+    "streaming_cms_estimates",
+    "streaming_hll_distinct",
+    "streaming_kll_quantiles",
+    "curation_dsir_weights",
+    "curation_dsir_sample",
+    "dedup_winnow_pairs",        # shares winnow_fingerprints (r7-green)
+    "dedup_lsh_recall",
+    "dedup_minhash_calibration",  # composes the same minhash oracles
+    "streaming_ohlc",             # ts_resample_ohlc verified r7
+    "sim_mips_topk",
+    "emb_norm_profile",
+    "emb_standardize",
+    # --- backlog drain: oldest never-externally-verified evidence
+    # (r7 wave-1/2 debuts, registered longest ago) ---
+    "graph_kcore",
+    "dq_referential_integrity",
+    "j14_interval_overlap",
+    "sample_weighted_k_per_group",
+    "emb_centroid_drift",
+    "dq_drift_ks",
+    "j19_volume_shipping",
+    "j20_market_share",
+    "rec_copurchase_lift",
+    "j21_cdc_apply",
+    "j22_returned_item_revenue",
+    "a32_custdist",
+    "j23_sales_opportunity",
+    "dedup_minhash_merge",
+    "text_zipf_fit",
+    "j18_asof_join_forward",
+    "text_source_similarity",
+    "text_tfidf_cosine_pairs",
+    # --- the r7 IO debuts whose external rows were pending ---
+    "s13_compaction_roundtrip",
+    "s14_text_source_roundtrip",
+    "s15_dpp_partitioned_join",
 ]
 
 # Driver window size (observed: the external gate samples the first 50

@@ -47,6 +47,20 @@ EMB_QUERIES = [
     "sim_mips_topk",
     "emb_norm_profile",
     "sim_range_search",
+    # r8 LATENT-BUG ROTATION (registry.py): the five pinned cosine
+    # top-k queries crashed on this corpus's zero vector under ANSI
+    # (DIVIDE_BY_ZERO in the unguarded cosine) before the when-guard
+    # landed in brute_force_topk / ivf_topk / lsh_bucket_topk(+indexed)
+    # and the guarded batch-ANN scoring; the zero vector signs into
+    # the all-ones LSH bucket and vec_id 4 sits inside the batch-ANN
+    # query set, so every guard path (corpus, bucket-probed, and
+    # query-side) is exercised, with full value parity vs the
+    # WHERE-guarded oracles — not just no-crash.
+    "sim_cosine_topk",
+    "sim_ivf_topk",
+    "sim_lsh_bucket_topk",
+    "sim_lsh_bucket_topk_indexed",
+    "sim_batch_ann_topk",
 ]
 
 _DIM = 64
