@@ -258,3 +258,67 @@ def cusum_alarms(df: DataFrame, key_col: str, order_cols: list[str],
         folded["a"].alias("n_alarms"),
         folded["s"].alias("final_s"),
     )
+
+
+def holt_linear_last(df: DataFrame, key_col: str, order_cols: list[str],
+                     value_col: str, alpha: float = 0.5,
+                     beta: float = 0.25, tail: int = 12) -> DataFrame:
+    """Per-key Holt linear-trend (double exponential) smoothing over
+    the LAST ``tail`` values: level l' = α·x + (1-α)(l+b), trend
+    b' = β(l'-l) + (1-β)b, initialized l=x₀, b=0 — the trend-aware
+    sibling of ``ewma_last`` and the classical one-step forecaster
+    (forecast = l + b).
+
+    Same distributed shape as the EWMA/CUSUM folds: one groupBy
+    collects each key's ordered (order..., value) structs, the tail
+    slice bounds the fold regardless of history length, and a single
+    ``F.aggregate`` with a struct accumulator (l, b, n) runs the
+    recurrence as an ordered left fold — no per-row window state, no
+    recursion, no UDF.  The DEFAULT α=0.5, β=0.25 are exact binary
+    fractions, so α, 1-α, β, 1-β are bit-identical literals in any
+    engine (no DECIMAL-vs-double literal divergence, the hazard the
+    EWMA twin-fold works around); an oracle reproduces the fold as a
+    recursive CTE with the same IEEE expression order.
+
+    Null-measurement contract (SURVEY §7 r7→r8 step 5): null values
+    are SKIPPED explicitly; all-null keys emit no row.
+
+    Output: (key, n_events, level, trend) — unrounded doubles, callers
+    present with round_fixed; the 1-step forecast is level + trend.
+    """
+    df = df.filter(F.col(value_col).isNotNull())
+    seq = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sort_array(
+            F.collect_list(F.struct(*order_cols, value_col))
+        ).alias("seq"),
+    )
+    lt = F.slice(
+        F.col("seq"),
+        F.greatest(F.size("seq") - (tail - 1), F.lit(1)),
+        F.lit(tail),
+    )
+    vals = F.transform(lt, lambda x: x[value_col].cast("double"))
+    a, one_a = F.lit(float(alpha)), F.lit(1.0 - alpha)
+    bt, one_b = F.lit(float(beta)), F.lit(1.0 - beta)
+    init = F.struct(
+        F.element_at(vals, 1).alias("l"),
+        F.lit(0.0).alias("b"),
+    )
+
+    def step(acc, x):
+        lp = a * x + one_a * (acc["l"] + acc["b"])
+        bp = bt * (lp - acc["l"]) + one_b * acc["b"]
+        return F.struct(lp.alias("l"), bp.alias("b"))
+
+    folded = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        init,
+        step,
+    )
+    return seq.select(
+        F.col(key_col),
+        F.col("n_events"),
+        folded["l"].alias("level"),
+        folded["b"].alias("trend"),
+    )

@@ -5402,3 +5402,256 @@ def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("autocorr_lag1"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# r8 debuts: Holt linear trend, activity streaks, inter-arrival profile,
+# neighborhood-Jaccard link prediction
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ts_holt_linear",
+    oracle="""
+    WITH RECURSIVE ev AS (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_events
+        FROM events WHERE value IS NOT NULL
+    ), tl AS (
+        SELECT user_id, n_events, CAST(value AS DOUBLE) AS x,
+               rn - GREATEST(n_events - 12, 0) AS i
+        FROM ev WHERE rn > n_events - 12
+    ), holt AS (
+        SELECT user_id, n_events, 1 AS i, x AS l, CAST(0.0 AS DOUBLE) AS b
+        FROM tl WHERE i = 1
+        UNION ALL
+        SELECT t.user_id, h.n_events, CAST(t.i AS INT),
+               0.5 * t.x + 0.5 * (h.l + h.b),
+               0.25 * ((0.5 * t.x + 0.5 * (h.l + h.b)) - h.l) + 0.75 * h.b
+        FROM holt h JOIN tl t ON t.user_id = h.user_id AND t.i = h.i + 1
+    ), lastrow AS (
+        SELECT user_id, MAX(i) AS mx FROM holt GROUP BY 1
+    )
+    SELECT h.user_id, h.n_events,
+           FLOOR(h.l * 1000000.0 + 0.5) / 1000000.0 AS level,
+           FLOOR(h.b * 1000000.0 + 0.5) / 1000000.0 AS trend,
+           FLOOR((h.l + h.b) * 1000000.0 + 0.5) / 1000000.0 AS forecast_1
+    FROM holt h JOIN lastrow m ON h.user_id = m.user_id AND h.i = m.mx
+    """,
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing (level + trend double exponential)
+    per user over the last 12 values, 1-step forecast = level + trend
+    — the trend-aware sibling of ts_ewma_last8 and the classical
+    short-horizon forecaster (operators/timeseries.holt_linear_last).
+    α=0.5, β=0.25 are exact binary fractions, so every smoothing
+    constant is the identical double in both engines; the fold is one
+    struct-accumulator F.aggregate over the collected tail (bounded
+    state per key), mirrored by the oracle's recursive CTE running the
+    same IEEE expression order — the CUSUM twin pattern."""
+    from .operators.timeseries import holt_linear_last
+
+    ev = load_table(spark, sf_dir, "events")
+    out = holt_linear_last(
+        ev, "user_id", ["ts", "event_id"], "value",
+        alpha=0.5, beta=0.25, tail=12,
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        round_fixed(F.col("level"), 6).alias("level"),
+        round_fixed(F.col("trend"), 6).alias("trend"),
+        round_fixed(F.col("level") + F.col("trend"), 6).alias("forecast_1"),
+    )
+
+
+@register(
+    "w9_user_streaks",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ), r AS (
+        SELECT user_id, day,
+               day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                             ORDER BY day) AS INT) AS anchor
+        FROM d
+    ), s AS (
+        SELECT user_id, anchor, COUNT(*) AS len FROM r GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak
+    FROM s GROUP BY user_id
+    """,
+)
+def w9_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user longest run of CONSECUTIVE active
+    days — the classic engagement-streak statistic, solved with the
+    day-minus-row_number anchor trick: consecutive days share one
+    anchor date, so streaks fall out of two hash aggregations after a
+    single per-user window sort.  No self-join, no iteration; at
+    100 TB the distinct (user, day) relation is the only shuffled
+    surface and the window rides its partitioning."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    anchored = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    per = anchored.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return per.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+    )
+
+
+@register(
+    "events_interarrival_profile",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           FLOOR(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS avg_gap_s,
+           FLOOR(quantile_cont(gap_us, 0.5) / 1000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS p50_gap_s,
+           FLOOR(quantile_cont(gap_us, 0.9) / 1000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS p90_gap_s
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per event type (gaps measured
+    within each user's per-type sequence, pooled by type) — the
+    hazard/traffic profile capacity planning and anomaly baselining
+    read first.  Gaps are EXACT microsecond integers (unix_micros ↔
+    epoch_us), so the mean is one exact BIGINT sum divided at the end
+    and the percentile interpolation (F.percentile ↔ quantile_cont,
+    the a13 pairing) runs on identical integers — no order-dependent
+    float summation anywhere.  One window sort on the (user, type)
+    partitioning, one hash aggregation."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    gaps = (
+        ev.select(
+            "event_type",
+            (
+                F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.lag("ts").over(w))
+            ).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        round_fixed(
+            F.sum("gap_us").cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1000000.0),
+            6,
+        ).alias("avg_gap_s"),
+        round_fixed(
+            F.percentile("gap_us", F.lit(0.5)) / F.lit(1000000.0), 6
+        ).alias("p50_gap_s"),
+        round_fixed(
+            F.percentile("gap_us", F.lit(0.9)) / F.lit(1000000.0), 6
+        ).alias("p90_gap_s"),
+    )
+
+
+@register(
+    "graph_neighbor_jaccard",
+    oracle="""
+    WITH po AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), deg AS (
+        SELECT l_partkey, COUNT(*) AS n_x FROM po GROUP BY 1
+    ), pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS n_ab
+        FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT p.part_a, p.part_b, p.n_ab,
+               FLOOR(CAST(p.n_ab AS DOUBLE)
+                     / (ca.n_x + cb.n_x - p.n_ab)
+                     * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+        FROM pairs p
+        JOIN deg ca ON p.part_a = ca.l_partkey
+        JOIN deg cb ON p.part_b = cb.l_partkey
+    )
+    SELECT part_a, part_b, n_ab, jaccard FROM scored
+    ORDER BY jaccard DESC, part_a, part_b LIMIT 20
+    """,
+)
+def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction over the bipartite
+    order-part graph: top-20 part pairs by |shared orders| /
+    |order-neighborhood union| — the normalized-overlap sibling of
+    graph_adamic_adar (degree-discount) and rec_copurchase_lift
+    (independence-ratio), completing the standard link-prediction
+    trio.  Same blocked pair generation (keyed on the order, bounded
+    by basket size, never parts²); the score is one double division
+    over three exact integers, ranked on the ROUNDED value with id
+    tie-breaks so the top-20 cutoff is engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.select("l_orderkey", "l_partkey").distinct()
+    deg = po.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_x"))
+    a = po.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a")
+    )
+    b = po.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("o") == F.col("o2"))
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(deg.select(F.col("l_partkey").alias("part_a"),
+                                   F.col("n_x").alias("n_a"))), "part_a")
+        .join(
+            F.broadcast(deg.select(F.col("l_partkey").alias("part_b"),
+                                   F.col("n_x").alias("n_b"))), "part_b")
+        .select(
+            "part_a", "part_b", "n_ab",
+            round_fixed(
+                F.col("n_ab").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_ab")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc(), "part_a", "part_b"
+    ).limit(20)

@@ -5614,3 +5614,212 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_fixed(F.max(err), 6).alias("max_abs_err"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# r8 debuts: sketch-based corpus overlap, packing efficiency, robust
+# per-dimension embedding clip
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_corpus_overlap_hll",
+    oracle=f"""
+    WITH {_DK_EX}, ds AS (
+        SELECT DISTINCT d.source, e.shingle
+        FROM ex e JOIN documents d ON e.id = d.doc_id
+    ), ov AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_overlap
+        FROM ds a JOIN ds b ON a.shingle = b.shingle
+                           AND a.source < b.source
+        GROUP BY 1, 2
+    ), srcs AS (SELECT DISTINCT source FROM ds),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b
+        FROM srcs a JOIN srcs b ON a.source < b.source
+    )
+    SELECT p.source_a, p.source_b,
+           CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_exact_overlap,
+           1 AS within_bounds
+    FROM pairs p LEFT JOIN ov o
+        ON p.source_a = o.source_a AND p.source_b = o.source_b
+    """,
+)
+def dedup_corpus_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shingle-set overlap estimated by HLL
+    inclusion-exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), with one
+    Datasketches HLL per source and pairwise register-max unions —
+    the sketch-based contamination/overlap screen a 100 TB curation
+    run uses to decide WHICH source pairs deserve the exact
+    (shuffle-heavy) dedup pass: per-source sketches are a few KB, the
+    pairwise stage touches no row data at all, and the sketches are
+    the same ones an ingest pipeline already maintains per partition
+    (a17's mergeable-profile pattern, lifted from counts to set
+    intersections).
+
+    HLL union is deterministic (register max, no randomness), so the
+    estimate is reproducible; like the a16/a17 sketch family, the
+    externally-checked columns are the EXACT overlap (computed here
+    by a shingle-keyed self-join over the distinct source-shingle
+    relation — the expensive path the sketch screen avoids at scale)
+    plus a within-bounds flag.  Tolerance 0.06·(|A|+|B|): measured
+    max inclusion-exclusion error across 570 pairs at three SFs is
+    0.0302 (2× margin; lgK=12 rsd ≈ 1.6%, and I-E compounds three
+    estimates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = dd.exploded_shingles(docs, "doc_id", "text", 3)
+    ss = ex.join(
+        docs.select(F.col("doc_id").alias("id"), "source"), "id"
+    ).select("source", "shingle")
+    sk = ss.groupBy("source").agg(
+        F.hll_sketch_agg("shingle").alias("sk"),
+        F.countDistinct("shingle").alias("n_ex"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("shingle")).alias("est"),
+    )
+    a = sk.select(
+        F.col("source").alias("source_a"), F.col("sk").alias("ska"),
+        F.col("n_ex").alias("nxa"), F.col("est").alias("esta"),
+    )
+    b = sk.select(
+        F.col("source").alias("source_b"), F.col("sk").alias("skb"),
+        F.col("n_ex").alias("nxb"), F.col("est").alias("estb"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("source_a") < F.col("source_b"))
+    est = pairs.select(
+        "source_a", "source_b", "nxa", "nxb",
+        (
+            F.col("esta") + F.col("estb")
+            - F.hll_sketch_estimate(F.hll_union("ska", "skb"))
+        ).alias("est_overlap"),
+    )
+    d = ss.distinct()
+    ov = (
+        d.alias("x")
+        .join(d.alias("y"), "shingle")
+        .filter(F.col("x.source") < F.col("y.source"))
+        .groupBy(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        est.join(ov, ["source_a", "source_b"], "left")
+        .fillna({"n_overlap": 0})
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_overlap").cast("bigint").alias("n_exact_overlap"),
+            (
+                F.abs(F.col("est_overlap") - F.col("n_overlap"))
+                <= F.lit(0.06) * (F.col("nxa") + F.col("nxb"))
+            ).cast("int").alias("within_bounds"),
+        )
+    )
+
+
+@register(
+    "curation_pack_efficiency",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, doc_id,
+               len({_DK_TOKENS.format(c='text')}) AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT source, n_tokens,
+               CAST(FLOOR((SUM(n_tokens) OVER w - n_tokens) / 512.0)
+                    AS BIGINT) AS chunk_id
+        FROM t
+        WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MAX(chunk_id) + 1 AS BIGINT) AS n_bins,
+           CAST(CEIL(SUM(n_tokens) / 512.0) AS BIGINT) AS ideal_bins,
+           FLOOR(CAST(SUM(n_tokens) AS DOUBLE)
+                 / ((MAX(chunk_id) + 1) * 512.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS fill_ratio
+    FROM packed GROUP BY source
+    """,
+)
+def curation_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report: per source, the bins produced by the
+    512-token running-total packer (pack_token_budget's exact plan)
+    vs the information-theoretic floor ceil(total/512) and the
+    resulting fill ratio — the evaluation layer for sequence packing
+    (the dedup_lsh_recall treatment applied to the packer: an index/
+    layout operator plus the measurement that says whether its
+    output is any good).  Composes the SAME windowed packing stage,
+    then one hash aggregation per source; every output is exact
+    integer arithmetic except the final fill ratio, one double
+    division rounded 6dp."""
+    from .operators.packing import pack_by_token_budget
+
+    pk = pack_by_token_budget(
+        load_table(spark, sf_dir, "documents"), "source", "doc_id"
+    )
+    return pk.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        (F.max("chunk_id") + 1).cast("bigint").alias("n_bins"),
+        F.ceil(F.sum("n_tokens") / F.lit(512.0)).cast("bigint").alias(
+            "ideal_bins"
+        ),
+        round_fixed(
+            F.sum("n_tokens").cast("double")
+            / ((F.max("chunk_id") + 1) * F.lit(512.0)),
+            6,
+        ).alias("fill_ratio"),
+    )
+
+
+@register(
+    "emb_quantile_clip",
+    oracle="""
+    WITH c AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding::DOUBLE[]) AS v
+        FROM embeddings
+    ), q AS (
+        SELECT pos, quantile_cont(v, 0.05) AS lo,
+               quantile_cont(v, 0.95) AS hi
+        FROM c GROUP BY pos
+    )
+    SELECT c.vec_id, c.pos,
+           FLOOR(LEAST(GREATEST(c.v, q.lo), q.hi) * 1000000.0 + 0.5)
+               / 1000000.0 AS v_clipped
+    FROM c JOIN q USING (pos)
+    """,
+)
+def emb_quantile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension quantile winsorization of the embedding corpus
+    (clip each component to its dimension's [p5, p95]) — the
+    outlier-robust normalization applied before similarity indexing
+    when a failed encoder emits extreme components (the scalar
+    a25_winsorized_stats lifted to vector columns).  posexplode +
+    one per-dimension exact-percentile aggregation (64 groups —
+    F.percentile ↔ quantile_cont, the a13 pairing) broadcast back
+    onto the component stream; clip is LEAST/GREATEST on identical
+    doubles, rounded 6dp for presentation.  At 100 TB the stats side
+    is 64 rows of state and the clip pass is a narrow map."""
+    from .functions.vectors import as_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id",
+        F.posexplode(as_double_array("embedding")).alias("p", "v"),
+    ).select("vec_id", (F.col("p") + 1).alias("pos"), "v")
+    q = comp.groupBy("pos").agg(
+        F.percentile("v", F.lit(0.05)).alias("lo"),
+        F.percentile("v", F.lit(0.95)).alias("hi"),
+    )
+    return comp.join(F.broadcast(q), "pos").select(
+        "vec_id",
+        "pos",
+        round_fixed(
+            F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi")), 6
+        ).alias("v_clipped"),
+    )
