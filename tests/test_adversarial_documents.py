@@ -55,6 +55,12 @@ DOCS_QUERIES = [
     "curation_budget_select",
     "curation_dsir_sample",
     "dedup_minhash_calibration",
+    # r8 debuts over documents: the HLL overlap must hold its
+    # within-bounds contract on empty/whitespace/sub-3-token docs
+    # (sources can lose every shingle); the packer must bin the
+    # empty-text zero-token rows without emitting phantom bins
+    "dedup_corpus_overlap_hll",
+    "curation_pack_efficiency",
 ]
 
 _WORDS = ("the fast key order sort table scan merge part window small hash "

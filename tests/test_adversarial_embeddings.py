@@ -61,6 +61,10 @@ EMB_QUERIES = [
     "sim_lsh_bucket_topk",
     "sim_lsh_bucket_topk_indexed",
     "sim_batch_ann_topk",
+    # r8 debut: per-dimension winsorization must clip the 1e30 and
+    # denormal extremes to the dimension quantiles identically in
+    # both engines (exact-percentile interpolation on hostile values)
+    "emb_quantile_clip",
 ]
 
 _DIM = 64

@@ -90,6 +90,15 @@ EVENTS_QUERIES = [
     "events_value_gini",
     "events_anomaly_seasonal",
     "ts_autocorr_lag1",
+    # r8 debuts: the Holt fold follows the null-measurement contract
+    # (skip nulls explicitly, all-null keys emit no row) and its
+    # duplicate-instant bursts exercise the event_id tie-break; the
+    # streak anchor must survive duplicate timestamps collapsing to
+    # one day; inter-arrival gaps hit zero (duplicate instants) and
+    # NULL-lag first rows
+    "ts_holt_linear",
+    "w9_user_streaks",
+    "events_interarrival_profile",
 ]
 
 _TYPES = ["click", "signup", "error", "view", "purchase"]

@@ -72,6 +72,10 @@ TPCH_QUERIES = [
     "graph_bfs_levels",
     "graph_degree_distribution",
     "a42_top_customer_share",
+    # r8 debut: the Jaccard denominator (n_a + n_b - n_ab) must stay
+    # positive under the sweep's duplicate-lineitem blocks (the
+    # DISTINCT projection is what guarantees n_ab <= min(n_a, n_b))
+    "graph_neighbor_jaccard",
 ]
 
 _FLAGS = [("R", "F"), ("A", "F"), ("N", "O")]
