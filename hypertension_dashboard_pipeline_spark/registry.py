@@ -248,6 +248,37 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      NOT in this window (externally green ≤ r7, fingerprint-pinned,
 #      locally swept): everything CORRECTNESS_r07 just verified, and
 #      the r7-green carries.
+#      NEVER EXTERNALLY VERIFIED after r8 — the r9-window queue
+#      (44 names = the 37 backlog names the 50-slot window could not
+#      seat + the 7 r8 debuts), in the standard priority order
+#      (drift > flagships > shared-callee groups > oldest evidence):
+#        * the closed TPC-H wave (oldest first): j24_min_cost_supplier,
+#          a33_order_priority_late, a34_forecast_revenue,
+#          j25_product_profit, a35_important_parts,
+#          j26_late_shipment_priority, a36_promo_revenue_share,
+#          j27_top_supplier, a37_supplier_part_breadth,
+#          j28_small_qty_revenue, a38_disjunctive_revenue,
+#          j29_dominant_suppliers, j30_waiting_suppliers;
+#        * wave-10+ debuts: sample_kcenter_diversity,
+#          graph_adamic_adar, events_user_stickiness,
+#          w8_percent_rank_cume, ts_seasonality_profile,
+#          events_cohort_ltv, a39_grouped_corr, graph_lpa_communities,
+#          events_user_features, a40_grouping_sets, a41_yoy_growth,
+#          dq_uniqueness_report, graph_bfs_levels, events_value_gini,
+#          events_anomaly_seasonal, graph_degree_distribution,
+#          a42_top_customer_share, ts_autocorr_lag1, sim_mmr_rerank,
+#          curation_mixture_report, dedup_cluster_size_profile,
+#          text_retrieval_ndcg, curation_attrition_funnel,
+#          curation_budget_select;
+#        * r8 debuts (all sf0.001+sf0.01 oracle-green locally,
+#          adversarial-swept): ts_holt_linear, w9_user_streaks,
+#          events_interarrival_profile, graph_neighbor_jaccard,
+#          dedup_corpus_overlap_hll, curation_pack_efficiency,
+#          emb_quantile_clip.
+#      44 + flagship/curation + any r9 drift fits ONE window with ~4
+#      slots spare: r9 CAN CLOSE THE QUEUE ENTIRELY if drift is kept
+#      small (≤4 non-flagship drifted names) and new debuts stay out
+#      of the window under the exemption.
 _FRONT: list[str] = [
     # flagship (drifted: last F.round -> round_fixed) + headline
     # extension pipeline (always externally gated)
