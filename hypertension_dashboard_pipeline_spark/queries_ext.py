@@ -5685,7 +5685,11 @@ def dedup_corpus_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("source_b"), F.col("sk").alias("skb"),
         F.col("n_ex").alias("nxb"), F.col("est").alias("estb"),
     )
-    pairs = a.crossJoin(b).filter(F.col("source_a") < F.col("source_b"))
+    # broadcast product, not CartesianProduct: the sketch relation is
+    # |sources| rows of KB-sized state — the declared tiny-side shape
+    pairs = a.crossJoin(F.broadcast(b)).filter(
+        F.col("source_a") < F.col("source_b")
+    )
     est = pairs.select(
         "source_a", "source_b", "nxa", "nxb",
         (

@@ -178,6 +178,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark, sf_dir):
         "text_retrieval_ndcg",  # 1-row scalar side (corpus relevant count)
         "curation_dsir_sample",  # inherits dsir_weights' declared 1-row token-totals product
         "graph_bfs_levels",  # round-1 frontier is a 1-row literal seed (constant-folded join key)
+        "dedup_corpus_overlap_hll",  # |sources|² pair stage over the ~20-row KB-sized sketch relation, by design (no row data crosses it)
     }
     offenders = []
     for name, fn in registry.QUERIES.items():
