@@ -533,9 +533,26 @@ def exact_vector_dup_groups(df: DataFrame, id_col: str = "vec_id",
     # round_fixed (which divides back to the original scale — casting
     # that double would re-truncate);  pmod form == exact IEEE floor
     # for finite v (functions.expressions.round_fixed docstring).
-    # Finite-component contract, like the cosine zero-norm contract:
-    # a NaN/Inf component would go NULL and concat_ws would silently
-    # skip it, so callers scrub non-finite vectors first.
+    # FIXED-POINT RANGE CONTRACT (the degenerate-vector rule of the
+    # zero-norm cosine family, applied to quantization): any vector
+    # with a component outside ±9·10^(18-s) is EXCLUDED before
+    # digesting — under ANSI the BIGINT cast of its scaled value is a
+    # runtime CAST_OVERFLOW (found by the r8 package-wide crash sweep
+    # on the hostile-embeddings corpus: a 1e30 failed-encoder
+    # component scales to 1e36), and fixed-point equality at absolute
+    # tolerance 10^-s is semantically meaningless at such magnitudes
+    # anyway.  The same max-|component| predicate also drops NaN/Inf
+    # vectors (comparisons with NaN are false), ENFORCING the
+    # previously documented-only finite-component contract instead of
+    # silently skipping the component in concat_ws.  Deciding what to
+    # do with garbage-magnitude vectors belongs to a quality filter
+    # (emb_norm_profile / emb_quantile_clip surface them), not here.
+    limit = 9.0e18 / (10.0 ** scale)
+    comp_max = F.array_max(
+        F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+    )
+    df = df.filter(comp_max <= F.lit(limit))
+
     def _qint(v):
         x = v.cast("double") * F.lit(float(10 ** scale)) + F.lit(0.5)
         return (x - F.pmod(x, F.lit(1.0))).cast("bigint")

@@ -3487,13 +3487,21 @@ def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT vec_id + 100000, embedding FROM embeddings
         WHERE vec_id % 2 = 0
+    ), inr AS (
+        -- fixed-point range contract: vectors with any |component|
+        -- > 9e12 are excluded before digesting (BIGINT overflow at
+        -- scale 6; also drops NaN/Inf — comparisons with NaN are
+        -- false), mirroring the operator's filter
+        SELECT vec_id, embedding FROM allv
+        WHERE list_max(list_transform(embedding::DOUBLE[],
+                                      v -> abs(v))) <= 9000000000000.0
     ), qd AS (
         SELECT vec_id,
                md5(array_to_string(list_transform(embedding,
                    v -> CAST(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0
                                         + 0.5) AS BIGINT) AS VARCHAR)),
                    ',')) AS vec_hash
-        FROM allv
+        FROM inr
     )
     SELECT vec_hash, COUNT(*) AS n_vectors, MIN(vec_id) AS keep_id
     FROM qd GROUP BY vec_hash HAVING COUNT(*) >= 2

@@ -274,10 +274,13 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #          adversarial-swept): ts_holt_linear, w9_user_streaks,
 #          events_interarrival_profile, graph_neighbor_jaccard,
 #          dedup_corpus_overlap_hll, curation_pack_efficiency,
-#          emb_quantile_clip.
-#      44 + flagship/curation + any r9 drift fits ONE window with ~4
+#          emb_quantile_clip;
+#        * text_tfidf_cosine_pairs (displaced from the r8 window by
+#          the late-r8 sim_exact_vector_dup drift — see the
+#          fixed-point range contract note in _FRONT).
+#      45 + flagship/curation + any r9 drift fits ONE window with ~3
 #      slots spare: r9 CAN CLOSE THE QUEUE ENTIRELY if drift is kept
-#      small (≤4 non-flagship drifted names) and new debuts stay out
+#      small (≤3 non-flagship drifted names) and new debuts stay out
 #      of the window under the exemption.
 _FRONT: list[str] = [
     # flagship (drifted: last F.round -> round_fixed) + headline
@@ -334,7 +337,12 @@ _FRONT: list[str] = [
     "text_zipf_fit",
     "j18_asof_join_forward",
     "text_source_similarity",
-    "text_tfidf_cosine_pairs",
+    # --- late-r8 drift: the fixed-point range contract landed in
+    # exact_vector_dup_groups (CAST_OVERFLOW on 1e30 components under
+    # ANSI, found by the r8 package-wide crash sweep) — the drifted
+    # query re-verifies in-window; text_tfidf_cosine_pairs yields its
+    # slot and debuts in r9 instead ---
+    "sim_exact_vector_dup",
     # --- the r7 IO debuts whose external rows were pending ---
     "s13_compaction_roundtrip",
     "s14_text_source_roundtrip",

@@ -65,6 +65,12 @@ EMB_QUERIES = [
     # denormal extremes to the dimension quantiles identically in
     # both engines (exact-percentile interpolation on hostile values)
     "emb_quantile_clip",
+    # late-r8 crash-sweep find: the 1e30 component scaled past BIGINT
+    # (ANSI CAST_OVERFLOW) in the quantized digest — the fixed-point
+    # range contract now excludes such vectors on both sides; this
+    # corpus's huge/denormal/duplicate-family rows pin it with full
+    # value parity
+    "sim_exact_vector_dup",
 ]
 
 _DIM = 64
