@@ -917,16 +917,28 @@ def f14_collect_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "f17_json_extract",
     oracle="""
-    SELECT event_id, CAST(props ->> '$.k' AS INTEGER) AS k_val FROM events
+    SELECT event_id,
+           TRY_CAST(TRY_CAST(props AS JSON) ->> '$.k' AS DOUBLE) AS k_val
+    FROM events
     """,
 )
 def f17_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference convenience: JSON property extraction from the
     events payload (the reference has no JSON; included for the events
-    table surface)."""
+    table surface).
+
+    Tolerant typed-extraction contract (r8 — the adversarial parity
+    sweep found the original ``.cast("int")`` raising ANSI
+    CAST_INVALID_INPUT on a ``{"k": 3.7}`` payload): the property
+    surfaces as DOUBLE (JSON's number type) via try-cast, and anything
+    non-numeric — booleans, objects, malformed JSON, missing keys —
+    is NULL.  Plain int TRY_CAST would NOT align cross-engine (DuckDB
+    rounds '3.7' to 4, Spark NULLs it); the double parse of a decimal
+    string is correctly rounded in both engines, verified value-equal
+    over all 14 hostile payload shapes in the sweep corpus."""
     return load_table(spark, sf_dir, "events").select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        F.get_json_object("props", "$.k").try_cast("double").alias("k_val"),
     )
 
 

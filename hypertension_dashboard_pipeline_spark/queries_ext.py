@@ -983,7 +983,9 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a12_salted_skew_agg",
     oracle="""
-    SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS total
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                          AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS total
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -992,12 +994,29 @@ def a12_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     salting spreads phase 1 over key×16 reducers; the result is exactly
     the plain GROUP BY (which is the oracle). The salt derives from the
     (l_orderkey, l_linenumber) row identity, so retried map tasks
-    re-bucket deterministically."""
+    re-bucket deterministically.
+
+    The sum is EXACT DECIMAL, presented via dec_present (r8 — the
+    adversarial parity sweep caught the original raw-double SUM
+    diverging cross-engine on fractional quantities: float addition is
+    order-dependent, and a salted two-phase sum adds in a different
+    order than the oracle's single-phase sum by construction; the
+    driver corpus never showed it because integer-valued quantities
+    sum exactly in doubles).  Exactness is doubly load-bearing here:
+    it is also what makes the salted plan provably equal to the plain
+    GROUP BY at any bucket count."""
+    from .functions.expressions import dec_present
     from .operators.aggregates import salted_counts
 
-    return salted_counts(load_table(spark, sf_dir, "lineitem"),
-                         "l_returnflag", "l_quantity", salt_buckets=16,
-                         salt_cols=["l_orderkey", "l_linenumber"])
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "l_quantity", F.col("l_quantity").cast("decimal(18,6)")
+    )
+    out = salted_counts(li, "l_returnflag", "l_quantity", salt_buckets=16,
+                        salt_cols=["l_orderkey", "l_linenumber"])
+    return out.select(
+        "l_returnflag", "n",
+        dec_present(F.col("total").cast("decimal(38,6)")).alias("total"),
+    )
 
 
 @register(
@@ -1251,7 +1270,10 @@ def a14_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "j9_salted_skew_join",
     oracle="""
-    SELECT d.label, COUNT(*) AS n, SUM(a.l_quantity) AS total_qty
+    SELECT d.label, COUNT(*) AS n,
+           CAST(CAST(CAST(SUM(CAST(a.l_quantity AS DECIMAL(18,6)))
+                          AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)
+               AS total_qty
     FROM lineitem a
     JOIN (SELECT DISTINCT l_returnflag, 'flag_' || l_returnflag AS label
           FROM lineitem) d USING (l_returnflag)
@@ -1262,18 +1284,30 @@ def j9_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manually salted skew join: lineitem's 3-value l_returnflag is the
     pathological hot key; the salt spreads each key across 16 reducers
     while the dim side replicates 16x. Result is exactly the plain
-    inner join (the oracle)."""
+    inner join (the oracle).
+
+    Sum is exact DECIMAL via dec_present (r8, same finding as a12: a
+    salted plan reorders float addition relative to the unsalted
+    oracle, so only an order-free aggregate can claim plan
+    equivalence; caught by the adversarial parity sweep on fractional
+    quantities)."""
+    from .functions.expressions import dec_present
     from .operators.joins import salted_join
 
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_quantity", "l_orderkey", "l_linenumber"
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(18,6)").alias("l_quantity"),
+        "l_orderkey", "l_linenumber",
     )
     dim = li.select("l_returnflag").distinct().withColumn(
         "label", F.concat(F.lit("flag_"), F.col("l_returnflag"))
     )
     joined = salted_join(li, dim, "l_returnflag", salt_buckets=16)
     return joined.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("total_qty")
+        F.count(F.lit(1)).alias("n"),
+        dec_present(
+            F.sum("l_quantity").cast("decimal(38,6)")
+        ).alias("total_qty"),
     )
 
 
@@ -1972,8 +2006,13 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, chunk_idx,
            len(ws[chunk_idx*56+1 : chunk_idx*56+64]) AS n_chunk_tokens,
-           array_to_string(ws[chunk_idx*56+1 : chunk_idx*56+64], ' ')
-               AS chunk_text
+           -- COALESCE: DuckDB's array_to_string of the empty slice a
+           -- zero-token document produces is NULL, while the operator
+           -- (Spark array_join) emits '' — the empty chunk text.
+           -- Caught by the r8 adversarial parity sweep on the hostile
+           -- documents corpus (empty/whitespace-only docs).
+           COALESCE(array_to_string(ws[chunk_idx*56+1 : chunk_idx*56+64],
+                                    ' '), '') AS chunk_text
     FROM chunks
     """,
 )

@@ -275,13 +275,17 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #          events_interarrival_profile, graph_neighbor_jaccard,
 #          dedup_corpus_overlap_hll, curation_pack_efficiency,
 #          emb_quantile_clip;
-#        * text_tfidf_cosine_pairs (displaced from the r8 window by
-#          the late-r8 sim_exact_vector_dup drift — see the
-#          fixed-point range contract note in _FRONT).
-#      45 + flagship/curation + any r9 drift fits ONE window with ~3
-#      slots spare: r9 CAN CLOSE THE QUEUE ENTIRELY if drift is kept
-#      small (≤3 non-flagship drifted names) and new debuts stay out
-#      of the window under the exemption.
+#        * displaced from the r8 window by the late-r8 sweep-find
+#          drift (sim_exact_vector_dup, f17_json_extract,
+#          text_chunk_documents, a12, j9 rotated in instead):
+#          text_tfidf_cosine_pairs, dedup_minhash_merge,
+#          text_zipf_fit, j18_asof_join_forward,
+#          text_source_similarity.
+#      That queue is 49 names + flagship/curation = 51: ONE name
+#      spills past r9's window — seat the 49 minus the single
+#      lowest-priority name (events_user_features or similar), or
+#      let any r9 drift decide the spill; either way r10's carry is
+#      ≤ a couple of names, queue effectively closed by r10.
 _FRONT: list[str] = [
     # flagship (drifted: last F.round -> round_fixed) + headline
     # extension pipeline (always externally gated)
@@ -333,16 +337,25 @@ _FRONT: list[str] = [
     "j22_returned_item_revenue",
     "a32_custdist",
     "j23_sales_opportunity",
-    "dedup_minhash_merge",
-    "text_zipf_fit",
-    "j18_asof_join_forward",
-    "text_source_similarity",
-    # --- late-r8 drift: the fixed-point range contract landed in
-    # exact_vector_dup_groups (CAST_OVERFLOW on 1e30 components under
-    # ANSI, found by the r8 package-wide crash sweep) — the drifted
-    # query re-verifies in-window; text_tfidf_cosine_pairs yields its
-    # slot and debuts in r9 instead ---
+    # --- late-r8 drift (the crash/parity sweeps' finds rotate in;
+    # text_tfidf_cosine_pairs, dedup_minhash_merge, text_zipf_fit,
+    # j18_asof_join_forward, text_source_similarity yield their
+    # slots and debut in r9 instead):
+    #   * sim_exact_vector_dup — fixed-point range contract
+    #     (CAST_OVERFLOW on 1e30 components, crash sweep);
+    #   * f17_json_extract — tolerant DOUBLE extraction
+    #     (CAST_INVALID_INPUT on {"k": 3.7}, parity sweep);
+    #   * text_chunk_documents — oracle COALESCE for zero-token
+    #     chunk text (NULL vs '' divergence, parity sweep);
+    #   * a12_salted_skew_agg / j9_salted_skew_join — exact DECIMAL
+    #     sums (order-dependent float addition diverges between the
+    #     salted plan and the unsalted oracle on fractional
+    #     quantities, parity sweep) ---
     "sim_exact_vector_dup",
+    "f17_json_extract",
+    "text_chunk_documents",
+    "a12_salted_skew_agg",
+    "j9_salted_skew_join",
     # --- the r7 IO debuts whose external rows were pending ---
     "s13_compaction_roundtrip",
     "s14_text_source_roundtrip",

@@ -61,6 +61,9 @@ DOCS_QUERIES = [
     # empty-text zero-token rows without emitting phantom bins
     "dedup_corpus_overlap_hll",
     "curation_pack_efficiency",
+    # late-r8 parity-sweep find: zero-token documents produced NULL
+    # chunk text in the oracle vs '' from the operator — pinned here
+    "text_chunk_documents",
 ]
 
 _WORDS = ("the fast key order sort table scan merge part window small hash "

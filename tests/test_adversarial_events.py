@@ -99,6 +99,10 @@ EVENTS_QUERIES = [
     "ts_holt_linear",
     "w9_user_streaks",
     "events_interarrival_profile",
+    # late-r8 parity-sweep find: the original int cast raised ANSI
+    # CAST_INVALID_INPUT on {"k": 3.7}; the tolerant-DOUBLE contract
+    # is pinned value-equal over all 14 hostile payload shapes here
+    "f17_json_extract",
 ]
 
 _TYPES = ["click", "signup", "error", "view", "purchase"]
