@@ -1,27 +1,40 @@
 #!/usr/bin/env python
-"""Package-wide crash sweep: EVERY registered query against EACH
+"""Package-wide adversarial sweep: EVERY registered query against EACH
 hostile corpus (the adversarial fixtures from tests/test_adversarial_*
 — midpoint floats, >2^53 sums, duplicate-instant bursts, zero/1e30/
-denormal vectors, empty/whitespace/sub-shingle documents).
+denormal vectors, empty/whitespace/sub-shingle documents, hostile
+JSON payloads).
 
-The curated adversarial parity sweeps check full value parity for the
-queries LISTED in each test module; this sweep is the wider, cheaper
-net — execution-only (no oracle compare) across the whole 270-query
-registry, hunting runtime crashes the generated corpus never
-provokes: ANSI DIVIDE_BY_ZERO, CAST_OVERFLOW, array-index errors.
+Two nets, both wider than the curated per-module adversarial tests:
 
-Finds to date:
+* every oracle-bearing query runs FULL Spark-vs-DuckDB value parity
+  (collect + canonical sorted compare).  Collecting matters: a
+  ``.count()``-only sweep lets Catalyst prune the very projection
+  column that crashes or diverges (that is exactly how
+  f17_json_extract hid from the first crash-only pass);
+* oracle-less queries still execute (crash net only).
+
+Finds to date (each fixed + pinned in the curated sweeps):
 * r7/r8: zero-norm cosine DIVIDE_BY_ZERO in the five pinned top-k
   queries (fixed via cosine_guarded, the when-guard shape).
 * r8: CAST_OVERFLOW in exact_vector_dup_groups' quantized digest on
   1e30 components (fixed via the fixed-point range contract).
+* r8: CAST_INVALID_INPUT in f17_json_extract on {"k": 3.7} (fixed
+  via the tolerant-DOUBLE try-cast contract).
+* r8: NULL-vs-'' chunk text for zero-token docs in
+  text_chunk_documents' oracle (COALESCE added).
+* r8: order-dependent raw-double sums in a12_salted_skew_agg /
+  j9_salted_skew_join diverging from their unsalted oracles on
+  fractional quantities (fixed via exact DECIMAL + dec_present).
 
-Usage: python scripts/crash_sweep.py   (~20 min on local[24])
-Exit code = number of crashing (corpus, query) pairs.
+Usage: python scripts/crash_sweep.py   (~25 min on local[24])
+Exit code = number of failing (corpus, query) pairs.
 """
 
 from __future__ import annotations
 
+import datetime as dtt
+import math
 import os
 import sys
 import tempfile
@@ -35,7 +48,16 @@ TABLES = ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split()
 
 
+def _norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    if isinstance(v, (dtt.datetime, dtt.date)):
+        return v.isoformat()
+    return v
+
+
 def main() -> int:
+    import duckdb
     from pyspark.sql import SparkSession
 
     spark = (
@@ -54,7 +76,7 @@ def main() -> int:
     from test_adversarial_events import _build_adv_events
     from test_adversarial_tpch import _build_adv_lineitem_orders
 
-    work = tempfile.mkdtemp(prefix="crash_sweep_")
+    work = tempfile.mkdtemp(prefix="adv_sweep_")
 
     def corpus(replaced: dict) -> str:
         root = tempfile.mkdtemp(dir=work)
@@ -81,14 +103,49 @@ def main() -> int:
 
     failures = 0
     for cname, cdir in corpora.items():
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{cdir}/{t}.parquet'"
+            )
         for name, fn in registry.QUERIES.items():
             try:
-                n = fn(spark, cdir).count()
-                print(f"OK {cname} {name} {n}", flush=True)
+                sdf = fn(spark, cdir)
+                srows = [tuple(r) for r in sdf.collect()]
+                if name not in registry.ORACLES:
+                    print(f"OK {cname} {name} rows-only {len(srows)}",
+                          flush=True)
+                    continue
+                res = con.execute(registry.ORACLES[name])
+                dcols = [d[0] for d in res.description]
+                osd = sorted(range(len(sdf.columns)),
+                             key=lambda i: sdf.columns[i])
+                odd = sorted(range(len(dcols)), key=lambda i: dcols[i])
+
+                def key(row):
+                    return tuple((v is None, str(v)) for v in row)
+
+                cs = sorted(
+                    (tuple(_norm(r[i]) for i in osd) for r in srows), key=key
+                )
+                cd = sorted(
+                    (tuple(_norm(r[i]) for i in odd) for r in res.fetchall()),
+                    key=key,
+                )
+                if sorted(sdf.columns) != sorted(dcols) or cs != cd:
+                    failures += 1
+                    diff = [(a, b) for a, b in zip(cs, cd) if a != b][:2]
+                    print(
+                        f"MISMATCH {cname} {name} rows={len(cs)}/{len(cd)} "
+                        f"first={diff}", flush=True,
+                    )
+                else:
+                    print(f"OK {cname} {name} {len(cs)}", flush=True)
             except Exception as e:  # noqa: BLE001 — the sweep's whole point
                 failures += 1
                 msg = (str(e).splitlines() or [type(e).__name__])[0][:300]
                 print(f"CRASH {cname} {name}: {msg}", flush=True)
+        con.close()
     print(f"DONE failures={failures}", flush=True)
     return failures
 
