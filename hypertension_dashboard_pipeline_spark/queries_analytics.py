@@ -5410,9 +5410,9 @@ def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register(
-    "ts_holt_linear",
-    oracle="""
+# shared with streaming_holt (queries_ext.py): the bounded single-file
+# stream's final update per user equals this batch fold
+HOLT_LINEAR_ORACLE = """
     WITH RECURSIVE ev AS (
         SELECT user_id, value,
                ROW_NUMBER() OVER (PARTITION BY user_id
@@ -5439,8 +5439,10 @@ def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
            FLOOR(h.b * 1000000.0 + 0.5) / 1000000.0 AS trend,
            FLOOR((h.l + h.b) * 1000000.0 + 0.5) / 1000000.0 AS forecast_1
     FROM holt h JOIN lastrow m ON h.user_id = m.user_id AND h.i = m.mx
-    """,
-)
+    """
+
+
+@register("ts_holt_linear", oracle=HOLT_LINEAR_ORACLE)
 def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt linear-trend smoothing (level + trend double exponential)
     per user over the last 12 values, 1-step forecast = level + trend

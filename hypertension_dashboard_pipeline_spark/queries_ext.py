@@ -5874,3 +5874,40 @@ def emb_quantile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi")), 6
         ).alias("v_clipped"),
     )
+
+
+def _holt_oracle() -> str:
+    from .queries_analytics import HOLT_LINEAR_ORACLE
+
+    return HOLT_LINEAR_ORACLE
+
+
+@register("streaming_holt", oracle=_holt_oracle())
+def streaming_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Holt linear-trend smoothing (applyInPandasWithState):
+    ts_holt_linear's bounded-tail fold with the state contract made
+    explicit — the fold only ever needs the last 12 values, so that
+    tail IS the per-user state (fixed width, unbounded-stream safe;
+    streaming/holt.py).  The Python fold runs the identical IEEE op
+    sequence as the batch struct fold and the recursive-CTE oracle
+    (α, β are exact binary fractions), so the bounded single-file
+    run's final update per user is bit-equal to the batch answer —
+    a two-component-state streaming operator with a full value-level
+    oracle; cross-microbatch state carry is pinned separately in
+    tests/test_r8_debut_ops.py."""
+    import itertools
+
+    from .streaming.holt import run_available_now as run_holt
+
+    if not hasattr(streaming_holt, "_seq"):
+        streaming_holt._seq = itertools.count()
+    out = run_holt(
+        spark, sf_dir, name=f"holt_stream_{next(streaming_holt._seq)}"
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        round_fixed(F.col("level"), 6).alias("level"),
+        round_fixed(F.col("trend"), 6).alias("trend"),
+        round_fixed(F.col("level") + F.col("trend"), 6).alias("forecast_1"),
+    )

@@ -103,6 +103,10 @@ EVENTS_QUERIES = [
     # CAST_INVALID_INPUT on {"k": 3.7}; the tolerant-DOUBLE contract
     # is pinned value-equal over all 14 hostile payload shapes here
     "f17_json_extract",
+    # late-r8 twin debut: the streaming Holt fold must hold the
+    # null-skip contract and the event_id tie-break under
+    # duplicate-instant bursts, like its batch twin above
+    "streaming_holt",
 ]
 
 _TYPES = ["click", "signup", "error", "view", "purchase"]

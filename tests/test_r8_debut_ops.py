@@ -168,3 +168,65 @@ def test_pack_efficiency_bin_invariants(spark, sf_dir):
         # total_tokens > (n_bins - 1) * 512
         assert r.total_tokens > (r.n_bins - 1) * 512
         assert r.fill_ratio > 0.0
+
+
+# ---------------------------------------------------------------------------
+# streaming Holt: cross-microbatch state carry
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_holt_state_carries_across_microbatches(spark, tmp_path):
+    """Two files delivered as two microbatches (maxFilesPerTrigger=1):
+    the LAST update per user must equal the batch fold over the FULL
+    series — the (tail) state carried between batches, not recomputed
+    from batch-local rows (the registered bounded run is a single
+    microbatch, which would mask a state bug)."""
+    import math
+    import time
+
+    from pyspark.sql import functions as F
+
+    from hypertension_dashboard_pipeline_spark.streaming.holt import (
+        running_user_holt,
+    )
+    from hypertension_dashboard_pipeline_spark.streaming.runner import (
+        run_bounded,
+    )
+    from test_holt_fold import _brute_holt
+
+    vals = [float(v) for v in
+            [10, 20, 30, 40, 55, 65, 75, 85, 95, 105, 90, 80, 70, 60]]
+    rows = [
+        (1, i, f"2024-01-{i + 1:02d} 00:00:00", v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_s string, value double"
+    ).select(
+        "user_id", "event_id",
+        F.to_timestamp("ts_s").alias("ts"), "value",
+    )
+    src_dir = str(tmp_path / "holt_src")
+    df.filter(F.col("event_id") < 7).coalesce(1).write.parquet(
+        src_dir, mode="overwrite"
+    )
+    time.sleep(1.1)
+    df.filter(F.col("event_id") >= 7).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    src = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    sink = run_bounded(
+        spark, running_user_holt(src), "holt_multibatch_test",
+        ckpt_prefix="spark_graft_holt_test_", output_mode="update",
+    )
+    updates = sink.collect()
+    assert len(updates) == 2, updates
+    final = max(updates, key=lambda r: r.n_events)
+    assert final.n_events == len(vals)
+    lvl, trd = _brute_holt(vals)
+    assert math.isclose(final.level, lvl, rel_tol=0, abs_tol=0)
+    assert math.isclose(final.trend, trd, rel_tol=0, abs_tol=0)
