@@ -280,12 +280,13 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #          text_chunk_documents, a12, j9 rotated in instead):
 #          text_tfidf_cosine_pairs, dedup_minhash_merge,
 #          text_zipf_fit, j18_asof_join_forward,
-#          text_source_similarity.
-#      That queue is 49 names + flagship/curation = 51: ONE name
-#      spills past r9's window — seat the 49 minus the single
-#      lowest-priority name (events_user_features or similar), or
-#      let any r9 drift decide the spill; either way r10's carry is
-#      ≤ a couple of names, queue effectively closed by r10.
+#          text_source_similarity;
+#        * streaming_holt (late-r8 twin debut — rotate WITH
+#          ts_holt_linear, shared oracle, if either drifts).
+#      That queue is 50 names + flagship/curation = 52: TWO names
+#      spill past r9's window — pick the spills by lowest priority
+#      (or let any r9 drift decide); r10's carry stays a handful,
+#      queue effectively closed by r10.
 _FRONT: list[str] = [
     # flagship (drifted: last F.round -> round_fixed) + headline
     # extension pipeline (always externally gated)
