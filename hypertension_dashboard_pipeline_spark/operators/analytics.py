@@ -925,3 +925,51 @@ def kcenter_greedy(
         ),
         F.col("radius_sq"),
     )
+
+
+def kmeans_assignments(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Final (id, cluster) assignments of the SAME deterministic Lloyd
+    training ``kmeans_lloyd`` runs (lowest-id init, fixed iterations,
+    6dp-rounded centroids) — the relation evaluation queries join
+    labels onto.
+
+    The training loop is intentionally restated rather than factored
+    out of ``kmeans_lloyd``: editing that function's body would drift
+    the externally-verified ``emb_kmeans_lloyd`` fingerprint outside
+    its rotation window (registry window contract).  Merge the two
+    through a shared ``_lloyd_centroids`` helper the next time the
+    kmeans family rotates in-window.
+    """
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    v = F.col(vec_col).cast("array<double>")
+    centroids = [
+        [float(x) for x in r[0]]
+        for r in emb.orderBy(id_col).select(v.alias("v")).limit(k).collect()
+    ]
+    for _ in range(iterations):
+        assigned = emb.select(
+            v.alias("v"), _nearest_centroid(v, centroids).alias("cluster")
+        )
+        new_rows = (
+            assigned.groupBy("cluster")
+            .agg(*[
+                round_fixed(F.avg(F.col("v")[i]), 6).alias(f"c{i}")
+                for i in range(dim)
+            ])
+            .collect()
+        )
+        by_cid = {
+            r["cluster"]: [r[f"c{i}"] for i in range(dim)] for r in new_rows
+        }
+        centroids = [by_cid.get(cid, centroids[cid]) for cid in range(k)]
+    return emb.select(
+        F.col(id_col), _nearest_centroid(v, centroids).alias("cluster")
+    )

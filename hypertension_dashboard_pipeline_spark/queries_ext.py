@@ -5911,3 +5911,82 @@ def streaming_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_fixed(F.col("trend"), 6).alias("trend"),
         round_fixed(F.col("level") + F.col("trend"), 6).alias("forecast_1"),
     )
+
+
+def _cluster_purity_oracle() -> str:
+    """Reuses the unrolled-Lloyd CTE chain of the pinned kmeans oracle
+    (same iterations, same tie-breaks) and replaces its final
+    aggregate with a per-cluster majority-label purity."""
+    from .queries_analytics import _kmeans_oracle
+
+    body = _kmeans_oracle().rsplit("SELECT cid AS cluster", 1)[0]
+    return (
+        body
+        + """, lab AS (
+        SELECT f.cid, e2.label FROM fin f
+        JOIN embeddings e2 ON f.vec_id = e2.vec_id
+    ), cl AS (
+        SELECT cid, label, COUNT(*) AS c FROM lab GROUP BY 1, 2
+    ), tops AS (
+        SELECT cid, label, c,
+               ROW_NUMBER() OVER (PARTITION BY cid
+                                  ORDER BY c DESC, label) AS rn,
+               SUM(c) OVER (PARTITION BY cid) AS n_members
+        FROM cl
+    )
+    SELECT cid AS cluster,
+           CAST(n_members AS BIGINT) AS n_members,
+           label AS top_label,
+           CAST(c AS BIGINT) AS n_top,
+           FLOOR(CAST(c AS DOUBLE) / n_members * 1000000.0 + 0.5)
+               / 1000000.0 AS purity
+    FROM tops WHERE rn = 1
+    """
+    )
+
+
+@register("sim_cluster_purity", oracle=_cluster_purity_oracle())
+def sim_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality evaluation by majority-label purity: for the
+    SAME deterministic Lloyd training emb_kmeans_lloyd runs, each
+    cluster's share of its most common ground-truth label (ties to
+    the smaller label) — the "do the clusters mean anything?" probe
+    that completes the evaluation suite alongside dedup_lsh_recall /
+    sim_ivf_recall / sim_knn_accuracy / text_retrieval_ndcg: index
+    recall, neighbor quality, ranking quality, and now partition
+    quality, each an oracle-checked measurement rather than an
+    eyeballed score.  The expensive half is the k-means training
+    already paid (k x dim driver state); purity itself is one
+    labels join + two tiny aggregations.
+
+    Oracle: the pinned unrolled-Lloyd CTE chain with the final
+    aggregate swapped for the majority vote — the assignment relation
+    is byte-identical to emb_kmeans_lloyd's, so rotate the two
+    together if the kmeans family ever drifts."""
+    from pyspark.sql.window import Window
+
+    from .operators.analytics import kmeans_assignments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_assignments(emb, k=4, iterations=2, dim=64)
+    per = (
+        assigned.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col("c").desc(), "label")
+    wn = Window.partitionBy("cluster")
+    return (
+        per.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.sum("c").over(wn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col("label").alias("top_label"),
+            F.col("c").cast("bigint").alias("n_top"),
+            round_fixed(
+                F.col("c").cast("double") / F.col("n_members"), 6
+            ).alias("purity"),
+        )
+    )
