@@ -282,8 +282,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #          text_zipf_fit, j18_asof_join_forward,
 #          text_source_similarity;
 #        * streaming_holt (late-r8 twin debut — rotate WITH
-#          ts_holt_linear, shared oracle, if either drifts).
-#      That queue is 50 names + flagship/curation = 52: TWO names
+#          ts_holt_linear, shared oracle, if either drifts);
+#        * sim_cluster_purity (late-r8 evaluation debut — its oracle
+#          embeds the unrolled-Lloyd CTE chain, so rotate WITH
+#          emb_kmeans_lloyd if the kmeans family ever drifts).
+#      That queue is 51 names + flagship/curation = 53: THREE names
 #      spill past r9's window — pick the spills by lowest priority
 #      (or let any r9 drift decide); r10's carry stays a handful,
 #      queue effectively closed by r10.

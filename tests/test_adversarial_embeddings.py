@@ -71,6 +71,10 @@ EMB_QUERIES = [
     # corpus's huge/denormal/duplicate-family rows pin it with full
     # value parity
     "sim_exact_vector_dup",
+    # late-r8 evaluation debut: purity over the same Lloyd
+    # assignments emb_kmeans_lloyd pins on this corpus (1e30/denormal
+    # distances are deterministic on both sides)
+    "sim_cluster_purity",
 ]
 
 _DIM = 64
