@@ -254,6 +254,16 @@ def mergeable_quantile_profile(df: DataFrame, bucket: "F.Column",
             value_col, F.array(*[F.lit(p) for p in rank_points])
         ).alias("__ex")
     ).first()["__ex"]
+    if bounds is None:
+        # EMPTY-INPUT CONTRACT (r8 empty-events sweep): percentile of
+        # zero rows is NULL and the literal splice would subscript
+        # None — the quantile profile of a range with no observations
+        # is the EMPTY profile, not a row of NULL flags.
+        return df.sparkSession.createDataFrame(
+            [],
+            "quantile double, approx double, lo double, hi double, "
+            "within_bounds int",
+        )
     per_q = [
         F.struct(
             F.lit(q).alias("quantile"),

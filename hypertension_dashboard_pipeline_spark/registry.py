@@ -280,13 +280,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #          text_chunk_documents, a12, j9 rotated in instead):
 #          text_tfidf_cosine_pairs, dedup_minhash_merge,
 #          text_zipf_fit, j18_asof_join_forward,
-#          text_source_similarity;
+#          text_source_similarity, j14_interval_overlap (yielded to
+#          the a16 empty-input-contract drift);
 #        * streaming_holt (late-r8 twin debut — rotate WITH
 #          ts_holt_linear, shared oracle, if either drifts);
 #        * sim_cluster_purity (late-r8 evaluation debut — its oracle
 #          embeds the unrolled-Lloyd CTE chain, so rotate WITH
 #          emb_kmeans_lloyd if the kmeans family ever drifts).
-#      That queue is 51 names + flagship/curation = 53: THREE names
+#      That queue is 52 names + flagship/curation = 54: FOUR names
 #      spill past r9's window — pick the spills by lowest priority
 #      (or let any r9 drift decide); r10's carry stays a handful,
 #      queue effectively closed by r10.
@@ -330,7 +331,10 @@ _FRONT: list[str] = [
     # (r7 wave-1/2 debuts, registered longest ago) ---
     "graph_kcore",
     "dq_referential_integrity",
-    "j14_interval_overlap",
+    # a16 drifts with the empty-input contract on its shared callee
+    # mergeable_quantile_profile (the streaming twin was already
+    # in-window); j14_interval_overlap yields its slot to r9
+    "a16_kll_merge_quantiles",
     "sample_weighted_k_per_group",
     "emb_centroid_drift",
     "dq_drift_ks",

@@ -168,6 +168,12 @@ def run_kll_quantiles(
             "value", F.array(*[F.lit(p) for p in rank_points])
         ).alias("__ex")
     ).first()["__ex"]
+    if bounds is None:
+        # EMPTY-INPUT CONTRACT (r8 empty-events sweep, mirroring the
+        # batch operator): an empty stream yields the EMPTY profile
+        return spark.createDataFrame(
+            [], "quantile double, within_bounds int"
+        )
     per_q = [
         F.struct(
             F.lit(q).alias("quantile"),

@@ -230,3 +230,47 @@ def test_streaming_holt_state_carries_across_microbatches(spark, tmp_path):
     lvl, trd = _brute_holt(vals)
     assert math.isclose(final.level, lvl, rel_tol=0, abs_tol=0)
     assert math.isclose(final.trend, trd, rel_tol=0, abs_tol=0)
+
+
+# ---------------------------------------------------------------------------
+# empty-input contract for the KLL quantile profiles (r8 sweep find)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def empty_events_dir(tmp_path_factory, sf_smoke):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path_factory.mktemp("empty_events")
+    for t in ("region nation customer supplier part orders lineitem "
+              "documents embeddings").split():
+        os.symlink(f"{sf_smoke}/{t}.parquet", root / f"{t}.parquet")
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "value": pa.array([], pa.float64()),
+            "props": pa.array([], pa.string()),
+        }),
+        str(root / "events.parquet"),
+    )
+    return str(root)
+
+
+@pytest.mark.parametrize(
+    "name", ["a16_kll_merge_quantiles", "streaming_kll_quantiles"]
+)
+def test_kll_profiles_empty_input_contract(spark, empty_events_dir, name):
+    """The quantile profile of a range with NO observations is the
+    EMPTY profile — found by the r8 empty-events sweep: percentile of
+    zero rows is NULL and the driver-side exact-bounds splice
+    subscripted None (every other registered query already degraded
+    gracefully; these two were the only crashes in the 272-query
+    empty-events pass)."""
+    rows = registry.QUERIES[name](spark, empty_events_dir).collect()
+    assert rows == []
