@@ -4901,9 +4901,11 @@ def _lsh_recall_oracle(threshold: float = 0.5) -> str:
            CAST(COUNT(ca) AS BIGINT) AS n_candidates,
            CAST(COUNT(CASE WHEN ta IS NOT NULL AND ca IS NOT NULL
                       THEN 1 END) AS BIGINT) AS n_hit,
-           FLOOR(COUNT(CASE WHEN ta IS NOT NULL AND ca IS NOT NULL
-                       THEN 1 END)::DOUBLE / COUNT(ta)
-                 * 1000000.0 + 0.5) / 1000000.0 AS recall
+           CASE WHEN COUNT(ta) > 0 THEN
+               FLOOR(COUNT(CASE WHEN ta IS NOT NULL AND ca IS NOT NULL
+                           THEN 1 END)::DOUBLE / COUNT(ta)
+                     * 1000000.0 + 0.5) / 1000000.0
+           END AS recall
     FROM m
     """
 
@@ -4936,13 +4938,16 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = F.count(
         F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1)
     )
+    # recall of an EMPTY truth set is undefined: the division lives in
+    # a when-guard (NULL, not an ANSI DIVIDE_BY_ZERO — found by the r8
+    # empty-documents pass; same lazy-branch rule as cosine_guarded)
     return m.agg(
         F.count("t").alias("n_truth"),
         F.count("c").alias("n_candidates"),
         hit.alias("n_hit"),
-        round_fixed(
-            hit.cast("double") / F.count("t"),
-            6,
+        F.when(
+            F.count("t") > 0,
+            round_fixed(hit.cast("double") / F.count("t"), 6),
         ).alias("recall"),
     )
 

@@ -291,6 +291,18 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      spill past r9's window — pick the spills by lowest priority
 #      (or let any r9 drift decide); r10's carry stays a handful,
 #      queue effectively closed by r10.
+#      QUEUED EMPTY-INPUT FIXES (r8 empty-corpus sweep triage; each
+#      crashes ONLY on a fully empty documents table, so severity is
+#      far below the zero-norm class — fix WHEN each rotates, never
+#      before, to avoid burning extra window slots):
+#        * text_bm25_topk / text_retrieval_ndcg — the driver-side
+#          avgdl/corpus-stats splice collects None on an empty
+#          corpus; fix shape: bail to the typed empty result when
+#          the stats row is NULL (the mergeable_quantile_profile
+#          empty-input contract, operators/aggregates.py).
+#        * curation_attrition_funnel — stage percentage divides by a
+#          zero first-stage count; fix shape: when-guard the ratio
+#          (the dedup_lsh_recall treatment).
 _FRONT: list[str] = [
     # flagship (drifted: last F.round -> round_fixed) + headline
     # extension pipeline (always externally gated)
