@@ -53,6 +53,14 @@ def bm25_topk(docs: DataFrame, query_terms: Sequence[str], k: int = 20,
         ],
     ).first()
     n_docs = stats["n"]
+    if not n_docs:
+        # Empty corpus: avgdl (and every idf) is 0/0-undefined, so the
+        # stats splice has nothing to splice — return the TYPED empty
+        # result instead of crashing (the mergeable_quantile_profile
+        # empty-input contract, operators/aggregates.py).
+        return docs.select(
+            F.col(id_col), F.lit(0.0).alias("bm25")
+        ).limit(0)
     avgdl = stats["total_dl"] / n_docs
     dfs = [stats[f"df_{i}"] for i in range(len(terms))]
 

@@ -21,6 +21,17 @@ and the scaffold-to-observation left join, both hash-partitioned on
 run the join and the window in the same exchange when the join output
 is already distributed by key — AQE coalesces the tiny per-key
 calendars.
+
+Tail-fold state contract (r9): ``ewma_last`` and ``holt_linear_last``
+only ever read the last ``tail`` values, so both pre-truncate with
+``_tail_truncated`` (map-side last-k, the grouped_topk_partial
+treatment) — per-key state is ≤ ``tail`` elements at ANY history
+length.  ``cusum_alarms`` is different BY SEMANTICS: the alarm count
+folds over the key's FULL history (every value moves the reset
+state), so no prefix can be dropped in a batch recomputation — the
+at-scale path for unbounded histories is the streaming twin
+(streaming/cusum.py), which carries exactly (s, a): 16 bytes/key in
+the state store, never a collected list.
 """
 
 from __future__ import annotations
@@ -132,6 +143,57 @@ def gap_fill_interpolate(daily: DataFrame, key_col: str, day_col: str,
     )
 
 
+def _tail_truncated(df: DataFrame, key_col: str, order_cols: list[str],
+                    value_col: str, tail: int) -> tuple[DataFrame, DataFrame]:
+    """Bound the tail-fold collects: (per-key counts, per-key LAST
+    ``tail`` rows) with MAP-SIDE TRUNCATION — the
+    ``grouped_topk_partial`` treatment (operators/windows.py) applied
+    to "latest k per key".
+
+    The naive form collects a key's FULL ordered history into one
+    aggregation-buffer array and slices the last ``tail`` values: the
+    fold is bounded but the collect is not — a key with 10⁸ events
+    materializes a 10⁸-element array in a single buffer row (executor
+    OOM at 100× scale).  Here stage 1 is a narrow ``mapInPandas`` pass
+    keeping only each Arrow batch's per-key last-``tail`` rows —
+    correct because the last-k of a union is the last-k of the
+    per-part last-k's (``order_cols`` is a total order per key) — so
+    the shuffle moves at most ``tail · keys · batches`` rows; stage 2
+    cuts that residue to exactly ``tail`` rows per key with an
+    ordinary descending row_number window.  Per-key state anywhere
+    downstream is then ≤ ``tail`` elements at ANY history length.
+
+    ``n_events`` still counts the full (null-filtered) history — a
+    separate map-side-combined count aggregate on the same narrow
+    projection (cheap second pass; both branches end hash-partitioned
+    on the key, so the final one-row-per-key join reuses the
+    exchange).
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_events"))
+    oc = list(order_cols)
+    narrow = df.select(key_col, *oc, value_col)
+    schema = narrow.schema
+
+    def batch_tail(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield (
+                pdf.sort_values(oc, ascending=False)
+                .groupby([key_col], sort=False)
+                .head(tail)
+            )
+
+    partial = narrow.mapInPandas(batch_tail, schema=schema)
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c).desc() for c in oc])
+    trunc = (
+        partial.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= tail)
+        .drop("__rn")
+    )
+    return counts, trunc
+
+
 def ewma_last(df: DataFrame, key_col: str, order_cols: list[str],
               value_col: str, decay: float = 0.9,
               tail: int = 8) -> DataFrame:
@@ -156,10 +218,12 @@ def ewma_last(df: DataFrame, key_col: str, order_cols: list[str],
     presentation round.  No per-row window state, no recursion, no
     UDF.
 
-    Scale: one shuffle on the key; per-key state is the collected
-    event list.  For unbounded histories, pre-truncate with a
-    latest-k-per-key window; a streaming variant carries the same
-    ``tail``-value state in applyInPandasWithState.
+    Scale: the history is PRE-TRUNCATED map-side (``_tail_truncated``,
+    the grouped_topk_partial treatment) so the collected per-key array
+    is ≤ ``tail`` elements at any history length — no unbounded
+    aggregation buffer anywhere; one extra cheap count pass carries
+    the full n_events.  A streaming variant carries the same
+    ``tail``-value state in applyInPandasWithState (streaming/ewma.py).
 
     Null measurements are SKIPPED (the SUM/AVG convention) — without
     the explicit filter, Spark's collect_list silently drops nulls
@@ -170,12 +234,12 @@ def ewma_last(df: DataFrame, key_col: str, order_cols: list[str],
     Output: (key, n_events, ewma_last) — ewma_last is an unrounded
     double (callers present with round_fixed)."""
     df = df.filter(F.col(value_col).isNotNull())
-    seq = df.groupBy(key_col).agg(
-        F.count(F.lit(1)).alias("n_events"),
+    counts, trunc = _tail_truncated(df, key_col, order_cols, value_col, tail)
+    seq = trunc.groupBy(key_col).agg(
         F.sort_array(
             F.collect_list(F.struct(*order_cols, value_col))
         ).alias("seq"),
-    )
+    ).join(counts, key_col)
     l8 = F.slice(
         F.col("seq"),
         F.greatest(F.size("seq") - (tail - 1), F.lit(1)),
@@ -269,12 +333,12 @@ def holt_linear_last(df: DataFrame, key_col: str, order_cols: list[str],
     sibling of ``ewma_last`` and the classical one-step forecaster
     (forecast = l + b).
 
-    Same distributed shape as the EWMA/CUSUM folds: one groupBy
-    collects each key's ordered (order..., value) structs, the tail
-    slice bounds the fold regardless of history length, and a single
-    ``F.aggregate`` with a struct accumulator (l, b, n) runs the
-    recurrence as an ordered left fold — no per-row window state, no
-    recursion, no UDF.  The DEFAULT α=0.5, β=0.25 are exact binary
+    Same distributed shape as the EWMA fold: the history is
+    PRE-TRUNCATED map-side (``_tail_truncated``) so the collected
+    per-key array is ≤ ``tail`` elements at any history length, then
+    a single ``F.aggregate`` with a struct accumulator (l, b) runs
+    the recurrence as an ordered left fold — no per-row window state,
+    no recursion, no UDF, no unbounded aggregation buffer.  The DEFAULT α=0.5, β=0.25 are exact binary
     fractions, so α, 1-α, β, 1-β are bit-identical literals in any
     engine (no DECIMAL-vs-double literal divergence, the hazard the
     EWMA twin-fold works around); an oracle reproduces the fold as a
@@ -287,12 +351,12 @@ def holt_linear_last(df: DataFrame, key_col: str, order_cols: list[str],
     present with round_fixed; the 1-step forecast is level + trend.
     """
     df = df.filter(F.col(value_col).isNotNull())
-    seq = df.groupBy(key_col).agg(
-        F.count(F.lit(1)).alias("n_events"),
+    counts, trunc = _tail_truncated(df, key_col, order_cols, value_col, tail)
+    seq = trunc.groupBy(key_col).agg(
         F.sort_array(
             F.collect_list(F.struct(*order_cols, value_col))
         ).alias("seq"),
-    )
+    ).join(counts, key_col)
     lt = F.slice(
         F.col("seq"),
         F.greatest(F.size("seq") - (tail - 1), F.lit(1)),

@@ -3004,11 +3004,16 @@ def rec_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = pairs.orderBy(
         F.col("n_ab").desc(), "part_a", "part_b"
     ).limit(20)
+    # Broadcast the BOUNDED side: top is ≤20 rows by construction,
+    # while cnt is one row per distinct part — an unbounded dimension
+    # a forced broadcast cannot survive at 100 TB.  Hinting top lets
+    # the per-part counts stream through a broadcast-hash join probe.
     return (
-        top.join(F.broadcast(cnt.select(F.col("l_partkey").alias("part_a"),
-                                        F.col("n_x").alias("n_a"))), "part_a")
-        .join(F.broadcast(cnt.select(F.col("l_partkey").alias("part_b"),
-                                     F.col("n_x").alias("n_b"))), "part_b")
+        F.broadcast(top)
+        .join(cnt.select(F.col("l_partkey").alias("part_a"),
+                         F.col("n_x").alias("n_a")), "part_a")
+        .join(cnt.select(F.col("l_partkey").alias("part_b"),
+                         F.col("n_x").alias("n_b")), "part_b")
         .crossJoin(F.broadcast(tot))
         .select(
             "part_a", "part_b", "n_ab",
@@ -5638,13 +5643,18 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
+    # No broadcast hint on deg: it is one row per distinct part — an
+    # UNBOUNDED dimension (billions at 100 TB).  A forced broadcast
+    # cannot degrade; AQE picks broadcast when the build side actually
+    # fits and falls back to shuffled hash join when it doesn't (pairs
+    # is already hash-partitioned by part after its groupBy).
     scored = (
         pairs.join(
-            F.broadcast(deg.select(F.col("l_partkey").alias("part_a"),
-                                   F.col("n_x").alias("n_a"))), "part_a")
+            deg.select(F.col("l_partkey").alias("part_a"),
+                       F.col("n_x").alias("n_a")), "part_a")
         .join(
-            F.broadcast(deg.select(F.col("l_partkey").alias("part_b"),
-                                   F.col("n_x").alias("n_b"))), "part_b")
+            deg.select(F.col("l_partkey").alias("part_b"),
+                       F.col("n_x").alias("n_b")), "part_b")
         .select(
             "part_a", "part_b", "n_ab",
             round_fixed(

@@ -5153,12 +5153,17 @@ def _attrition_oracle() -> str:
                 WHERE doc_id NOT IN (SELECT doc_id FROM near_dup))
     )
     SELECT stage_idx, stage, CAST(n_docs AS BIGINT) AS n_docs,
-           FLOOR(n_docs::DOUBLE
-                 / MAX(CASE WHEN stage_idx = 0 THEN n_docs END) OVER ()
-                 * 1000000.0 + 0.5) / 1000000.0 AS pct_of_raw,
-           FLOOR(n_docs::DOUBLE
-                 / LAG(n_docs) OVER (ORDER BY stage_idx)
-                 * 1000000.0 + 0.5) / 1000000.0 AS pct_of_prev
+           CASE WHEN MAX(CASE WHEN stage_idx = 0 THEN n_docs END)
+                     OVER () > 0 THEN
+               FLOOR(n_docs::DOUBLE
+                     / MAX(CASE WHEN stage_idx = 0 THEN n_docs END) OVER ()
+                     * 1000000.0 + 0.5) / 1000000.0
+           END AS pct_of_raw,
+           CASE WHEN LAG(n_docs) OVER (ORDER BY stage_idx) > 0 THEN
+               FLOOR(n_docs::DOUBLE
+                     / LAG(n_docs) OVER (ORDER BY stage_idx)
+                     * 1000000.0 + 0.5) / 1000000.0
+           END AS pct_of_prev
     FROM stages
     """
 
@@ -5173,7 +5178,11 @@ def curation_attrition_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     previous stage.  Stages 0-2 come from ONE conditional aggregation
     of the scored scan; stages 3-4 count the same persisted dedup
     relations curation_pipeline builds (shared callees untouched);
-    the percentage windows run over the 5-row funnel frame."""
+    the percentage windows run over the 5-row funnel frame.  Both
+    ratios are WHEN-guarded (the dedup_lsh_recall treatment) so a
+    zero denominator — an empty corpus, or a stage that kills every
+    document — yields NULL instead of an ANSI DIVIDE_BY_ZERO; the
+    oracle carries the matching CASE guards."""
     from pyspark.sql import Window
 
     from .functions.expressions import round_fixed
@@ -5226,16 +5235,18 @@ def curation_attrition_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_n = F.max(
         F.when(F.col("stage_idx") == 0, F.col("n_docs"))
     ).over(w_all)
+    prev_n = F.lag("n_docs").over(w_ord)
     return funnel.select(
         "stage_idx",
         "stage",
         "n_docs",
-        round_fixed(F.col("n_docs").cast("double") / raw_n, 6).alias(
-            "pct_of_raw"
-        ),
-        round_fixed(
-            F.col("n_docs").cast("double") / F.lag("n_docs").over(w_ord),
-            6,
+        F.when(
+            raw_n > 0,
+            round_fixed(F.col("n_docs").cast("double") / raw_n, 6),
+        ).alias("pct_of_raw"),
+        F.when(
+            prev_n > 0,
+            round_fixed(F.col("n_docs").cast("double") / prev_n, 6),
         ).alias("pct_of_prev"),
     )
 

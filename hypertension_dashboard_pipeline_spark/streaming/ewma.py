@@ -58,7 +58,15 @@ def _update_user(key, batches: Iterable[pd.DataFrame],
                  state: GroupState):
     n_events, tail = state.get if state.exists else (0, [])
     tail = list(tail)
-    for pdf in batches:
+    # Concatenate the micro-batch's Arrow chunks BEFORE sorting: a
+    # key's rows can span multiple chunks, and per-chunk sorts do not
+    # compose into a global (ts, event_id) order — the fold would
+    # diverge from the batch twin on chunk boundaries.  (The CUSUM
+    # twin keeps the old per-chunk form until its r10 rotation —
+    # registry.py r9 notes.)
+    chunks = list(batches)
+    if chunks:
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
         # null measurements are skipped (the batch operator's
         # contract); NaN is how Arrow surfaces them here
         pdf = pdf[pdf["value"].notna()].sort_values(["ts", "event_id"])

@@ -29,11 +29,12 @@ Finds to date (each fixed + pinned in the curated sweeps):
 * r8 empty-table passes: the KLL profile pair's None-subscript on an
   empty events table (fixed: empty-input contract), and
   dedup_lsh_recall's DIVIDE_BY_ZERO on an empty documents table
-  (fixed: when-guarded recall).  STILL QUEUED for their r9 rotation
-  (see KNOWN_EMPTY_LIMITS): text_bm25_topk / text_retrieval_ndcg
-  (driver-side avgdl splice is None on an empty corpus) and
-  curation_attrition_funnel (stage-percentage 0/0) — empty-corpus-
-  only, no possible effect on non-degenerate data.
+  (fixed: when-guarded recall).
+* r9: the last three queued empty-corpus crashes fixed inside their
+  window rotation — text_bm25_topk / text_retrieval_ndcg (the avgdl
+  stats splice now bails to the typed empty result when the corpus
+  is empty) and curation_attrition_funnel (when-guarded stage
+  ratios).  KNOWN_EMPTY_LIMITS is now empty.
 
 The empty-EMBEDDINGS pass also documents a PRECONDITION class rather
 than defects: every registered similarity/kmeans wrapper draws its
@@ -77,14 +78,11 @@ PROBE_PRECONDITIONS = {
     "emb_top_component", "emb_remove_top_component",
 }
 
-# Empty-corpus-only crashes triaged in r8 and QUEUED for fixes inside
-# their next window rotation (registry.py r9 notes); listed so the
-# sweep's exit code stays a regression signal, not a standing red.
-KNOWN_EMPTY_LIMITS = {
-    ("empty_docs", "text_bm25_topk"),
-    ("empty_docs", "text_retrieval_ndcg"),
-    ("empty_docs", "curation_attrition_funnel"),
-}
+# Empty-corpus-only crashes triaged in r8 were all FIXED in r9 inside
+# their window rotation (bm25's typed-empty bail; the attrition
+# funnel's when-guarded ratios) — the allowlist is empty; any new
+# entry is a regression.
+KNOWN_EMPTY_LIMITS: set[tuple[str, str]] = set()
 
 
 def _norm(v):
