@@ -539,3 +539,28 @@ def test_dpp_join_prunes_partitions_at_runtime(spark, sf_dir):
     df = QUERIES["s15_dpp_partitioned_join"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan
+
+
+def test_tail_folds_pretruncate_before_collect(plan):
+    """r9 state bound: the ewma/holt tail folds must carry the
+    map-side MapInPandas pre-truncation stage (per-key aggregation
+    state <= tail at any history length) — the grouped_topk_partial
+    treatment the r8 verdict prescribed for the unbounded
+    collect_list buffers."""
+    for name in ("ts_ewma_last8", "ts_holt_linear"):
+        p = plan(name)
+        assert "MapInPandas" in p, name
+
+
+def test_no_broadcast_of_per_part_counts(plan):
+    """r9 broadcast-direction fix: the per-part count relation (one
+    row per distinct l_partkey — an unbounded dimension at 100 TB)
+    must never sit under a BroadcastExchange in the link-prediction /
+    co-purchase queries; only bounded sides (the <=20-row top cut,
+    1-row totals) may broadcast."""
+    for name in ("rec_copurchase_lift", "graph_neighbor_jaccard",
+                 "graph_adamic_adar"):
+        p = plan(name)
+        for seg in p.split("BroadcastExchange")[1:]:
+            head = seg[:4000]
+            assert "l_partkey], functions=[count" not in head, (name, head[:600])
