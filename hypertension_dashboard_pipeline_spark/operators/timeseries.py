@@ -24,8 +24,9 @@ calendars.
 
 Tail-fold state contract (r9): ``ewma_last`` and ``holt_linear_last``
 only ever read the last ``tail`` values, so both pre-truncate with
-``_tail_truncated`` (map-side last-k, the grouped_topk_partial
-treatment) — per-key state is ≤ ``tail`` elements at ANY history
+``_tail_truncated`` (a JVM-side WindowGroupLimit rank-limit pushdown:
+each partition truncates to its per-key last-``tail`` rows BEFORE the
+exchange) — per-key state is ≤ ``tail`` elements at ANY history
 length.  ``cusum_alarms`` is different BY SEMANTICS: the alarm count
 folds over the key's FULL history (every value moves the reset
 state), so no prefix can be dropped in a batch recomputation — the
@@ -146,48 +147,39 @@ def gap_fill_interpolate(daily: DataFrame, key_col: str, day_col: str,
 def _tail_truncated(df: DataFrame, key_col: str, order_cols: list[str],
                     value_col: str, tail: int) -> tuple[DataFrame, DataFrame]:
     """Bound the tail-fold collects: (per-key counts, per-key LAST
-    ``tail`` rows) with MAP-SIDE TRUNCATION — the
-    ``grouped_topk_partial`` treatment (operators/windows.py) applied
-    to "latest k per key".
+    ``tail`` rows) with MAP-SIDE TRUNCATION, entirely JVM-side.
 
     The naive form collects a key's FULL ordered history into one
     aggregation-buffer array and slices the last ``tail`` values: the
     fold is bounded but the collect is not — a key with 10⁸ events
     materializes a 10⁸-element array in a single buffer row (executor
-    OOM at 100× scale).  Here stage 1 is a narrow ``mapInPandas`` pass
-    keeping only each Arrow batch's per-key last-``tail`` rows —
-    correct because the last-k of a union is the last-k of the
-    per-part last-k's (``order_cols`` is a total order per key) — so
-    the shuffle moves at most ``tail · keys · batches`` rows; stage 2
-    cuts that residue to exactly ``tail`` rows per key with an
-    ordinary descending row_number window.  Per-key state anywhere
-    downstream is then ≤ ``tail`` elements at ANY history length.
+    OOM at 100× scale).  Here the truncation is a descending
+    ``row_number() <= tail`` window, which Catalyst rewrites into a
+    **WindowGroupLimit pair** (rank-limit pushdown,
+    ``spark.sql.optimizer.windowGroupLimitThreshold``, tail ≪ 1000):
+    the Partial node truncates each input partition to its per-key
+    last-``tail`` rows BEFORE the exchange — correct because the
+    last-k of a union is the last-k of the per-part last-k's
+    (``order_cols`` is a total order per key) — so the shuffle moves
+    at most ``tail · keys · partitions`` rows and the Final node cuts
+    the residue to exactly ``tail``.  Same effect as a hand-rolled
+    ``grouped_topk_partial`` stage but with zero Python in the path
+    (plan shape pinned in tests/test_plans.py).  Per-key state
+    anywhere downstream is ≤ ``tail`` elements at ANY history length,
+    and the downstream groupBy-collect rides the window's key
+    partitioning with no further exchange.
 
     ``n_events`` still counts the full (null-filtered) history — a
     separate map-side-combined count aggregate on the same narrow
-    projection (cheap second pass; both branches end hash-partitioned
-    on the key, so the final one-row-per-key join reuses the
-    exchange).
+    projection (cheap: the shuffle carries partial counts, one row
+    per key per partition).
     """
     counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_events"))
     oc = list(order_cols)
     narrow = df.select(key_col, *oc, value_col)
-    schema = narrow.schema
-
-    def batch_tail(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            yield (
-                pdf.sort_values(oc, ascending=False)
-                .groupby([key_col], sort=False)
-                .head(tail)
-            )
-
-    partial = narrow.mapInPandas(batch_tail, schema=schema)
     w = Window.partitionBy(key_col).orderBy(*[F.col(c).desc() for c in oc])
     trunc = (
-        partial.withColumn("__rn", F.row_number().over(w))
+        narrow.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= tail)
         .drop("__rn")
     )
@@ -218,11 +210,12 @@ def ewma_last(df: DataFrame, key_col: str, order_cols: list[str],
     presentation round.  No per-row window state, no recursion, no
     UDF.
 
-    Scale: the history is PRE-TRUNCATED map-side (``_tail_truncated``,
-    the grouped_topk_partial treatment) so the collected per-key array
-    is ≤ ``tail`` elements at any history length — no unbounded
-    aggregation buffer anywhere; one extra cheap count pass carries
-    the full n_events.  A streaming variant carries the same
+    Scale: the history is PRE-TRUNCATED map-side (``_tail_truncated``:
+    a descending row_number ≤ tail that Catalyst rewrites into the
+    JVM-side WindowGroupLimit Partial/Final pair) so the collected
+    per-key array is ≤ ``tail`` elements at any history length — no
+    unbounded aggregation buffer anywhere; one extra cheap count pass
+    carries the full n_events.  A streaming variant carries the same
     ``tail``-value state in applyInPandasWithState (streaming/ewma.py).
 
     Null measurements are SKIPPED (the SUM/AVG convention) — without

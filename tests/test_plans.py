@@ -543,13 +543,17 @@ def test_dpp_join_prunes_partitions_at_runtime(spark, sf_dir):
 
 def test_tail_folds_pretruncate_before_collect(plan):
     """r9 state bound: the ewma/holt tail folds must carry the
-    map-side MapInPandas pre-truncation stage (per-key aggregation
-    state <= tail at any history length) — the grouped_topk_partial
-    treatment the r8 verdict prescribed for the unbounded
-    collect_list buffers."""
+    WindowGroupLimit rank-limit pushdown pair — the Partial node
+    truncates each input partition to its per-key last-`tail` rows
+    BEFORE the exchange, so the collect's aggregation state is
+    <= tail at any history length (the r8 verdict's unbounded
+    collect_list fix, JVM-side — no Python in the path)."""
     for name in ("ts_ewma_last8", "ts_holt_linear"):
         p = plan(name)
-        assert "MapInPandas" in p, name
+        assert "WindowGroupLimit" in p, name
+        assert p.count("WindowGroupLimit") >= 2, name  # Partial + Final
+        assert "MapInPandas" not in p, name
+        assert "SinglePartition" not in p, name
 
 
 def test_no_broadcast_of_per_part_counts(plan):

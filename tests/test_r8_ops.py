@@ -165,12 +165,19 @@ def test_sales_opportunity_anti_join_prefiltered(plan):
     assert scans and any("1-URGENT" in s for s in scans), scans
 
 
-def test_ewma_query_single_exchange(plan):
-    """ts_ewma_last8: one hash exchange on user_id and nothing else —
-    the fold is array-local, so any extra exchange or a global sort
-    means the formulation regressed."""
+def test_ewma_query_bounded_exchanges(plan):
+    """ts_ewma_last8 (r9 bounded form): exactly TWO hash exchanges on
+    user_id — the WindowGroupLimit-truncated tail residue (≤ tail rows
+    per key per partition) and the map-side-combined full count
+    (partial counts, one row per key per partition) — and no global
+    sort.  The fold is array-local; the collect rides the window's
+    key partitioning with no further exchange.  A third exchange or a
+    full-history shuffle means the bounded formulation regressed
+    (the r8 form's single exchange carried EVERY row of the history —
+    one exchange fewer, but unbounded per-key aggregation state)."""
     p = plan("ts_ewma_last8")
-    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("Exchange hashpartitioning") == 2, p
+    assert "WindowGroupLimit" in p, p
     assert "SinglePartition" not in p
 
 

@@ -8,8 +8,9 @@ Equivalence is the load-bearing claim: the last-k of a union equals
 the last-k of the per-part last-k's, so the bounded plan must produce
 BIT-IDENTICAL folds to the brute-force recurrence over the full
 history — exercised here with long histories deliberately scattered
-across many input partitions (multiple Arrow batches per key, the case
-a single-batch hypothesis example never reaches).
+across many input partitions (the WindowGroupLimit Partial node
+truncates each partition independently, the case a single-partition
+hypothesis example never reaches).
 """
 
 from __future__ import annotations
@@ -133,12 +134,15 @@ def test_ewma_null_and_tie_contracts_survive_truncation(spark):
 
 
 def test_tail_fold_plans_contain_mapside_truncation(spark):
-    # the scale property is structural: the bounded plan must carry the
-    # mapInPandas pre-truncation stage (state ≤ tail per key)
+    # the scale property is structural: the bounded plan must carry
+    # the WindowGroupLimit rank-limit pushdown (Partial truncates each
+    # partition BEFORE the exchange; state ≤ tail per key), with zero
+    # Python in the path
     df = _mk_events(spark, n_users=2, n_events=30, n_parts=4)
     for op in (
         lambda d: ewma_last(d, "user_id", ["ts", "event_id"], "value"),
         lambda d: holt_linear_last(d, "user_id", ["ts", "event_id"], "value"),
     ):
         plan = op(df)._jdf.queryExecution().executedPlan().toString()
-        assert "MapInPandas" in plan, plan[:2000]
+        assert "WindowGroupLimit" in plan, plan[:2000]
+        assert "MapInPandas" not in plan, plan[:2000]
