@@ -358,8 +358,19 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #          top-k queries together;
 #        * kmeans _lloyd_centroids merge + k-clamp (ADVICE r8 #2/#3)
 #          — rotates emb_kmeans_lloyd + sim_cluster_purity.
+#        * grouped_topk_partial (operators/windows.py) → the JVM
+#          WindowGroupLimit form (r9 finding: Catalyst rewrites a
+#          row_number<=k filter into a Partial/Final rank-limit pair
+#          that truncates each partition BEFORE the exchange — the
+#          same map-side bound as the hand-rolled mapInPandas stage
+#          with zero Python; proven on the ewma/holt tail folds this
+#          round, probe + plan pins in tests/test_plans.py).
+#          Migrating it rotates its callers sim_batch_ann_topk,
+#          sample_k_per_group, sample_weighted_k_per_group together
+#          (shared-callee rule) and shrinks the ARROW_DECLARED
+#          exemption list in test_plans.py by three.
 #      With the 8 spilled names + those families, the r10 window is
-#      ~20 names — the external-evidence queue effectively closes.
+#      ~25 names — the external-evidence queue effectively closes.
 _FRONT: list[str] = [
     # flagship + headline extension pipeline (always externally gated)
     "flagship_cohort_pipeline",

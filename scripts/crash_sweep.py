@@ -35,6 +35,11 @@ Finds to date (each fixed + pinned in the curated sweeps):
   stats splice now bails to the typed empty result when the corpus
   is empty) and curation_attrition_funnel (when-guarded stage
   ratios).  KNOWN_EMPTY_LIMITS is now empty.
+* r9 adds the SKEW_EVENTS corpus: one user with a 2,500-event ordered
+  history (plus in-history ts-tie bursts and a null run) — full value
+  parity for every events oracle at per-key depth, the net that
+  guards the WindowGroupLimit tail-truncation and every per-user
+  window/fold/session ordering contract under key skew.
 
 The empty-EMBEDDINGS pass also documents a PRECONDITION class rather
 than defects: every registered similarity/kmeans wrapper draws its
@@ -44,7 +49,9 @@ undefined — the operators themselves (brute_force_topk etc.) accept
 an explicit query vector and degrade to empty output.  Those wrappers
 are listed in PROBE_PRECONDITIONS and reported as KNOWN, not CRASH.
 
-Usage: python scripts/crash_sweep.py   (~30 min on local[24])
+Usage: python scripts/crash_sweep.py   (~35 min on local[24]; the
+skew corpus alone costs ~1.5 min, dominated by the cusum twins'
+depth-2510 recursive-CTE oracle — expected, not a hang)
 Exit code = number of failing (corpus, query) pairs outside the
 documented known-limits/preconditions lists.
 """
@@ -142,6 +149,58 @@ def main() -> int:
             path,
         )
 
+    def _build_skew_events(path: str) -> None:
+        # r9 net: ONE user carrying a deep ordered history (2,500
+        # events: the WindowGroupLimit partial truncation must
+        # reconstruct the exact tail across partitions, and every
+        # per-user window/fold/session oracle must agree at depth),
+        # plus ts-tie bursts inside the hot history, a mid-history
+        # null run, and normal background traffic.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t0 = dtt.datetime(2024, 1, 1)
+        rows = {k: [] for k in
+                ("event_id", "ts", "user_id", "event_type", "value",
+                 "props")}
+        types = ["view", "click", "purchase", "refund", "login"]
+        eid = 0
+
+        def add(ts, uid, typ, val):
+            nonlocal eid
+            eid += 1
+            rows["event_id"].append(eid)
+            rows["ts"].append(ts)
+            rows["user_id"].append(uid)
+            rows["event_type"].append(typ)
+            rows["value"].append(val)
+            rows["props"].append('{"k": %d}' % (eid % 7))
+
+        for i in range(2500):  # the hot key: minute cadence, value
+            # pattern that makes any tail mis-order change the folds
+            ts = t0 + dtt.timedelta(minutes=i)
+            val = None if 1200 <= i < 1210 else (i % 97) + (i % 8) * 0.125
+            add(ts, 7, types[i % 5], val)
+        burst = t0 + dtt.timedelta(days=1, hours=1)
+        for i in range(10):  # ts ties INSIDE the hot history: only
+            add(burst, 7, types[i % 5], 50.0 + i)  # event_id orders them
+        for u in range(1, 50):  # background users, 20 events each
+            for i in range(20):
+                ts = t0 + dtt.timedelta(hours=u, minutes=i * 3)
+                add(ts, 100 + u, types[(u + i) % 5], (u * i) % 43 + 0.5)
+
+        pq.write_table(
+            pa.table({
+                "event_id": pa.array(rows["event_id"], pa.int64()),
+                "ts": pa.array(rows["ts"], pa.timestamp("us")),
+                "user_id": pa.array(rows["user_id"], pa.int64()),
+                "event_type": pa.array(rows["event_type"], pa.string()),
+                "value": pa.array(rows["value"], pa.float64()),
+                "props": pa.array(rows["props"], pa.string()),
+            }),
+            path,
+        )
+
     def _build_empty_docs(path: str) -> None:
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -172,6 +231,7 @@ def main() -> int:
 
     corpora = {
         "adv_events": corpus({"events": _build_adv_events}),
+        "skew_events": corpus({"events": _build_skew_events}),
         "adv_docs": corpus({"documents": _build_adv_docs}),
         "adv_emb": corpus({"embeddings": _build_adv_embeddings}),
         "empty_events": corpus({"events": _build_empty_events}),
