@@ -368,7 +368,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #          Migrating it rotates its callers sim_batch_ann_topk,
 #          sample_k_per_group, sample_weighted_k_per_group together
 #          (shared-callee rule) and shrinks the ARROW_DECLARED
-#          exemption list in test_plans.py by three.
+#          exemption list in test_plans.py by three.  DE-RISKED by a
+#          scratch prototype on the batch-ANN shape at sf0.1 (late
+#          r9, SCALING.md): identical 40 rows, 1.63s vs 2.07s
+#          (-21%), WindowGroupLimit pair in the plan.
 #      With the 8 spilled names + those families, the r10 window is
 #      ~25 names — the external-evidence queue effectively closes.
 _FRONT: list[str] = [
