@@ -355,7 +355,15 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #        * cosine-family NaN guard (ADVICE r8 #1): extend
 #          cosine_guarded to finite self-dots (~F.isnan(daa) etc.)
 #          with matching oracle predicates — rotates the five pinned
-#          top-k queries together;
+#          top-k queries together.  SHAPE VERIFIED cross-engine in a
+#          late-r9 scratch run: a NaN-component vector passes the
+#          current daa>0 guard in BOTH engines (NaN>0 is true in
+#          Spark comparisons AND DuckDB CASE) and ranks FIRST under
+#          ORDER BY cos_sim DESC; `& ~F.isnan(daa)` ↔
+#          `AND NOT isnan(daa)` excludes it identically on both
+#          sides (the NULL then falls to the standing isNotNull
+#          drop).  Add a NaN-component vector to the adversarial
+#          embeddings corpus when the family rotates;
 #        * kmeans _lloyd_centroids merge + k-clamp (ADVICE r8 #2/#3)
 #          — rotates emb_kmeans_lloyd + sim_cluster_purity.
 #        * grouped_topk_partial (operators/windows.py) → the JVM
