@@ -3424,8 +3424,10 @@ def j24_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     window rank over the per-(part, supplier) offer relation — the
     offer aggregation shuffles the fact table ONCE on (partkey,
     suppkey) and the per-part rank reuses hash partitioning on the
-    prefix key; supplier/nation/region/part are all broadcast dims, so
-    region pruning happens BEFORE the fact shuffle.  Offers compare as
+    prefix key; nation/region (fixed, ≤25 rows) carry broadcast
+    hints so region pruning happens BEFORE the fact shuffle, while
+    supplier and part — corpus-scaling dimensions — carry none (AQE
+    broadcasts when the runtime size fits).  Offers compare as
     exact DECIMAL (ties broken on suppkey), so the rn=1 winner is
     deterministic cross-engine; top-20 by acctbal is TakeOrdered, not
     a global sort."""
@@ -3441,7 +3443,7 @@ def j24_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD")
     )
     offers = (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("l_partkey", "l_suppkey")
@@ -3456,8 +3458,8 @@ def j24_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn") == 1
     )
     return (
-        best.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        best.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             "s_acctbal",
@@ -3584,10 +3586,11 @@ def j25_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (product-type profit): per supplier nation and
     order year, net amount on 'widget' parts — revenue minus a unit
     cost (p_retailprice stands in for ps_supplycost; this corpus has
-    no partsupp table).  The name-filtered part dim broadcasts and
-    prunes the fact table BEFORE its one shuffle onto orders;
-    supplier/nation broadcast too, so the only exchange moving fact
-    rows is the orderkey join.  The amount stays exact DECIMAL
+    no partsupp table).  The name-filtered part join prunes the fact
+    table BEFORE its one shuffle onto orders; only nation (25 rows,
+    fixed) carries a broadcast hint — part and supplier scale with
+    the corpus, so AQE picks their join strategy from runtime sizes
+    (broadcast here, shuffled at 100 TB).  The amount stays exact DECIMAL
     end-to-end (price x (1-disc) minus retail x qty), summed, then
     crosses the boundary via dec_present."""
     from .functions.expressions import dec_present
@@ -3605,8 +3608,8 @@ def j25_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     qty = F.col("l_quantity").cast("decimal(18,2)")
     amount = price * (F.lit(1) - disc) - retail * qty
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
@@ -3664,7 +3667,9 @@ def a35_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name") == "NATION_3"
     )
     val = (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier scales with the corpus — no hint (AQE decides);
+        # the single-nation filter (25-row dim) keeps its hint
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_partkey")
         .agg(
@@ -3763,7 +3768,8 @@ def a36_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape (promotion effect): PROMO parts' percentage of
     one ship-month's revenue.  Both the conditional and total revenue
     are EXACT DECIMAL sums computed in the same single aggregation
-    (one broadcast join, one 1-row exchange); each is presented to
+    (one part join — no hint, part scales with the corpus, AQE
+    decides — then one 1-row exchange); each is presented to
     double via the string-mediated dec_present route BEFORE the
     division, so both engines divide bit-identical doubles, and the
     ratio rounds 6dp via the floor form."""
@@ -3779,7 +3785,7 @@ def a36_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = price * (F.lit(1) - disc)
     zero = F.lit(0).cast("decimal(18,2)")
     agg = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             dec_present(
                 F.sum(
@@ -3843,9 +3849,12 @@ def j27_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx = rev.agg(F.max("total_rev").alias("max_rev"))
     return (
+        # after the max-equality filter the left side is the tie set
+        # (usually 1 row); supplier scales with the corpus, so no
+        # hint — AQE broadcasts the tiny filtered side at runtime
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_rev") == F.col("max_rev"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -3878,9 +3887,12 @@ def a37_supplier_part_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     and complaint-flagged suppliers (negative account balance stands
     in for the LIKE '%Customer%Complaints%' predicate; this corpus
     derives the part-supplier relation from lineitem — no partsupp).
-    The NOT IN is a broadcast LEFT ANTI join (the excluded-supplier
-    set is tiny by construction); the distinct (part, supp) pairs
-    collapse map-side before the count-distinct shuffle."""
+    The NOT IN is a LEFT ANTI join; the excluded-supplier set and the
+    brand-filtered part dim are FRACTIONS of corpus-scaling tables
+    (tiny here, unbroadcastable at 100 TB), so neither carries a
+    hint — AQE picks broadcast when the runtime size fits.  The
+    distinct (part, supp) pairs collapse map-side before the
+    count-distinct shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(
         F.col("p_brand") != "Brand#1"
@@ -3891,11 +3903,11 @@ def a37_supplier_part_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = li.select("l_partkey", "l_suppkey").distinct()
     return (
         ps.join(
-            F.broadcast(bad),
+            bad,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -3933,8 +3945,9 @@ def j28_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-DECIMAL cross-multiplication qty*5*n < sum_qty, so no
     double division ever sits near the cut boundary (quantities are
     integral).  Both joins shuffle on the partkey the aggregate
-    already produced; the brand filter prunes via the broadcast part
-    dim before either shuffle."""
+    already produced; the brand filter prunes via the part join
+    before either shuffle (no hint — the brand slice is a fixed
+    FRACTION of a corpus-scaling dim, so AQE decides)."""
     from .functions.expressions import dec_present
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -3943,7 +3956,7 @@ def j28_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qty = F.col("l_quantity").cast("decimal(18,2)")
     branded = li.join(
-        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+        p, F.col("l_partkey") == F.col("p_partkey")
     )
     pq = branded.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
@@ -3987,9 +4000,10 @@ def a38_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     three OR'd brand/size/quantity conjunctions across the join — the
     stress test for predicate pushdown through a join.  Catalyst
     factors the common l_quantity bounds below the join and keeps the
-    cross-table disjunction as the join residual; the part side
-    broadcasts, so the fact table is scanned once, never shuffled.
-    Exact DECIMAL revenue."""
+    cross-table disjunction as the join residual; the fact table is
+    scanned once (part carries no hint — it scales with the corpus;
+    AQE broadcasts it here and shuffles at 100 TB).  Exact DECIMAL
+    revenue."""
     from .functions.expressions import dec_present
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -4014,7 +4028,7 @@ def a38_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,2)")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(
             dec_present(
@@ -4069,8 +4083,10 @@ def j29_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     qty = F.col("l_quantity").cast("decimal(18,2)")
+    # part/supplier carry no hints (corpus-scaling dims — AQE
+    # decides); nation (25 rows, fixed) keeps its hint
     sp = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(qty).cast("decimal(38,2)").alias("supp_qty"))
     )
@@ -4080,7 +4096,7 @@ def j29_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sp.join(pt, F.col("l_partkey") == F.col("pk"))
         .filter(F.col("supp_qty") * F.lit(8) > F.col("part_qty"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", "n_name")
         .distinct()
@@ -4154,7 +4170,7 @@ def j30_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_supps") > 1)
             & (F.col("n_late") == 1)
         )
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_suppkey", "s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_suppkey")

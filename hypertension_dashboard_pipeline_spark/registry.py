@@ -328,11 +328,22 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #          hints dropped from graph_neighbor_jaccard (AQE decides;
 #          per-part counts are an unbounded dimension) and the same
 #          shape fixed in rec_copurchase_lift (broadcast the ≤20-row
-#          top side instead of the per-part cnt side).  Full-grep
-#          audit: every remaining F.broadcast site carries a bounded
-#          relation (1-row aggregates, ≤dim models, fixed codelists,
-#          probe lists, per-source sketches); graph_adamic_adar
-#          reviewed — no hint to drop.
+#          top side instead of the per-part cnt side);
+#          graph_adamic_adar reviewed — no hint to drop.  The
+#          full-grep audit then widened the fix to EVERY in-window
+#          TPC-H shape: customer/supplier/part are corpus-SCALING
+#          dimensions (billions of rows at 100 TB), so their hints
+#          came off in j24/j25/j27/j28/j29/j30/a35/a36/a37/a38
+#          (nation/region/1-row scalars keep theirs; AQE still
+#          broadcasts the small sides at test SF — bench-verified
+#          free).  The SAME class remains in SIX queries that are
+#          externally green and OUTSIDE this window — j15/j16/j17
+#          (F.broadcast(c)), j19/j20 (c + s), j22 (full customer
+#          broadcast onto a 20-row top — flip to F.broadcast(top)),
+#          and events_last_touch_attribution
+#          (value_by_purchase scales with events) — fix-on-rotation
+#          in r10, fix shape proven on the 10 sibling queries this
+#          round.
 #        * streaming chunk-order fix (ADVICE r8 #4): holt + ewma
 #          _update_user now concat all Arrow chunks per key BEFORE the
 #          (ts, event_id) sort (per-chunk sorts do not compose);
@@ -380,8 +391,13 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #          scratch prototype on the batch-ANN shape at sf0.1 (late
 #          r9, SCALING.md): identical 40 rows, 1.63s vs 2.07s
 #          (-21%), WindowGroupLimit pair in the plan.
+#        * scaling-dim broadcast hints in j15/j16/j17/j19/j20/j22 and
+#          events_last_touch_attribution (see the r9 window notes
+#          above) — drop c/s hints, flip j22 to F.broadcast(top);
+#          rotate each with its fix (shape proven on the 10 sibling
+#          queries this round).
 #      With the 8 spilled names + those families, the r10 window is
-#      ~25 names — the external-evidence queue effectively closes.
+#      ~30 names — the external-evidence queue effectively closes.
 _FRONT: list[str] = [
     # flagship + headline extension pipeline (always externally gated)
     "flagship_cohort_pipeline",
