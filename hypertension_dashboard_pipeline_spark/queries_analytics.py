@@ -1707,10 +1707,12 @@ def j15_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape (shipping priority): segment-filtered customers →
     orders → lineitem, revenue per unshipped order, top 10.  The plan
     to want at 100 TB and the plan Catalyst produces: both date
-    predicates PUSH to the fact scans, the segment-filtered customer
-    side broadcasts, the orders⋈lineitem join shuffles on the orderkey
-    both sides already share, and the top-10 is TakeOrdered (no global
-    sort).  Revenue is an exact DECIMAL sum presented as a
+    predicates PUSH to the fact scans, the orders⋈lineitem join
+    shuffles on the orderkey both sides already share, and the top-10
+    is TakeOrdered (no global sort).  Customer is a corpus-SCALING
+    dimension (billions of rows at 100 TB), so it carries no broadcast
+    hint — AQE broadcasts the segment-filtered side when the runtime
+    size fits and falls back to a shuffled join when it doesn't.  Revenue is an exact DECIMAL sum presented as a
     ``dec_present`` double (decimals are hash-hostile externally); BOTH
     engines order by the presented double + orderkey, so the limit
     boundary is deterministic cross-engine."""
@@ -1729,7 +1731,7 @@ def j15_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.col("l_discount").cast("decimal(18,2)")
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", F.to_date("o_orderdate").alias("order_day"))
         .agg(
             dec_present(
@@ -1764,10 +1766,12 @@ def j15_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j16_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape (local supplier volume): the 6-way join —
     lineitem ⋈ orders shuffle on orderkey, then customer / supplier /
-    nation / region all broadcast (dims), with the non-equi flavor
-    c_nationkey = s_nationkey folded into the supplier join.  One
-    fact-table shuffle total; the region filter prunes nations BEFORE
-    the fact join via the broadcast chain.  Exact DECIMAL revenue per
+    nation / region, with the non-equi flavor c_nationkey =
+    s_nationkey folded into the supplier join.  nation/region (fixed,
+    ≤25 rows) carry broadcast hints so the region filter prunes
+    nations BEFORE the fact join; customer and supplier are
+    corpus-SCALING dimensions (billions of rows at 100 TB) and carry
+    none — AQE broadcasts them when the runtime size fits.  Exact DECIMAL revenue per
     nation, presented as a ``dec_present`` double (decimals are
     hash-hostile externally)."""
     from .functions.expressions import dec_present
@@ -1782,9 +1786,9 @@ def j16_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.col("l_discount").cast("decimal(18,2)")
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -1834,7 +1838,10 @@ def events_last_touch_attribution(spark: SparkSession, sf_dir: str
     aggregate — (v_ts, view_id) argmax, deterministic under the
     view_id tiebreak, no window sort.  Composition point: any other
     policy (first-touch, linear) is a different aggregate over the
-    SAME join, which is why the join emits all candidate pairs."""
+    SAME join, which is why the join emits all candidate pairs.
+    ``value_by_purchase`` scales with the events corpus, so it carries
+    no broadcast hint — both sides of the value join are already
+    purchase-keyed and AQE broadcasts when the runtime size fits."""
     from .streaming.stream_join import view_purchase_attribution
 
     ev = load_table(spark, sf_dir, "events")
@@ -1845,7 +1852,7 @@ def events_last_touch_attribution(spark: SparkSession, sf_dir: str
     )
     pairs = view_purchase_attribution(views, purchases, "1 hour")
     return (
-        pairs.join(F.broadcast(value_by_purchase), "purchase_id")
+        pairs.join(value_by_purchase, "purchase_id")
         .groupBy("purchase_id")
         .agg(
             F.max("value").alias("purchase_value"),
@@ -2171,7 +2178,9 @@ def j17_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING filter then cuts that to the ~1% heavy tail, so the orders
     join input is tail-sized and AQE picks its strategy from the
     measured post-filter size — never a fact-to-fact join.  Customer
-    is a broadcast dim.  Top-100 is TakeOrdered on (total_price DESC,
+    is a corpus-SCALING dimension, so it carries no broadcast hint
+    (AQE broadcasts when the runtime size fits).  Top-100 is
+    TakeOrdered on (total_price DESC,
     orderkey) — both engines order by the same parquet doubles, and
     sum_qty crosses the boundary via ``dec_present``."""
     from .functions.expressions import dec_present
@@ -2190,7 +2199,7 @@ def j17_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     return (
         big.join(o, big["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",
             "o_custkey",
@@ -2830,10 +2839,11 @@ _DEC_REV = (
 def j19_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape (volume shipping between two nations, both
     directions, by ship year): the fact table shuffles ONCE (onto
-    orders); supplier/customer/nation are broadcast, and the
-    two-direction nation-pair predicate rides the broadcast chain so
-    fact rows from uninvolved nations are dropped before the
-    orderkey shuffle.  Exact DECIMAL revenue, dec_present output."""
+    orders); nation (fixed, ≤25 rows) is hint-broadcast so the
+    two-direction nation-pair predicate prunes fact rows before the
+    orderkey shuffle, while supplier and customer — corpus-SCALING
+    dimensions — carry no hint (AQE broadcasts when the runtime size
+    fits).  Exact DECIMAL revenue, dec_present output."""
     from .functions.expressions import dec_present
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -2853,10 +2863,10 @@ def j19_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
     )
     return (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(pair)
         .groupBy(
@@ -2902,8 +2912,10 @@ def j20_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(year, supp_nation) revenue is EXACT DECIMAL presented via
     dec_present before the share division, so both engines divide
     identical doubles — the decimal/decimal division itself is
-    avoided (engines disagree on result scale).  Same
-    one-fact-shuffle + broadcast-dim chain as Q5/Q7."""
+    avoided (engines disagree on result scale).  Same one-fact-shuffle
+    chain as Q5/Q7: nation/region keep their hints (fixed, ≤25 rows),
+    customer and supplier — corpus-SCALING dimensions — carry none
+    (AQE broadcasts when the runtime size fits)."""
     from .functions.expressions import dec_present
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -2920,10 +2932,10 @@ def j20_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.col("l_discount").cast("decimal(18,2)")
     rev = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
         .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
         .groupBy(
             F.year("o_orderdate").alias("o_year"), F.col("supp_nation")
@@ -3008,10 +3020,15 @@ def rec_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # while cnt is one row per distinct part — an unbounded dimension
     # a forced broadcast cannot survive at 100 TB.  Hinting top lets
     # the per-part counts stream through a broadcast-hash join probe.
+    # The hint does NOT propagate through a join's output, so the
+    # part_b join re-hints the (still ≤20-row) joined result — without
+    # it the second join would rely entirely on AQE's runtime stats.
     return (
-        F.broadcast(top)
-        .join(cnt.select(F.col("l_partkey").alias("part_a"),
-                         F.col("n_x").alias("n_a")), "part_a")
+        F.broadcast(
+            F.broadcast(top)
+            .join(cnt.select(F.col("l_partkey").alias("part_a"),
+                             F.col("n_x").alias("n_a")), "part_a")
+        )
         .join(cnt.select(F.col("l_partkey").alias("part_b"),
                          F.col("n_x").alias("n_b")), "part_b")
         .crossJoin(F.broadcast(tot))
@@ -3115,8 +3132,11 @@ def j22_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     date band on the orders scan) pushed below the exchange; the
     per-customer aggregate is the second and last shuffle, and the
     customer/nation name attachment happens AFTER the top-20
-    truncation so the dimension join touches 20 rows, broadcast both
-    sides.  Deterministic tie-break on custkey; dec_present output."""
+    truncation — the BOUNDED 20-row ``top`` side carries the broadcast
+    hint (never full customer, which scales with the corpus), so the
+    name join streams customer through the probe side of a
+    broadcast-hash join.  Deterministic tie-break on custkey;
+    dec_present output."""
     from .functions.expressions import dec_present
 
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -3143,7 +3163,8 @@ def j22_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     return (
-        top.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        F.broadcast(top)
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .select(
             "c_custkey", "c_name",
