@@ -34,8 +34,9 @@ def norm(a: Column | str) -> Column:
 
 def cosine_guarded(a: Column | str, b: Column | str,
                    scale: int | None = None) -> Column:
-    """Zero-norm-safe cosine: NULL when either operand has zero norm,
-    instead of an ANSI ``DIVIDE_BY_ZERO`` at runtime.
+    """Zero-norm-safe, NaN-safe cosine: NULL when either operand has
+    zero norm (instead of an ANSI ``DIVIDE_BY_ZERO`` at runtime) or a
+    non-finite self-dot (a NaN-component vector).
 
     The division lives INSIDE an ``F.when`` branch conditioned on both
     squared norms being positive.  A ``norm > 0`` pre-FILTER is not
@@ -49,11 +50,21 @@ def cosine_guarded(a: Column | str, b: Column | str,
     reaches the division through the lazy branch) or a threshold
     compare.
 
-    For non-zero operands the value is bit-identical to ``cosine``:
-    the branch body is the same dot/(sqrt·sqrt) expression (``norm``
-    is literally ``sqrt(dot(a, a))``), rounded by the same
+    The NaN leg matters because ``NaN > 0`` is TRUE in Spark
+    comparisons (and in DuckDB CASE predicates): without the explicit
+    ``~isnan`` conjuncts a garbage NaN-component vector passes the
+    positivity guard, scores a NaN cosine, and — since NaN sorts HIGH
+    — ranks FIRST under ``ORDER BY cos_sim DESC`` in both engines.
+    Parity holds; semantics don't.  Excluding non-finite self-dots
+    turns the row into a NULL that the callers' standing
+    ``isNotNull`` / threshold filters already drop.
+
+    For finite non-zero operands the value is bit-identical to
+    ``cosine``: the branch body is the same dot/(sqrt·sqrt) expression
+    (``norm`` is literally ``sqrt(dot(a, a))``), rounded by the same
     ``round_fixed`` floor form.  Oracles pair the exclusion with a
-    ``WHERE <self-dot> > 0`` guard on the scored rows.
+    ``WHERE <self-dot> > 0 AND NOT isnan(<self-dot>)`` guard on the
+    scored rows.
     """
     from .expressions import round_fixed
 
@@ -61,7 +72,7 @@ def cosine_guarded(a: Column | str, b: Column | str,
     dbb = dot(b, b)
     sim = dot(a, b) / (F.sqrt(daa) * F.sqrt(dbb))
     return F.when(
-        (daa > 0) & (dbb > 0),
+        (daa > 0) & (dbb > 0) & ~F.isnan(daa) & ~F.isnan(dbb),
         round_fixed(sim, scale) if scale is not None else sim,
     )
 

@@ -326,6 +326,12 @@ def quantized_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     the quantization and ranking exactly: quantization error is part of
     the operator's CONTRACT, not a verification gap. Ranking is by
     (rounded approx_dot desc, id) as in ``brute_force_topk``.
+
+    NaN-component vectors have no int8 code (``floor(NaN)`` is a cast
+    error, not a value), so they are excluded from the index — the
+    ``~isnan(max|x|)`` filter below, mirrored by the oracle's
+    ``NOT isnan`` WHERE (NaN > 0 is TRUE in both engines, so nothing
+    weaker works; the r10 cosine-family class).
     """
     import math
 
@@ -345,7 +351,7 @@ def quantized_topk(df: DataFrame, query_vec: list[float], k: int = 10,
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    scored = df.select(
+    scored = df.filter(~F.isnan(max_c_raw)).select(
         F.col(id_col),
         qdot.alias("qdot"),
         round_fixed(
@@ -793,22 +799,23 @@ def mmr_rerank(
     bounded pool (pool x dim driver state, the kmeans-centroid
     contract) with every number produced by the same IEEE
     fold + 6dp floor-round both engines compute, so the pick
-    sequence is deterministic cross-engine.  Zero-norm vectors are
-    excluded up front (cosine undefined — the similarity-family
-    contract).
+    sequence is deterministic cross-engine.  Zero-norm AND
+    NaN-component vectors are excluded up front (cosine undefined;
+    NaN > 0 is TRUE in both engines, so a bare positivity filter
+    would let a garbage vector's NaN relevance rank FIRST into the
+    pool and crash the driver-side floor — the r10 cosine-family
+    class).
 
     Returns ``sel_step, vec_id, rel, mmr_score`` (k rows; step 0's
     score IS its relevance)."""
     v = as_double_array(vec_col)
+    self_dot = F.aggregate(
+        F.zip_with(v, v, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     first = (
-        emb.filter(
-            F.aggregate(
-                F.zip_with(v, v, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            > 0
-        )
+        emb.filter((self_dot > 0) & ~F.isnan(self_dot))
         .orderBy(id_col)
         .select(F.col(id_col).alias("qid"), v.alias("qv"))
         .limit(1)
@@ -817,7 +824,9 @@ def mmr_rerank(
     qid, qv = first["qid"], [float(x) for x in first["qv"]]
     qlit = F.array(*[F.lit(c) for c in qv])
     base = emb.select(F.col(id_col).alias("vec_id"), v.alias("v")).filter(
-        (F.col("vec_id") != qid) & (dot("v", "v") > 0)
+        (F.col("vec_id") != qid)
+        & (dot("v", "v") > 0)
+        & ~F.isnan(dot("v", "v"))
     )
     pool_rows = (
         base.select(

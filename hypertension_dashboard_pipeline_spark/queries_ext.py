@@ -692,8 +692,10 @@ _DK_DOT = (
 def _cosine_oracle_topk() -> str:
     # zero-norm corpus vectors are excluded from scoring (WHERE guard),
     # mirroring the operator's when-guarded cosine + NULL drop — the r8
-    # LATENT-BUG ROTATION fix (registry.py); on a zero-free corpus the
-    # result is unchanged
+    # LATENT-BUG ROTATION fix (registry.py); the NOT isnan leg is the
+    # r10 extension (NaN > 0 is TRUE in both engines, so a
+    # NaN-component vector would otherwise rank FIRST under ORDER BY
+    # DESC).  On a clean corpus the result is unchanged.
     dot_vq = _DK_DOT.format(a="e.v", b="q.qv")
     dot_vv = _DK_DOT.format(a="e.v", b="e.v")
     dot_qq = _DK_DOT.format(a="q.qv", b="q.qv")
@@ -707,7 +709,7 @@ def _cosine_oracle_topk() -> str:
            FLOOR({dot_vq} / (sqrt({dot_vv}) * sqrt({dot_qq}))
                  * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
     FROM e, q
-    WHERE {dot_vv} > 0
+    WHERE {dot_vv} > 0 AND NOT isnan({dot_vv})
     ORDER BY cos_sim DESC, e.vec_id
     LIMIT 10
     """
@@ -805,11 +807,13 @@ def _ivf_oracle(n_probe: int = 2, k: int = 10) -> str:
     ), cvecs AS (
         SELECT label, list(cv ORDER BY pos) AS cvec FROM cents GROUP BY label
     ), probed AS (
-        -- zero-centroid clusters (all-zero members) are excluded from
+        -- zero-centroid clusters (all-zero members) and NaN centroids
+        -- (a NaN-component member poisons the AVG) are excluded from
         -- the ranking, mirroring the operator's guarded centroid cosine
         SELECT label
         FROM cvecs, q
         WHERE {dot('cvecs.cvec', 'cvecs.cvec')} > 0
+          AND NOT isnan({dot('cvecs.cvec', 'cvecs.cvec')})
         ORDER BY FLOOR({dot('cvecs.cvec', 'q.qv')}
                  / (sqrt({dot('cvecs.cvec', 'cvecs.cvec')})
                     * sqrt({dot('q.qv', 'q.qv')}))
@@ -824,7 +828,7 @@ def _ivf_oracle(n_probe: int = 2, k: int = 10) -> str:
                  * 1000000.0 + 0.5) / 1000000.0
                AS cos_sim
     FROM e JOIN probed USING (label), q
-    WHERE {dot('e.v', 'e.v')} > 0
+    WHERE {dot('e.v', 'e.v')} > 0 AND NOT isnan({dot('e.v', 'e.v')})
     ORDER BY cos_sim DESC, e.vec_id
     LIMIT {k}
     """
@@ -876,7 +880,7 @@ def _lsh_bucket_topk_oracle(k: int = 10, n_planes: int = 4,
            FLOOR({dot_vq} / (sqrt({dot_vv}) * sqrt({dot_qq}))
                  * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
     FROM eb JOIN qb USING (b), q
-    WHERE {dot_vv} > 0
+    WHERE {dot_vv} > 0 AND NOT isnan({dot_vv})
     ORDER BY cos_sim DESC, eb.vec_id
     LIMIT {k}
     """
@@ -1801,9 +1805,12 @@ def _quantized_topk_oracle(k: int = 10) -> str:
     ), e AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ), es AS (
+        -- NaN-component vectors have no int8 code (floor(NaN) is a
+        -- cast error): excluded from the index on both sides
         SELECT vec_id, v,
                CASE WHEN {qmax} = 0 THEN 1.0 ELSE {qmax} END AS maxc
         FROM e
+        WHERE NOT isnan({qmax})
     ), codes AS (
         SELECT vec_id, maxc,
                list_transform(v, x -> CAST(floor(x * (127.0 / maxc)) AS BIGINT)) AS cv
@@ -2309,14 +2316,15 @@ def _batch_ann_oracle(k: int = 5, n_queries: int = 8) -> str:
     ), c AS (
         SELECT vec_id, v FROM e WHERE vec_id >= {n_queries}
     ), s AS (
-        -- zero-norm guard on BOTH sides (corpus vector AND query
-        -- vector are data here), mirroring the guarded cosine
+        -- zero-norm AND NaN guard on BOTH sides (corpus vector AND
+        -- query vector are data here), mirroring the guarded cosine
         SELECT q.query_id, c.vec_id,
                FLOOR({dot_cq} / (sqrt({dot_cc}) * sqrt({dot_qq}))
                      * 1000000.0 + 0.5) / 1000000.0
                    AS cos_sim
         FROM c, q
-        WHERE {dot_cc} > 0 AND {dot_qq} > 0
+        WHERE {dot_cc} > 0 AND NOT isnan({dot_cc})
+          AND {dot_qq} > 0 AND NOT isnan({dot_qq})
     ), r AS (
         SELECT query_id, vec_id, cos_sim,
                ROW_NUMBER() OVER (PARTITION BY query_id
@@ -2537,6 +2545,18 @@ def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(tidy).select("t.i", "t.j", "t.g")
 
 
+def _gram_slice_sq() -> "Column":
+    """Sum of squares over the gram dims (0.._GRAM_D-1): NaN exactly
+    when the slice contains a non-finite component — the finiteness
+    predicate the top-component pair filters on (only its isnan-ness
+    is consumed, so fold order is irrelevant)."""
+    out = F.lit(0.0)
+    for i in range(_GRAM_D):
+        e = F.col("embedding").getItem(i).cast("double")
+        out = out + e * e
+    return out
+
+
 def _top_component_oracle(iters: int = 8) -> str:
     d = _GRAM_D
 
@@ -2558,8 +2578,19 @@ def _top_component_oracle(iters: int = 8) -> str:
         f"list_prepend(0.0, list_transform(range(1, {d + 1}), "
         f"j -> m[i][j] * v[j])), (a, b) -> a + b))"
     )
+    sq8 = " + ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE) * "
+        f"CAST(embedding[{i + 1}] AS DOUBLE)"
+        for i in range(d)
+    )
     ctes = [
-        f"g AS (SELECT {cols} FROM embeddings)",
+        # rows whose gram-slice (dims 0..d-1) is non-finite are
+        # excluded from the second-moment statistic: one garbage
+        # NaN-component vector would otherwise turn the whole corpus'
+        # dominant direction into NaN (and crash the driver-side
+        # floor-round) — mirrored by the Spark query's filter
+        f"g AS (SELECT {cols} FROM embeddings "
+        f"WHERE NOT isnan({sq8}))",
         f"it0 AS (SELECT [{mrows}] AS m, "
         f"list_transform(range(1, {d + 1}), i -> 1.0 / sqrt({float(d)!r})) "
         f"AS v, 0.0 AS n FROM g)",
@@ -2600,13 +2631,19 @@ def emb_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/analytics.power_iteration_top_component — left-fold
     dot products, fixed iterations, no convergence test), which a SQL
     oracle replays as 8 unrolled list-arithmetic CTEs, bit-identical.
-    Components and eigenvalue floor-round 6dp at the boundary."""
+    Components and eigenvalue floor-round 6dp at the boundary.
+    Rows whose gram-slice is non-finite are excluded from the
+    statistic (one NaN-component garbage vector would otherwise turn
+    the whole corpus' dominant direction into NaN); the oracle's g
+    CTE carries the matching WHERE."""
     import math as _math
 
     from .functions.expressions import round_fixed
     from .operators.analytics import power_iteration_top_component
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        ~F.isnan(_gram_slice_sq())
+    )
     row = emb.agg(
         *[
             round_fixed(
@@ -2671,12 +2708,16 @@ def emb_remove_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals, the per-row dot is an ordered left fold, and no shuffle
     exists anywhere — at 100 TB this is a streaming-friendly
     projection pass.  Output tidied to (vec_id, pos, corrected),
-    floor-rounded 6dp."""
+    floor-rounded 6dp.  The direction comes from the same
+    finite-slice-filtered statistic as emb_top_component (one garbage
+    vector must not steer the corpus correction); the PROJECTION still
+    covers every row — a non-finite row just projects to NaN, in both
+    engines."""
     from .functions.expressions import round_fixed
     from .operators.analytics import power_iteration_top_component
 
     emb = load_table(spark, sf_dir, "embeddings")
-    row = emb.agg(
+    row = emb.filter(~F.isnan(_gram_slice_sq())).agg(
         *[
             round_fixed(
                 F.sum(
@@ -3959,17 +4000,18 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_recall_oracle(k: int = 10, n_probe: int = 2) -> str:
-    # both sub-oracles run against a zero-norm-excluded view of the
-    # corpus (cosine undefined; matches the query's explicit
-    # pre-filter).  Since the r8 rotation the composed sim_cosine_topk
-    # / sim_ivf_topk oracles ALSO carry their own self-dot WHERE
-    # guards — redundant against the excluded view, kept so each
-    # oracle is safe standalone.
+    # both sub-oracles run against a zero-norm- and NaN-excluded view
+    # of the corpus (cosine undefined; matches the query's explicit
+    # pre-filter — the NaN leg is needed because NaN > 0 is TRUE in
+    # both engines).  Since the r8 rotation the composed
+    # sim_cosine_topk / sim_ivf_topk oracles ALSO carry their own
+    # self-dot WHERE guards — redundant against the excluded view,
+    # kept so each oracle is safe standalone.
     dot_vv = _DK_DOT.format(a="vv", b="vv")
     excl = (
         "(SELECT vec_id, embedding, label FROM "
         "(SELECT *, embedding::DOUBLE[] AS vv FROM embeddings) "
-        f"WHERE {dot_vv} > 0)"
+        f"WHERE {dot_vv} > 0 AND NOT isnan({dot_vv}))"
     )
     ivf = _ivf_oracle(n_probe=n_probe, k=k).replace("embeddings", excl)
     brute = _cosine_oracle_topk().replace("embeddings", excl)
@@ -3996,15 +4038,18 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (centroid rounding + vec_id tie-breaks), so even the EVALUATION
     is oracle-checked, not just eyeballed.  At 100 TB the brute side
     is the expensive half — run it on a sampled query set; the IVF
-    side reuses the standing centroid table.  Zero-norm vectors are
-    excluded up front (cosine undefined; under ANSI the division is
-    a runtime error, not a quiet NaN — this query found that hazard
-    latent in the pinned top-k operators, fix queued for their r8
+    side reuses the standing centroid table.  Zero-norm AND
+    NaN-component vectors are excluded up front (cosine undefined;
+    under ANSI the zero division is a runtime error, and NaN > 0 is
+    TRUE in both engines so a bare positivity filter would admit a
+    NaN norm — this query found the zero-norm hazard latent in the
+    pinned top-k operators in r7; the NaN leg landed with their r10
     rotation)."""
     from .functions.vectors import norm
 
+    nrm = norm(F.col("embedding"))
     emb = load_table(spark, sf_dir, "embeddings").filter(
-        norm(F.col("embedding")) > 0
+        (nrm > 0) & ~F.isnan(nrm)
     )
     qv = [
         float(x)
@@ -4752,6 +4797,8 @@ def _mmr_oracle(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
               FROM embeddings) t
         WHERE list_sum(list_transform(
                   range(1, len(ev) + 1), i -> ev[i] * ev[i])) > 0
+          AND NOT isnan(list_sum(list_transform(
+                  range(1, len(ev) + 1), i -> ev[i] * ev[i])))
         ORDER BY vec_id LIMIT 1
     )""",
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
@@ -4760,6 +4807,7 @@ def _mmr_oracle(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
         FROM e, q
         WHERE e.vec_id <> q.qid
           AND {_DK_DOT.format(a='e.v', b='e.v')} > 0
+          AND NOT isnan({_DK_DOT.format(a='e.v', b='e.v')})
     )""",
         f"""pool AS (
         SELECT * FROM rel ORDER BY rel DESC, vec_id LIMIT {pool}
@@ -5851,13 +5899,18 @@ def curation_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
                unnest(embedding::DOUBLE[]) AS v
         FROM embeddings
     ), q AS (
+        -- quantiles over FINITE components only: a failed-encoder NaN
+        -- must not define the clip band (and the engines disagree on
+        -- where NaN sorts inside a percentile) — mirrored Spark-side
         SELECT pos, quantile_cont(v, 0.05) AS lo,
                quantile_cont(v, 0.95) AS hi
-        FROM c GROUP BY pos
+        FROM c WHERE NOT isnan(v) GROUP BY pos
     )
     SELECT c.vec_id, c.pos,
-           FLOOR(LEAST(GREATEST(c.v, q.lo), q.hi) * 1000000.0 + 0.5)
-               / 1000000.0 AS v_clipped
+           CASE WHEN isnan(c.v) THEN c.v
+                ELSE FLOOR(LEAST(GREATEST(c.v, q.lo), q.hi)
+                           * 1000000.0 + 0.5) / 1000000.0
+           END AS v_clipped
     FROM c JOIN q USING (pos)
     """,
 )
@@ -5870,8 +5923,13 @@ def emb_quantile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     one per-dimension exact-percentile aggregation (64 groups —
     F.percentile ↔ quantile_cont, the a13 pairing) broadcast back
     onto the component stream; clip is LEAST/GREATEST on identical
-    doubles, rounded 6dp for presentation.  At 100 TB the stats side
-    is 64 rows of state and the clip pass is a narrow map."""
+    doubles, rounded 6dp for presentation.  The percentiles are
+    computed over FINITE components only — a failed-encoder NaN is
+    exactly what this operator defends against, so it must not define
+    the clip band (and the engines disagree on where NaN sorts inside
+    a percentile); NaN components pass through unclipped as NaN on
+    both sides.  At 100 TB the stats side is 64 rows of state and the
+    clip pass is a narrow map."""
     from .functions.vectors import as_double_array
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -5879,16 +5937,20 @@ def emb_quantile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.posexplode(as_double_array("embedding")).alias("p", "v"),
     ).select("vec_id", (F.col("p") + 1).alias("pos"), "v")
-    q = comp.groupBy("pos").agg(
+    q = comp.filter(~F.isnan("v")).groupBy("pos").agg(
         F.percentile("v", F.lit(0.05)).alias("lo"),
         F.percentile("v", F.lit(0.95)).alias("hi"),
     )
     return comp.join(F.broadcast(q), "pos").select(
         "vec_id",
         "pos",
-        round_fixed(
-            F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi")), 6
-        ).alias("v_clipped"),
+        F.when(F.isnan("v"), F.col("v"))
+        .otherwise(
+            round_fixed(
+                F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi")), 6
+            )
+        )
+        .alias("v_clipped"),
     )
 
 

@@ -1,10 +1,11 @@
 """Adversarial-data parity for the embedding-reading queries: zero
-vectors (norm-0 edge in anything cosine-shaped), exact-duplicate
-vector families, float32 extremes (1e30), float32 denormals, negative
-values, and axis-aligned one-hot vectors.  Covers the in-window
-embedding queries plus the similarity family (externally green but
-worth the net — a regenerated corpus could legally contain any of
-these shapes).
+vectors (norm-0 edge in anything cosine-shaped), NaN-component
+vectors (NaN > 0 is TRUE in both engines — the r10 cosine-guard
+class), exact-duplicate vector families, float32 extremes (1e30),
+float32 denormals, negative values, and axis-aligned one-hot vectors.
+Covers the in-window embedding queries plus the similarity family
+(externally green but worth the net — a regenerated corpus could
+legally contain any of these shapes).
 """
 
 from __future__ import annotations
@@ -100,6 +101,16 @@ def _build_adv_embeddings(path: str) -> None:
         v = [0.0] * _DIM
         v[axis] = 1.0
         vecs.append(v)
+    # NaN-component garbage vector (r10 cosine-family rotation): its
+    # self-dot is NaN, and NaN > 0 is TRUE in both engines, so before
+    # the ~isnan leg in cosine_guarded it survived the positivity
+    # guard and ranked FIRST under ORDER BY cos_sim DESC.  Lives in
+    # the corpus side of every probe (vec_id >= 8) and poisons its
+    # label's IVF centroid (AVG propagates NaN), exercising the
+    # centroid-guard path too.
+    nan_vec = [round(rng.uniform(-1, 1), 4) for _ in range(_DIM)]
+    nan_vec[7] = float("nan")
+    vecs.append(nan_vec)
     # exact-duplicate family (5 copies)
     dup = [round(rng.uniform(-1, 1), 4) for _ in range(_DIM)]
     vecs += [list(dup) for _ in range(5)]
