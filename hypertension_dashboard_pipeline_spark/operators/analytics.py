@@ -752,48 +752,45 @@ def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     return F.array_min(F.array(*dists))["cid"]
 
 
-def kmeans_lloyd(
+def _lloyd_centroids(
     emb: DataFrame,
-    k: int = 8,
-    iterations: int = 2,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    dim: int | None = None,
-) -> DataFrame:
-    """Lloyd's k-means over an embedding column, deterministic init
-    (the ``k`` lowest-id vectors), fixed ``iterations``.
+    k: int,
+    iterations: int,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+) -> list[list[float]]:
+    """The shared deterministic Lloyd training loop behind
+    ``kmeans_lloyd`` and ``kmeans_assignments`` (previously restated
+    in both — merged in the r10 kmeans-family rotation).
 
-    Per iteration: assignment is a narrow map against broadcast
-    centroid literals (no shuffle); the update is ONE
+    Init is the ``k`` lowest-id vectors; when the corpus has FEWER
+    than ``k`` rows the effective k clamps to the corpus size (the
+    1..k-1-row corpora that used to IndexError on
+    ``centroids[cid]``) — callers train/return ``len(centroids)``
+    clusters.  Per iteration: assignment is a narrow map against
+    broadcast centroid literals (no shuffle); the update is ONE
     ``groupBy(cluster)`` computing per-dimension means as ``dim``
-    map-side-combinable AVG aggregates.  Driver state is only the
-    k x dim centroid matrix — at 100 TB each iteration is exactly one
-    scan + one k-row shuffle, the textbook scalable plan.  Fixed
-    iteration count keeps the operator deterministic and
-    oracle-checkable (the oracle unrolls the same rounds in SQL).
-
-    Returns per-cluster ``cluster, n_members, mean_dist`` (mean L2
-    distance to the final centroid, rounded 4dp).
+    map-side-combinable AVG aggregates; empty clusters keep their
+    previous centroid.  Centroid components round to 6dp (the
+    label_centroids convention) via the round_fixed floor form: the
+    raw parallel-sum AVG differs from a sequential fold in final
+    ulps, and feeding that unrounded into the next round's argmin
+    would let partitioning/engine flip boundary assignments —
+    rounding pins the centroids both sides agree on.
     """
-    if dim is None:
-        # fallback probe job; callers with a known encoder width pass
-        # ``dim`` and skip it (same contract as similarity.py)
-        dim = len(emb.select(vec_col).first()[0])
     v = F.col(vec_col).cast("array<double>")
     centroids = [
         [float(x) for x in r[0]]
         for r in emb.orderBy(id_col).select(v.alias("v")).limit(k).collect()
     ]
+    k_eff = len(centroids)  # k-clamp: < k rows trains k_eff clusters
+    if k_eff == 0:
+        return []
     for _ in range(iterations):
         assigned = emb.select(
             v.alias("v"), _nearest_centroid(v, centroids).alias("cluster")
         )
-        # centroid components round to 6dp (label_centroids convention)
-        # via the round_fixed floor form: the raw parallel-sum AVG
-        # differs from a sequential fold in final ulps, and feeding
-        # that unrounded into the next round's argmin would let
-        # partitioning/engine flip boundary assignments — rounding
-        # pins the centroids both sides agree on
         new_rows = (
             assigned.groupBy("cluster")
             .agg(*[
@@ -803,8 +800,48 @@ def kmeans_lloyd(
             .collect()
         )
         by_cid = {r["cluster"]: [r[f"c{i}"] for i in range(dim)] for r in new_rows}
-        # empty clusters keep their previous centroid
-        centroids = [by_cid.get(cid, centroids[cid]) for cid in range(k)]
+        centroids = [by_cid.get(cid, centroids[cid]) for cid in range(k_eff)]
+    return centroids
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column, deterministic init
+    (the ``k`` lowest-id vectors, clamped to the corpus size), fixed
+    ``iterations`` — the training loop lives in ``_lloyd_centroids``
+    (shared with ``kmeans_assignments``).
+
+    Driver state is only the k x dim centroid matrix — at 100 TB each
+    iteration is exactly one scan + one k-row shuffle, the textbook
+    scalable plan.  Fixed iteration count keeps the operator
+    deterministic and oracle-checkable (the oracle unrolls the same
+    rounds in SQL).
+
+    Returns per-cluster ``cluster, n_members, mean_dist`` (mean L2
+    distance to the final centroid, rounded 4dp; ``len(centroids)``
+    clusters — an empty corpus returns the typed empty result).
+    """
+    if dim is None:
+        # fallback probe job; callers with a known encoder width pass
+        # ``dim`` and skip it (same contract as similarity.py)
+        probe = emb.select(vec_col).first()
+        if probe is None:
+            return emb.sparkSession.createDataFrame(
+                [], "cluster int, n_members bigint, mean_dist double"
+            )
+        dim = len(probe[0])
+    v = F.col(vec_col).cast("array<double>")
+    centroids = _lloyd_centroids(emb, k, iterations, vec_col, id_col, dim)
+    if not centroids:
+        return emb.sparkSession.createDataFrame(
+            [], "cluster int, n_members bigint, mean_dist double"
+        )
     # final assignment + per-row distance against the FINAL centroids
     finals = [
         F.when(
@@ -936,40 +973,26 @@ def kmeans_assignments(
     dim: int | None = None,
 ) -> DataFrame:
     """Final (id, cluster) assignments of the SAME deterministic Lloyd
-    training ``kmeans_lloyd`` runs (lowest-id init, fixed iterations,
-    6dp-rounded centroids) — the relation evaluation queries join
-    labels onto.
-
-    The training loop is intentionally restated rather than factored
-    out of ``kmeans_lloyd``: editing that function's body would drift
-    the externally-verified ``emb_kmeans_lloyd`` fingerprint outside
-    its rotation window (registry window contract).  Merge the two
-    through a shared ``_lloyd_centroids`` helper the next time the
-    kmeans family rotates in-window.
+    training ``kmeans_lloyd`` runs (lowest-id init clamped to the
+    corpus size, fixed iterations, 6dp-rounded centroids) — the
+    relation evaluation queries join labels onto.  The training loop
+    is the shared ``_lloyd_centroids`` (merged in the r10
+    kmeans-family rotation; it was previously restated here to avoid
+    drifting ``emb_kmeans_lloyd`` outside its window).
     """
     if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+        probe = emb.select(vec_col).first()
+        if probe is None:
+            return emb.sparkSession.createDataFrame(
+                [], f"{id_col} long, cluster int"
+            )
+        dim = len(probe[0])
     v = F.col(vec_col).cast("array<double>")
-    centroids = [
-        [float(x) for x in r[0]]
-        for r in emb.orderBy(id_col).select(v.alias("v")).limit(k).collect()
-    ]
-    for _ in range(iterations):
-        assigned = emb.select(
-            v.alias("v"), _nearest_centroid(v, centroids).alias("cluster")
+    centroids = _lloyd_centroids(emb, k, iterations, vec_col, id_col, dim)
+    if not centroids:
+        return emb.sparkSession.createDataFrame(
+            [], f"{id_col} long, cluster int"
         )
-        new_rows = (
-            assigned.groupBy("cluster")
-            .agg(*[
-                round_fixed(F.avg(F.col("v")[i]), 6).alias(f"c{i}")
-                for i in range(dim)
-            ])
-            .collect()
-        )
-        by_cid = {
-            r["cluster"]: [r[f"c{i}"] for i in range(dim)] for r in new_rows
-        }
-        centroids = [by_cid.get(cid, centroids[cid]) for cid in range(k)]
     return emb.select(
         F.col(id_col), _nearest_centroid(v, centroids).alias("cluster")
     )

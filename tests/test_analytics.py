@@ -245,6 +245,48 @@ def test_kmeans_deterministic_across_runs(spark, sf_dir):
     assert a == b
 
 
+def test_kmeans_k_clamp_on_tiny_and_empty_corpora(spark):
+    # r10 kmeans-family rotation: corpora with 1..k-1 rows used to
+    # IndexError on centroids[cid]; now the effective k clamps to the
+    # corpus size and every row is a singleton cluster at distance 0
+    for n in (1, 3):
+        rows = [(i, [float(i) * 10.0, 0.0]) for i in range(n)]
+        emb = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>"
+        )
+        out = an.kmeans_lloyd(emb, k=4, iterations=2).collect()
+        assert len(out) == n
+        assert sorted(r["n_members"] for r in out) == [1] * n
+        assert all(r["mean_dist"] == 0.0 for r in out)
+        got = an.kmeans_assignments(emb, k=4, iterations=2).collect()
+        assert len(got) == n
+        assert sorted(r["cluster"] for r in got) == list(range(n))
+    empty = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<float>"
+    )
+    assert an.kmeans_lloyd(empty, k=4, iterations=2).collect() == []
+    assert an.kmeans_assignments(empty, k=4, iterations=2).collect() == []
+
+
+def test_kmeans_lloyd_and_assignments_share_training(spark, sf_dir):
+    # the merged _lloyd_centroids helper must reproduce the exact
+    # per-cluster sizes the report query computes: assignments grouped
+    # by cluster == kmeans_lloyd's n_members
+    from hypertension_dashboard_pipeline_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    report = {
+        r["cluster"]: r["n_members"]
+        for r in an.kmeans_lloyd(emb, k=4, iterations=2).collect()
+    }
+    counts = {
+        r["cluster"]: r["n"]
+        for r in an.kmeans_assignments(emb, k=4, iterations=2)
+        .groupBy("cluster").agg(F.count("*").alias("n")).collect()
+    }
+    assert report == counts
+
+
 # ------------------------------------------------------------ expectations
 
 
