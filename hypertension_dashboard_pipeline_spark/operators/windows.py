@@ -89,17 +89,24 @@ def grouped_topk_partial(df: DataFrame, group_cols: list[str],
                          score_col: str, id_col: str, k: int = 10,
                          ascending: bool = False) -> DataFrame:
     """Top-k per group with MAP-SIDE TRUNCATION — the scale form of
-    ``top_k_per_key`` for inputs too large to shuffle whole.
+    ``top_k_per_key`` for inputs too large to shuffle whole (e.g. a
+    blown-up corpus × query-batch similarity intermediate).
 
-    The window formulation (L3) shuffles EVERY row to its group's
-    partition and sorts full groups; fine when the input is survivable,
-    fatal when it is a blown-up intermediate (e.g. corpus × query-batch
-    similarity scores). Here stage 1 is a narrow ``mapInPandas`` pass
-    that keeps only each Arrow batch's per-group top-k — correct
-    because top-k over a union is top-k over the per-part top-k's (the
-    order by (score, id) is total) — so the shuffle moves at most
-    ``k · groups · batches`` rows instead of the full input; stage 2
-    ranks that residue with the ordinary window.
+    The naive window formulation shuffles EVERY row to its group's
+    partition and sorts full groups.  This one is the SAME
+    ``row_number() <= k`` plan — but Spark's rank-limit pushdown
+    (``spark.sql.optimizer.windowGroupLimitThreshold``, default 1000
+    ≥ any k used here) rewrites it into a **WindowGroupLimit
+    Partial/Final pair**: the Partial node truncates each input
+    partition to its per-group top-k BEFORE the exchange, entirely
+    JVM-side, so the shuffle moves at most ``k · groups · partitions``
+    rows instead of the full input.  Until r10 this helper hand-rolled
+    the same bound as a ``mapInPandas`` per-Arrow-batch head — the r9
+    tail-fold work showed the optimizer's pair makes that Python stage
+    redundant and slower (−21% on the batch-ANN shape at sf0.1, and
+    the executed plan carried BOTH truncations; SCALING.md r9/r10).
+    The WindowGroupLimit node is plan-pinned for every caller in
+    tests/test_plans.py.
 
     Ties break by ``id_col`` ascending, making rank deterministic and
     oracle-reproducible. Output: the input's three column groups plus
@@ -107,26 +114,12 @@ def grouped_topk_partial(df: DataFrame, group_cols: list[str],
     """
     gc = list(group_cols)
     narrow = df.select(*gc, score_col, id_col)
-    schema = narrow.schema
-
-    def batch_topk(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            yield (
-                pdf.sort_values([score_col, id_col],
-                                ascending=[ascending, True])
-                .groupby(gc, sort=False)
-                .head(k)
-            )
-
-    partial = narrow.mapInPandas(batch_topk, schema=schema)
     order = [
         F.col(score_col).asc() if ascending else F.col(score_col).desc(),
         F.col(id_col).asc(),
     ]
     w = Window.partitionBy(*gc).orderBy(*order)
     return (
-        partial.withColumn("rank", F.row_number().over(w))
+        narrow.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

@@ -221,9 +221,10 @@ def test_no_registered_query_uses_row_python_eval(spark, sf_dir):
         "multimodal_extract_features",
         "multimodal_resize_meta",
         "multimodal_frame_sample",
-        "sim_batch_ann_topk",              # map-side truncating top-k
-        "sample_k_per_group",              # (grouped_topk_partial)
-        "sample_weighted_k_per_group",     # (grouped_topk_partial, E-S keys)
+        # grouped_topk_partial migrated to the JVM WindowGroupLimit
+        # form in r10 — its three callers (sim_batch_ann_topk,
+        # sample_k_per_group, sample_weighted_k_per_group) no longer
+        # carry any Arrow/Python stage
     }
     ARROW_NODES = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
     row_eval, undeclared_arrow = [], []
@@ -286,20 +287,26 @@ def test_semdedup_pairs_join_on_cluster_is_equi(plan):
     assert "BroadcastNestedLoopJoin" not in p
 
 
-def test_batch_ann_truncates_before_the_shuffle(plan):
-    """The corpus×query-batch score stream must pass through the
-    map-side truncation (MapInPandas) BEFORE any exchange: the window
-    ranks only the per-batch top-k residue. The query batch itself
-    broadcasts."""
+def test_grouped_topk_truncates_map_side_jvm_only(plan):
+    """Every grouped_topk_partial caller must carry the
+    WindowGroupLimit Partial/Final rank-limit pushdown pair — the
+    Partial node truncates each input partition to its per-group
+    top-k BEFORE the exchange (the r10 migration off the hand-rolled
+    mapInPandas stage: same map-side bound, zero Python, −21%
+    measured on the batch-ANN shape)."""
+    for name in ("sim_batch_ann_topk", "sample_k_per_group",
+                 "sample_weighted_k_per_group"):
+        p = plan(name)
+        assert p.count("WindowGroupLimit") >= 2, name  # Partial + Final
+        assert "MapInPandas" not in p, name
+
+
+def test_batch_ann_broadcasts_query_batch(plan):
+    """The 8-row query batch must broadcast against the corpus scan;
+    the score stream then truncates map-side (previous test) so the
+    ranking exchange moves only the per-partition top-k residue."""
     p = plan("sim_batch_ann_topk")
-    assert "MapInPandas" in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
-    # truncation upstream of the ranking exchange: MapInPandas must
-    # appear BELOW (later in toString = deeper in tree than) the
-    # window's hashpartitioning exchange
-    ex = p.index("Exchange hashpartitioning")
-    mp = p.index("MapInPandas")
-    assert mp > ex, "MapInPandas must sit under the ranking exchange"
 
 
 def test_gram_matrix_is_one_scan_partial_agg(plan):
@@ -556,15 +563,88 @@ def test_tail_folds_pretruncate_before_collect(plan):
         assert "SinglePartition" not in p, name
 
 
-def test_no_broadcast_of_per_part_counts(plan):
-    """r9 broadcast-direction fix: the per-part count relation (one
-    row per distinct l_partkey — an unbounded dimension at 100 TB)
-    must never sit under a BroadcastExchange in the link-prediction /
-    co-purchase queries; only bounded sides (the <=20-row top cut,
-    1-row totals) may broadcast."""
-    for name in ("rec_copurchase_lift", "graph_neighbor_jaccard",
-                 "graph_adamic_adar"):
-        p = plan(name)
-        for seg in p.split("BroadcastExchange")[1:]:
-            head = seg[:4000]
-            assert "l_partkey], functions=[count" not in head, (name, head[:600])
+def _node_depth(line: str) -> int:
+    """Depth of a plan-tree line = offset where the node text starts,
+    past the tree-drawing prefix (spaces, ':', '+-') and the optional
+    codegen '*(n) ' marker."""
+    import re
+
+    return re.match(r"^[\s:+\-]*(?:\*\(\d+\)\s*)?", line).end()
+
+
+def _broadcast_subtrees(p: str) -> list[str]:
+    """Full subtree text of every BroadcastExchange in a plan-tree
+    string: the exchange's line plus every following line at strictly
+    greater depth.  Replaces the r9 fixed-width split-and-head scan,
+    which both truncated large subtrees AND used a fragment the
+    expr-id suffixes (l_partkey#5L) could never match — a vacuous
+    assertion (ADVICE r9 #3)."""
+    lines = p.splitlines()
+    out = []
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        d = _node_depth(line)
+        sub = [line]
+        for nxt in lines[i + 1:]:
+            if _node_depth(nxt) <= d:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
+def test_no_forced_broadcast_of_per_part_counts(spark, sf_dir):
+    """r9 broadcast-direction fix, restated against the LOGICAL plan
+    (ADVICE r9 #3: the physical-string fragment the old test matched
+    could never occur — expr-id suffixes — so it asserted nothing;
+    worse, at tiny SF Catalyst's own statistics legitimately broadcast
+    the count side, so the physical plan is the wrong place to look).
+    The invariant is about FORCED hints: a per-part count relation
+    (one row per distinct l_partkey — unbounded at 100 TB) must never
+    carry a broadcast JoinHint, because a hint cannot degrade when the
+    runtime size doesn't fit, while an unhinted side is AQE's call.
+    The graph pair carries no broadcast hints at all; copurchase hints
+    only its bounded sides (the <=20-row top cut and the 1-row total),
+    asserted as: every hinted child subtree either contains no
+    part-keyed aggregate or bounds it under a GlobalLimit."""
+    import re
+
+    def optimized(name: str) -> str:
+        df = registry.QUERIES[name](spark, sf_dir)
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    for name in ("graph_neighbor_jaccard", "graph_adamic_adar"):
+        assert "strategy=broadcast" not in optimized(name), name
+
+    p = optimized("rec_copurchase_lift")
+    assert "strategy=broadcast" in p  # the bounded-side hints exist
+    keyed_agg = re.compile(r"Aggregate \[[^\]]*l_partkey#\d+")
+    lines = p.splitlines()
+    for i, line in enumerate(lines):
+        m = re.search(r"(left|right)Hint=\(strategy=broadcast", line)
+        if not m:
+            continue
+        d = _node_depth(line)
+        children = []  # (start_index, depth) of each direct child
+        for j in range(i + 1, len(lines)):
+            dj = _node_depth(lines[j])
+            if dj <= d:
+                break
+            if not children or dj == children[0][1]:
+                children.append((j, dj))
+        assert children, line
+        pick = children[0] if m.group(1) == "left" else children[-1]
+        end = len(lines)
+        for j in range(pick[0] + 1, len(lines)):
+            if _node_depth(lines[j]) <= pick[1]:
+                end = j
+                break
+        sub = "\n".join(lines[pick[0]:end])
+        agg = keyed_agg.search(sub)
+        if agg:
+            # the hinted side may contain a part-keyed aggregate only
+            # below a GlobalLimit bound (text order approximates
+            # ancestry: a bare broadcast(cnt) subtree has no limit
+            # anywhere)
+            assert "GlobalLimit" in sub[:agg.start()], (line, sub[:600])
