@@ -44,7 +44,14 @@ STATE_SCHEMA = T.StructType(
 def _update_user(key, batches: Iterable[pd.DataFrame],
                  state: GroupState):
     n, s, a = state.get if state.exists else (0, 0.0, 0)
-    for pdf in batches:
+    # Concatenate the micro-batch's Arrow chunks BEFORE sorting: a
+    # key's rows can span multiple chunks, and per-chunk sorts do not
+    # compose into a global (ts, event_id) order — worse here than in
+    # the EWMA/Holt twins because the reset-on-alarm fold is nonlinear
+    # in the order of its inputs.
+    chunks = list(batches)
+    if chunks:
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
         # null measurements are skipped (the batch operator's contract)
         pdf = pdf[pdf["value"].notna()].sort_values(["ts", "event_id"])
         n += len(pdf)
