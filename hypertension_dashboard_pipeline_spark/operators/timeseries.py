@@ -173,11 +173,20 @@ def _tail_truncated(df: DataFrame, key_col: str, order_cols: list[str],
     separate map-side-combined count aggregate on the same narrow
     projection (cheap: the shuffle carries partial counts, one row
     per key per partition).
+
+    The truncation window orders by ``order_cols`` with ``value_col``
+    as a final DESCENDING tiebreaker (ADVICE r9 #1): callers'
+    contract is a unique trailing order column, but if that contract
+    is ever violated the tiebreaker keeps the truncated SET — and
+    therefore the downstream fold — deterministic (rows tying on the
+    full (order_cols, value) tuple are interchangeable for the fold).
     """
     counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_events"))
     oc = list(order_cols)
     narrow = df.select(key_col, *oc, value_col)
-    w = Window.partitionBy(key_col).orderBy(*[F.col(c).desc() for c in oc])
+    w = Window.partitionBy(key_col).orderBy(
+        *[F.col(c).desc() for c in oc], F.col(value_col).desc()
+    )
     trunc = (
         narrow.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= tail)

@@ -133,6 +133,34 @@ def test_ewma_null_and_tie_contracts_survive_truncation(spark):
     assert e == _brute_ewma([20.0, 30.0], tail=2)
 
 
+def test_truncation_is_deterministic_when_order_cols_tie(spark):
+    # ADVICE r9 #1: the contract is a unique trailing order column,
+    # but if callers violate it, the value_col tiebreaker in the
+    # truncation window must keep the kept SET deterministic.  Key 1
+    # has a full (ts, event_id) tie at the tail boundary: with tail=2
+    # exactly one of the two tied rows survives, and the tiebreaker
+    # (value desc) pins WHICH one — the higher value — on every run
+    # and partitioning.
+    rows = [
+        (1, 0, 1.0, 5.0),
+        (1, 1, 2.0, 10.0),   # tied with the next row on (ts, event_id)
+        (1, 1, 2.0, 40.0),
+        (1, 2, 3.0, 30.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts int, event_id double, value double"
+    )
+    expect = _brute_ewma([40.0, 30.0], tail=2)
+    for n_parts in (1, 3, 7):
+        out = ewma_last(
+            df.repartition(n_parts), "user_id", ["ts", "event_id"],
+            "value", decay=0.9, tail=2,
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["n_events"] == 4
+        assert out[0]["ewma_last"] == expect, n_parts
+
+
 def test_tail_fold_plans_contain_mapside_truncation(spark):
     # the scale property is structural: the bounded plan must carry
     # the WindowGroupLimit rank-limit pushdown (Partial truncates each
