@@ -398,65 +398,146 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #          queries this round).
 #      With the 8 spilled names + those families, the r10 window is
 #      ~30 names — the external-evidence queue effectively closes.
+#      r10 window (this round): CORRECTNESS_r09 was 50/50 green, so
+#      the window executes the written r9→r10 plan — all five queued
+#      fix-families landed WITH their rotations, plus what the
+#      NaN-hardened adversarial corpus flushed out:
+#        * cosine NaN guard (verdict #3): cosine_guarded now requires
+#          finite self-dots (~F.isnan(daa) & ~F.isnan(dbb)); matching
+#          NOT isnan legs in _cosine_oracle_topk / _ivf_oracle (incl.
+#          the NaN-poisoned-centroid exclusion) /
+#          _lsh_bucket_topk_oracle / _batch_ann_oracle /
+#          _ivf_recall_oracle's excluded view + sim_ivf_recall's
+#          pre-filter → the five pinned top-k queries +
+#          sim_ivf_recall rotate together.
+#        * the NaN-component vector added to the adversarial
+#          embeddings corpus (as planned) flushed FOUR more latent
+#          NaN divergences, each fixed with its rotation:
+#          sim_quantized_topk (floor(NaN) has no int8 code — vectors
+#          with NaN max|x| excluded from the index both sides),
+#          sim_mmr_rerank (NaN rel ranked FIRST into the pool, then
+#          crashed the driver-side floor — isnan legs on the
+#          query-pick and pool filters, both engines),
+#          emb_top_component + emb_remove_top_component (one garbage
+#          vector turned the corpus' dominant direction into NaN and
+#          crashed the driver floor-round — the second-moment scan
+#          now excludes non-finite gram-slices both sides; the
+#          remove-top PROJECTION still covers every row),
+#          emb_quantile_clip (percentiles over finite components
+#          only — the engines disagree where NaN sorts inside a
+#          percentile; NaN components pass through unclipped).
+#        * kmeans family (verdict #4): kmeans_lloyd /
+#          kmeans_assignments merged through _lloyd_centroids with
+#          the k-clamp (1..k-1-row corpora return len(centroids)
+#          clusters; empty corpora return the typed empty result;
+#          tests/test_analytics.py pins both) → emb_kmeans_lloyd +
+#          sim_cluster_purity rotate together (purity's first
+#          external row).
+#        * grouped_topk_partial → the JVM WindowGroupLimit form
+#          (verdict #5, de-risked in r9's SCALING probe, −21%): the
+#          mapInPandas stage deleted; callers sim_batch_ann_topk,
+#          sample_k_per_group, sample_weighted_k_per_group rotate
+#          together; test_plans' ARROW_DECLARED list shrank by three
+#          and the WindowGroupLimit pair is pinned for all callers.
+#        * streaming CUSUM chunk concat-sort (verdict #2 / ADVICE
+#          r9 #2): streaming/cusum.py now concats all Arrow chunks
+#          per key BEFORE the (ts, event_id) sort, mirroring the
+#          r9 holt/ewma fix; tests/test_streaming_chunk_order.py
+#          gained a CUSUM pin whose value set makes the broken
+#          per-chunk composition fire a spurious ALARM (nonlinear
+#          reset = worst-case order sensitivity) → streaming_cusum +
+#          ts_cusum_alarm (shared oracle) rotate together.
+#        * scaling-dimension broadcast hints (verdict #1): dropped in
+#          j15/j16/j17 (customer), j19/j20 (customer+supplier); j22
+#          flipped to F.broadcast(top) (the bounded 20-row side);
+#          events_last_touch_attribution's value_by_purchase
+#          un-hinted; rec_copurchase_lift re-hints its still-bounded
+#          first-join output on the part_b join (ADVICE r9 #4 —
+#          hints do not propagate through join outputs).
+#        * tail-fold truncation tiebreaker (ADVICE r9 #1):
+#          _tail_truncated's window now tiebreaks on value_col DESC,
+#          so a violated unique-trailing-order-column contract still
+#          truncates a deterministic SET → ts_ewma_last8 +
+#          streaming_ewma + ts_holt_linear + streaming_holt rotate
+#          (shared oracles; pinned in tests/test_tail_truncation.py).
+#        * the vacuous per-part-count broadcast pin (ADVICE r9 #3)
+#          was rewritten against the LOGICAL plan's JoinHints (the
+#          old physical fragment could never match expr-id suffixes,
+#          and tiny-SF statistics LEGITIMATELY broadcast unhinted
+#          sides) — test-only, no fingerprint effect.
+#      Window = flagships + the 26 drifted + 3 shared-oracle twins
+#      (streaming_ewma, streaming_holt, ts_cusum_alarm) + the 6
+#      remaining never-externally-green names + 13 evidence-refresh
+#      padders (the oldest r1-era rows).  With this window the
+#      external-evidence queue CLOSES: cumulative coverage reaches
+#      272/272.
 _FRONT: list[str] = [
     # flagship + headline extension pipeline (always externally gated)
     "flagship_cohort_pipeline",
     "curation_pipeline",
-    # --- r9 drift: the verdict's scale fixes rotate WITH their
-    # queries (tail-fold state bound; streaming chunk concat-sort;
-    # empty-corpus guards; unbounded-broadcast hints dropped) ---
+    # --- r10 drift: cosine-family NaN guard (five pinned top-k +
+    # recall, which also pre-filters) ---
+    "sim_cosine_topk",
+    "sim_ivf_topk",
+    "sim_lsh_bucket_topk",
+    "sim_lsh_bucket_topk_indexed",
+    "sim_batch_ann_topk",
+    "sim_ivf_recall",
+    # --- r10 drift: latent NaN divergences the hardened adversarial
+    # corpus flushed out ---
+    "sim_quantized_topk",
+    "sim_mmr_rerank",
+    "emb_top_component",
+    "emb_remove_top_component",
+    "emb_quantile_clip",
+    # --- r10 drift: kmeans family (_lloyd_centroids merge + k-clamp;
+    # purity's first external row) ---
+    "emb_kmeans_lloyd",
+    "sim_cluster_purity",
+    # --- r10 drift: grouped_topk_partial -> WindowGroupLimit
+    # (sim_batch_ann_topk seated above with the cosine family) ---
+    "sample_k_per_group",
+    "sample_weighted_k_per_group",
+    # --- r10 drift: tail-fold truncation tiebreaker (shared-oracle
+    # streaming twins rotate along) ---
     "ts_ewma_last8",
     "streaming_ewma",
     "ts_holt_linear",
     "streaming_holt",
-    "text_bm25_topk",
-    "text_retrieval_ndcg",
-    "curation_attrition_funnel",
-    "graph_neighbor_jaccard",
+    # --- r10 drift: streaming CUSUM chunk concat-sort (shared-oracle
+    # batch twin rotates along) ---
+    "streaming_cusum",
+    "ts_cusum_alarm",
+    # --- r10 drift: scaling-dimension broadcast hints dropped ---
+    "j15_shipping_priority",
+    "j16_local_supplier_volume",
+    "j17_large_volume_orders",
+    "j19_volume_shipping",
+    "j20_market_share",
+    "j22_returned_item_revenue",
+    "events_last_touch_attribution",
     "rec_copurchase_lift",
-    # --- backlog drain: the closed TPC-H wave (oldest evidence) ---
-    "j24_min_cost_supplier",
-    "a33_order_priority_late",
-    "a34_forecast_revenue",
-    "j25_product_profit",
-    "a35_important_parts",
-    "j26_late_shipment_priority",
-    "a36_promo_revenue_share",
-    "j27_top_supplier",
-    "a37_supplier_part_breadth",
-    "j28_small_qty_revenue",
-    "a38_disjunctive_revenue",
-    "j29_dominant_suppliers",
-    "j30_waiting_suppliers",
-    # --- backlog drain: wave-10+ debuts ---
-    "sample_kcenter_diversity",
-    "graph_adamic_adar",
-    "events_user_stickiness",
-    "w8_percent_rank_cume",
-    "ts_seasonality_profile",
-    "events_cohort_ltv",
-    "a39_grouped_corr",
-    "graph_lpa_communities",
-    "events_user_features",
-    "a40_grouping_sets",
-    "a41_yoy_growth",
-    "dq_uniqueness_report",
-    "graph_bfs_levels",
-    "events_value_gini",
-    "events_anomaly_seasonal",
-    "graph_degree_distribution",
-    "a42_top_customer_share",
-    "ts_autocorr_lag1",
-    "sim_mmr_rerank",
-    "curation_mixture_report",
-    "dedup_cluster_size_profile",
-    "curation_budget_select",
-    # --- backlog drain: r8 debuts (ts_holt_linear / streaming_holt /
-    # graph_neighbor_jaccard already seated above with the drift) ---
-    "w9_user_streaks",
-    "events_interarrival_profile",
-    "dedup_corpus_overlap_hll",
-    "curation_pack_efficiency",
+    # --- the last never-externally-green names (queue closes) ---
+    "text_tfidf_cosine_pairs",
+    "dedup_minhash_merge",
+    "text_zipf_fit",
+    "j18_asof_join_forward",
+    "text_source_similarity",
+    "j14_interval_overlap",
+    # --- evidence refresh: the oldest standing rows (r1) ---
+    "a5_global_count",
+    "a8_distinct",
+    "f10_null_fill",
+    "f14_collect_concat",
+    "f1_trim_chars",
+    "f2_strip_ends",
+    "f3_recode",
+    "f5_date_parse_formats",
+    "f7_arith_derived",
+    "f8_round_half_even",
+    "l1_order_limit",
+    "l2_head_inspect",
+    "p2_p3_column_prune",
 ]
 
 # Driver window size (observed: the external gate samples the first 50
