@@ -1,0 +1,138 @@
+"""Registered queries for the REAL media decode surface
+(``operators/media.py``): PNG/BMP image decode, nearest-neighbor
+resample, and WAV PCM decode, each over a synthetic binary corpus
+derived from the ``documents`` table.
+
+Oracle design — the point of these queries: the Spark side goes
+``generation formula -> numpy pixels/samples -> REAL encoder -> binary
+column -> REAL decoder (bytes only) -> integer stats``; the DuckDB
+oracle never sees a byte and instead recomputes the same statistics
+from the generation formula in closed form (constant ``range()``
+lattice + a bound filter).  The two engines meet at the same int64
+numbers by INDEPENDENT routes, so what the parity check actually
+verifies is the codec path: chunk framing, zlib inflate, the five PNG
+row filters, BMP row padding and bottom-up order, RIFF chunk walk.
+All crossing values are exact integers — zero float-parity surface.
+
+At scale: each query is scan -> mapInPandas (encode) -> mapInPandas
+(decode+stats); no shuffle, no collect, partitioning preserved — the
+embarrassingly-parallel shape media decode should have at 100 TB.
+
+Beyond-reference surface (the reference pipeline has no media path;
+see SURVEY.md §2 / operators/multimodal.py for the env-gated formats
+that genuinely need native libs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .io import load_table
+from .operators import media
+from .registry import register
+
+# The generation formulas, restated for the SQL side (keep in sync with
+# operators/media.py constants — the oracle recomputes the closed form).
+# ``k`` is the pmod-normalized key (media.KEY_MOD): Python % floors,
+# SQL % truncates, so both sides run the formulas on the same
+# guaranteed-non-negative value even for a hostile negative doc_id.
+_KEYED_DOCS = (
+    "(SELECT doc_id, ((doc_id % 2147483648) + 2147483648) % 2147483648 AS k"
+    " FROM documents) d"
+)
+_W = "(d.k % 29 + 4)"
+_H = "(d.k % 17 + 3)"
+_N = "(d.k % 97 + 16)"
+
+
+@register(
+    "media_image_decode_stats",
+    oracle=f"""
+    SELECT d.doc_id,
+           CASE WHEN d.k % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+           CAST({_W} AS INT) AS width,
+           CAST({_H} AS INT) AS height,
+           CAST({_W} * {_H} AS BIGINT) AS n_px,
+           CAST(SUM((x * 7 + y * 11 + d.k) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((x * 3 + y * 5 + 2 * d.k) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((x + y + 3 * d.k) % 256) AS BIGINT) AS sum_b
+    FROM {_KEYED_DOCS}, range(0, 32) t(x), range(0, 19) s(y)
+    WHERE x < {_W} AND y < {_H}
+    GROUP BY d.doc_id, d.k
+    """,
+)
+def media_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-format image corpus (PNG for even doc ids, BMP for odd)
+    decoded by the REAL codecs, magic-byte dispatch, integer channel
+    sums out.  The oracle recomputes the sums from the pixel formula —
+    it never decodes a byte — so a parity match certifies the decode
+    path itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = media.synth_image_corpus(docs)
+    return media.image_stats(corpus)
+
+
+@register(
+    "media_image_resize_nn",
+    oracle=f"""
+    SELECT d.doc_id,
+           CAST(SUM((((xo * {_W}) // 8) * 7
+                     + ((yo * {_H}) // 6) * 11 + d.k) % 256)
+                AS BIGINT) AS rs_r,
+           CAST(SUM((((xo * {_W}) // 8) * 3
+                     + ((yo * {_H}) // 6) * 5 + 2 * d.k) % 256)
+                AS BIGINT) AS rs_g,
+           CAST(SUM((((xo * {_W}) // 8)
+                     + ((yo * {_H}) // 6) + 3 * d.k) % 256)
+                AS BIGINT) AS rs_b
+    FROM {_KEYED_DOCS}, range(0, 8) t(xo), range(0, 6) s(yo)
+    GROUP BY d.doc_id, d.k
+    """,
+)
+def media_image_resize_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + REAL nearest-neighbor resample to 8x6 (floor index map
+    ``src = (dst * src_dim) // dst_dim``), resized channel sums out.
+    The oracle maps each output pixel back to its source coordinate
+    with the same integer geometry and applies the pixel formula
+    there — verifying the actual resample, not just the decode."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = media.synth_image_corpus(docs)
+    return media.resize_stats(corpus, out_w=8, out_h=6)
+
+
+@register(
+    "media_audio_decode_stats",
+    oracle=f"""
+    WITH pcm AS (
+        SELECT d.doc_id,
+               d.k,
+               i,
+               (i * i * 37 + i * 1009 + d.k * 31) % 65536 - 32768 AS s
+        FROM {_KEYED_DOCS}, range(0, 113) t(i)
+        WHERE i < {_N}
+    )
+    SELECT doc_id,
+           CAST(8000 + (k % 3) * 4000 AS INT) AS sample_rate,
+           CAST(k % 97 + 16 AS BIGINT) AS n_samples,
+           CAST(SUM(s) AS BIGINT) AS sum_sample,
+           CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+           CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+           CAST(SUM(CASE WHEN i > 0 AND ((lag_s >= 0) != (s >= 0))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sign_flips
+    FROM (
+        SELECT doc_id, k, i, s,
+               LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS lag_s
+        FROM pcm
+    )
+    GROUP BY doc_id, k
+    """,
+)
+def media_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV corpus encoded by the stdlib ``wave`` module, decoded by the
+    engine's manual RIFF parser (two independent codec
+    implementations), exact int64 PCM statistics out: sum, absolute
+    sum, energy, and consecutive sign flips.  The oracle recomputes
+    all four from the sample formula via a LAG window — no bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = media.synth_audio_corpus(docs)
+    return media.audio_stats(corpus)

@@ -1,0 +1,293 @@
+"""Real media codec tests (operators/media.py).
+
+Codec-level: hand-built fixtures the module's own encoders did NOT
+produce — a PNG with every spec filter type built from raw scanlines +
+zlib in the test, a byte-level hand-assembled BMP, WAVs written by the
+stdlib ``wave`` module (independent of the manual RIFF parser under
+test).  Spark-level: the synthetic corpus queries against direct numpy
+recomputation, plus batch-boundary invariance.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from hypertension_dashboard_pipeline_spark.operators import media as m
+
+
+def _rng():
+    return np.random.default_rng(20260816)
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_rgb_gray_rgba():
+    rng = _rng()
+    for shape in [(5, 7, 3), (3, 4, 4), (6, 2), (1, 1, 3), (2, 1)]:
+        a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        got = m.png_decode(m.png_encode(a))
+        ref = a if a.ndim == 3 else a[:, :, None]
+        assert got.shape == ref.shape
+        assert (got == ref).all()
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def _png_with_filters(pixels: np.ndarray, filters: list[int]) -> bytes:
+    """Build a PNG from scratch applying the given per-row filter types
+    — independent of media.png_encode (which only ever emits type 0)."""
+    h, w, ch = pixels.shape
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        cur = pixels[y].reshape(-1).astype(np.int64)
+        f = filters[y]
+        raw.append(f)
+        for i in range(w * ch):
+            left = cur[i - ch] if i >= ch else 0
+            up = int(prev[i])
+            ul = int(prev[i - ch]) if i >= ch else 0
+            if f == 0:
+                v = cur[i]
+            elif f == 1:
+                v = cur[i] - left
+            elif f == 2:
+                v = cur[i] - up
+            elif f == 3:
+                v = cur[i] - ((left + up) >> 1)
+            else:  # Paeth
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                v = cur[i] - pred
+            raw.append(int(v) & 0xFF)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        m.PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filter_types():
+    rng = _rng()
+    pixels = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    png = _png_with_filters(pixels, [0, 1, 2, 3, 4])
+    assert (m.png_decode(png) == pixels).all()
+
+
+def test_png_decode_multiple_idat_chunks():
+    """The spec allows pixel data split across any number of IDAT
+    chunks; decoders must concatenate before inflating."""
+    rng = _rng()
+    pixels = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    whole = m.png_encode(pixels)
+    # re-split the single IDAT into two
+    sig, rest = whole[:8], whole[8:]
+    (ihdr_len,) = struct.unpack(">I", rest[:4])
+    ihdr = rest[: 12 + ihdr_len]
+    rest = rest[12 + ihdr_len :]
+    (idat_len,) = struct.unpack(">I", rest[:4])
+    payload = rest[8 : 8 + idat_len]
+    cut = len(payload) // 2
+    rebuilt = (
+        sig
+        + ihdr
+        + _chunk(b"IDAT", payload[:cut])
+        + _chunk(b"IDAT", payload[cut:])
+        + _chunk(b"IEND", b"")
+    )
+    assert (m.png_decode(rebuilt) == pixels).all()
+
+
+@pytest.mark.parametrize(
+    "mutant,msg",
+    [
+        (b"\x88PNG\r\n\x1a\n" + b"\x00" * 32, "bad signature"),
+        (m.PNG_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)),
+         "bit depth"),
+        (m.PNG_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)),
+         "color type"),
+        (m.PNG_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)),
+         "interlaced"),
+    ],
+)
+def test_png_decode_rejects_unsupported(mutant, msg):
+    with pytest.raises(ValueError, match=msg):
+        m.png_decode(mutant)
+
+
+def test_png_decode_truncation_is_a_clear_error():
+    png = m.png_encode(np.zeros((3, 3, 3), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        m.png_decode(png[: len(png) // 2])
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_roundtrip_all_padding_widths():
+    rng = _rng()
+    for w in range(1, 6):  # row padding 1/2/3/0 bytes across these
+        a = rng.integers(0, 256, size=(4, w, 3), dtype=np.uint8)
+        assert (m.bmp_decode(m.bmp_encode(a)) == a).all(), w
+
+
+def test_bmp_decode_hand_assembled_topdown():
+    """Byte-level BMP built in the test (not by bmp_encode): 2x2
+    top-down (negative height), BGR order, 2-byte row padding."""
+    # pixels (RGB): [[red, green], [blue, white]]
+    rows_bgr = [
+        bytes([0, 0, 255]) + bytes([0, 255, 0]) + b"\x00\x00",
+        bytes([255, 0, 0]) + bytes([255, 255, 255]) + b"\x00\x00",
+    ]
+    body = b"".join(rows_bgr)
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 2, -2, 1, 24, 0, len(body), 0, 0, 0, 0
+    )
+    got = m.bmp_decode(hdr + body)
+    exp = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]],
+        dtype=np.uint8,
+    )
+    assert (got == exp).all()
+
+
+def test_bmp_decode_rejects_compressed_and_truncated():
+    a = m.bmp_encode(np.zeros((2, 2, 3), dtype=np.uint8))
+    compressed = a[:30] + struct.pack("<I", 1) + a[34:]  # biCompression=1 (RLE8)
+    with pytest.raises(ValueError, match="compression"):
+        m.bmp_decode(compressed)
+    with pytest.raises(ValueError, match="truncated"):
+        m.bmp_decode(a[:-3])
+
+
+# ---------------------------------------------------------------------------
+# WAV
+# ---------------------------------------------------------------------------
+
+
+def test_wav_decode_against_stdlib_encoder():
+    samples = np.array([-32768, -1, 0, 1, 32767, 12345, -12345], dtype=np.int16)
+    rate, got = m.wav_decode(m.wav_encode(44100, samples))
+    assert rate == 44100
+    assert got.dtype == np.int16
+    assert (got == samples).all()
+
+
+def test_wav_decode_skips_foreign_chunks():
+    """Real WAVs carry LIST/INFO etc. between fmt and data; the chunk
+    walk must skip them (including the odd-length word-align rule)."""
+    samples = np.arange(-5, 5, dtype=np.int16)
+    base = m.wav_encode(8000, samples)
+    # splice a 3-byte (odd) foreign chunk right after the fmt chunk
+    fmt_end = 12 + 8 + 16
+    foreign = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad byte
+    spliced = base[:fmt_end] + foreign + base[fmt_end:]
+    rate, got = m.wav_decode(spliced)
+    assert rate == 8000 and (got == samples).all()
+
+
+def test_wav_decode_stereo_shape_and_rejections():
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(2)
+        wv.setsampwidth(2)
+        wv.setframerate(16000)
+        wv.writeframes(np.arange(8, dtype="<i2").tobytes())
+    rate, got = m.wav_decode(buf.getvalue())
+    assert got.shape == (4, 2)
+
+    buf8 = io.BytesIO()
+    with wave.open(buf8, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(1)
+        wv.setframerate(16000)
+        wv.writeframes(b"\x00\x01\x02")
+    with pytest.raises(ValueError, match="bit depth"):
+        m.wav_decode(buf8.getvalue())
+    with pytest.raises(ValueError, match="RIFF"):
+        m.wav_decode(b"not audio at all")
+
+
+# ---------------------------------------------------------------------------
+# Resize geometry
+# ---------------------------------------------------------------------------
+
+
+def test_nn_resize_floor_index_map():
+    rng = _rng()
+    a = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    got = m.nn_resize(a, 4, 3)
+    for yo in range(3):
+        for xo in range(4):
+            assert (got[yo, xo] == a[(yo * 10) // 3, (xo * 7) // 4]).all()
+    up = m.nn_resize(a, 14, 20)  # upscale works too
+    assert up.shape == (20, 14, 3)
+
+
+# ---------------------------------------------------------------------------
+# Spark integration
+# ---------------------------------------------------------------------------
+
+
+def test_image_stats_matches_direct_numpy(spark, sf_smoke):
+    from hypertension_dashboard_pipeline_spark.io import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(40)
+    stats = m.image_stats(m.synth_image_corpus(docs)).collect()
+    assert len(stats) == 40
+    for row in stats:
+        px = m._synth_pixels(row.doc_id)
+        assert row.fmt == ("png" if row.doc_id % 2 == 0 else "bmp")
+        assert (row.width, row.height) == (px.shape[1], px.shape[0])
+        s = px.astype(np.int64).sum(axis=(0, 1))
+        assert (row.sum_r, row.sum_g, row.sum_b) == (s[0], s[1], s[2])
+
+
+def test_audio_stats_matches_direct_numpy(spark, sf_smoke):
+    from hypertension_dashboard_pipeline_spark.io import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(40)
+    stats = m.audio_stats(m.synth_audio_corpus(docs)).collect()
+    assert len(stats) == 40
+    for row in stats:
+        s = m._synth_samples(row.doc_id).astype(np.int64)
+        nonneg = s >= 0
+        assert row.n_samples == len(s)
+        assert row.sum_sample == s.sum()
+        assert row.sum_sq == (s * s).sum()
+        assert row.n_sign_flips == int(np.count_nonzero(nonneg[1:] != nonneg[:-1]))
+
+
+def test_image_stats_partition_invariant(spark, sf_smoke):
+    """Arrow batch/partition boundaries must not affect results —
+    decode is per-row; repartitioning the corpus is a no-op on values."""
+    from hypertension_dashboard_pipeline_spark.io import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(60)
+    corpus = m.synth_image_corpus(docs)
+    one = sorted(map(tuple, m.image_stats(corpus.coalesce(1)).collect()))
+    many = sorted(map(tuple, m.image_stats(corpus.repartition(7)).collect()))
+    assert one == many
