@@ -136,3 +136,40 @@ def media_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = media.synth_audio_corpus(docs)
     return media.audio_stats(corpus)
+
+
+# GIF frame formulas (operators/gif.py constants): w = k%11+2,
+# h = k%7+2, n_frames = k%5+2; palette entry i = (i, 3i%256, 7i%256);
+# frame f pixel index = (x*5 + y*9 + f*13 + k) % 256.
+_GIF_IDX = "((x * 5 + y * 9 + f * 13 + d.k) % 256)"
+
+
+@register(
+    "media_gif_frame_stats",
+    oracle=f"""
+    SELECT d.doc_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(d.k % 11 + 2 AS INT) AS width,
+           CAST(d.k % 7 + 2 AS INT) AS height,
+           CAST(SUM({_GIF_IDX}) AS BIGINT) AS sum_r,
+           CAST(SUM({_GIF_IDX} * 3 % 256) AS BIGINT) AS sum_g,
+           CAST(SUM({_GIF_IDX} * 7 % 256) AS BIGINT) AS sum_b
+    FROM {_KEYED_DOCS},
+         range(0, 12) t(x), range(0, 8) s(y), range(0, 6) u(f)
+    WHERE x < d.k % 11 + 2 AND y < d.k % 7 + 2 AND f < d.k % 5 + 2
+    GROUP BY d.doc_id, d.k, f
+    """,
+)
+def media_gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-shaped frame extraction: every document carries an
+    animated GIF (interlaced for every third doc), and each frame is
+    actually LZW-decoded, palette-mapped, de-interlaced, and fanned
+    out 1->N with integer channel sums.  The oracle recomputes the
+    per-frame sums from the palette/index formulas — it never touches
+    a byte — so a parity match certifies the LZW decoder, the 4-pass
+    interlace inversion, and the palette mapping."""
+    from .operators import gif
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = gif.synth_gif_corpus(docs)
+    return gif.gif_frame_stats(corpus)
