@@ -471,6 +471,17 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      padders (the oldest r1-era rows).  With this window the
 #      external-evidence queue CLOSES: cumulative coverage reaches
 #      272/272.
+#
+#   r11 queue (written at r10 build time): the four media-decode
+#      debuts (media_image_decode_stats, media_image_resize_nn,
+#      media_audio_decode_stats, media_gif_frame_stats —
+#      queries_media.py, real PNG/BMP/WAV/GIF codecs) registered
+#      OUTSIDE the window per the brand-new-query exemption
+#      (local-oracle-green from their first commit, adversarial-swept,
+#      hostile negative-id parity verified).  They take their external
+#      debut in the r11 rotation alongside whatever r10 drift the
+#      driver flags; everything else r10 touched is already seated
+#      above.
 _FRONT: list[str] = [
     # flagship + headline extension pipeline (always externally gated)
     "flagship_cohort_pipeline",
