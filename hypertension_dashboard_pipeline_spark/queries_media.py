@@ -173,3 +173,83 @@ def media_gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = gif.synth_gif_corpus(docs)
     return gif.gif_frame_stats(corpus)
+
+
+# JPEG closed-form chain (operators/jpeg.py): constant 8x8 tiles are
+# the verifiability trick — only the DC coefficient survives the DCT,
+# DC quantize/dequantize/reconstruct is exact dyadic IEEE arithmetic,
+# and every lossy rounding in the codec is floor(x + 0.5), so the
+# decoded color is a closed form of the source color that SQL can
+# recompute.  Literals are cast to DOUBLE everywhere (DuckDB numeric
+# literals default to exact DECIMAL, which would NOT match the
+# codec's float64 ops).  q00 = 16 (luma) / 17 (chroma) per the
+# Annex K tables.
+_RHU = "FLOOR({x} + 0.5::DOUBLE)"
+_CLAMP = "LEAST(255.0::DOUBLE, GREATEST(0.0::DOUBLE, {x}))"
+
+
+def _cl_rhu(x: str) -> str:
+    return _CLAMP.format(x=_RHU.format(x=x))
+
+
+def _dc_chain(v: str, q: int) -> str:
+    dcq = _RHU.format(x=f"8.0::DOUBLE * ({v} - 128.0::DOUBLE) / {q}.0::DOUBLE")
+    return _cl_rhu(f"{dcq} * {q}.0::DOUBLE / 8.0::DOUBLE + 128.0::DOUBLE")
+
+
+_JPEG_ORACLE = f"""
+    WITH tiles AS (
+        SELECT d.doc_id, d.k, i, j,
+               CAST((i * 31 + j * 17 + d.k) % 256 AS DOUBLE) AS r0,
+               CAST((i * 13 + j * 7 + 2 * d.k) % 256 AS DOUBLE) AS g0,
+               CAST((i * 3 + j * 29 + 3 * d.k) % 256 AS DOUBLE) AS b0
+        FROM {{keyed}}, range(0, 4) t(i), range(0, 3) s(j)
+        WHERE i < d.k % 4 + 1 AND j < d.k % 3 + 1
+    ), ycc AS (
+        SELECT doc_id, k,
+               {_cl_rhu("0.299::DOUBLE * r0 + 0.587::DOUBLE * g0"
+                        " + 0.114::DOUBLE * b0")} AS y,
+               {_cl_rhu("-0.168736::DOUBLE * r0 - 0.331264::DOUBLE * g0"
+                        " + 0.5::DOUBLE * b0 + 128.0::DOUBLE")} AS cb,
+               {_cl_rhu("0.5::DOUBLE * r0 - 0.418688::DOUBLE * g0"
+                        " - 0.081312::DOUBLE * b0 + 128.0::DOUBLE")} AS cr
+        FROM tiles
+    ), rec AS (
+        SELECT doc_id, k,
+               {_dc_chain('y', 16)} AS yd,
+               {_dc_chain('cb', 17)} AS cbd,
+               {_dc_chain('cr', 17)} AS crd
+        FROM ycc
+    ), rgb AS (
+        SELECT doc_id, k,
+               {_cl_rhu("yd + 1.402::DOUBLE * (crd - 128.0::DOUBLE)")} AS rr,
+               {_cl_rhu("yd - 0.344136::DOUBLE * (cbd - 128.0::DOUBLE)"
+                        " - 0.714136::DOUBLE * (crd - 128.0::DOUBLE)")} AS gg,
+               {_cl_rhu("yd + 1.772::DOUBLE * (cbd - 128.0::DOUBLE)")} AS bb
+        FROM rec
+    )
+    SELECT doc_id,
+           CAST((k % 4 + 1) * 8 AS INT) AS width,
+           CAST((k % 3 + 1) * 8 AS INT) AS height,
+           CAST(SUM(rr) * 64 AS BIGINT) AS sum_r,
+           CAST(SUM(gg) * 64 AS BIGINT) AS sum_g,
+           CAST(SUM(bb) * 64 AS BIGINT) AS sum_b
+    FROM rgb
+    GROUP BY doc_id, k
+""".format(keyed=_KEYED_DOCS)
+
+
+@register("media_jpeg_decode_stats", oracle=_JPEG_ORACLE)
+def media_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode: every document carries a 4:4:4
+    sequential JPEG of constant 8x8 tiles, decoded through the full
+    marker/huffman/DC-prediction/zigzag/dequant/IDCT/color-convert
+    path, integer channel sums out.  The oracle recomputes the decoded
+    colors via the exact closed form of the DC-only chain (verified
+    exhaustively over 17,760 colors in tests) — it never touches a
+    byte, so a parity match certifies the decoder."""
+    from .operators import jpeg
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = jpeg.synth_jpeg_corpus(docs)
+    return jpeg.jpeg_stats(corpus)

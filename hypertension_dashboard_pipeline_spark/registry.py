@@ -472,10 +472,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      external-evidence queue CLOSES: cumulative coverage reaches
 #      272/272.
 #
-#   r11 queue (written at r10 build time): the four media-decode
+#   r11 queue (written at r10 build time): the five media-decode
 #      debuts (media_image_decode_stats, media_image_resize_nn,
-#      media_audio_decode_stats, media_gif_frame_stats —
-#      queries_media.py, real PNG/BMP/WAV/GIF codecs) registered
+#      media_audio_decode_stats, media_gif_frame_stats,
+#      media_jpeg_decode_stats — queries_media.py, real
+#      PNG/BMP/WAV/GIF/JPEG codecs) registered
 #      OUTSIDE the window per the brand-new-query exemption
 #      (local-oracle-green from their first commit, adversarial-swept,
 #      hostile negative-id parity verified).  They take their external

@@ -96,6 +96,7 @@ def main() -> None:
         "media_image_resize_nn",
         "media_audio_decode_stats",
         "media_gif_frame_stats",
+        "media_jpeg_decode_stats",
     ):
         plan = registry.QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, f"{name} plan grew a shuffle:\n{plan}"
