@@ -114,22 +114,10 @@ _AC_CHROMA_VALS = [
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 ]
 
-# zigzag scan order: _ZIGZAG[i] = flat (row*8+col) index of the i-th
-# zigzag position
-_ZIGZAG = np.array(
-    [
-        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
-        12, 19, 26, 33, 40, 48, 56, 49, 42, 35, 28, 21, 14, 7, 15, 22,
-        29, 36, 43, 50, 57, 58, 51, 44, 37, 30, 23, 16 + 15, 39, 46, 53, 60,
-        61, 54, 47, 55, 62, 63, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
-    ],
-    dtype=np.int64,
-)
-# (build it programmatically instead — the literal above is
-# error-prone; overwritten immediately below)
-
-
 def _zigzag_order() -> np.ndarray:
+    """Zigzag scan order: result[i] = flat (row*8+col) index of the
+    i-th zigzag position — built programmatically (a 64-entry literal
+    is exactly the kind of table a typo silently corrupts)."""
     order = []
     for s in range(15):
         ks = range(max(0, s - 7), min(s, 7) + 1)
@@ -142,12 +130,15 @@ def _zigzag_order() -> np.ndarray:
 
 _ZIGZAG = _zigzag_order()
 
-# 8x8 DCT basis matrix C with C[u, x] = c(u)/2 * cos((2x+1) u pi / 16)
-_DCT_C = np.zeros((8, 8))
-for _u in range(8):
-    _cu = (1 / np.sqrt(2)) if _u == 0 else 1.0
-    for _x in range(8):
-        _DCT_C[_u, _x] = _cu / 2 * np.cos((2 * _x + 1) * _u * np.pi / 16)
+def _dct_basis() -> np.ndarray:
+    """8x8 DCT basis C with C[u, x] = c(u)/2 * cos((2x+1) u pi / 16)."""
+    u = np.arange(8).reshape(8, 1).astype(np.float64)
+    x = np.arange(8).reshape(1, 8).astype(np.float64)
+    c = np.where(u == 0, 1 / np.sqrt(2), 1.0)
+    return c / 2 * np.cos((2 * x + 1) * u * np.pi / 16)
+
+
+_DCT_C = _dct_basis()
 
 
 def _round_half_up(x: np.ndarray) -> np.ndarray:
