@@ -225,6 +225,16 @@ def test_no_registered_query_uses_row_python_eval(spark, sf_dir):
         # form in r10 — its three callers (sim_batch_ann_topk,
         # sample_k_per_group, sample_weighted_k_per_group) no longer
         # carry any Arrow/Python stage
+        # real media codecs (r10): decode IS per-row Python by nature
+        # (PIL would charge the same); the engine-side contract is
+        # Arrow batching + exchange-free plans, pinned by
+        # scripts/scaling_probe_r10.py and the partition-invariance
+        # tests in tests/test_media.py / test_gif.py / test_jpeg.py
+        "media_image_decode_stats",
+        "media_image_resize_nn",
+        "media_audio_decode_stats",
+        "media_gif_frame_stats",
+        "media_jpeg_decode_stats",
     }
     ARROW_NODES = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
     row_eval, undeclared_arrow = [], []
