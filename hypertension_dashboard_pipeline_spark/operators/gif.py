@@ -298,7 +298,9 @@ def synth_gif_corpus(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     Schema: (doc_id long, payload binary)."""
     from .media import _key
 
-    src = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    from .media import _scatter_ids
+
+    src = _scatter_ids(docs, id_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:

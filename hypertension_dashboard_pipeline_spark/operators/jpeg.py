@@ -580,7 +580,9 @@ def _synth_tile_rgb(doc_id: int) -> np.ndarray:
 def synth_jpeg_corpus(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """One real baseline JPEG per document, built from constant 8x8
     tiles.  Schema: (doc_id long, payload binary)."""
-    src = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    from .media import _scatter_ids
+
+    src = _scatter_ids(docs, id_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:

@@ -327,6 +327,26 @@ AUD_N_MOD, AUD_N_MIN = 97, 16  # n = k % 97 + 16 (16..112)
 KEY_MOD = 2_147_483_648
 
 
+def _scatter_ids(docs: DataFrame, id_col: str) -> DataFrame:
+    """Corpus-generation scaffolding: scatter the id projection across
+    the cluster BEFORE synthesizing payloads.
+
+    In production, media payloads live in a parquet binary column and
+    decode parallelism comes from input splits for free.  The
+    synthetic corpora instead DERIVE payloads from the tiny documents
+    id table, which at test scale is a single input split — without
+    this scatter, every encode AND decode would run on one core (a
+    generation artifact, not a decode property; measured 6.6s -> ~1s
+    on the JPEG query at sf0.1).  The exchange moves ids only (8
+    bytes/row), never pixels; the decode stage downstream remains
+    exchange-free."""
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        .repartition(n)
+    )
+
+
 def _key(doc_id: int) -> int:
     return doc_id % KEY_MOD  # Python % is already floored/non-negative
 
@@ -360,7 +380,7 @@ def synth_image_corpus(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     odd — so a consumer exercises BOTH decoders through one column,
     dispatching on magic bytes exactly as a real mixed-format corpus
     requires.  Schema: (doc_id long, fmt string, payload binary)."""
-    src = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    src = _scatter_ids(docs, id_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -384,7 +404,7 @@ def synth_image_corpus(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def synth_audio_corpus(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """One real PCM WAV per document (stdlib ``wave`` encoder).
     Schema: (doc_id long, payload binary)."""
-    src = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    src = _scatter_ids(docs, id_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:

@@ -99,8 +99,20 @@ def main() -> None:
         "media_jpeg_decode_stats",
     ):
         plan = registry.QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan, f"{name} plan grew a shuffle:\n{plan}"
-        print(f"{name}: plan is exchange-free (scan -> ArrowEval/mapInPandas)")
+        n_ex = plan.count("Exchange")
+        # exactly ONE exchange is allowed: the ids-only round-robin
+        # scatter in the corpus GENERATION scaffolding
+        # (media._scatter_ids — 8 bytes/row, exists because the test
+        # corpus derives payloads from a single-split id table).  The
+        # decode stage itself must not shuffle: nothing may sit
+        # between the two Python stages.
+        assert n_ex == 1 and "roundrobin" in plan.lower(), (
+            f"{name}: want exactly the generation scatter, got "
+            f"{n_ex} exchanges:\n{plan}"
+        )
+        between = plan.split("MapInPandas")[1] if plan.count("MapInPandas") >= 2 else ""
+        assert "Exchange" not in between, f"{name} decode stage shuffles:\n{plan}"
+        print(f"{name}: decode exchange-free; one ids-only generation scatter")
 
     # ---- probe 3: deep single-row fan-out ------------------------------
     frames = [
