@@ -483,73 +483,96 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      debut in the r11 rotation alongside whatever r10 drift the
 #      driver flags; everything else r10 touched is already seated
 #      above.
+#      r11 window (this round): CORRECTNESS_r10 was 50/50 green, so the
+#      window executes the written r10→r11 plan — the five media
+#      debuts take their first external rows (cumulative external
+#      coverage reaches 277/277: full-catalog closure), and every
+#      remaining slot burns down the oldest standing evidence:
+#        * media five (queries_media.py).  The r10 ADVICE fixes land
+#          WITH this rotation (fix-on-rotation rule): gif _lzw_decode
+#          raises the documented ValueError instead of a bare KeyError
+#          on a corrupt first-code-after-clear; the JPEG marker walk
+#          skips spec-legal 0xFF fill bytes and standalone TEM/RST
+#          markers; PNG Sub/Up/Average/Paeth filter reconstruction is
+#          vectorized (Up/None whole-row numpy, Sub/Average/Paeth
+#          column-strided — foreign PNGs no longer hit per-byte Python
+#          loops); the duplicate `from .media import` in
+#          synth_gif_corpus merged.  All four drift only the media
+#          five (verified by the fingerprint diff).
+#        * evidence refresh, strictly oldest-first: the four r1 rows
+#          (p4, u2, u3, w2), the one r2 row (s1), all 26 r3 rows
+#          (dedup basics, multimodal meta quartet, text basics,
+#          u1/w1/l3/j8/a4/f9/f11/p12b/pack/sample/sessionize/split),
+#          and 12 of the 18 r4 rows (the j1–j7 join family + a1, a2,
+#          a3, a7, a9).  Spill to r12: a10_grouped_distinct +
+#          the p-family (p5, p6_p7, p9, p10, p12) — the youngest of
+#          the r4 cohort, all fingerprint-pinned and locally swept.
+#      NEW THIS ROUND (registered outside the window under the
+#      brand-new-query exemption, r12 debut queue): the perceptual-
+#      hash media-dedup surface (media_phash_dedup_groups,
+#      media_ahash_hamming_pairs — aHash/dHash over the decoded
+#      grayscale grid feeding the existing Hamming-pair machinery)
+#      plus whatever else this session registers; see QUERIES.md.
 _FRONT: list[str] = [
     # flagship + headline extension pipeline (always externally gated)
     "flagship_cohort_pipeline",
     "curation_pipeline",
-    # --- r10 drift: cosine-family NaN guard (five pinned top-k +
-    # recall, which also pre-filters) ---
-    "sim_cosine_topk",
-    "sim_ivf_topk",
-    "sim_lsh_bucket_topk",
-    "sim_lsh_bucket_topk_indexed",
-    "sim_batch_ann_topk",
-    "sim_ivf_recall",
-    # --- r10 drift: latent NaN divergences the hardened adversarial
-    # corpus flushed out ---
-    "sim_quantized_topk",
-    "sim_mmr_rerank",
-    "emb_top_component",
-    "emb_remove_top_component",
-    "emb_quantile_clip",
-    # --- r10 drift: kmeans family (_lloyd_centroids merge + k-clamp;
-    # purity's first external row) ---
-    "emb_kmeans_lloyd",
-    "sim_cluster_purity",
-    # --- r10 drift: grouped_topk_partial -> WindowGroupLimit
-    # (sim_batch_ann_topk seated above with the cosine family) ---
-    "sample_k_per_group",
-    "sample_weighted_k_per_group",
-    # --- r10 drift: tail-fold truncation tiebreaker (shared-oracle
-    # streaming twins rotate along) ---
-    "ts_ewma_last8",
-    "streaming_ewma",
-    "ts_holt_linear",
-    "streaming_holt",
-    # --- r10 drift: streaming CUSUM chunk concat-sort (shared-oracle
-    # batch twin rotates along) ---
-    "streaming_cusum",
-    "ts_cusum_alarm",
-    # --- r10 drift: scaling-dimension broadcast hints dropped ---
-    "j15_shipping_priority",
-    "j16_local_supplier_volume",
-    "j17_large_volume_orders",
-    "j19_volume_shipping",
-    "j20_market_share",
-    "j22_returned_item_revenue",
-    "events_last_touch_attribution",
-    "rec_copurchase_lift",
-    # --- the last never-externally-green names (queue closes) ---
-    "text_tfidf_cosine_pairs",
-    "dedup_minhash_merge",
-    "text_zipf_fit",
-    "j18_asof_join_forward",
-    "text_source_similarity",
-    "j14_interval_overlap",
-    # --- evidence refresh: the oldest standing rows (r1) ---
-    "a5_global_count",
-    "a8_distinct",
-    "f10_null_fill",
-    "f14_collect_concat",
-    "f1_trim_chars",
-    "f2_strip_ends",
-    "f3_recode",
-    "f5_date_parse_formats",
-    "f7_arith_derived",
-    "f8_round_half_even",
-    "l1_order_limit",
-    "l2_head_inspect",
-    "p2_p3_column_prune",
+    # --- r11 debuts: the five media-codec queries (the only
+    # never-externally-green names; ADVICE fixes land with this
+    # rotation) ---
+    "media_image_decode_stats",
+    "media_image_resize_nn",
+    "media_audio_decode_stats",
+    "media_gif_frame_stats",
+    "media_jpeg_decode_stats",
+    # --- evidence refresh: the r1-era rows (oldest standing) ---
+    "p4_literal_evidence_flag",
+    "u2_intersect_keys",
+    "u3_except_keys",
+    "w2_rowwise_flag_no_window",
+    # --- evidence refresh: the one r2 row ---
+    "s1_scan_project_alias",
+    # --- evidence refresh: all 26 r3 rows ---
+    "a4_sum_indicator",
+    "dedup_exact_groups",
+    "dedup_incremental_ingest",
+    "f11_bool_or_flag",
+    "f9_f13_cast_sum",
+    "j8_broadcast_codelist_join",
+    "l3_topk_per_group",
+    "multimodal_decode_meta",
+    "multimodal_extract_features",
+    "multimodal_frame_sample",
+    "multimodal_resize_meta",
+    "p12b_strict_integer_band",
+    "pack_token_budget",
+    "sample_deterministic",
+    "sessionize_events",
+    "split_by_group",
+    "text_bpe_token_count",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_scrub_pii",
+    "text_simhash",
+    "text_token_count",
+    "text_top_ngrams",
+    "u1_evidence_key_union",
+    "udf_pandas_token_count",
+    "w1_latest_per_key",
+    # --- evidence refresh: 12 of the 18 r4 rows (join family +
+    # oldest aggregates; the p-family + a10 spill to r12) ---
+    "j1_left_enrich",
+    "j2_inner_join",
+    "j3_pair_composite_key",
+    "j4_full_outer_evidence",
+    "j5_anti_exclude",
+    "j6_semi_evidence",
+    "j7_outer_join_demoted",
+    "a1_count_distinct_per_key",
+    "a2_consistent_keys",
+    "a3_same_day_avg",
+    "a7_rollup_total",
+    "a9_dedup_deterministic",
 ]
 
 # Driver window size (observed: the external gate samples the first 50
