@@ -68,7 +68,10 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
             if code == end:
                 return bytes(out)
             if prev is None:
-                entry = table[code]
+                first = table.get(code)
+                if first is None:
+                    raise ValueError(f"corrupt GIF LZW stream: code {code}")
+                entry = first
             elif code in table:
                 entry = table[code]
             elif code == next_code:
@@ -296,9 +299,7 @@ def synth_gif_corpus(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """One real animated GIF per document (interlaced for every third
     doc, exercising both row orders through one column).
     Schema: (doc_id long, payload binary)."""
-    from .media import _key
-
-    from .media import _scatter_ids
+    from .media import _key, _scatter_ids
 
     src = _scatter_ids(docs, id_col)
 

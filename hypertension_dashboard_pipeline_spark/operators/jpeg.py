@@ -430,10 +430,17 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {pos}")
+        # spec-legal fill: any number of extra 0xFF bytes may pad the
+        # gap before the marker code (ITU T.81 B.1.1.2)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / standalone RSTn carry no length segment
+            continue
         (seg_len,) = struct.unpack_from(">H", data, pos)
         payload = data[pos + 2 : pos + seg_len]
         if marker == 0xDB:  # DQT

@@ -88,16 +88,6 @@ def png_encode(arr: np.ndarray) -> bytes:
     )
 
 
-def _paeth(a: int, b: int, c: int) -> int:
-    p = a + b - c
-    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-    if pa <= pb and pa <= pc:
-        return a
-    if pb <= pc:
-        return b
-    return c
-
-
 def png_decode(data: bytes) -> np.ndarray:
     """Decode a PNG to a ``uint8`` array of shape ``(h, w, channels)``.
 
@@ -149,32 +139,59 @@ def png_decode(data: bytes) -> np.ndarray:
     stride = width * channels
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG pixel data length mismatch")
+    # Filter reconstruction, vectorized per scanline (a per-byte Python
+    # loop here would dominate decode cost on foreign PNGs):
+    #   None/Up — whole-row numpy (Up is prev + cur mod 256);
+    #   Sub     — exact mod-256 cumulative sum per channel column
+    #             (out[x] = out[x-1] + raw[x] is cumsum, and addition
+    #             mod 256 commutes with the int64 cumsum);
+    #   Average/Paeth — irreducibly sequential in x (floor-division /
+    #             predictor selection break the cumsum trick), so the
+    #             loop runs per PIXEL with all channels as one numpy
+    #             slice — bpp× fewer Python iterations than per-byte.
     out = np.zeros((height, stride), dtype=np.uint8)
     bpp = channels  # bytes per pixel at depth 8
+    mat = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     for y in range(height):
-        ftype = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
-        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        ftype = int(mat[y, 0])
+        cur = mat[y, 1:].astype(np.int64)
+        prev = out[y - 1].astype(np.int64) if y > 0 else np.zeros(
+            stride, dtype=np.int64
+        )
         if ftype == 0:  # None
             pass
         elif ftype == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
+            cur = np.cumsum(cur.reshape(-1, bpp), axis=0).reshape(stride) % 256
         elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + int(prev[i])) & 0xFF
+            cur = (cur + prev) % 256
         elif ftype == 3:  # Average
-            for i in range(stride):
-                left = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+            cur = cur.reshape(-1, bpp)
+            up = prev.reshape(-1, bpp)
+            left = np.zeros(bpp, dtype=np.int64)
+            for x in range(cur.shape[0]):
+                left = (cur[x] + ((left + up[x]) >> 1)) % 256
+                cur[x] = left
+            cur = cur.reshape(stride)
         elif ftype == 4:  # Paeth
-            for i in range(stride):
-                left = line[i - bpp] if i >= bpp else 0
-                ul = int(prev[i - bpp]) if i >= bpp else 0
-                line[i] = (line[i] + _paeth(left, int(prev[i]), ul)) & 0xFF
+            cur = cur.reshape(-1, bpp)
+            up = prev.reshape(-1, bpp)
+            left = np.zeros(bpp, dtype=np.int64)
+            ul = np.zeros(bpp, dtype=np.int64)
+            for x in range(cur.shape[0]):
+                p = left + up[x] - ul
+                pa, pb, pc = (
+                    np.abs(p - left), np.abs(p - up[x]), np.abs(p - ul)
+                )
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up[x], ul)
+                )
+                left = (cur[x] + pred) % 256
+                cur[x] = left
+                ul = up[x]
+            cur = cur.reshape(stride)
         else:
             raise ValueError(f"bad PNG filter type {ftype}")
-        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+        out[y] = cur.astype(np.uint8)
     return out.reshape(height, width, channels)
 
 

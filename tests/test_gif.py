@@ -75,7 +75,8 @@ def test_decode_survives_sub_block_resplitting():
     whole = g.gif_encode([frame], g._PALETTE)
     # locate the image data: descriptor starts after header+LSD+GCT
     off = 13 + 256 * 3
-    assert whole[off + 8] == 0x2C or whole[off] == 0x21 or True
+    # the encoder writes a graphic control extension before each frame
+    assert whole[off] == 0x21
     # find 0x2C from off, then skip block byte + 9-byte descriptor + mcs
     i = whole.index(b"\x2c", off)
     data_start = i + 11
@@ -105,6 +106,16 @@ def test_decode_rejections():
     whole = g.gif_encode([frame], g._PALETTE)
     with pytest.raises(ValueError, match="no frames"):
         g.gif_decode(whole[: 13 + 768] + b"\x3b")
+
+
+def test_lzw_corrupt_first_code_raises_valueerror():
+    """A first-code-after-clear outside the table must raise the
+    documented ValueError, not leak a bare KeyError (ADVICE r10)."""
+    # min_code_size=2: clear=4, end=5, table holds 0..3; code 7 is out
+    # of range as the FIRST code after the implicit clear state.
+    # widths are 3 bits; pack code 7 then end(5): 7 | 5<<3 = 0x2f.
+    with pytest.raises(ValueError, match="corrupt GIF LZW stream"):
+        g._lzw_decode(bytes([0x2F]), 2)
 
 
 def test_gif_frame_stats_fanout_partition_invariant(spark, sf_smoke):

@@ -141,6 +141,23 @@ def test_decode_rejections():
         J.jpeg_encode(np.zeros((7, 8, 3), np.uint8))
 
 
+def test_decode_tolerates_fill_bytes_and_standalone_markers():
+    """Spec-legal 0xFF fill bytes between segments and length-less
+    TEM markers in the header must not break the marker walk
+    (ITU T.81 B.1.1.2; ADVICE r10)."""
+    img = (np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3) * 5) % 256
+    good = J.jpeg_encode(img.astype(np.uint8))
+    base = J.jpeg_decode(good)
+    # insert fill bytes + a TEM marker right after SOI (before DQT)
+    padded = good[:2] + b"\xff\xff\xff\x01" + good[2:]
+    assert (J.jpeg_decode(padded) == base).all()
+    # fill bytes immediately before an existing marker: turn the DQT
+    # marker's 0xFF into 0xFF 0xFF 0xFF sequence
+    i = good.index(b"\xff\xdb")
+    stuffed = good[:i] + b"\xff\xff" + good[i:]
+    assert (J.jpeg_decode(stuffed) == base).all()
+
+
 def test_jpeg_stats_matches_direct_numpy(spark, sf_smoke):
     from hypertension_dashboard_pipeline_spark.io import load_table
 

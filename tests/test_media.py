@@ -92,6 +92,19 @@ def test_png_decode_all_filter_types():
     assert (m.png_decode(png) == pixels).all()
 
 
+def test_png_decode_random_filters_stress():
+    """Randomized cross-check of the vectorized filter reconstruction
+    (cumsum Sub, whole-row Up, pixel-strided Average/Paeth) against the
+    independent per-byte filter APPLICATION in _png_with_filters."""
+    rng = _rng()
+    for trial in range(5):
+        h, w = int(rng.integers(2, 40)), int(rng.integers(2, 40))
+        pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        filters = rng.integers(0, 5, size=h).tolist()
+        png = _png_with_filters(pixels, filters)
+        assert (m.png_decode(png) == pixels).all(), (trial, filters)
+
+
 def test_png_decode_multiple_idat_chunks():
     """The spec allows pixel data split across any number of IDAT
     chunks; decoders must concatenate before inflating."""
