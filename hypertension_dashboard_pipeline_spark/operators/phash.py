@@ -1,0 +1,278 @@
+"""Perceptual image hashing + corpus-level media dedup.
+
+Extends the real-decode media surface (``operators/media.py``) with the
+operations a LAION-style image-dedup pipeline runs over decoded pixels:
+
+* **aHash** (average hash): grayscale -> 8x8 nearest-neighbor grid ->
+  threshold each cell against the integer mean -> 64-bit signature.
+* **dHash** (difference hash): grayscale -> 9x8 grid -> each bit
+  compares horizontally adjacent cells -> 64-bit signature.
+* **exact pixel dedup**: a positionally-weighted integer fingerprint of
+  the full decoded RGB lattice, grouped — format-independent content
+  identity (a PNG and a BMP with identical pixels land in one group).
+
+Every stage is pure integer arithmetic (integer grayscale weights,
+floor-map resize, integer-mean threshold), so an independent engine can
+recompute the hashes in closed form from the generation formulas
+without decoding a byte — the same oracle design as the rest of the
+media surface (``queries_media.py`` module docstring).
+
+Near-dup pair generation reuses the LOSSLESS chunk-pair Hamming
+blocking already proven on SimHash (``operators/dedup.py:
+near_signature_pairs`` — max_hamming 6 over 8 chunks pigeonholes every
+qualifying pair onto an equal 16-bit chunk-pair key), so the 100 TB
+posture is inherited: candidates are generated per bucket, the
+self-join runs on DISTINCT signatures, and signature multiplicity never
+inflates the shuffle.
+
+Beyond-reference surface (the reference pipeline has no media path).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import near_signature_pairs
+from .media import (
+    PNG_SIG,
+    _key,
+    _scatter_ids,
+    bmp_decode,
+    bmp_encode,
+    nn_resize,
+    png_decode,
+    png_encode,
+)
+
+# ---------------------------------------------------------------------------
+# Synthetic near-duplicate corpus
+# ---------------------------------------------------------------------------
+
+# Generation formulas (encode side only — the SQL oracles recompute the
+# closed forms; keep in sync with queries_media.py).  k is the
+# pmod-normalized doc key; kc is the CONTENT family (docs sharing kc
+# render the same base image, across formats), v a small variant whose
+# noise perturbs ~20% of pixels — so the corpus contains exact
+# duplicates (same kc, same v), near duplicates (same kc, different v),
+# and unrelated images (different kc).
+PH_KC_MOD = 20  # kc = k % 20
+PH_V_DIV, PH_V_MOD = 20, 4  # v = (k // 20) % 4
+PH_W_MOD, PH_W_MIN = 5, 12  # w = kc % 5 + 12  (12..16)
+PH_H_MOD, PH_H_MIN = 3, 10  # h = kc % 3 + 10  (10..12)
+# noise amplitude per variant step: the BT.601 integer weights sum to
+# exactly 1000, so adding nz to all three channels shifts the gray
+# value by ~nz — v*2 keeps variants within a few Hamming bits of their
+# family (near-dups), while the exact fingerprint still separates them.
+PH_NOISE = 2
+
+
+def _synth_neardup_pixels(doc_id: int) -> np.ndarray:
+    k = _key(doc_id)
+    kc = k % PH_KC_MOD
+    v = (k // PH_V_DIV) % PH_V_MOD
+    w = kc % PH_W_MOD + PH_W_MIN
+    h = kc % PH_H_MOD + PH_H_MIN
+    y, x = np.mgrid[0:h, 0:w]
+    x = x.astype(np.int64)
+    y = y.astype(np.int64)
+    noise = np.where((x * 2 + y) % 5 == 0, v * PH_NOISE, 0)
+    return np.stack(
+        [
+            (x * 7 + y * 11 + kc * 29 + noise) % 256,
+            (x * 3 + y * 13 + kc * 17 + noise) % 256,
+            (x * 5 + y * 7 + kc * 23 + noise) % 256,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def synth_neardup_image_corpus(docs: DataFrame,
+                               id_col: str = "doc_id") -> DataFrame:
+    """One real encoded image per document (PNG for even keys, BMP for
+    odd) with deliberate content collisions across documents AND
+    formats.  Schema: (doc_id long, payload binary)."""
+    src = _scatter_ids(docs, id_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = batch["doc_id"].astype("int64")
+            payloads = [
+                (png_encode if _key(int(d)) % 2 == 0 else bmp_encode)(
+                    _synth_neardup_pixels(int(d))
+                )
+                for d in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return src.mapInPandas(run, schema="doc_id long, payload binary")
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashes (pure integer chain — closed-form verifiable)
+# ---------------------------------------------------------------------------
+
+# Integer grayscale (ITU BT.601 weights scaled by 1000, floor division):
+# deterministic and exactly reproducible in SQL, unlike float luma.
+GRAY_R, GRAY_G, GRAY_B, GRAY_DIV = 299, 587, 114, 1000
+
+
+def _gray_grid(arr: np.ndarray) -> np.ndarray:
+    rgb = arr[:, :, :3].astype(np.int64)
+    return (
+        rgb[:, :, 0] * GRAY_R + rgb[:, :, 1] * GRAY_G + rgb[:, :, 2] * GRAY_B
+    ) // GRAY_DIV
+
+
+def _bits_to_i64(bits: np.ndarray) -> int:
+    """Pack a flat boolean array (LSB first) into a SIGNED 64-bit int
+    (bit 63 is the sign bit — two's complement wrap, matching both
+    Spark longs and DuckDB BIGINTs)."""
+    h = 0
+    for i, b in enumerate(bits.reshape(-1)):
+        if b:
+            h |= 1 << i
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def ahash64(arr: np.ndarray) -> int:
+    """Average hash: 8x8 grayscale grid, bit i set iff cell i exceeds
+    the integer mean (floor(sum/64)).  Bit index = gy*8 + gx."""
+    g = nn_resize(_gray_grid(arr), 8, 8)
+    thr = int(g.sum()) // 64
+    return _bits_to_i64(g > thr)
+
+
+def dhash64(arr: np.ndarray) -> int:
+    """Difference hash: 9x8 grayscale grid, bit (gy*8 + gx) set iff
+    cell (gy, gx+1) exceeds cell (gy, gx) — brightness-shift invariant
+    by construction."""
+    g = nn_resize(_gray_grid(arr), 9, 8)
+    return _bits_to_i64(g[:, 1:] > g[:, :-1])
+
+
+def pixel_fingerprint(arr: np.ndarray) -> int:
+    """Positionally-weighted exact content fingerprint of the decoded
+    RGB lattice: sum over pixels of r*(3*idx+1) + g*(3*idx+2) +
+    b*(3*idx+3) with idx = y*w + x.  Identical pixels <=> identical
+    fingerprint on this corpus (weights make transpositions distinct);
+    bounded by 84M for the corpus sizes, exact int64."""
+    rgb = arr[:, :, :3].astype(np.int64)
+    h, w = rgb.shape[0], rgb.shape[1]
+    idx = (np.arange(h * w, dtype=np.int64).reshape(h, w)) * 3
+    return int(
+        (rgb[:, :, 0] * (idx + 1)).sum()
+        + (rgb[:, :, 1] * (idx + 2)).sum()
+        + (rgb[:, :, 2] * (idx + 3)).sum()
+    )
+
+
+def _decode_rgb(data: bytes) -> np.ndarray:
+    if data[:8] == PNG_SIG:
+        arr = png_decode(data)
+    elif data[:2] == b"BM":
+        arr = bmp_decode(data)
+    else:
+        raise ValueError("unknown image format")
+    if arr.shape[2] == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    return arr
+
+
+PHASH_SCHEMA = (
+    "doc_id long, width int, height int, fp long, ahash long, dhash long"
+)
+
+
+def image_content_signatures(df: DataFrame, id_col: str = "doc_id",
+                             payload_col: str = "payload") -> DataFrame:
+    """Decode every payload and emit the full content-identity row:
+    dimensions, exact pixel fingerprint, aHash, dHash.  One decode
+    feeds all three signatures; no shuffle (mapInPandas, partitioning
+    preserved)."""
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                arr = _decode_rgb(bytes(payload))
+                rows.append(
+                    (int(doc_id), arr.shape[1], arr.shape[0],
+                     pixel_fingerprint(arr), ahash64(arr), dhash64(arr))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "fp", "ahash", "dhash"],
+            )
+
+    return src.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level dedup over the signatures
+# ---------------------------------------------------------------------------
+
+
+def signature_dup_groups(sigs: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Group documents by a content-signature key and keep groups of
+    two or more — the exact-dup read.  One shuffle on the key; the
+    aggregate is map-side combinable."""
+    return (
+        sigs.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def hamming_doc_pairs(sigs: DataFrame, sig_col: str = "dhash",
+                      max_hamming: int = 6) -> DataFrame:
+    """(id_a, id_b, hamming) document pairs within Hamming
+    ``max_hamming`` of each other's 64-bit signature.
+
+    Same two-phase shape as ``operators/dedup.py:simhash_pairs``:
+    cross-signature candidates come from the lossless chunk-pair
+    blocking over DISTINCT signature values (template families cost one
+    candidate row, not n²), and identical-signature pairs are expanded
+    by a separate equality self-join (that expansion IS the output)."""
+    base = sigs.select("doc_id", F.col(sig_col).alias("simhash"))
+    near = near_signature_pairs(
+        base.select("simhash").distinct(), max_hamming=max_hamming
+    )
+    cross = (
+        near.join(
+            base.select(F.col("simhash").alias("sa"),
+                        F.col("doc_id").alias("ia")),
+            "sa",
+        )
+        .join(
+            base.select(F.col("simhash").alias("sb"),
+                        F.col("doc_id").alias("ib")),
+            "sb",
+        )
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "hamming",
+        )
+    )
+    same = (
+        base.alias("a")
+        .join(base.alias("b"), "simhash")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    return cross.unionByName(same)

@@ -253,3 +253,165 @@ def media_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = jpeg.synth_jpeg_corpus(docs)
     return jpeg.jpeg_stats(corpus)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash media dedup (operators/phash.py) — the LAION-style
+# corpus-dedup read over DECODED pixels.  Same zero-byte oracle design:
+# Spark decodes real PNG/BMP bytes and hashes the pixels; DuckDB
+# recomputes the identical pure-integer hash chain (BT.601/1000
+# grayscale, floor-map resize, integer-mean threshold, two's-complement
+# bit packing) from the generation formulas.
+# ---------------------------------------------------------------------------
+
+# near-dup corpus formulas (operators/phash.py constants)
+_PH_KEYED = (
+    "(SELECT doc_id, kk % 20 AS kc, (kk // 20) % 4 AS v,"
+    " (kk % 20) % 5 + 12 AS w, (kk % 20) % 3 + 10 AS h"
+    " FROM (SELECT doc_id, ((doc_id % 2147483648) + 2147483648)"
+    " % 2147483648 AS kk FROM documents) q) d"
+)
+
+
+def _ph_gray(sx: str, sy: str) -> str:
+    """Closed-form grayscale of the near-dup corpus at source pixel
+    (sx, sy) — channel formulas + sparse variant noise + BT.601/1000."""
+    nz = f"(CASE WHEN (({sx})*2 + ({sy})) % 5 = 0 THEN v*2 ELSE 0 END)"
+    r = f"((({sx})*7 + ({sy})*11 + kc*29 + {nz}) % 256)"
+    g = f"((({sx})*3 + ({sy})*13 + kc*17 + {nz}) % 256)"
+    b = f"((({sx})*5 + ({sy})*7 + kc*23 + {nz}) % 256)"
+    return f"(({r})*299 + ({g})*587 + ({b})*114) // 1000"
+
+
+# signed-64 bit packing: bit 63 is the sign bit, written as the
+# two's-complement expression (the bare literal would parse as HUGEINT)
+_PH_PACK = (
+    "CAST(SUM(CASE WHEN b = 0 THEN 0"
+    " WHEN i = 63 THEN (-9223372036854775807 - 1)::BIGINT"
+    " ELSE (1::BIGINT << i) END) AS BIGINT)"
+)
+
+_AHASH_CTE = f"""
+    WITH g8 AS (
+        SELECT d.doc_id, gy * 8 + gx AS i,
+               {_ph_gray("(gx * w) // 8", "(gy * h) // 8")} AS gray
+        FROM {_PH_KEYED}, range(0, 8) t(gx), range(0, 8) s(gy)
+    ), thr AS (
+        SELECT doc_id, CAST(SUM(gray) AS BIGINT) // 64 AS m
+        FROM g8 GROUP BY doc_id
+    ), abits AS (
+        SELECT g8.doc_id, i, CASE WHEN gray > m THEN 1 ELSE 0 END AS b
+        FROM g8 JOIN thr USING (doc_id)
+    ), asig AS (
+        SELECT doc_id, {_PH_PACK} AS ahash FROM abits GROUP BY doc_id
+    )"""
+
+_DHASH_CTE = f"""
+    WITH dbits AS (
+        SELECT d.doc_id, gy * 8 + gx AS i,
+               CASE WHEN ({_ph_gray("((gx + 1) * w) // 9", "(gy * h) // 8")})
+                       > ({_ph_gray("(gx * w) // 9", "(gy * h) // 8")})
+                    THEN 1 ELSE 0 END AS b
+        FROM {_PH_KEYED}, range(0, 8) t(gx), range(0, 8) s(gy)
+    ), dsig AS (
+        SELECT doc_id, {_PH_PACK} AS dhash FROM dbits GROUP BY doc_id
+    )"""
+
+
+def _ph_corpus_sigs(spark: SparkSession, sf_dir: str):
+    from .operators import phash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phash.image_content_signatures(
+        phash.synth_neardup_image_corpus(docs)
+    )
+
+
+@register(
+    "media_pixel_dup_groups",
+    oracle=f"""
+    WITH fpx AS (
+        SELECT d.doc_id, d.w, d.h,
+               ((y * w + x) * 3) AS i3, x, y, kc,
+               CASE WHEN (x*2 + y) % 5 = 0 THEN v*2 ELSE 0 END AS nz
+        FROM {_PH_KEYED}, range(0, 16) t(x), range(0, 12) s(y)
+        WHERE x < d.w AND y < d.h
+    ), perdoc AS (
+        SELECT doc_id, MIN(w) AS w, MIN(h) AS h,
+               CAST(SUM(((x*7 + y*11 + kc*29 + nz) % 256) * (i3 + 1)
+                      + ((x*3 + y*13 + kc*17 + nz) % 256) * (i3 + 2)
+                      + ((x*5 + y*7 + kc*23 + nz) % 256) * (i3 + 3))
+                    AS BIGINT) AS fp
+        FROM fpx GROUP BY doc_id
+    )
+    SELECT CAST(w AS INT) AS width, CAST(h AS INT) AS height, fp,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM perdoc GROUP BY w, h, fp HAVING COUNT(*) >= 2
+    """,
+)
+def media_pixel_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact image dedup over DECODED pixels: every payload (mixed
+    PNG/BMP) is really decoded, fingerprinted by a positionally-
+    weighted integer sum of the RGB lattice, and grouped — a PNG and a
+    BMP with identical pixels dedupe together (format-independent
+    content identity).  One shuffle on the fingerprint; the oracle
+    recomputes fingerprints from the generation formulas without
+    touching a byte."""
+    from .operators import phash
+
+    sigs = _ph_corpus_sigs(spark, sf_dir)
+    return phash.signature_dup_groups(sigs, ["width", "height", "fp"])
+
+
+@register(
+    "media_ahash_dedup_groups",
+    oracle=_AHASH_CTE + """
+    SELECT ahash, COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM asig GROUP BY ahash HAVING COUNT(*) >= 2
+    """,
+)
+def media_ahash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dedup by average hash: decode -> integer BT.601
+    grayscale -> 8x8 floor-map resize -> threshold against the integer
+    mean -> 64-bit signature, grouped.  aHash absorbs the corpus'
+    small brightness perturbations, so groups are LARGER than exact
+    pixel groups — the perceptual-dedup read.  The oracle recomputes
+    the full hash chain in closed form (never decodes a byte)."""
+    from .operators import phash
+
+    sigs = _ph_corpus_sigs(spark, sf_dir)
+    return phash.signature_dup_groups(sigs, ["ahash"])
+
+
+@register(
+    "media_dhash_hamming_pairs",
+    oracle=_DHASH_CTE + """
+    , usig AS (SELECT DISTINCT dhash FROM dsig),
+    sp AS (
+        SELECT a.dhash AS sa, b.dhash AS sb,
+               CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+        FROM usig a, usig b
+        WHERE a.dhash < b.dhash
+          AND bit_count(xor(a.dhash, b.dhash)) <= 6
+    )
+    SELECT LEAST(x.doc_id, y.doc_id) AS id_a,
+           GREATEST(x.doc_id, y.doc_id) AS id_b, sp.hamming
+    FROM sp JOIN dsig x ON x.dhash = sp.sa JOIN dsig y ON y.dhash = sp.sb
+    UNION ALL
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
+    FROM dsig a JOIN dsig b ON a.dhash = b.dhash AND a.doc_id < b.doc_id
+    """,
+)
+def media_dhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup image pairs by difference-hash Hamming distance <= 6
+    over decoded pixels, using the LOSSLESS chunk-pair blocking proven
+    on SimHash (operators/dedup.py:near_signature_pairs): candidates
+    join on 16-bit chunk-pair keys over DISTINCT signatures, so
+    signature multiplicity never inflates the shuffle; the oracle does
+    the plain all-pairs Hamming filter the blocking provably equals."""
+    from .operators import phash
+
+    sigs = _ph_corpus_sigs(spark, sf_dir)
+    return phash.hamming_doc_pairs(sigs, sig_col="dhash", max_hamming=6)

@@ -1,0 +1,179 @@
+"""Perceptual-hash media dedup (operators/phash.py): hash-chain unit
+tests, invariance properties, brute-force pair parity, cross-format
+content identity, and partition invariance of the Spark operator."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hypertension_dashboard_pipeline_spark.operators import phash as ph
+from hypertension_dashboard_pipeline_spark.operators import media as m
+
+
+def _rng():
+    return np.random.default_rng(11)
+
+
+# ---------------------------------------------------------------------------
+# Hash-chain units
+# ---------------------------------------------------------------------------
+
+
+def test_bits_to_i64_packing_and_sign_bit():
+    bits = np.zeros(64, dtype=bool)
+    assert ph._bits_to_i64(bits) == 0
+    bits[0] = True
+    assert ph._bits_to_i64(bits) == 1
+    bits[:] = True
+    assert ph._bits_to_i64(bits) == -1  # two's complement all-ones
+    bits[:] = False
+    bits[63] = True
+    assert ph._bits_to_i64(bits) == -(1 << 63)
+
+
+def test_ahash_known_value():
+    # 8x8 grayscale ramp as RGB (r=g=b): gray == pixel value exactly
+    # (299+587+114 = 1000).  mean = floor(sum/64); bit i = v > mean.
+    v = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    arr = np.stack([v, v, v], axis=-1)
+    thr = int(v.sum()) // 64
+    expected = ph._bits_to_i64((v > thr).reshape(-1))
+    assert ph.ahash64(arr) == expected
+
+
+def test_dhash_known_value():
+    # 8x9 image resizes to itself (floor map is identity when dims
+    # match); bit (gy*8+gx) = g[gy, gx+1] > g[gy, gx].
+    v = _rng().integers(0, 256, size=(8, 9), dtype=np.uint8)
+    arr = np.stack([v, v, v], axis=-1)
+    expected = ph._bits_to_i64(
+        (v[:, 1:].astype(int) > v[:, :-1].astype(int)).reshape(-1)
+    )
+    assert ph.dhash64(arr) == expected
+
+
+def test_hashes_brightness_shift_invariant():
+    """Adding a constant to all channels shifts the integer gray by
+    exactly that constant (the BT.601 weights sum to 1000), so both
+    the mean-threshold and adjacent-difference hashes are unchanged —
+    the property that makes perceptual dedup catch re-encodes."""
+    rng = _rng()
+    base = rng.integers(0, 200, size=(10, 13, 3), dtype=np.uint8)
+    shifted = (base.astype(np.int64) + 37).astype(np.uint8)  # no clamp hit
+    assert ph.ahash64(base) == ph.ahash64(shifted)
+    assert ph.dhash64(base) == ph.dhash64(shifted)
+    # ...while the exact fingerprint distinguishes them
+    assert ph.pixel_fingerprint(base) != ph.pixel_fingerprint(shifted)
+
+
+def test_pixel_fingerprint_positional():
+    a = np.zeros((2, 2, 3), dtype=np.uint8)
+    b = np.zeros((2, 2, 3), dtype=np.uint8)
+    a[0, 0, 0] = 5
+    b[1, 1, 0] = 5  # same multiset of values, different positions
+    assert ph.pixel_fingerprint(a) != ph.pixel_fingerprint(b)
+    assert ph.pixel_fingerprint(a.copy()) == ph.pixel_fingerprint(a)
+
+
+def test_cross_format_content_identity():
+    """The same pixels encoded as PNG and as BMP decode to identical
+    signatures — format-independent dedup."""
+    px = ph._synth_neardup_pixels(42)
+    png_sig = ph._decode_rgb(m.png_encode(px))
+    bmp_sig = ph._decode_rgb(m.bmp_encode(px))
+    assert (png_sig == bmp_sig).all()
+    assert ph.pixel_fingerprint(png_sig) == ph.pixel_fingerprint(bmp_sig)
+    assert ph.ahash64(png_sig) == ph.ahash64(bmp_sig)
+
+
+def test_neardup_corpus_structure():
+    """Same (kc, v) -> identical pixels; same kc, different v -> small
+    dHash Hamming distance; the noise amplitude is tuned so variants
+    stay near their family."""
+    # doc ids 3 and 3+80 share kc=3 and v=((3+80)//20)%4 vs (3//20)%4
+    a = ph._synth_neardup_pixels(3)       # kc=3, v=0
+    b = ph._synth_neardup_pixels(3 + 160)  # kc=3, v=(163//20)%4=0
+    assert (a == b).all()  # exact duplicate
+    c = ph._synth_neardup_pixels(3 + 20)  # kc=3, v=1 — near duplicate
+    assert not (a == c).all()
+    d_ac = bin(
+        (ph.dhash64(a) ^ ph.dhash64(c)) & ((1 << 64) - 1)
+    ).count("1")
+    assert d_ac <= 10  # near, not identical-or-far
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+
+def test_signatures_match_direct_numpy(spark, sf_smoke):
+    from hypertension_dashboard_pipeline_spark.io import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(40)
+    rows = ph.image_content_signatures(
+        ph.synth_neardup_image_corpus(docs)
+    ).collect()
+    assert len(rows) == 40
+    for r in rows:
+        px = ph._synth_neardup_pixels(r.doc_id)
+        assert (r.width, r.height) == (px.shape[1], px.shape[0])
+        assert r.fp == ph.pixel_fingerprint(px)
+        assert r.ahash == ph.ahash64(px)
+        assert r.dhash == ph.dhash64(px)
+
+
+def test_hamming_pairs_equal_brute_force(spark, sf_smoke):
+    """The chunk-pair blocked pair set must equal the plain all-pairs
+    Hamming filter (lossless blocking), including identical-signature
+    expansion."""
+    from hypertension_dashboard_pipeline_spark.io import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(60)
+    sigs = ph.image_content_signatures(
+        ph.synth_neardup_image_corpus(docs)
+    ).select("doc_id", "dhash").collect()
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in ph.hamming_doc_pairs(
+            ph.image_content_signatures(
+                ph.synth_neardup_image_corpus(docs)
+            ),
+            sig_col="dhash",
+            max_hamming=6,
+        ).collect()
+    }
+    want = set()
+    for i, a in enumerate(sigs):
+        for b in sigs[i + 1:]:
+            hd = bin((a.dhash ^ b.dhash) & ((1 << 64) - 1)).count("1")
+            if hd <= 6:
+                lo, hi = sorted((a.doc_id, b.doc_id))
+                want.add((lo, hi, hd))
+    assert got == want
+
+
+def test_dup_groups_partition_invariant(spark, sf_smoke):
+    from hypertension_dashboard_pipeline_spark.io import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    corpus = ph.synth_neardup_image_corpus(docs)
+
+    def run(df):
+        return sorted(
+            tuple(r) for r in ph.signature_dup_groups(
+                ph.image_content_signatures(df), ["width", "height", "fp"]
+            ).collect()
+        )
+
+    assert run(corpus.coalesce(1)) == run(corpus.repartition(7))
+
+
+def test_empty_corpus_contracts(spark):
+    empty = spark.createDataFrame([], "doc_id long")
+    corpus = ph.synth_neardup_image_corpus(empty)
+    sigs = ph.image_content_signatures(corpus)
+    assert sigs.count() == 0
+    assert ph.signature_dup_groups(sigs, ["ahash"]).count() == 0
+    assert ph.hamming_doc_pairs(sigs).count() == 0

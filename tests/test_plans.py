@@ -235,6 +235,11 @@ def test_no_registered_query_uses_row_python_eval(spark, sf_dir):
         "media_audio_decode_stats",
         "media_gif_frame_stats",
         "media_jpeg_decode_stats",
+        # perceptual-hash dedup (r11): decode + hash in one Arrow
+        # stage, then pure JVM groupBy / chunk-pair join downstream
+        "media_pixel_dup_groups",
+        "media_ahash_dedup_groups",
+        "media_dhash_hamming_pairs",
     }
     ARROW_NODES = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
     row_eval, undeclared_arrow = [], []
