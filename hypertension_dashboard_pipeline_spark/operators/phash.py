@@ -37,7 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import near_signature_pairs
+from .dedup import _maybe_persist, near_signature_pairs, release_persisted
 from .media import (
     PNG_SIG,
     _key,
@@ -235,7 +235,8 @@ def signature_dup_groups(sigs: DataFrame, key_cols: list[str]) -> DataFrame:
 
 
 def hamming_doc_pairs(sigs: DataFrame, sig_col: str = "dhash",
-                      max_hamming: int = 6) -> DataFrame:
+                      max_hamming: int = 6, persist: bool = True,
+                      release: bool = True) -> DataFrame:
     """(id_a, id_b, hamming) document pairs within Hamming
     ``max_hamming`` of each other's 64-bit signature.
 
@@ -243,8 +244,16 @@ def hamming_doc_pairs(sigs: DataFrame, sig_col: str = "dhash",
     cross-signature candidates come from the lossless chunk-pair
     blocking over DISTINCT signature values (template families cost one
     candidate row, not n²), and identical-signature pairs are expanded
-    by a separate equality self-join (that expansion IS the output)."""
-    base = sigs.select("doc_id", F.col(sig_col).alias("simhash"))
+    by a separate equality self-join (that expansion IS the output).
+    The signature subplan feeds FIVE join branches (distinct set, two
+    cross expansions, two same-sig sides); without the persist each
+    branch would re-run the whole decode+hash chain — the dedup-module
+    persist/release contract applies (16 bytes/row of state)."""
+    if release:
+        release_persisted()
+    base = _maybe_persist(
+        sigs.select("doc_id", F.col(sig_col).alias("simhash")), persist
+    )
     near = near_signature_pairs(
         base.select("simhash").distinct(), max_hamming=max_hamming
     )
