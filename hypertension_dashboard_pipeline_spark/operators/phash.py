@@ -47,6 +47,8 @@ from .media import (
     nn_resize,
     png_decode,
     png_encode,
+    wav_decode,
+    wav_encode,
 )
 
 # ---------------------------------------------------------------------------
@@ -217,6 +219,170 @@ def image_content_signatures(df: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 # Corpus-level dedup over the signatures
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# Audio exact-dup (decoded PCM fingerprint)
+# ---------------------------------------------------------------------------
+
+# dup-audio corpus formulas: content key kc collides across documents,
+# so the corpus contains real duplicate recordings.
+AUD_KC_MOD = 30  # kc = k % 30
+AUD_N_MOD, AUD_N_MIN = 50, 20  # n = kc % 50 + 20 (20..69)
+
+
+def _synth_dup_samples(kc: int) -> np.ndarray:
+    n = kc % AUD_N_MOD + AUD_N_MIN
+    i = np.arange(n, dtype=np.int64)
+    return ((i * i * 37 + i * 1009 + kc * 31) % 65536 - 32768).astype(np.int16)
+
+
+def synth_dup_audio_corpus(docs: DataFrame,
+                           id_col: str = "doc_id") -> DataFrame:
+    """One real PCM WAV per document, with deliberate content
+    collisions: documents sharing ``k % 30`` carry byte-identical
+    recordings.  Schema: (doc_id long, payload binary)."""
+    src = _scatter_ids(docs, id_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = batch["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                kc = _key(int(d)) % AUD_KC_MOD
+                payloads.append(
+                    wav_encode(8000 + kc % 3 * 4000, _synth_dup_samples(kc))
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return src.mapInPandas(run, schema="doc_id long, payload binary")
+
+
+def sample_fingerprint(samples: np.ndarray) -> int:
+    """Positionally-weighted exact fingerprint of a PCM sample array:
+    sum of s_i * (i + 1) — order-sensitive, exact int64 (|s| < 2^15,
+    weights bounded by corpus length)."""
+    s = np.asarray(samples, dtype=np.int64).reshape(-1)
+    return int((s * (np.arange(len(s), dtype=np.int64) + 1)).sum())
+
+
+AUDIO_SIG_SCHEMA = "doc_id long, sample_rate int, n_samples long, fp long"
+
+
+def audio_content_signatures(df: DataFrame, id_col: str = "doc_id",
+                             payload_col: str = "payload") -> DataFrame:
+    """Decode every WAV (real RIFF parse) and emit the content-identity
+    row: sample rate, length, exact sample fingerprint."""
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                rate, samples = wav_decode(bytes(payload))
+                rows.append(
+                    (int(doc_id), rate, len(samples),
+                     sample_fingerprint(samples))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sample_rate", "n_samples", "fp"]
+            )
+
+    return src.mapInPandas(run, schema=AUDIO_SIG_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# GIF frame-level dedup (the video-frame-dedup read: shared frames
+# across different animations)
+# ---------------------------------------------------------------------------
+
+# frame-dup corpus formulas: all frames are 6x5 on the shared palette;
+# the frame CONTENT key fc = (kc + f*3) % 10 deliberately collides
+# across documents and frame positions.
+GFD_KC_MOD = 12  # kc = k % 12
+GFD_NF_MOD, GFD_NF_MIN = 4, 3  # n_frames = kc % 4 + 3 (3..6)
+GFD_W, GFD_H = 6, 5
+GFD_FC_MOD = 10  # fc = (kc + f*3) % 10
+
+
+def _synth_dup_frame(fc: int) -> np.ndarray:
+    y, x = np.mgrid[0:GFD_H, 0:GFD_W]
+    return ((x * 5 + y * 9 + fc * 21) % 256).astype(np.uint8)
+
+
+def synth_framedup_gif_corpus(docs: DataFrame,
+                              id_col: str = "doc_id") -> DataFrame:
+    """One real animated GIF per document whose frames recur across
+    documents AND positions (frame content key (kc + f*3) % 10).
+    Schema: (doc_id long, payload binary)."""
+    from .gif import _PALETTE, gif_encode
+
+    src = _scatter_ids(docs, id_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = batch["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                kc = _key(int(d)) % GFD_KC_MOD
+                nf = kc % GFD_NF_MOD + GFD_NF_MIN
+                frames = [
+                    _synth_dup_frame((kc + f * 3) % GFD_FC_MOD)
+                    for f in range(nf)
+                ]
+                payloads.append(gif_encode(frames, _PALETTE))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return src.mapInPandas(run, schema="doc_id long, payload binary")
+
+
+FRAME_SIG_SCHEMA = "doc_id long, frame_idx int, fp long"
+
+
+def gif_frame_signatures(df: DataFrame, id_col: str = "doc_id",
+                         payload_col: str = "payload") -> DataFrame:
+    """REAL frame extraction + per-frame content fingerprint: every GIF
+    frame is LZW-decoded and palette-mapped; the fingerprint is the
+    positionally-weighted sum of the palette INDEX grid (the decoded R
+    channel — the shared palette maps entry i to red value i, so the
+    index survives decoding exactly).  1->N fan-out, no shuffle."""
+    from .gif import gif_decode
+
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                for f_idx, frame in enumerate(gif_decode(bytes(payload))):
+                    idx = frame[:, :, 0].astype(np.int64)  # palette index
+                    h, w = idx.shape
+                    weights = (
+                        np.arange(h * w, dtype=np.int64).reshape(h, w) + 1
+                    )
+                    rows.append(
+                        (int(doc_id), f_idx, int((idx * weights).sum()))
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "fp"])
+
+    return src.mapInPandas(run, schema=FRAME_SIG_SCHEMA)
+
+
+def frame_dup_groups(frame_sigs: DataFrame) -> DataFrame:
+    """Group identical frames across the corpus (video-frame dedup):
+    one shuffle on the fingerprint, map-side-combinable aggregates."""
+    return (
+        frame_sigs.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .filter(F.col("n_frames") >= 2)
+    )
 
 
 def signature_dup_groups(sigs: DataFrame, key_cols: list[str]) -> DataFrame:

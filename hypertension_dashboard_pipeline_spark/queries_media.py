@@ -386,6 +386,87 @@ def media_ahash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_audio_dup_groups",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id,
+               (((doc_id % 2147483648) + 2147483648) % 2147483648) % 30 AS kc
+        FROM documents
+    ), pcm AS (
+        SELECT doc_id, kc, i,
+               (i*i*37 + i*1009 + kc*31) % 65536 - 32768 AS s
+        FROM keyed, range(0, 70) t(i)
+        WHERE i < kc % 50 + 20
+    ), perdoc AS (
+        SELECT doc_id,
+               CAST(MIN(8000 + (kc % 3) * 4000) AS INT) AS sample_rate,
+               CAST(MIN(kc % 50 + 20) AS BIGINT) AS n_samples,
+               CAST(SUM(s * (i + 1)) AS BIGINT) AS fp
+        FROM pcm GROUP BY doc_id
+    )
+    SELECT sample_rate, n_samples, fp, COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM perdoc GROUP BY sample_rate, n_samples, fp
+    HAVING COUNT(*) >= 2
+    """,
+)
+def media_audio_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact audio dedup over DECODED PCM: every payload is a real WAV
+    (stdlib encoder), really RIFF-parsed back, fingerprinted by a
+    positionally-weighted int64 sample sum, and grouped with the rate
+    and length — byte-identical recordings dedupe across documents.
+    The oracle recomputes the fingerprints from the sample formula
+    without touching a byte."""
+    from .operators import phash
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = phash.audio_content_signatures(
+        phash.synth_dup_audio_corpus(docs)
+    )
+    return phash.signature_dup_groups(
+        sigs, ["sample_rate", "n_samples", "fp"]
+    )
+
+
+@register(
+    "media_gif_frame_dup_groups",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id,
+               (((doc_id % 2147483648) + 2147483648) % 2147483648) % 12 AS kc
+        FROM documents
+    ), cells AS (
+        SELECT doc_id, f, x, y, ((kc + f*3) % 10) AS fc
+        FROM keyed, range(0, 6) u(f), range(0, 6) t(x), range(0, 5) s(y)
+        WHERE f < kc % 4 + 3
+    ), perframe AS (
+        SELECT doc_id, f,
+               CAST(SUM(((x*5 + y*9 + fc*21) % 256) * (y*6 + x + 1))
+                    AS BIGINT) AS fp
+        FROM cells GROUP BY doc_id, f
+    )
+    SELECT fp, COUNT(*) AS n_frames, COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM perframe GROUP BY fp HAVING COUNT(*) >= 2
+    """,
+)
+def media_gif_frame_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level dedup across animations (the video-frame-dedup
+    read): every document's GIF is really LZW-decoded, each frame
+    fingerprinted from the decoded palette-index grid, and identical
+    frames grouped across documents AND frame positions.  1->N decode
+    fan-out with no shuffle, then one shuffle on the fingerprint.  The
+    oracle recomputes the per-frame fingerprints from the generation
+    formulas — a parity match certifies the frame decode path."""
+    from .operators import phash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phash.frame_dup_groups(
+        phash.gif_frame_signatures(phash.synth_framedup_gif_corpus(docs))
+    )
+
+
+@register(
     "media_dhash_hamming_pairs",
     oracle=_DHASH_CTE + """
     , usig AS (SELECT DISTINCT dhash FROM dsig),

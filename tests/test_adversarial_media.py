@@ -32,6 +32,8 @@ MEDIA_QUERIES = [
     "media_pixel_dup_groups",
     "media_ahash_dedup_groups",
     "media_dhash_hamming_pairs",
+    "media_audio_dup_groups",
+    "media_gif_frame_dup_groups",
 ]
 
 # negative, zero, huge, and 2^31-straddling ids; enough ids in a small

@@ -177,3 +177,76 @@ def test_empty_corpus_contracts(spark):
     assert sigs.count() == 0
     assert ph.signature_dup_groups(sigs, ["ahash"]).count() == 0
     assert ph.hamming_doc_pairs(sigs).count() == 0
+    asigs = ph.audio_content_signatures(ph.synth_dup_audio_corpus(empty))
+    assert asigs.count() == 0
+    fsigs = ph.gif_frame_signatures(ph.synth_framedup_gif_corpus(empty))
+    assert ph.frame_dup_groups(fsigs).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Audio / GIF-frame dedup
+# ---------------------------------------------------------------------------
+
+
+def test_audio_signatures_match_direct_numpy(spark, sf_smoke):
+    from hypertension_dashboard_pipeline_spark.io import load_table
+    from hypertension_dashboard_pipeline_spark.operators.media import _key
+
+    docs = load_table(spark, sf_smoke, "documents").limit(40)
+    rows = ph.audio_content_signatures(
+        ph.synth_dup_audio_corpus(docs)
+    ).collect()
+    assert len(rows) == 40
+    for r in rows:
+        kc = _key(r.doc_id) % ph.AUD_KC_MOD
+        samples = ph._synth_dup_samples(kc)
+        assert r.sample_rate == 8000 + kc % 3 * 4000
+        assert r.n_samples == len(samples)
+        assert r.fp == ph.sample_fingerprint(samples)
+
+
+def test_audio_dup_groups_find_content_collisions(spark, sf_smoke):
+    """Documents sharing k % 30 carry byte-identical WAVs and must land
+    in one group."""
+    from hypertension_dashboard_pipeline_spark.io import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(120)
+    sigs = ph.audio_content_signatures(ph.synth_dup_audio_corpus(docs))
+    groups = ph.signature_dup_groups(
+        sigs, ["sample_rate", "n_samples", "fp"]
+    ).collect()
+    assert groups  # 120 docs over 30 content keys -> real groups
+    assert sum(g.n_docs for g in groups) <= 120
+    assert all(g.n_docs >= 2 for g in groups)
+
+
+def test_gif_frame_fingerprint_reads_palette_index(spark, sf_smoke):
+    """The decoded R channel IS the palette index (entry i -> red i),
+    so the Spark-side fingerprint equals the formula fingerprint."""
+    from hypertension_dashboard_pipeline_spark.io import load_table
+    from hypertension_dashboard_pipeline_spark.operators.media import _key
+
+    docs = load_table(spark, sf_smoke, "documents").limit(25)
+    rows = ph.gif_frame_signatures(
+        ph.synth_framedup_gif_corpus(docs)
+    ).collect()
+    for r in rows:
+        kc = _key(r.doc_id) % ph.GFD_KC_MOD
+        fc = (kc + r.frame_idx * 3) % ph.GFD_FC_MOD
+        idx = ph._synth_dup_frame(fc).astype(np.int64)
+        weights = np.arange(idx.size, dtype=np.int64).reshape(idx.shape) + 1
+        assert r.fp == int((idx * weights).sum())
+
+
+def test_frame_dup_groups_span_documents_and_positions(spark, sf_smoke):
+    from hypertension_dashboard_pipeline_spark.io import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(60)
+    groups = ph.frame_dup_groups(
+        ph.gif_frame_signatures(ph.synth_framedup_gif_corpus(docs))
+    ).collect()
+    assert groups
+    # frames recur ACROSS documents: some group spans >= 2 distinct docs
+    assert any(g.n_docs >= 2 for g in groups)
+    # only 10 possible frame contents exist
+    assert len({g.fp for g in groups}) <= ph.GFD_FC_MOD

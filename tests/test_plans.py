@@ -240,6 +240,8 @@ def test_no_registered_query_uses_row_python_eval(spark, sf_dir):
         "media_pixel_dup_groups",
         "media_ahash_dedup_groups",
         "media_dhash_hamming_pairs",
+        "media_audio_dup_groups",
+        "media_gif_frame_dup_groups",
     }
     ARROW_NODES = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
     row_eval, undeclared_arrow = [], []
