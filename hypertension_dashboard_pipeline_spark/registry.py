@@ -508,11 +508,17 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #          the p-family (p5, p6_p7, p9, p10, p12) — the youngest of
 #          the r4 cohort, all fingerprint-pinned and locally swept.
 #      NEW THIS ROUND (registered outside the window under the
-#      brand-new-query exemption, r12 debut queue): the perceptual-
-#      hash media-dedup surface (media_phash_dedup_groups,
-#      media_ahash_hamming_pairs — aHash/dHash over the decoded
-#      grayscale grid feeding the existing Hamming-pair machinery)
-#      plus whatever else this session registers; see QUERIES.md.
+#      brand-new-query exemption, r12 debut queue): the media-dedup
+#      surface over decoded content (operators/phash.py) —
+#      media_pixel_dup_groups (exact cross-format image dedup),
+#      media_ahash_dedup_groups (perceptual average-hash groups),
+#      media_dhash_hamming_pairs (difference-hash near-dup pairs via
+#      the lossless chunk-pair blocking), media_audio_dup_groups
+#      (decoded-PCM exact dedup), media_gif_frame_dup_groups
+#      (frame-level dedup across animations).  All five are
+#      local-oracle-green at sf0.001+sf0.01 from their first commit,
+#      hostile-id adversarial-swept (tests/test_adversarial_media.py),
+#      and empty-corpus pinned.
 _FRONT: list[str] = [
     # flagship + headline extension pipeline (always externally gated)
     "flagship_cohort_pipeline",
