@@ -37,7 +37,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _maybe_persist, near_signature_pairs, release_persisted
+from .dedup import (
+    _maybe_persist,
+    connected_components,
+    near_signature_pairs,
+    release_persisted,
+)
 from .media import (
     PNG_SIG,
     _key,
@@ -451,3 +456,35 @@ def hamming_doc_pairs(sigs: DataFrame, sig_col: str = "dhash",
         )
     )
     return cross.unionByName(same)
+
+
+def phash_dedup_groups(sigs: DataFrame, sig_col: str = "dhash",
+                       max_hamming: int = 6, max_iterations: int = 20,
+                       persist: bool = True,
+                       release: bool = True) -> DataFrame:
+    """(doc_id, group_id) for EVERY document, where group_id is the min
+    doc id over the transitive closure of signature-level near-dup
+    edges — the scale-safe survivor labeling (n output rows, never the
+    O(family²) pair expansion).
+
+    Mirrors ``operators/dedup.py:simhash_groups`` over precomputed
+    perceptual signatures: components run on DISTINCT signature values
+    (a template family is ONE node), documents join their signature's
+    component once, singleton signatures keep themselves as their
+    component."""
+    if release:
+        release_persisted()
+    base = _maybe_persist(
+        sigs.select("doc_id", F.col(sig_col).alias("simhash")), persist
+    )
+    near = near_signature_pairs(
+        base.select("simhash").distinct(), max_hamming=max_hamming
+    )
+    comp = connected_components(
+        near, "sa", "sb", max_iterations=max_iterations, release=False
+    ).select(F.col("id").alias("simhash"), F.col("component").alias("__comp"))
+    with_comp = base.join(comp, "simhash", "left").select(
+        "doc_id", F.coalesce(F.col("__comp"), F.col("simhash")).alias("__comp")
+    )
+    gid = with_comp.groupBy("__comp").agg(F.min("doc_id").alias("group_id"))
+    return with_comp.join(gid, "__comp").select("doc_id", "group_id")

@@ -467,6 +467,50 @@ def media_gif_frame_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_phash_dedup_groups",
+    oracle=_DHASH_CTE.replace("WITH", "WITH RECURSIVE", 1) + """
+    , usig AS (SELECT DISTINCT dhash FROM dsig),
+    spairs AS (
+        SELECT a.dhash AS sa, b.dhash AS sb
+        FROM usig a, usig b
+        WHERE a.dhash < b.dhash
+          AND bit_count(xor(a.dhash, b.dhash)) <= 6
+    ), sedges AS (
+        SELECT sa AS s, sb AS t FROM spairs
+        UNION SELECT sb, sa FROM spairs
+    ), reach AS (
+        SELECT s AS sig, s AS r FROM sedges
+        UNION
+        SELECT e.t, reach.r FROM reach JOIN sedges e ON e.s = reach.sig
+    ), scomp AS (
+        SELECT sig, MIN(r) AS comp FROM reach GROUP BY sig
+    ), sig2comp AS (
+        SELECT u.dhash, COALESCE(sc.comp, u.dhash) AS comp
+        FROM usig u LEFT JOIN scomp sc ON sc.sig = u.dhash
+    ), gid AS (
+        SELECT s2.comp, MIN(s.doc_id) AS group_id
+        FROM dsig s JOIN sig2comp s2 USING (dhash)
+        GROUP BY s2.comp
+    )
+    SELECT s.doc_id, g.group_id
+    FROM dsig s JOIN sig2comp s2 USING (dhash)
+                JOIN gid g ON g.comp = s2.comp
+    """,
+)
+def media_phash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-output perceptual image dedup: every document labeled with
+    the min doc id of its transitive dHash near-dup family — n output
+    rows, never the O(family²) pair expansion.  Components run on
+    DISTINCT signatures (a template family is one node); the oracle is
+    a recursive-CTE closure over the same signature graph, computed
+    from the generation formulas without decoding a byte."""
+    from .operators import phash
+
+    sigs = _ph_corpus_sigs(spark, sf_dir)
+    return phash.phash_dedup_groups(sigs, sig_col="dhash", max_hamming=6)
+
+
+@register(
     "media_dhash_hamming_pairs",
     oracle=_DHASH_CTE + """
     , usig AS (SELECT DISTINCT dhash FROM dsig),

@@ -34,6 +34,7 @@ MEDIA_QUERIES = [
     "media_dhash_hamming_pairs",
     "media_audio_dup_groups",
     "media_gif_frame_dup_groups",
+    "media_phash_dedup_groups",
 ]
 
 # negative, zero, huge, and 2^31-straddling ids; enough ids in a small

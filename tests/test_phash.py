@@ -154,6 +154,31 @@ def test_hamming_pairs_equal_brute_force(spark, sf_smoke):
     assert got == want
 
 
+def test_phash_groups_consistent_with_pairs(spark, sf_smoke):
+    """Every emitted near-dup pair must share a group label, and group
+    labels are the min doc id of their member set (transitive closure
+    can merge pair-connected families, never split them)."""
+    from hypertension_dashboard_pipeline_spark.io import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(80)
+    corpus = ph.synth_neardup_image_corpus(docs)
+    sigs = ph.image_content_signatures(corpus)
+    groups = {
+        r.doc_id: r.group_id
+        for r in ph.phash_dedup_groups(sigs, sig_col="dhash").collect()
+    }
+    sigs2 = ph.image_content_signatures(ph.synth_neardup_image_corpus(docs))
+    pairs = ph.hamming_doc_pairs(sigs2, sig_col="dhash").collect()
+    assert len(groups) == 80  # every document is labeled
+    for p in pairs:
+        assert groups[p.id_a] == groups[p.id_b]
+    by_group: dict[int, list[int]] = {}
+    for doc, g in groups.items():
+        by_group.setdefault(g, []).append(doc)
+    for g, members in by_group.items():
+        assert g == min(members)
+
+
 def test_dup_groups_partition_invariant(spark, sf_smoke):
     from hypertension_dashboard_pipeline_spark.io import load_table
 

@@ -242,6 +242,7 @@ def test_no_registered_query_uses_row_python_eval(spark, sf_dir):
         "media_dhash_hamming_pairs",
         "media_audio_dup_groups",
         "media_gif_frame_dup_groups",
+        "media_phash_dedup_groups",
     }
     ARROW_NODES = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
     row_eval, undeclared_arrow = [], []
