@@ -191,16 +191,18 @@ def _decode_rgb(data: bytes) -> np.ndarray:
 
 
 PHASH_SCHEMA = (
-    "doc_id long, width int, height int, fp long, ahash long, dhash long"
+    "doc_id long, width int, height int, fp long, ahash long, dhash long, "
+    "sum_rgb long"
 )
 
 
 def image_content_signatures(df: DataFrame, id_col: str = "doc_id",
                              payload_col: str = "payload") -> DataFrame:
     """Decode every payload and emit the full content-identity row:
-    dimensions, exact pixel fingerprint, aHash, dHash.  One decode
-    feeds all three signatures; no shuffle (mapInPandas, partitioning
-    preserved)."""
+    dimensions, exact pixel fingerprint, aHash, dHash, and the total
+    channel sum (the integer brightness statistic downstream quality
+    bands filter on).  One decode feeds every signature; no shuffle
+    (mapInPandas, partitioning preserved)."""
     src = df.select(F.col(id_col).alias("doc_id"),
                     F.col(payload_col).alias("payload"))
 
@@ -211,11 +213,13 @@ def image_content_signatures(df: DataFrame, id_col: str = "doc_id",
                 arr = _decode_rgb(bytes(payload))
                 rows.append(
                     (int(doc_id), arr.shape[1], arr.shape[0],
-                     pixel_fingerprint(arr), ahash64(arr), dhash64(arr))
+                     pixel_fingerprint(arr), ahash64(arr), dhash64(arr),
+                     int(arr[:, :, :3].astype(np.int64).sum()))
                 )
             yield pd.DataFrame(
                 rows,
-                columns=["doc_id", "width", "height", "fp", "ahash", "dhash"],
+                columns=["doc_id", "width", "height", "fp", "ahash",
+                         "dhash", "sum_rgb"],
             )
 
     return src.mapInPandas(run, schema=PHASH_SCHEMA)
@@ -403,6 +407,23 @@ def signature_dup_groups(sigs: DataFrame, key_cols: list[str]) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+def image_dedup_survivors(sigs: DataFrame, persist: bool = True,
+                          release: bool = True) -> DataFrame:
+    """Keep ONE document per exact pixel-identity group — the survivor
+    is the min doc id (deterministic).  The signature relation feeds
+    both the group-min aggregate and the re-join, so it is persisted
+    under the dedup-module contract.  Semi-join shape: the aggregate
+    emits (key, min_doc) and the join back recovers the survivor's full
+    signature row without a window over the corpus."""
+    if release:
+        release_persisted()
+    base = _maybe_persist(sigs, persist)
+    mins = base.groupBy("width", "height", "fp").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return base.join(mins, ["width", "height", "fp", "doc_id"])
 
 
 def hamming_doc_pairs(sigs: DataFrame, sig_col: str = "dhash",

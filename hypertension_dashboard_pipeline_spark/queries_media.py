@@ -26,6 +26,7 @@ that genuinely need native libs).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .io import load_table
 from .operators import media
@@ -291,8 +292,7 @@ _PH_PACK = (
     " ELSE (1::BIGINT << i) END) AS BIGINT)"
 )
 
-_AHASH_CTE = f"""
-    WITH g8 AS (
+_AHASH_BODY = f"""g8 AS (
         SELECT d.doc_id, gy * 8 + gx AS i,
                {_ph_gray("(gx * w) // 8", "(gy * h) // 8")} AS gray
         FROM {_PH_KEYED}, range(0, 8) t(gx), range(0, 8) s(gy)
@@ -306,8 +306,7 @@ _AHASH_CTE = f"""
         SELECT doc_id, {_PH_PACK} AS ahash FROM abits GROUP BY doc_id
     )"""
 
-_DHASH_CTE = f"""
-    WITH dbits AS (
+_DHASH_BODY = f"""dbits AS (
         SELECT d.doc_id, gy * 8 + gx AS i,
                CASE WHEN ({_ph_gray("((gx + 1) * w) // 9", "(gy * h) // 8")})
                        > ({_ph_gray("(gx * w) // 9", "(gy * h) // 8")})
@@ -316,6 +315,30 @@ _DHASH_CTE = f"""
     ), dsig AS (
         SELECT doc_id, {_PH_PACK} AS dhash FROM dbits GROUP BY doc_id
     )"""
+
+# per-doc exact content row: dimensions, weighted fingerprint, total
+# channel sum (the closed form of image_content_signatures' output)
+_FP_BODY = f"""fpx AS (
+        SELECT d.doc_id, d.w, d.h,
+               ((y * w + x) * 3) AS i3, x, y, kc,
+               CASE WHEN (x*2 + y) % 5 = 0 THEN v*2 ELSE 0 END AS nz
+        FROM {_PH_KEYED}, range(0, 16) t(x), range(0, 12) s(y)
+        WHERE x < d.w AND y < d.h
+    ), perdoc AS (
+        SELECT doc_id, MIN(w) AS w, MIN(h) AS h,
+               CAST(SUM(((x*7 + y*11 + kc*29 + nz) % 256) * (i3 + 1)
+                      + ((x*3 + y*13 + kc*17 + nz) % 256) * (i3 + 2)
+                      + ((x*5 + y*7 + kc*23 + nz) % 256) * (i3 + 3))
+                    AS BIGINT) AS fp,
+               CAST(SUM(((x*7 + y*11 + kc*29 + nz) % 256)
+                      + ((x*3 + y*13 + kc*17 + nz) % 256)
+                      + ((x*5 + y*7 + kc*23 + nz) % 256))
+                    AS BIGINT) AS sum_rgb
+        FROM fpx GROUP BY doc_id
+    )"""
+
+_AHASH_CTE = "\n    WITH " + _AHASH_BODY
+_DHASH_CTE = "\n    WITH " + _DHASH_BODY
 
 
 def _ph_corpus_sigs(spark: SparkSession, sf_dir: str):
@@ -329,21 +352,7 @@ def _ph_corpus_sigs(spark: SparkSession, sf_dir: str):
 
 @register(
     "media_pixel_dup_groups",
-    oracle=f"""
-    WITH fpx AS (
-        SELECT d.doc_id, d.w, d.h,
-               ((y * w + x) * 3) AS i3, x, y, kc,
-               CASE WHEN (x*2 + y) % 5 = 0 THEN v*2 ELSE 0 END AS nz
-        FROM {_PH_KEYED}, range(0, 16) t(x), range(0, 12) s(y)
-        WHERE x < d.w AND y < d.h
-    ), perdoc AS (
-        SELECT doc_id, MIN(w) AS w, MIN(h) AS h,
-               CAST(SUM(((x*7 + y*11 + kc*29 + nz) % 256) * (i3 + 1)
-                      + ((x*3 + y*13 + kc*17 + nz) % 256) * (i3 + 2)
-                      + ((x*5 + y*7 + kc*23 + nz) % 256) * (i3 + 3))
-                    AS BIGINT) AS fp
-        FROM fpx GROUP BY doc_id
-    )
+    oracle="\n    WITH " + _FP_BODY + """
     SELECT CAST(w AS INT) AS width, CAST(h AS INT) AS height, fp,
            COUNT(*) AS n_docs,
            MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
@@ -383,6 +392,72 @@ def media_ahash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sigs = _ph_corpus_sigs(spark, sf_dir)
     return phash.signature_dup_groups(sigs, ["ahash"])
+
+
+@register(
+    "media_dedup_compaction",
+    oracle="\n    WITH " + _FP_BODY + ",\n    " + _AHASH_BODY + ",\n    "
+    + _DHASH_BODY + """
+    SELECT (SELECT COUNT(*) FROM perdoc) AS n_docs,
+           (SELECT COUNT(DISTINCT (w, h, fp)) FROM perdoc) AS n_pixel_sigs,
+           (SELECT COUNT(DISTINCT ahash) FROM asig) AS n_ahash_sigs,
+           (SELECT COUNT(DISTINCT dhash) FROM dsig) AS n_dhash_sigs
+    """,
+)
+def media_dedup_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-compaction evaluation: how much each signature layer
+    collapses the corpus — documents vs exact pixel identities vs
+    perceptual aHash/dHash identities (perceptual layers absorb the
+    brightness variants, so their counts sit at or below the exact
+    count).  One decode pass, one 1-row aggregate; the oracle
+    recomputes all three signature layers in closed form."""
+    from .operators import phash
+
+    sigs = _ph_corpus_sigs(spark, sf_dir)
+    return sigs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("width", "height", "fp").alias("n_pixel_sigs"),
+        F.countDistinct("ahash").alias("n_ahash_sigs"),
+        F.countDistinct("dhash").alias("n_dhash_sigs"),
+    )
+
+
+@register(
+    "media_curation_pipeline",
+    oracle="\n    WITH " + _FP_BODY + """
+    , mins AS (
+        SELECT w, h, fp, MIN(doc_id) AS doc_id
+        FROM perdoc GROUP BY w, h, fp
+    )
+    SELECT p.doc_id, CAST(p.w AS INT) AS width, CAST(p.h AS INT) AS height,
+           CAST(p.w * p.h AS BIGINT) AS n_px, p.sum_rgb
+    FROM perdoc p JOIN mins m
+      ON p.w = m.w AND p.h = m.h AND p.fp = m.fp AND p.doc_id = m.doc_id
+    WHERE p.w * p.h >= 130
+      AND p.sum_rgb >= 340 * p.w * p.h
+      AND p.sum_rgb <= 420 * p.w * p.h
+    """,
+)
+def media_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end media curation: decode real bytes -> exact-dup
+    survivor selection (min doc id per pixel-identity group) -> integer
+    quality band (minimum pixel count + mean-brightness band expressed
+    as exact integer bounds on the channel sum).  The LAION-style
+    keep-list, one decode pass + one shuffle; the oracle runs the same
+    selection on formula-derived rows."""
+    from .operators import phash
+
+    sigs = _ph_corpus_sigs(spark, sf_dir)
+    survivors = phash.image_dedup_survivors(sigs)
+    n_px = (F.col("width").cast("long") * F.col("height")).alias("n_px")
+    return (
+        survivors.select("doc_id", "width", "height", n_px, "sum_rgb")
+        .filter(
+            (F.col("n_px") >= 130)
+            & (F.col("sum_rgb") >= 340 * F.col("n_px"))
+            & (F.col("sum_rgb") <= 420 * F.col("n_px"))
+        )
+    )
 
 
 @register(

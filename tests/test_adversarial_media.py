@@ -35,6 +35,8 @@ MEDIA_QUERIES = [
     "media_audio_dup_groups",
     "media_gif_frame_dup_groups",
     "media_phash_dedup_groups",
+    "media_dedup_compaction",
+    "media_curation_pipeline",
 ]
 
 # negative, zero, huge, and 2^31-straddling ids; enough ids in a small

@@ -179,6 +179,22 @@ def test_phash_groups_consistent_with_pairs(spark, sf_smoke):
         assert g == min(members)
 
 
+def test_dedup_survivors_one_per_group_and_minimal(spark, sf_smoke):
+    from hypertension_dashboard_pipeline_spark.io import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(100)
+    sigs = ph.image_content_signatures(ph.synth_neardup_image_corpus(docs))
+    all_rows = sigs.collect()
+    sigs2 = ph.image_content_signatures(ph.synth_neardup_image_corpus(docs))
+    surv = ph.image_dedup_survivors(sigs2).collect()
+    groups: dict[tuple, list[int]] = {}
+    for r in all_rows:
+        groups.setdefault((r.width, r.height, r.fp), []).append(r.doc_id)
+    assert len(surv) == len(groups)  # exactly one survivor per group
+    for s in surv:
+        assert s.doc_id == min(groups[(s.width, s.height, s.fp)])
+
+
 def test_dup_groups_partition_invariant(spark, sf_smoke):
     from hypertension_dashboard_pipeline_spark.io import load_table
 

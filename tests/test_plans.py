@@ -243,6 +243,8 @@ def test_no_registered_query_uses_row_python_eval(spark, sf_dir):
         "media_audio_dup_groups",
         "media_gif_frame_dup_groups",
         "media_phash_dedup_groups",
+        "media_dedup_compaction",
+        "media_curation_pipeline",
     }
     ARROW_NODES = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
     row_eval, undeclared_arrow = [], []
