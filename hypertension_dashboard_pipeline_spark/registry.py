@@ -513,9 +513,13 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      media_pixel_dup_groups (exact cross-format image dedup),
 #      media_ahash_dedup_groups (perceptual average-hash groups),
 #      media_dhash_hamming_pairs (difference-hash near-dup pairs via
-#      the lossless chunk-pair blocking), media_audio_dup_groups
-#      (decoded-PCM exact dedup), media_gif_frame_dup_groups
-#      (frame-level dedup across animations).  All five are
+#      the lossless chunk-pair blocking), media_phash_dedup_groups
+#      (group-output survivor labeling over the signature graph),
+#      media_audio_dup_groups (decoded-PCM exact dedup),
+#      media_gif_frame_dup_groups (frame-level dedup across
+#      animations), media_dedup_compaction (signature-layer
+#      evaluation), media_curation_pipeline (decode -> survivor ->
+#      quality band, the LAION-style keep-list).  All eight are
 #      local-oracle-green at sf0.001+sf0.01 from their first commit,
 #      hostile-id adversarial-swept (tests/test_adversarial_media.py),
 #      and empty-corpus pinned.
