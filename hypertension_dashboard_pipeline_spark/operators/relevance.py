@@ -162,3 +162,44 @@ def token_entropy(df: DataFrame, id_col: str = "doc_id",
             ).alias("token_entropy"),
         )
     )
+
+
+def rrf_fuse(lex: DataFrame, sem: DataFrame, lex_score: str = "bm25",
+             sem_score: str = "cos_sim", lex_id: str = "doc_id",
+             sem_id: str = "vec_id", c: int = 60, k: int = 20,
+             scale: int = 6) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical and a semantic top-N list
+    (Cormack et al., SIGIR'09): rrf = 1/(c + rank_lex) + 1/(c +
+    rank_sem) over documents present in BOTH lists, top-k by fused
+    score.
+
+    The hybrid-retrieval shape every RAG pipeline runs: each input is
+    an already-bounded ranking (top-N from its own index), so the
+    row_number windows and the fusion join operate on <= N rows — the
+    unpartitioned window is over a bounded relation, never the corpus.
+    Ranks are assigned over (ROUNDED score desc, id), the established
+    cross-engine-stable order; the fused score is derived purely from
+    integer ranks, so it is bit-identical in any engine."""
+    from pyspark.sql import Window
+
+    wl = Window.orderBy(F.col(lex_score).desc(), F.col(lex_id))
+    ws = Window.orderBy(F.col(sem_score).desc(), F.col(sem_id))
+    lr = lex.select(
+        F.col(lex_id).alias("doc_id"),
+        F.row_number().over(wl).alias("rank_lex"),
+    )
+    sr = sem.select(
+        F.col(sem_id).alias("doc_id"),
+        F.row_number().over(ws).alias("rank_sem"),
+    )
+    fused = lr.join(sr, "doc_id").select(
+        "doc_id",
+        "rank_lex",
+        "rank_sem",
+        round_fixed(
+            1.0 / (F.lit(c) + F.col("rank_lex"))
+            + 1.0 / (F.lit(c) + F.col("rank_sem")),
+            scale,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(k)

@@ -2091,6 +2091,110 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hybrid_rrf_oracle(terms: list[str], n: int = 50, c: int = 60,
+                       k: int = 20, k1: float = 1.2, b: float = 0.75) -> str:
+    """Oracle twin of the RRF hybrid-retrieval composition: the BM25
+    leg restates _bm25_oracle's arithmetic shape (same folded
+    constants), the cosine leg restates _cosine_oracle_topk's guarded
+    form, and the fusion is pure integer-rank arithmetic."""
+    c_num, c_k1, c_1b, c_b = repr(k1 + 1.0), repr(k1), repr(1.0 - b), repr(b)
+    tok = ("CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[] "
+           "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END")
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN list_contains(ws, '{t}') THEN 1 ELSE 0 END) AS df{i}"
+        for i, t in enumerate(terms)
+    )
+    parts = []
+    for i, t in enumerate(terms):
+        tf = f"len(list_filter(b.ws, x -> x = '{t}'))"
+        idf = f"ln((s.n - s.df{i} + 0.5) / (s.df{i} + 0.5) + 1.0)"
+        parts.append(
+            f"{idf} * (({tf} * {c_num}) / "
+            f"({tf} + {c_k1} * ({c_1b} + {c_b} * (len(b.ws) / s.avgdl))))"
+        )
+    score = " + ".join(["0.0"] + parts)
+    dot_vq = _DK_DOT.format(a="e.v", b="q.qv")
+    dot_vv = _DK_DOT.format(a="e.v", b="e.v")
+    dot_qq = _DK_DOT.format(a="q.qv", b="q.qv")
+    return f"""
+    WITH base AS (
+        SELECT doc_id, {tok} AS ws FROM documents
+    ), stats AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(len(ws)) AS DOUBLE) / COUNT(*) AS avgdl,
+               {df_cols}
+        FROM base
+    ), lex AS (
+        SELECT b.doc_id,
+               FLOOR(({score}) * 1000000.0 + 0.5) / 1000000.0 AS bm25
+        FROM base b, stats s
+        ORDER BY bm25 DESC, b.doc_id
+        LIMIT {n}
+    ), lexr AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                    AS INTEGER) AS rank_lex
+        FROM lex
+    ), q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), sem AS (
+        SELECT e.vec_id,
+               FLOOR({dot_vq} / (sqrt({dot_vv}) * sqrt({dot_qq}))
+                     * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+        FROM e, q
+        WHERE {dot_vv} > 0 AND NOT isnan({dot_vv})
+        ORDER BY cos_sim DESC, e.vec_id
+        LIMIT {n}
+    ), semr AS (
+        SELECT vec_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id)
+                    AS INTEGER) AS rank_sem
+        FROM sem
+    )
+    SELECT l.doc_id, l.rank_lex, s.rank_sem,
+           FLOOR((1.0::DOUBLE / ({c} + l.rank_lex)
+                  + 1.0::DOUBLE / ({c} + s.rank_sem))
+                 * 1000000.0 + 0.5) / 1000000.0 AS rrf
+    FROM lexr l JOIN semr s ON s.vec_id = l.doc_id
+    ORDER BY rrf DESC, l.doc_id
+    LIMIT {k}
+    """
+
+
+@register(
+    "text_hybrid_rrf",
+    oracle=_hybrid_rrf_oracle(["hash", "join", "scan", "vector"]),
+)
+def text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: BM25 top-50 for the
+    term query {hash, join, scan, vector} fused with cosine top-50
+    against the vec_id=0 embedding — rrf = 1/(60+rank_lex) +
+    1/(60+rank_sem) over documents in both lists, top-20 (the RAG
+    retrieval shape).  Each leg is an already-bounded ranking, so the
+    fusion windows/join touch <= 50 rows.  An empty embeddings table
+    returns the typed empty result (no query vector to probe)."""
+    from .operators import similarity as sim
+    from .operators.relevance import bm25_topk, rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    lex = bm25_topk(docs, ["hash", "join", "scan", "vector"], k=50)
+    if qrow is None:
+        return lex.select(
+            "doc_id",
+            F.lit(0).alias("rank_lex"),
+            F.lit(0).alias("rank_sem"),
+            F.lit(0.0).alias("rrf"),
+        ).limit(0)
+    sem = sim.brute_force_topk(
+        emb, [float(x) for x in qrow["embedding"]], k=50
+    )
+    return rrf_fuse(lex, sem, c=60, k=20)
+
+
 @register(
     "a17_hll_union_profile",
     oracle="""
