@@ -519,9 +519,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      media_gif_frame_dup_groups (frame-level dedup across
 #      animations), media_dedup_compaction (signature-layer
 #      evaluation), media_curation_pipeline (decode -> survivor ->
-#      quality band, the LAION-style keep-list).  All eight are
-#      local-oracle-green at sf0.001+sf0.01 from their first commit,
-#      hostile-id adversarial-swept (tests/test_adversarial_media.py),
+#      quality band, the LAION-style keep-list) — plus
+#      text_hybrid_rrf (BM25 + cosine reciprocal-rank fusion, the RAG
+#      retrieval shape; scoped determinism + adversarial + empty
+#      checks green).  All nine are local-oracle-green at
+#      sf0.001+sf0.01 from their first commit; the media eight are
+#      hostile-id adversarial-swept (tests/test_adversarial_media.py)
 #      and empty-corpus pinned.
 _FRONT: list[str] = [
     # flagship + headline extension pipeline (always externally gated)
