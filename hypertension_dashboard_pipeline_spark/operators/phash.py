@@ -210,7 +210,10 @@ def image_content_signatures(df: DataFrame, id_col: str = "doc_id",
         for batch in batches:
             rows = []
             for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
-                arr = _decode_rgb(bytes(payload))
+                try:
+                    arr = _decode_rgb(bytes(payload))
+                except ValueError as exc:
+                    raise ValueError(f"doc {doc_id}: {exc}") from None
                 rows.append(
                     (int(doc_id), arr.shape[1], arr.shape[0],
                      pixel_fingerprint(arr), ahash64(arr), dhash64(arr),
