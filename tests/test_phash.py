@@ -5,7 +5,6 @@ content identity, and partition invariance of the Spark operator."""
 from __future__ import annotations
 
 import numpy as np
-import pytest
 
 from hypertension_dashboard_pipeline_spark.operators import phash as ph
 from hypertension_dashboard_pipeline_spark.operators import media as m
