@@ -1,0 +1,122 @@
+"""Property tests for the media codec + perceptual-hash primitives
+(operators/media.py, gif.py, phash.py): hypothesis drives the
+encode/decode round-trips and the hash invariants with arbitrary
+inputs — shapes the synthetic corpora never produce."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hypertension_dashboard_pipeline_spark.operators import gif as g
+from hypertension_dashboard_pipeline_spark.operators import media as m
+from hypertension_dashboard_pipeline_spark.operators import phash as ph
+
+
+def _arr(data: list[int], h: int, w: int, ch: int) -> np.ndarray:
+    return np.array(data, dtype=np.uint8).reshape(h, w, ch)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_png_roundtrip_arbitrary_rgb(data):
+    h = data.draw(st.integers(1, 12))
+    w = data.draw(st.integers(1, 12))
+    px = data.draw(
+        st.lists(st.integers(0, 255), min_size=h * w * 3, max_size=h * w * 3)
+    )
+    arr = _arr(px, h, w, 3)
+    assert (m.png_decode(m.png_encode(arr)) == arr).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_bmp_roundtrip_arbitrary_rgb(data):
+    h = data.draw(st.integers(1, 12))
+    w = data.draw(st.integers(1, 12))  # every padding class hit over runs
+    px = data.draw(
+        st.lists(st.integers(0, 255), min_size=h * w * 3, max_size=h * w * 3)
+    )
+    arr = _arr(px, h, w, 3)
+    assert (m.bmp_decode(m.bmp_encode(arr)) == arr).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    payload=st.binary(min_size=0, max_size=600),
+    mcs=st.integers(2, 8),
+)
+def test_gif_lzw_roundtrip_arbitrary_bytes(payload, mcs):
+    """The dictionary-building encoder and the variable-width decoder
+    must invert each other for ANY byte stream whose symbols fit the
+    code size — including streams that force width bumps and the
+    12-bit dictionary reset."""
+    alphabet = 1 << mcs
+    clipped = bytes(b % alphabet for b in payload)
+    assert g._lzw_decode(g._lzw_encode(clipped, mcs), mcs) == clipped
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    rate=st.sampled_from([8000, 12000, 16000, 44100]),
+    samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=200),
+)
+def test_wav_roundtrip_arbitrary_pcm(rate, samples):
+    arr = np.array(samples, dtype=np.int16)
+    got_rate, got = m.wav_decode(m.wav_encode(rate, arr))
+    assert got_rate == rate
+    assert (got == arr).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(bits=st.lists(st.booleans(), min_size=64, max_size=64))
+def test_bits_to_i64_is_twos_complement(bits):
+    arr = np.array(bits, dtype=bool)
+    raw = sum(1 << i for i, b in enumerate(bits) if b)
+    expect = int.from_bytes(
+        raw.to_bytes(8, "little"), "little", signed=True
+    )
+    assert ph._bits_to_i64(arr) == expect
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_hashes_invariant_under_uniform_shift(data):
+    """aHash/dHash are exactly invariant under any uniform all-channel
+    shift that avoids clamping, for ANY image (the BT.601 integer
+    weights sum to 1000, so gray shifts by exactly the constant)."""
+    h = data.draw(st.integers(2, 10))
+    w = data.draw(st.integers(2, 10))
+    shift = data.draw(st.integers(1, 55))
+    px = data.draw(
+        st.lists(st.integers(0, 200), min_size=h * w * 3, max_size=h * w * 3)
+    )
+    base = _arr(px, h, w, 3)
+    shifted = (base.astype(np.int64) + shift).astype(np.uint8)
+    assert ph.ahash64(base) == ph.ahash64(shifted)
+    assert ph.dhash64(base) == ph.dhash64(shifted)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_pixel_fingerprint_detects_any_single_change(data):
+    """Changing any single channel value changes the fingerprint —
+    the positional weights (3*idx + channel + 1) are all distinct and
+    nonzero, so a single delta can never cancel."""
+    h = data.draw(st.integers(1, 8))
+    w = data.draw(st.integers(1, 8))
+    px = data.draw(
+        st.lists(st.integers(0, 255), min_size=h * w * 3, max_size=h * w * 3)
+    )
+    arr = _arr(px, h, w, 3)
+    y = data.draw(st.integers(0, h - 1))
+    x = data.draw(st.integers(0, w - 1))
+    c = data.draw(st.integers(0, 2))
+    mutated = arr.copy()
+    mutated[y, x, c] = (int(mutated[y, x, c]) + data.draw(
+        st.integers(1, 255)
+    )) % 256
+    if (mutated == arr).all():  # wrapped back to the same value
+        return
+    assert ph.pixel_fingerprint(mutated) != ph.pixel_fingerprint(arr)
