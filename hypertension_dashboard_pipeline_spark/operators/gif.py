@@ -197,7 +197,7 @@ def gif_encode(frames: list[np.ndarray], palette: np.ndarray,
     return bytes(out)
 
 
-def gif_decode(data: bytes) -> list[np.ndarray]:
+def _gif_decode_inner(data: bytes) -> list[np.ndarray]:
     """Decode every frame of a GIF to ``uint8 (h, w, 3)`` RGB arrays.
 
     Frames smaller than the logical screen are returned at their own
@@ -257,6 +257,17 @@ def gif_decode(data: bytes) -> list[np.ndarray]:
     if not frames:
         raise ValueError("GIF contains no frames")
     return frames
+
+
+def gif_decode(data: bytes) -> list[np.ndarray]:
+    """Typed-error front door: ANY structural corruption — short
+    headers, truncated segments, bad offsets — surfaces as ValueError,
+    never a leaked struct.error/IndexError from the parse internals
+    (see :func:`_gif_decode_inner` for the format contract)."""
+    try:
+        return _gif_decode_inner(data)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"corrupt GIF structure: {exc}") from None
 
 
 # ---------------------------------------------------------------------------

@@ -412,7 +412,7 @@ def jpeg_encode(rgb: np.ndarray) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def jpeg_decode(data: bytes) -> np.ndarray:
+def _jpeg_decode_inner(data: bytes) -> np.ndarray:
     """Decode a baseline sequential 4:4:4 8-bit JPEG to ``uint8
     (h, w, 3)`` RGB.  Raises ``ValueError`` on progressive streams,
     subsampled chroma, restart intervals, or structural corruption."""
@@ -549,6 +549,17 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                         _round_half_up(pixels), 0, 255
                     ).astype(np.int32)
     return _ycbcr_to_rgb(planes)
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Typed-error front door: ANY structural corruption — short
+    headers, truncated segments, bad offsets — surfaces as ValueError,
+    never a leaked struct.error/IndexError from the parse internals
+    (see :func:`_jpeg_decode_inner` for the format contract)."""
+    try:
+        return _jpeg_decode_inner(data)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"corrupt JPEG structure: {exc}") from None
 
 
 # ---------------------------------------------------------------------------

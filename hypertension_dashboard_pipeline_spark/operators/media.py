@@ -88,7 +88,7 @@ def png_encode(arr: np.ndarray) -> bytes:
     )
 
 
-def png_decode(data: bytes) -> np.ndarray:
+def _png_decode_inner(data: bytes) -> np.ndarray:
     """Decode a PNG to a ``uint8`` array of shape ``(h, w, channels)``.
 
     Supports bit depth 8, color types 0 (grey), 2 (RGB), 6 (RGBA),
@@ -195,6 +195,17 @@ def png_decode(data: bytes) -> np.ndarray:
     return out.reshape(height, width, channels)
 
 
+def png_decode(data: bytes) -> np.ndarray:
+    """Typed-error front door: ANY structural corruption — short
+    headers, truncated segments, bad offsets — surfaces as ValueError,
+    never a leaked struct.error/IndexError from the parse internals
+    (see :func:`_png_decode_inner` for the format contract)."""
+    try:
+        return _png_decode_inner(data)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"corrupt PNG structure: {exc}") from None
+
+
 # ---------------------------------------------------------------------------
 # BMP (24-bit BI_RGB, BITMAPINFOHEADER)
 # ---------------------------------------------------------------------------
@@ -220,7 +231,7 @@ def bmp_encode(arr: np.ndarray) -> bytes:
     return bytes(header) + bytes(body)
 
 
-def bmp_decode(data: bytes) -> np.ndarray:
+def _bmp_decode_inner(data: bytes) -> np.ndarray:
     """Decode a 24-bit uncompressed BMP to ``uint8 (h, w, 3)`` RGB.
 
     Handles both bottom-up (positive height, the common case) and
@@ -248,12 +259,23 @@ def bmp_decode(data: bytes) -> np.ndarray:
     return rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
+def bmp_decode(data: bytes) -> np.ndarray:
+    """Typed-error front door: ANY structural corruption — short
+    headers, truncated segments, bad offsets — surfaces as ValueError,
+    never a leaked struct.error/IndexError from the parse internals
+    (see :func:`_bmp_decode_inner` for the format contract)."""
+    try:
+        return _bmp_decode_inner(data)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"corrupt BMP structure: {exc}") from None
+
+
 # ---------------------------------------------------------------------------
 # WAV (RIFF, 16-bit PCM) — struct-parsed; tests encode with stdlib wave
 # ---------------------------------------------------------------------------
 
 
-def wav_decode(data: bytes) -> tuple[int, np.ndarray]:
+def _wav_decode_inner(data: bytes) -> tuple[int, np.ndarray]:
     """Decode a RIFF/WAVE file to ``(sample_rate, int16 samples)``.
 
     Walks the chunk list with ``struct`` (fmt chunks longer than 16
@@ -287,6 +309,17 @@ def wav_decode(data: bytes) -> tuple[int, np.ndarray]:
     if n_channels > 1:
         samples = samples.reshape(-1, n_channels)
     return rate, samples
+
+
+def wav_decode(data: bytes) -> tuple[int, np.ndarray]:
+    """Typed-error front door: ANY structural corruption — short
+    headers, truncated segments, bad offsets — surfaces as ValueError,
+    never a leaked struct.error/IndexError from the parse internals
+    (see :func:`_wav_decode_inner` for the format contract)."""
+    try:
+        return _wav_decode_inner(data)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"corrupt WAV structure: {exc}") from None
 
 
 def wav_encode(rate: int, samples: np.ndarray) -> bytes:

@@ -120,3 +120,45 @@ def test_pixel_fingerprint_detects_any_single_change(data):
     if (mutated == arr).all():  # wrapped back to the same value
         return
     assert ph.pixel_fingerprint(mutated) != ph.pixel_fingerprint(arr)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_corrupted_payloads_raise_only_valueerror(data):
+    """Typed-error contract: ANY truncation or byte flip of a valid
+    payload either still decodes or raises ValueError — never a leaked
+    struct.error / IndexError / KeyError from parse internals."""
+    from hypertension_dashboard_pipeline_spark.operators import jpeg as J
+
+    kind = data.draw(st.sampled_from(["png", "bmp", "wav", "gif", "jpeg"]))
+    if kind == "png":
+        blob = m.png_encode(np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
+        decode = m.png_decode
+    elif kind == "bmp":
+        blob = m.bmp_encode(np.arange(45, dtype=np.uint8).reshape(3, 5, 3))
+        decode = m.bmp_decode
+    elif kind == "wav":
+        blob = m.wav_encode(8000, np.arange(-8, 9, dtype=np.int16))
+        decode = m.wav_decode
+    elif kind == "gif":
+        frame = (np.arange(30, dtype=np.uint8) % 256).reshape(5, 6)
+        blob = g.gif_encode([frame, frame + 1], g._PALETTE)
+        decode = g.gif_decode
+    else:
+        blob = J.jpeg_encode(
+            (np.arange(8 * 8 * 3, dtype=np.int64) % 256)
+            .astype(np.uint8).reshape(8, 8, 3)
+        )
+        decode = J.jpeg_decode
+    mode = data.draw(st.sampled_from(["truncate", "flip", "both"]))
+    mutated = bytearray(blob)
+    if mode in ("truncate", "both"):
+        mutated = mutated[: data.draw(st.integers(0, len(mutated)))]
+    if mode in ("flip", "both") and mutated:
+        for _ in range(data.draw(st.integers(1, 6))):
+            i = data.draw(st.integers(0, len(mutated) - 1))
+            mutated[i] ^= data.draw(st.integers(1, 255))
+    try:
+        decode(bytes(mutated))
+    except ValueError:
+        pass  # the contract: any other exception type FAILS this test
