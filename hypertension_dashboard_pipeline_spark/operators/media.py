@@ -8,7 +8,9 @@ need native libs — video frames, JPEG):
 
 * **PNG** — zlib inflate (stdlib) + the five per-row filters
   (None/Sub/Up/Average/Paeth) from the public PNG specification;
-  8-bit greyscale / RGB / RGBA, non-interlaced.
+  8-bit greyscale / RGB / RGBA, sequential or Adam7-interlaced
+  (each of the seven passes is an independently-filtered sub-image
+  scattered onto the strided output lattice).
 * **BMP** — BITMAPINFOHEADER, 24-bit uncompressed BI_RGB, 4-byte row
   padding, bottom-up or top-down row order.
 * **WAV** — RIFF chunk walk parsed with ``struct`` (deliberately NOT
@@ -56,13 +58,32 @@ def _png_chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def png_encode(arr: np.ndarray) -> bytes:
+# Adam7 pass lattice from the PNG specification: (x0, y0, dx, dy) per
+# pass — pass p covers output pixels (x0 + i*dx, y0 + j*dy).  Passes
+# whose sub-image is empty for a given geometry contribute NO scanline
+# bytes at all (spec: "if the image is too small, some passes are
+# entirely absent").
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def png_encode(arr: np.ndarray, interlace: bool = False) -> bytes:
     """Encode an 8-bit image array as a PNG (filter 0 scanlines).
 
     ``arr`` is ``uint8`` with shape ``(h, w)`` (greyscale), ``(h, w,
     3)`` (RGB) or ``(h, w, 4)`` (RGBA).  Filter type 0 on every row —
     valid PNG always; compression ratio is not this encoder's job
     (fixtures and synthetic corpora are), decode correctness is.
+    ``interlace=True`` writes the Adam7 pass sequence (each pass an
+    independently-filtered sub-image, empty passes absent), exercising
+    the decoder's interlaced path with spec-shaped input.
     """
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
@@ -75,11 +96,20 @@ def png_encode(arr: np.ndarray) -> bytes:
     else:
         raise ValueError(f"unsupported array shape {arr.shape}")
     h, w = a.shape[0], a.shape[1]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0)
     raw = bytearray()
-    for y in range(h):
-        raw.append(0)  # filter type 0 (None)
-        raw += a[y].tobytes()
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = a[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            for row in sub:
+                raw.append(0)  # filter type 0 (None)
+                raw += row.tobytes()
+    else:
+        for y in range(h):
+            raw.append(0)  # filter type 0 (None)
+            raw += a[y].tobytes()
     return (
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -88,71 +118,27 @@ def png_encode(arr: np.ndarray) -> bytes:
     )
 
 
-def _png_decode_inner(data: bytes) -> np.ndarray:
-    """Decode a PNG to a ``uint8`` array of shape ``(h, w, channels)``.
+def _unfilter(mat: np.ndarray, bpp: int) -> np.ndarray:
+    """Reconstruct PNG-filtered scanlines.
 
-    Supports bit depth 8, color types 0 (grey), 2 (RGB), 6 (RGBA),
-    non-interlaced — the subset every synthetic-corpus and fixture
-    producer in this repo emits, and the overwhelming majority of
-    real-world PNG by volume.  All five spec filter types are
-    implemented (the tests hand-craft scanlines for each).  Raises
-    ``ValueError`` with a specific message on anything else rather
-    than guessing.
+    ``mat`` is ``(rows, stride + 1)`` uint8 — each row is a filter-type
+    byte followed by the filtered bytes of one scanline; returns the
+    reconstructed ``(rows, stride)`` pixels.  Vectorized per scanline
+    (a per-byte Python loop here would dominate decode cost on foreign
+    PNGs):
+
+    * None/Up — whole-row numpy (Up is prev + cur mod 256);
+    * Sub     — exact mod-256 cumulative sum per channel column
+                (out[x] = out[x-1] + raw[x] is cumsum, and addition
+                mod 256 commutes with the int64 cumsum);
+    * Average/Paeth — irreducibly sequential in x (floor-division /
+                predictor selection break the cumsum trick), so the
+                loop runs per PIXEL with all channels as one numpy
+                slice — bpp× fewer Python iterations than per-byte.
     """
-    if len(data) < 8 or data[:8] != PNG_SIG:
-        raise ValueError("not a PNG: bad signature")
-    pos = 8
-    width = height = -1
-    channels = 0
-    idat = bytearray()
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
-        payload = data[pos + 8 : pos + 8 + length]
-        if len(payload) != length:
-            raise ValueError("truncated PNG chunk")
-        if tag == b"IHDR":
-            width, height, depth, ctype, comp, filt, ilace = struct.unpack(
-                ">IIBBBBB", payload
-            )
-            if depth != 8:
-                raise ValueError(f"unsupported PNG bit depth {depth}")
-            if ilace != 0:
-                raise ValueError("interlaced PNG not supported")
-            if comp != 0 or filt != 0:
-                raise ValueError("nonstandard PNG compression/filter method")
-            try:
-                channels = {0: 1, 2: 3, 6: 4}[ctype]
-            except KeyError:
-                raise ValueError(f"unsupported PNG color type {ctype}") from None
-        elif tag == b"IDAT":
-            idat += payload
-        elif tag == b"IEND":
-            break
-        pos += 12 + length
-    if width < 0:
-        raise ValueError("PNG missing IHDR")
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error as exc:
-        raise ValueError(f"corrupt PNG pixel data: {exc}") from None
-    stride = width * channels
-    if len(raw) != (stride + 1) * height:
-        raise ValueError("PNG pixel data length mismatch")
-    # Filter reconstruction, vectorized per scanline (a per-byte Python
-    # loop here would dominate decode cost on foreign PNGs):
-    #   None/Up — whole-row numpy (Up is prev + cur mod 256);
-    #   Sub     — exact mod-256 cumulative sum per channel column
-    #             (out[x] = out[x-1] + raw[x] is cumsum, and addition
-    #             mod 256 commutes with the int64 cumsum);
-    #   Average/Paeth — irreducibly sequential in x (floor-division /
-    #             predictor selection break the cumsum trick), so the
-    #             loop runs per PIXEL with all channels as one numpy
-    #             slice — bpp× fewer Python iterations than per-byte.
-    out = np.zeros((height, stride), dtype=np.uint8)
-    bpp = channels  # bytes per pixel at depth 8
-    mat = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
-    for y in range(height):
+    rows, stride = mat.shape[0], mat.shape[1] - 1
+    out = np.zeros((rows, stride), dtype=np.uint8)
+    for y in range(rows):
         ftype = int(mat[y, 0])
         cur = mat[y, 1:].astype(np.int64)
         prev = out[y - 1].astype(np.int64) if y > 0 else np.zeros(
@@ -192,7 +178,90 @@ def _png_decode_inner(data: bytes) -> np.ndarray:
         else:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = cur.astype(np.uint8)
-    return out.reshape(height, width, channels)
+    return out
+
+
+def _png_decode_inner(data: bytes) -> np.ndarray:
+    """Decode a PNG to a ``uint8`` array of shape ``(h, w, channels)``.
+
+    Supports bit depth 8, color types 0 (grey), 2 (RGB), 6 (RGBA),
+    sequential OR Adam7-interlaced — the subset every synthetic-corpus
+    and fixture producer in this repo emits, and the overwhelming
+    majority of real-world PNG by volume.  All five spec filter types
+    are implemented (the tests hand-craft scanlines for each); the
+    interlaced path reconstructs each of the seven passes as an
+    independent sub-image (its own scanline filtering, empty passes
+    absent) and scatters it onto the strided output lattice.  Raises
+    ``ValueError`` with a specific message on anything else rather
+    than guessing.
+    """
+    if len(data) < 8 or data[:8] != PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    width = height = -1
+    channels = 0
+    ilace = 0
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if len(payload) != length:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, ilace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if ilace not in (0, 1):
+                raise ValueError(f"unsupported PNG interlace method {ilace}")
+            if comp != 0 or filt != 0:
+                raise ValueError("nonstandard PNG compression/filter method")
+            try:
+                channels = {0: 1, 2: 3, 6: 4}[ctype]
+            except KeyError:
+                raise ValueError(f"unsupported PNG color type {ctype}") from None
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width < 0:
+        raise ValueError("PNG missing IHDR")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG pixel data: {exc}") from None
+    bpp = channels  # bytes per pixel at depth 8
+    if ilace == 0:
+        stride = width * channels
+        if len(raw) != (stride + 1) * height:
+            raise ValueError("PNG pixel data length mismatch")
+        mat = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+        return _unfilter(mat, bpp).reshape(height, width, channels)
+    # Adam7: consume the pass sub-images in spec order; each pass is
+    # filtered against its OWN previous scanline (never a neighboring
+    # pass), then scattered onto the strided (dy, dx) lattice.
+    out = np.zeros((height, width, channels), dtype=np.uint8)
+    consumed = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+        ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        pstride = pw * channels
+        need = ph * (pstride + 1)
+        if consumed + need > len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+        mat = np.frombuffer(
+            raw[consumed : consumed + need], dtype=np.uint8
+        ).reshape(ph, pstride + 1)
+        out[y0::dy, x0::dx] = _unfilter(mat, bpp).reshape(ph, pw, channels)
+        consumed += need
+    if consumed != len(raw):
+        raise ValueError("PNG pixel data length mismatch")
+    return out
 
 
 def png_decode(data: bytes) -> np.ndarray:
@@ -449,6 +518,69 @@ def synth_image_corpus(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return src.mapInPandas(run, schema="doc_id long, fmt string, payload binary")
+
+
+def synth_interlaced_image_corpus(docs: DataFrame,
+                                  id_col: str = "doc_id") -> DataFrame:
+    """One Adam7-interlaced PNG per document — same pixel formulas as
+    :func:`synth_image_corpus`, but every payload takes the decoder's
+    seven-pass path.  The width range (4..32) deliberately includes
+    geometries where later passes dominate and tiny heights (3) where
+    some passes are entirely absent — the spec's edge cases.
+    Schema: (doc_id long, payload binary)."""
+    src = _scatter_ids(docs, id_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = batch["doc_id"].astype("int64")
+            payloads = [
+                png_encode(_synth_pixels(int(d)), interlace=True)
+                for d in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return src.mapInPandas(run, schema="doc_id long, payload binary")
+
+
+POSITION_STATS_SCHEMA = (
+    "doc_id long, width int, height int, "
+    "sum_xr long, sum_yg long, sum_b long"
+)
+
+
+def image_position_stats(df: DataFrame, id_col: str = "doc_id",
+                         payload_col: str = "payload") -> DataFrame:
+    """Decode every payload and emit POSITION-WEIGHTED integer channel
+    sums: sum(x·r), sum(y·g), sum(b).  A plain channel sum is
+    permutation-invariant — a decoder that scattered interlace passes
+    onto the wrong lattice positions would still match it — so the
+    coordinate weights are what make this query verify the Adam7
+    geometry, not just the byte inventory.  Exact int64 on both
+    engines."""
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                arr = png_decode(bytes(payload)).astype(np.int64)
+                h, w = arr.shape[0], arr.shape[1]
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                rows.append(
+                    (int(doc_id), w, h,
+                     int((xs * arr[:, :, 0]).sum()),
+                     int((ys * arr[:, :, 1]).sum()),
+                     int(arr[:, :, 2].sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height",
+                         "sum_xr", "sum_yg", "sum_b"],
+            )
+
+    return src.mapInPandas(run, schema=POSITION_STATS_SCHEMA)
 
 
 def synth_audio_corpus(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -102,6 +102,36 @@ def media_image_resize_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_png_interlaced_stats",
+    oracle=f"""
+    SELECT d.doc_id,
+           CAST({_W} AS INT) AS width,
+           CAST({_H} AS INT) AS height,
+           CAST(SUM(x * ((x * 7 + y * 11 + d.k) % 256)) AS BIGINT) AS sum_xr,
+           CAST(SUM(y * ((x * 3 + y * 5 + 2 * d.k) % 256)) AS BIGINT)
+               AS sum_yg,
+           CAST(SUM((x + y + 3 * d.k) % 256) AS BIGINT) AS sum_b
+    FROM {_KEYED_DOCS}, range(0, 32) t(x), range(0, 19) s(y)
+    WHERE x < {_W} AND y < {_H}
+    GROUP BY d.doc_id, d.k
+    """,
+)
+def media_png_interlaced_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adam7-interlaced PNG corpus decoded through the REAL seven-pass
+    reconstruction (operators/media.py:_png_decode_inner), emitting
+    POSITION-WEIGHTED channel sums — sum(x·r) / sum(y·g) are sensitive
+    to WHERE each pass lands on the output lattice, so a wrong Adam7
+    table or scatter stride fails parity even when every byte
+    survives.  The geometry range (4..32 × 3..19) includes images too
+    small for some passes (spec: empty passes are entirely absent from
+    the stream).  Same exchange-free decode shape as the other media
+    queries."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = media.synth_interlaced_image_corpus(docs)
+    return media.image_position_stats(corpus)
+
+
+@register(
     "media_audio_decode_stats",
     oracle=f"""
     WITH pcm AS (

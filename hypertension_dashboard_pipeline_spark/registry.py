@@ -526,66 +526,100 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      sf0.001+sf0.01 from their first commit; the media eight are
 #      hostile-id adversarial-swept (tests/test_adversarial_media.py)
 #      and empty-corpus pinned.
+#      r12 window (this round): CORRECTNESS_r11 was 50/50 green, so the
+#      window executes the written r11→r12 plan — the nine r11 debuts
+#      take their first external rows (cumulative coverage closes at
+#      286/286), and this round's mechanical drift rides along:
+#        * Adam7-interlaced PNG decode landed in operators/media.py
+#          (png_encode(interlace=)/seven-pass _png_decode_inner via the
+#          extracted _unfilter), which drifts every png-consuming
+#          query: the six phash image queries (already seated as
+#          debuts) + media_image_decode_stats + media_image_resize_nn.
+#        * the ADVICE r11 oracle fix (zero-norm/NaN query-vector guard
+#          in _hybrid_rrf_oracle's sem CTE) drifts text_hybrid_rrf —
+#          already seated as a debut.
+#        * evidence refresh: the six spilled r4 rows (a10 + p-family),
+#          the entire 17-name r5 cohort, and the 14 oldest r6 rows
+#          (flagship-adjacent OMOP pair, the five streaming queries,
+#          the w3-w6 window family, a15/a17/j10).
+#      NEW THIS ROUND (registered outside the window under the
+#      brand-new-query exemption; r13 debut queue):
+#      media_png_interlaced_stats (Adam7 decode verified by
+#      position-weighted sums), media_hamming_calibration (precision/
+#      recall sweep of dHash Hamming thresholds vs family truth),
+#      text_hybrid_weighted_rrf (weighted reciprocal-rank fusion).
+#      STILL ON r6 EVIDENCE after this round (first picks for r13):
+#      a20_grouped_regression, a21_histogram_totalprice,
+#      a23_incremental_rollup, a24_key_skew_profile,
+#      a25_winsorized_stats, a27_pricing_summary, a28_unpivot_priority,
+#      cust_rfm_segments, dq_drift_kl, emb_gram_matrix,
+#      emb_label_centroids, events_anomaly_zscore, events_funnel,
+#      events_path_transitions, graph_pagerank_transitions,
+#      j11_range_join, s2_sink_partitioned_roundtrip,
+#      s6_catalog_schema_contract, sim_cosine_near_dup,
+#      sim_pq_adc_topk, sim_semdedup, text_decontaminate,
+#      text_lm_bigram_score, text_quality_score.
 _FRONT: list[str] = [
     # flagship + headline extension pipeline (always externally gated)
     "flagship_cohort_pipeline",
     "curation_pipeline",
-    # --- r11 debuts: the five media-codec queries (the only
-    # never-externally-green names; ADVICE fixes land with this
-    # rotation) ---
+    # --- r12 debuts: the eight media-dedup queries + hybrid RRF (the
+    # only names without an external row in any round; six of the
+    # eight also carry this round's Adam7 decoder drift) ---
+    "media_pixel_dup_groups",
+    "media_ahash_dedup_groups",
+    "media_dhash_hamming_pairs",
+    "media_phash_dedup_groups",
+    "media_audio_dup_groups",
+    "media_gif_frame_dup_groups",
+    "media_dedup_compaction",
+    "media_curation_pipeline",
+    "text_hybrid_rrf",
+    # --- mechanical drift (Adam7 PNG decoder path) ---
     "media_image_decode_stats",
     "media_image_resize_nn",
-    "media_audio_decode_stats",
-    "media_gif_frame_stats",
-    "media_jpeg_decode_stats",
-    # --- evidence refresh: the r1-era rows (oldest standing) ---
-    "p4_literal_evidence_flag",
-    "u2_intersect_keys",
-    "u3_except_keys",
-    "w2_rowwise_flag_no_window",
-    # --- evidence refresh: the one r2 row ---
-    "s1_scan_project_alias",
-    # --- evidence refresh: all 26 r3 rows ---
-    "a4_sum_indicator",
-    "dedup_exact_groups",
-    "dedup_incremental_ingest",
-    "f11_bool_or_flag",
-    "f9_f13_cast_sum",
-    "j8_broadcast_codelist_join",
-    "l3_topk_per_group",
-    "multimodal_decode_meta",
-    "multimodal_extract_features",
-    "multimodal_frame_sample",
-    "multimodal_resize_meta",
-    "p12b_strict_integer_band",
-    "pack_token_budget",
-    "sample_deterministic",
-    "sessionize_events",
-    "split_by_group",
-    "text_bpe_token_count",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_scrub_pii",
-    "text_simhash",
-    "text_token_count",
-    "text_top_ngrams",
-    "u1_evidence_key_union",
-    "udf_pandas_token_count",
-    "w1_latest_per_key",
-    # --- evidence refresh: 12 of the 18 r4 rows (join family +
-    # oldest aggregates; the p-family + a10 spill to r12) ---
-    "j1_left_enrich",
-    "j2_inner_join",
-    "j3_pair_composite_key",
-    "j4_full_outer_evidence",
-    "j5_anti_exclude",
-    "j6_semi_evidence",
-    "j7_outer_join_demoted",
-    "a1_count_distinct_per_key",
-    "a2_consistent_keys",
-    "a3_same_day_avg",
-    "a7_rollup_total",
-    "a9_dedup_deterministic",
+    # --- evidence refresh: the six spilled r4 rows ---
+    "a10_grouped_distinct",
+    "p5_not_null_filter",
+    "p6_p7_range_conjunction",
+    "p9_codelist_isin",
+    "p10_year_filter",
+    "p12_plausibility_band",
+    # --- evidence refresh: the entire r5 cohort (17) ---
+    "a18_cube_agg",
+    "a19_pivot_priority",
+    "a26_equidepth_histogram",
+    "dq_expectations",
+    "emb_pq_codes",
+    "events_concurrency_peak",
+    "events_funnel_windowed",
+    "events_retention",
+    "events_rolling_wau",
+    "events_sessionize",
+    "sample_global_shuffle",
+    "sample_weighted_topk",
+    "streaming_stream_stream_join",
+    "streaming_stream_stream_outer_join",
+    "text_segment_boilerplate",
+    "ts_gap_fill_locf",
+    "w7_scd2_intervals",
+    # --- evidence refresh: 14 of the 38 r6 rows (OMOP pair first,
+    # then the streaming five, the window family, a15/a17/j10;
+    # the other 24 are the r13 queue) ---
+    "omop_pipeline_e2e",
+    "omop_phenotype_stats",
+    "streaming_daily_window",
+    "streaming_dedup",
+    "streaming_incremental_rollup",
+    "streaming_session_window",
+    "streaming_stateful_counters",
+    "w3_moving_avg",
+    "w4_lag_delta",
+    "w5_ntile_quartiles",
+    "w6_time_range_avg",
+    "a15_time_rollup",
+    "a17_hll_union_profile",
+    "j10_asof_join",
 ]
 
 # Driver window size (observed: the external gate samples the first 50

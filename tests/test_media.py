@@ -129,6 +129,108 @@ def test_png_decode_multiple_idat_chunks():
     assert (m.png_decode(rebuilt) == pixels).all()
 
 
+def test_adam7_passes_partition_every_geometry():
+    """The seven pass lattices must tile each (h, w) exactly once —
+    the structural property the spec's pass table encodes (a wrong
+    (x0, y0, dx, dy) row shows up as double-covered or missed
+    pixels)."""
+    for h in range(1, 18):
+        for w in range(1, 18):
+            cover = np.zeros((h, w), dtype=int)
+            for x0, y0, dx, dy in m._ADAM7:
+                cover[y0::dy, x0::dx] += 1
+            assert (cover == 1).all(), (h, w)
+
+
+def test_png_interlaced_roundtrip_all_channel_counts():
+    """Adam7 encode -> decode is the identity across geometries that
+    exercise absent passes (dims < 8/5/3), single-pixel images, and
+    all three color types."""
+    rng = _rng()
+    for h, w in [(1, 1), (1, 9), (7, 1), (3, 4), (8, 8), (13, 21), (19, 32)]:
+        for ch in (0, 3, 4):
+            shape = (h, w) if ch == 0 else (h, w, ch)
+            arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            exp = arr[:, :, None] if ch == 0 else arr
+            got = m.png_decode(m.png_encode(arr, interlace=True))
+            assert got.shape == exp.shape
+            assert (got == exp).all(), (h, w, ch)
+
+
+def test_png_interlaced_matches_sequential_decode():
+    """The same pixels encoded both ways decode to the same array —
+    pins the interlaced path against the long-verified sequential
+    one."""
+    rng = _rng()
+    arr = rng.integers(0, 256, size=(11, 17, 3), dtype=np.uint8)
+    seq = m.png_decode(m.png_encode(arr))
+    ilaced = m.png_decode(m.png_encode(arr, interlace=True))
+    assert (seq == ilaced).all()
+
+
+def test_png_interlaced_filtered_passes_decode():
+    """Each pass is filtered independently: hand-build an interlaced
+    stream whose passes use different filter types (Sub/Up on later
+    passes reference the PASS-LOCAL previous scanline, never another
+    pass) and check reconstruction against the strided sub-images."""
+    rng = _rng()
+    arr = rng.integers(0, 256, size=(10, 12, 3), dtype=np.uint8)
+    raw = bytearray()
+    for p, (x0, y0, dx, dy) in enumerate(m._ADAM7):
+        sub = arr[y0::dy, x0::dx].astype(np.int64)
+        if sub.size == 0:
+            continue
+        ftype = p % 3  # rotate None/Sub/Up across passes
+        for j in range(sub.shape[0]):
+            row = sub[j].reshape(-1)
+            if ftype == 0:
+                filt = row
+            elif ftype == 1:  # Sub: raw[x] = out[x] - out[x-bpp]
+                prev_px = np.concatenate(
+                    [np.zeros(3, dtype=np.int64), row[:-3]]
+                )
+                filt = (row - prev_px) % 256
+            else:  # Up: raw[x] = out[x] - prior scanline of SAME pass
+                up = sub[j - 1].reshape(-1) if j > 0 else np.zeros_like(row)
+                filt = (row - up) % 256
+            raw.append(ftype)
+            raw += filt.astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", 12, 10, 8, 2, 0, 0, 1)
+    png = (
+        m.PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    assert (m.png_decode(png) == arr).all()
+
+
+def test_png_interlaced_truncated_or_padded_stream_is_typed_error():
+    arr = np.arange(200, dtype=np.uint8).reshape(10, 20)
+    raw = bytearray()
+    for x0, y0, dx, dy in m._ADAM7:
+        sub = arr[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw.append(0)
+            raw += row.tobytes()
+    ihdr = struct.pack(">IIBBBBB", 20, 10, 8, 0, 0, 0, 1)
+
+    def build(payload: bytes) -> bytes:
+        return (
+            m.PNG_SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(payload))
+            + _chunk(b"IEND", b"")
+        )
+
+    for mutant in (bytes(raw)[:-1], bytes(raw)[: len(raw) // 2],
+                   bytes(raw) + b"\x00"):
+        with pytest.raises(ValueError, match="length mismatch"):
+            m.png_decode(build(mutant))
+
+
 @pytest.mark.parametrize(
     "mutant,msg",
     [
@@ -137,8 +239,8 @@ def test_png_decode_multiple_idat_chunks():
          "bit depth"),
         (m.PNG_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)),
          "color type"),
-        (m.PNG_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)),
-         "interlaced"),
+        (m.PNG_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 2)),
+         "interlace method"),
     ],
 )
 def test_png_decode_rejects_unsupported(mutant, msg):

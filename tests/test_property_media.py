@@ -32,6 +32,20 @@ def test_png_roundtrip_arbitrary_rgb(data):
 
 @settings(max_examples=25, deadline=None)
 @given(st.data())
+def test_png_interlaced_roundtrip_arbitrary_rgb(data):
+    """Adam7 seven-pass encode/decode is the identity on arbitrary
+    pixels and geometries — small dims exercise absent passes."""
+    h = data.draw(st.integers(1, 12))
+    w = data.draw(st.integers(1, 12))
+    px = data.draw(
+        st.lists(st.integers(0, 255), min_size=h * w * 3, max_size=h * w * 3)
+    )
+    arr = _arr(px, h, w, 3)
+    assert (m.png_decode(m.png_encode(arr, interlace=True)) == arr).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
 def test_bmp_roundtrip_arbitrary_rgb(data):
     h = data.draw(st.integers(1, 12))
     w = data.draw(st.integers(1, 12))  # every padding class hit over runs
@@ -130,9 +144,18 @@ def test_corrupted_payloads_raise_only_valueerror(data):
     struct.error / IndexError / KeyError from parse internals."""
     from hypertension_dashboard_pipeline_spark.operators import jpeg as J
 
-    kind = data.draw(st.sampled_from(["png", "bmp", "wav", "gif", "jpeg"]))
+    kind = data.draw(
+        st.sampled_from(["png", "png_ilace", "bmp", "wav", "gif", "jpeg"])
+    )
     if kind == "png":
         blob = m.png_encode(np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
+        decode = m.png_decode
+    elif kind == "png_ilace":
+        blob = m.png_encode(
+            (np.arange(10 * 12 * 3, dtype=np.int64) % 256)
+            .astype(np.uint8).reshape(10, 12, 3),
+            interlace=True,
+        )
         decode = m.png_decode
     elif kind == "bmp":
         blob = m.bmp_encode(np.arange(45, dtype=np.uint8).reshape(3, 5, 3))
