@@ -37,6 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.expressions import round_fixed
 from .dedup import (
     _maybe_persist,
     connected_components,
@@ -480,6 +481,102 @@ def hamming_doc_pairs(sigs: DataFrame, sig_col: str = "dhash",
         )
     )
     return cross.unionByName(same)
+
+
+def hamming_calibration(sigs: DataFrame, families: DataFrame,
+                        thresholds: tuple[int, ...] = (0, 1, 2, 3, 4, 5, 6),
+                        sig_col: str = "dhash", persist: bool = True,
+                        release: bool = True) -> DataFrame:
+    """Precision/recall sweep of perceptual-hash Hamming thresholds
+    against a ground-truth family labeling — the measurement that
+    tells a pipeline owner WHICH max_hamming to trust before running
+    :func:`phash_dedup_groups` at 100 TB (the dedup counterpart of
+    ``operators/dedup.py`` minhash_calibration / lsh_recall).
+
+    ``families`` is (doc_id, family); truth pairs are same-family doc
+    pairs.  One row per threshold t: candidate pairs at hamming<=t,
+    same-family hits among them, the corpus truth-pair total, and the
+    when-guarded precision/recall ratios (6dp fixed rounding).
+
+    Scale shape: candidates are generated ONCE at max(thresholds) via
+    the lossless chunk-pair blocking (hence the <=6 bound — beyond it
+    the 8-chunk pigeonhole no longer guarantees recall 1 and the
+    sweep would silently under-count), folded to a <=7-row
+    per-hamming histogram in ONE corpus-sized aggregation; the
+    threshold sweep is an inequality join against that bounded
+    histogram.  Truth is two map-side-combinable aggregates over the
+    family relation — never a pair expansion."""
+    ts = sorted({int(t) for t in thresholds})
+    if not ts or ts[0] < 0:
+        raise ValueError("thresholds must be non-negative")
+    if ts[-1] > 6:
+        raise ValueError(
+            "max threshold above 6 breaks the lossless chunk-pair "
+            "blocking guarantee (8 chunks, pair keys: >=2 clean chunks "
+            "only when hamming <= 6)"
+        )
+    pairs = hamming_doc_pairs(
+        sigs, sig_col=sig_col, max_hamming=ts[-1],
+        persist=persist, release=release,
+    )
+    fa = families.select(F.col("doc_id").alias("id_a"),
+                         F.col("family").alias("fam_a"))
+    fb = families.select(F.col("doc_id").alias("id_b"),
+                         F.col("family").alias("fam_b"))
+    hist = (
+        pairs.join(fa, "id_a")
+        .join(fb, "id_b")
+        .groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).alias("nph"),
+            F.sum((F.col("fam_a") == F.col("fam_b")).cast("long"))
+            .alias("nhh"),
+        )
+    )
+    truth = (
+        families.groupBy("family")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("n * (n - 1) DIV 2")), F.lit(0)
+            ).cast("long").alias("n_truth")
+        )
+    )
+    th = sigs.sparkSession.createDataFrame(
+        [(t,) for t in ts], "max_hamming int"
+    )
+    per = (
+        th.join(
+            F.broadcast(hist),  # bounded: <= max_hamming+1 rows
+            F.col("hamming") <= F.col("max_hamming"),
+            "left",
+        )
+        .groupBy("max_hamming")
+        .agg(
+            F.coalesce(F.sum("nph"), F.lit(0)).cast("long")
+            .alias("n_pairs"),
+            F.coalesce(F.sum("nhh"), F.lit(0)).cast("long")
+            .alias("n_hit"),
+        )
+    )
+    return per.crossJoin(F.broadcast(truth)).select(
+        "max_hamming",
+        "n_pairs",
+        "n_hit",
+        "n_truth",
+        F.when(
+            F.col("n_pairs") > 0,
+            round_fixed(
+                F.col("n_hit").cast("double") / F.col("n_pairs"), 6
+            ),
+        ).alias("precision"),
+        F.when(
+            F.col("n_truth") > 0,
+            round_fixed(
+                F.col("n_hit").cast("double") / F.col("n_truth"), 6
+            ),
+        ).alias("recall"),
+    )
 
 
 def phash_dedup_groups(sigs: DataFrame, sig_col: str = "dhash",

@@ -167,11 +167,15 @@ def token_entropy(df: DataFrame, id_col: str = "doc_id",
 def rrf_fuse(lex: DataFrame, sem: DataFrame, lex_score: str = "bm25",
              sem_score: str = "cos_sim", lex_id: str = "doc_id",
              sem_id: str = "vec_id", c: int = 60, k: int = 20,
-             scale: int = 6) -> DataFrame:
+             scale: int = 6, w_lex: float = 1.0,
+             w_sem: float = 1.0) -> DataFrame:
     """Reciprocal-rank fusion of a lexical and a semantic top-N list
-    (Cormack et al., SIGIR'09): rrf = 1/(c + rank_lex) + 1/(c +
+    (Cormack et al., SIGIR'09): rrf = w_lex/(c + rank_lex) + w_sem/(c +
     rank_sem) over documents present in BOTH lists, top-k by fused
-    score.
+    score.  The unweighted defaults (w=1) are classic RRF; unequal
+    weights tilt the fusion toward the more-trusted leg (the standard
+    production knob when one index is known stronger for the query
+    class).
 
     The hybrid-retrieval shape every RAG pipeline runs: each input is
     an already-bounded ranking (top-N from its own index), so the
@@ -179,7 +183,8 @@ def rrf_fuse(lex: DataFrame, sem: DataFrame, lex_score: str = "bm25",
     unpartitioned window is over a bounded relation, never the corpus.
     Ranks are assigned over (ROUNDED score desc, id), the established
     cross-engine-stable order; the fused score is derived purely from
-    integer ranks, so it is bit-identical in any engine."""
+    integer ranks and constant weights (one IEEE divide + multiply +
+    add per leg), so it is bit-identical in any engine."""
     from pyspark.sql import Window
 
     wl = Window.orderBy(F.col(lex_score).desc(), F.col(lex_id))
@@ -197,8 +202,8 @@ def rrf_fuse(lex: DataFrame, sem: DataFrame, lex_score: str = "bm25",
         "rank_lex",
         "rank_sem",
         round_fixed(
-            1.0 / (F.lit(c) + F.col("rank_lex"))
-            + 1.0 / (F.lit(c) + F.col("rank_sem")),
+            F.lit(float(w_lex)) / (F.lit(c) + F.col("rank_lex"))
+            + F.lit(float(w_sem)) / (F.lit(c) + F.col("rank_sem")),
             scale,
         ).alias("rrf"),
     )

@@ -2092,11 +2092,13 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hybrid_rrf_oracle(terms: list[str], n: int = 50, c: int = 60,
-                       k: int = 20, k1: float = 1.2, b: float = 0.75) -> str:
+                       k: int = 20, k1: float = 1.2, b: float = 0.75,
+                       w_lex: float = 1.0, w_sem: float = 1.0) -> str:
     """Oracle twin of the RRF hybrid-retrieval composition: the BM25
     leg restates _bm25_oracle's arithmetic shape (same folded
     constants), the cosine leg restates _cosine_oracle_topk's guarded
-    form, and the fusion is pure integer-rank arithmetic."""
+    form, and the fusion is pure integer-rank arithmetic times the
+    constant leg weights."""
     c_num, c_k1, c_1b, c_b = repr(k1 + 1.0), repr(k1), repr(1.0 - b), repr(b)
     tok = ("CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[] "
            "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END")
@@ -2145,6 +2147,7 @@ def _hybrid_rrf_oracle(terms: list[str], n: int = 50, c: int = 60,
                      * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
         FROM e, q
         WHERE {dot_vv} > 0 AND NOT isnan({dot_vv})
+          AND {dot_qq} > 0 AND NOT isnan({dot_qq})
         ORDER BY cos_sim DESC, e.vec_id
         LIMIT {n}
     ), semr AS (
@@ -2154,8 +2157,8 @@ def _hybrid_rrf_oracle(terms: list[str], n: int = 50, c: int = 60,
         FROM sem
     )
     SELECT l.doc_id, l.rank_lex, s.rank_sem,
-           FLOOR((1.0::DOUBLE / ({c} + l.rank_lex)
-                  + 1.0::DOUBLE / ({c} + s.rank_sem))
+           FLOOR(({repr(float(w_lex))}::DOUBLE / ({c} + l.rank_lex)
+                  + {repr(float(w_sem))}::DOUBLE / ({c} + s.rank_sem))
                  * 1000000.0 + 0.5) / 1000000.0 AS rrf
     FROM lexr l JOIN semr s ON s.vec_id = l.doc_id
     ORDER BY rrf DESC, l.doc_id
@@ -2193,6 +2196,42 @@ def text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, [float(x) for x in qrow["embedding"]], k=50
     )
     return rrf_fuse(lex, sem, c=60, k=20)
+
+
+@register(
+    "text_hybrid_weighted_rrf",
+    oracle=_hybrid_rrf_oracle(
+        ["hash", "join", "scan", "vector"], w_lex=3.0, w_sem=1.0
+    ),
+)
+def text_hybrid_weighted_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reciprocal-rank fusion over the same bounded top-50
+    legs as text_hybrid_rrf, tilted 3:1 toward the lexical ranking —
+    the production knob for a query class where BM25 is the
+    more-trusted index.  The fused score stays derived purely from
+    integer ranks and constant weights (one IEEE divide/multiply/add
+    per leg before the shared 6dp floor-round), so the determinism
+    argument of the unweighted query carries over unchanged; both
+    windows still run over <= 50 rows.  An empty embeddings table
+    returns the typed empty result."""
+    from .operators import similarity as sim
+    from .operators.relevance import bm25_topk, rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    lex = bm25_topk(docs, ["hash", "join", "scan", "vector"], k=50)
+    if qrow is None:
+        return lex.select(
+            "doc_id",
+            F.lit(0).alias("rank_lex"),
+            F.lit(0).alias("rank_sem"),
+            F.lit(0.0).alias("rrf"),
+        ).limit(0)
+    sem = sim.brute_force_topk(
+        emb, [float(x) for x in qrow["embedding"]], k=50
+    )
+    return rrf_fuse(lex, sem, c=60, k=20, w_lex=3.0, w_sem=1.0)
 
 
 @register(

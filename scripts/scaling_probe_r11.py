@@ -63,20 +63,25 @@ def main() -> None:
     # materialize a 200k-payload corpus ONCE (the production shape:
     # binary column in parquet, parallelism from input splits), then
     # time the decode+hash stage alone at varying partition counts
+    import shutil
     import tempfile
 
     big = spark.range(200_000).select(F.col("id").alias("doc_id"))
-    corpus_path = tempfile.mkdtemp(prefix="phash_scaling_") + "/corpus"
-    ph.synth_neardup_image_corpus(big).write.parquet(corpus_path)
-    stored = spark.read.parquet(corpus_path)
-    for parts in (1, 8, 32):
-        src = stored.repartition(parts)
-        t0 = time.perf_counter()
-        ph.image_content_signatures(src).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        print(f"decode+hash 200k stored payloads on {parts:>2} partitions: "
-              f"{time.perf_counter() - t0:.2f}s")
+    tmp_root = tempfile.mkdtemp(prefix="phash_scaling_")
+    try:
+        corpus_path = tmp_root + "/corpus"
+        ph.synth_neardup_image_corpus(big).write.parquet(corpus_path)
+        stored = spark.read.parquet(corpus_path)
+        for parts in (1, 8, 32):
+            src = stored.repartition(parts)
+            t0 = time.perf_counter()
+            ph.image_content_signatures(src).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            print(f"decode+hash 200k stored payloads on {parts:>2} "
+                  f"partitions: {time.perf_counter() - t0:.2f}s")
+    finally:
+        shutil.rmtree(tmp_root, ignore_errors=True)
 
     spark.stop()
 

@@ -153,6 +153,57 @@ def test_hamming_pairs_equal_brute_force(spark, sf_smoke):
     assert got == want
 
 
+def test_hamming_calibration_equals_brute_force(spark, sf_smoke):
+    """Every row of the threshold sweep must equal a plain Python
+    all-pairs computation over the collected signatures: counts, truth
+    total, and the 6dp-floored precision/recall."""
+    import math
+
+    from hypertension_dashboard_pipeline_spark.io import load_table
+
+    km = 2147483648
+    docs = load_table(spark, sf_smoke, "documents").limit(80)
+    sigs = ph.image_content_signatures(ph.synth_neardup_image_corpus(docs))
+    rows = sigs.select("doc_id", "dhash").collect()
+    fam = {r.doc_id: (r.doc_id % km) % 20 for r in rows}
+    pair_h, pair_same = [], []
+    for i, a in enumerate(rows):
+        for b in rows[i + 1:]:
+            pair_h.append(bin((a.dhash ^ b.dhash) & ((1 << 64) - 1))
+                          .count("1"))
+            pair_same.append(fam[a.doc_id] == fam[b.doc_id])
+    n_truth = sum(pair_same)
+
+    from pyspark.sql import functions as F
+
+    fam_df = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (((F.col("doc_id") % km) + km) % km % 20).alias("family"),
+    )
+    got = {r.max_hamming: r for r in ph.hamming_calibration(
+        sigs, fam_df, thresholds=(0, 1, 2, 3, 4, 5, 6)
+    ).collect()}
+    assert sorted(got) == [0, 1, 2, 3, 4, 5, 6]
+    for t, r in got.items():
+        n_pairs = sum(1 for h in pair_h if h <= t)
+        n_hit = sum(1 for h, s in zip(pair_h, pair_same) if h <= t and s)
+        assert (r.n_pairs, r.n_hit, r.n_truth) == (n_pairs, n_hit, n_truth)
+        exp_p = (math.floor(n_hit / n_pairs * 1e6 + 0.5) / 1e6
+                 if n_pairs else None)
+        exp_r = (math.floor(n_hit / n_truth * 1e6 + 0.5) / 1e6
+                 if n_truth else None)
+        assert r.precision == exp_p and r.recall == exp_r
+
+
+def test_hamming_calibration_threshold_bound():
+    import pytest
+
+    with pytest.raises(ValueError, match="lossless"):
+        ph.hamming_calibration(None, None, thresholds=(0, 7))
+    with pytest.raises(ValueError):
+        ph.hamming_calibration(None, None, thresholds=(-1, 2))
+
+
 def test_phash_groups_consistent_with_pairs(spark, sf_smoke):
     """Every emitted near-dup pair must share a group label, and group
     labels are the min doc id of their member set (transitive closure
@@ -217,6 +268,12 @@ def test_empty_corpus_contracts(spark):
     assert sigs.count() == 0
     assert ph.signature_dup_groups(sigs, ["ahash"]).count() == 0
     assert ph.hamming_doc_pairs(sigs).count() == 0
+    fam_empty = spark.createDataFrame([], "doc_id long, family long")
+    cal = ph.hamming_calibration(sigs, fam_empty,
+                                 thresholds=(0, 3, 6)).collect()
+    assert sorted(r.max_hamming for r in cal) == [0, 3, 6]
+    assert all((r.n_pairs, r.n_hit, r.n_truth) == (0, 0, 0) for r in cal)
+    assert all(r.precision is None and r.recall is None for r in cal)
     asigs = ph.audio_content_signatures(ph.synth_dup_audio_corpus(empty))
     assert asigs.count() == 0
     fsigs = ph.gif_frame_signatures(ph.synth_framedup_gif_corpus(empty))
