@@ -114,6 +114,24 @@ _AC_CHROMA_VALS = [
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 ]
 
+# Progressive AC table (written into the stream as DHT id 2, so any
+# spec decoder reads it like any other table): the Annex K baseline AC
+# tables have NO codes for the EOBn symbols (r<<4 with r=1..14, Annex
+# G only), so progressive scans use this flat canonical table covering
+# every symbol a progressive AC scan can emit — EOB0..EOB14, ZRL, and
+# (run<<4)|size for run 0..15 / size 1..10.  All 176 symbols at code
+# length 8 (an incomplete canonical code; compression optimality is
+# not this encoder's job, spec-shaped streams are).
+_AC_PROG_VALS = (
+    [0x00]
+    + [r << 4 for r in range(1, 15)]
+    + [0xF0]
+    + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+)
+_AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC_PROG_VALS),
+                 0, 0, 0, 0, 0, 0, 0, 0]
+
+
 def _zigzag_order() -> np.ndarray:
     """Zigzag scan order: result[i] = flat (row*8+col) index of the
     i-th zigzag position — built programmatically (a 64-entry literal
@@ -311,34 +329,34 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def jpeg_encode(rgb: np.ndarray) -> bytes:
-    """Encode ``uint8 (h, w, 3)`` RGB (h, w multiples of 8) as a
-    baseline sequential 4:4:4 JPEG with the Annex K tables."""
+def _validated_rgb(rgb: np.ndarray, who: str) -> np.ndarray:
     a = np.asarray(rgb, dtype=np.uint8)
     if a.ndim != 3 or a.shape[2] != 3:
-        raise ValueError(f"jpeg_encode wants (h, w, 3), got {rgb.shape}")
-    h, w = a.shape[0], a.shape[1]
-    if h % 8 or w % 8:
-        raise ValueError("jpeg_encode wants dimensions that are multiples of 8")
-    ycc = _rgb_to_ycbcr(a)
+        raise ValueError(f"{who} wants (h, w, 3), got {rgb.shape}")
+    if a.shape[0] % 8 or a.shape[1] % 8:
+        raise ValueError(f"{who} wants dimensions that are multiples of 8")
+    return a
 
-    dc_tabs = [
-        _build_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS),
-        _build_encode_table(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
-    ]
-    ac_tabs = [
-        _build_encode_table(_AC_LUMA_BITS, _AC_LUMA_VALS),
-        _build_encode_table(_AC_CHROMA_BITS, _AC_CHROMA_VALS),
-    ]
-    quants = [QUANT_LUMA, QUANT_CHROMA]
 
-    writer = _BitWriter()
-    pred = [0, 0, 0]
-    for by in range(0, h, 8):
-        for bx in range(0, w, 8):
-            for comp in range(3):
-                tsel = 0 if comp == 0 else 1
-                block = ycc[by : by + 8, bx : bx + 8, comp].astype(np.float64) - 128.0
+def _quantized_zigzag(ycc: np.ndarray) -> list[np.ndarray]:
+    """FDCT + quantize + zigzag every 8x8 block of each component:
+    returns one ``(n_blocks, 64)`` int64 array per component, blocks
+    in raster order — the coefficient domain BOTH entropy codings
+    (baseline sequential and progressive) transport losslessly, so the
+    two encoders share this exactly."""
+    h, w = ycc.shape[0], ycc.shape[1]
+    out = []
+    for comp in range(3):
+        tsel = 0 if comp == 0 else 1
+        quant = QUANT_LUMA if tsel == 0 else QUANT_CHROMA
+        blocks = np.zeros((h // 8 * (w // 8), 64), dtype=np.int64)
+        bi = 0
+        for by in range(0, h, 8):
+            for bx in range(0, w, 8):
+                block = (
+                    ycc[by : by + 8, bx : bx + 8, comp].astype(np.float64)
+                    - 128.0
+                )
                 coeffs = _DCT_C @ block @ _DCT_C.T
                 # The DC basis is constant 1/(2*sqrt(2)), so DC is
                 # exactly sum(block)/8 — a dyadic value IEEE doubles
@@ -348,61 +366,346 @@ def jpeg_encode(rgb: np.ndarray) -> bytes:
                 # the quantized DC must round the way exact arithmetic
                 # does for decodes to be closed-form verifiable.
                 coeffs[0, 0] = block.sum() / 8.0
-                q = _round_half_up(coeffs / quants[tsel]).astype(np.int64)
-                zz = q.reshape(-1)[_ZIGZAG]
-                # DC
-                diff = int(zz[0]) - pred[comp]
-                pred[comp] = int(zz[0])
-                size = _magnitude_category(diff)
-                code, ln = dc_tabs[tsel][size]
-                writer.write(code, ln)
-                if size:
-                    writer.write(_encode_magnitude(diff, size), size)
-                # AC
-                run = 0
-                for i in range(1, 64):
-                    v = int(zz[i])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_tabs[tsel][0xF0]  # ZRL
-                        writer.write(code, ln)
-                        run -= 16
-                    size = _magnitude_category(v)
-                    code, ln = ac_tabs[tsel][(run << 4) | size]
-                    writer.write(code, ln)
-                    writer.write(_encode_magnitude(v, size), size)
-                    run = 0
-                if run:
-                    code, ln = ac_tabs[tsel][0x00]  # EOB
-                    writer.write(code, ln)
-    scan = writer.flush()
+                q = _round_half_up(coeffs / quant).astype(np.int64)
+                blocks[bi] = q.reshape(-1)[_ZIGZAG]
+                bi += 1
+        out.append(blocks)
+    return out
+
+
+_ENC_DC_TABS = None
+_ENC_AC_TABS = None
+
+
+def _encode_tabs() -> tuple[list[dict], list[dict]]:
+    global _ENC_DC_TABS, _ENC_AC_TABS
+    if _ENC_DC_TABS is None:
+        _ENC_DC_TABS = [
+            _build_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS),
+            _build_encode_table(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        ]
+        _ENC_AC_TABS = [
+            _build_encode_table(_AC_LUMA_BITS, _AC_LUMA_VALS),
+            _build_encode_table(_AC_CHROMA_BITS, _AC_CHROMA_VALS),
+        ]
+    return _ENC_DC_TABS, _ENC_AC_TABS
+
+
+def _dht_segment(cls: int, tid: int, bits: list[int],
+                 vals: list[int]) -> bytes:
+    payload = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+    return struct.pack(">HH", 0xFFC4, 2 + len(payload)) + payload
+
+
+def _headers(h: int, w: int, sof_marker: int) -> bytes:
+    """SOI + DQT/SOF/DHT segments shared by both encoders; only the
+    SOF marker differs (0xFFC0 baseline, 0xFFC2 progressive)."""
 
     def dqt(tq: int, table: np.ndarray) -> bytes:
         zz = table.reshape(-1)[_ZIGZAG].astype(np.uint8)
         return struct.pack(">HHB", 0xFFDB, 67, tq) + zz.tobytes()
 
-    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
-        payload = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
-        return struct.pack(">HH", 0xFFC4, 2 + len(payload)) + payload
-
     out = bytearray(b"\xff\xd8")  # SOI
     out += dqt(0, QUANT_LUMA)
     out += dqt(1, QUANT_CHROMA)
-    # SOF0: 8-bit, 3 components, 4:4:4 (sampling 1x1 each)
-    out += struct.pack(">HHBHHB", 0xFFC0, 17, 8, h, w, 3)
+    # SOF: 8-bit, 3 components, 4:4:4 (sampling 1x1 each)
+    out += struct.pack(">HHBHHB", sof_marker, 17, 8, h, w, 3)
     for cid, tq in ((1, 0), (2, 1), (3, 1)):
         out += bytes([cid, 0x11, tq])
-    out += dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
-    out += dht(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
-    out += dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
-    out += dht(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
-    out += struct.pack(">HHB", 0xFFDA, 12, 3)
-    for cid, tabs in ((1, 0x00), (2, 0x11), (3, 0x11)):
-        out += bytes([cid, tabs])
-    out += b"\x00\x3f\x00"  # Ss/Se/AhAl
-    out += scan
+    out += _dht_segment(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    out += _dht_segment(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+    out += _dht_segment(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    out += _dht_segment(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    return bytes(out)
+
+
+def _sos(comp_idxs: tuple[int, ...], ss: int, se: int,
+         ah: int, al: int, ac_tid: int | None = None) -> bytes:
+    """SOS header for a scan over the given component indices
+    (0=Y luma tables, 1/2=chroma tables; component ids are idx+1).
+    ``ac_tid`` overrides the AC table id (progressive AC scans use
+    the shared DHT id 2)."""
+    out = struct.pack(">HHB", 0xFFDA, 6 + 2 * len(comp_idxs),
+                      len(comp_idxs))
+    for c in comp_idxs:
+        tsel = 0 if c == 0 else 1
+        atid = tsel if ac_tid is None else ac_tid
+        out += bytes([c + 1, (tsel << 4) | atid])
+    return out + bytes([ss, se, (ah << 4) | al])
+
+
+def jpeg_encode(rgb: np.ndarray) -> bytes:
+    """Encode ``uint8 (h, w, 3)`` RGB (h, w multiples of 8) as a
+    baseline sequential 4:4:4 JPEG with the Annex K tables."""
+    a = _validated_rgb(rgb, "jpeg_encode")
+    h, w = a.shape[0], a.shape[1]
+    zz_all = _quantized_zigzag(_rgb_to_ycbcr(a))
+    dc_tabs, ac_tabs = _encode_tabs()
+
+    writer = _BitWriter()
+    pred = [0, 0, 0]
+    for bi in range(zz_all[0].shape[0]):
+        for comp in range(3):
+            tsel = 0 if comp == 0 else 1
+            zz = zz_all[comp][bi]
+            # DC
+            diff = int(zz[0]) - pred[comp]
+            pred[comp] = int(zz[0])
+            size = _magnitude_category(diff)
+            code, ln = dc_tabs[tsel][size]
+            writer.write(code, ln)
+            if size:
+                writer.write(_encode_magnitude(diff, size), size)
+            # AC
+            run = 0
+            for i in range(1, 64):
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_tabs[tsel][0xF0]  # ZRL
+                    writer.write(code, ln)
+                    run -= 16
+                size = _magnitude_category(v)
+                code, ln = ac_tabs[tsel][(run << 4) | size]
+                writer.write(code, ln)
+                writer.write(_encode_magnitude(v, size), size)
+                run = 0
+            if run:
+                code, ln = ac_tabs[tsel][0x00]  # EOB
+                writer.write(code, ln)
+
+    out = bytearray(_headers(h, w, 0xFFC0))
+    out += _sos((0, 1, 2), 0, 63, 0, 0)
+    out += writer.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# Progressive scan script: DC first (interleaved, one point-transform
+# bit held back), DC refinement, then per-component spectral-selection
+# AC bands at Al=1 followed by their successive-approximation
+# refinement passes — exercising every progressive coding mode of ITU
+# T.81 Annex G (DC first/refine, AC first with EOB runs, AC refine
+# with correction bits).
+_PROG_SCRIPT: tuple[tuple[tuple[int, ...], int, int, int, int], ...] = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((0,), 1, 5, 0, 1), ((1,), 1, 5, 0, 1), ((2,), 1, 5, 0, 1),
+    ((0,), 6, 63, 0, 1), ((1,), 6, 63, 0, 1), ((2,), 6, 63, 0, 1),
+    ((0,), 1, 5, 1, 0), ((1,), 1, 5, 1, 0), ((2,), 1, 5, 1, 0),
+    ((0,), 6, 63, 1, 0), ((1,), 6, 63, 1, 0), ((2,), 6, 63, 1, 0),
+)
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: divide by 2^al TRUNCATING TOWARD ZERO (ITU
+    T.81 G.1.2.2 — an arithmetic shift would change the sign class of
+    small negatives)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def _encode_dc_first(writer: _BitWriter, zz_all: list[np.ndarray],
+                     comp_idxs: tuple[int, ...], al: int,
+                     dc_tabs: list[dict]) -> None:
+    pred = [0] * len(comp_idxs)
+    for bi in range(zz_all[0].shape[0]):
+        for si, c in enumerate(comp_idxs):
+            tsel = 0 if c == 0 else 1
+            v = int(zz_all[c][bi, 0]) >> al  # DC point transform: shift
+            diff = v - pred[si]
+            pred[si] = v
+            size = _magnitude_category(diff)
+            code, ln = dc_tabs[tsel][size]
+            writer.write(code, ln)
+            if size:
+                writer.write(_encode_magnitude(diff, size), size)
+
+
+def _encode_dc_refine(writer: _BitWriter, zz_all: list[np.ndarray],
+                      comp_idxs: tuple[int, ...], al: int) -> None:
+    for bi in range(zz_all[0].shape[0]):
+        for c in comp_idxs:
+            writer.write((int(zz_all[c][bi, 0]) >> al) & 1, 1)
+
+
+def _emit_eobn(writer: _BitWriter, tab: dict, length: int) -> None:
+    """EOBn: huffman (r<<4)|0 with r extra bits, run = 2^r + bits."""
+    r = length.bit_length() - 1
+    code, ln = tab[r << 4]
+    writer.write(code, ln)
+    if r:
+        writer.write(length - (1 << r), r)
+
+
+def _encode_ac_first(writer: _BitWriter, zz: np.ndarray, ss: int, se: int,
+                     al: int, tab: dict) -> None:
+    eobrun = 0
+
+    def flush() -> None:
+        nonlocal eobrun
+        while eobrun > 0:
+            chunk = min(eobrun, 32767)
+            _emit_eobn(writer, tab, chunk)
+            eobrun -= chunk
+
+    for bi in range(zz.shape[0]):
+        band = [_pt_ac(int(v), al) for v in zz[bi, ss : se + 1]]
+        nz = [k for k, v in enumerate(band) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 32767:
+                flush()
+            continue
+        flush()
+        run = 0
+        for k in range(nz[-1] + 1):
+            v = band[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = tab[0xF0]  # ZRL
+                writer.write(code, ln)
+                run -= 16
+            size = _magnitude_category(v)
+            code, ln = tab[(run << 4) | size]
+            writer.write(code, ln)
+            writer.write(_encode_magnitude(v, size), size)
+            run = 0
+        if nz[-1] < se - ss:  # trailing zeros end the block with an EOB
+            eobrun += 1
+            if eobrun == 32767:
+                flush()
+    flush()
+
+
+def _encode_ac_refine(writer: _BitWriter, zz: np.ndarray, ss: int, se: int,
+                      al: int, tab: dict) -> None:
+    """Successive-approximation AC refinement (T.81 G.1.2.3): one
+    correction bit per already-significant coefficient, run-length +
+    sign for newly-significant ones, correction bits appended after
+    each code in the positional order the decoder's walk consumes
+    them, EOB runs carrying the buffered correction bits of every
+    block they cover."""
+    ah = al + 1
+    eob_blocks: list[list[int]] = []  # correction bits per EOB-run block
+
+    def flush() -> None:
+        while eob_blocks:
+            chunk = eob_blocks[: min(len(eob_blocks), 32767)]
+            del eob_blocks[: len(chunk)]
+            _emit_eobn(writer, tab, len(chunk))
+            for bits in chunk:
+                for b in bits:
+                    writer.write(b, 1)
+
+    for bi in range(zz.shape[0]):
+        raw = [int(v) for v in zz[bi, ss : se + 1]]
+        prev = [_pt_ac(v, ah) for v in raw]
+        now = [_pt_ac(v, al) for v in raw]
+        newly = [k for k in range(len(raw)) if prev[k] == 0 and now[k] != 0]
+        if not newly:
+            eob_blocks.append(
+                [abs(now[k]) & 1 for k in range(len(raw)) if prev[k] != 0]
+            )
+            continue
+        flush()
+        last_new = newly[-1]
+        # events up to (and including) the last newly-significant coef:
+        # 'c'orrection bit / zero-history 'z'ero / 'n'ew-with-sign
+        events: list[tuple[str, int]] = []
+        for k in range(last_new + 1):
+            if prev[k] != 0:
+                events.append(("c", abs(now[k]) & 1))
+            elif now[k] == 0:
+                events.append(("z", 0))
+            else:
+                if abs(now[k]) != 1:
+                    raise AssertionError(
+                        "refine invariant: newly-significant magnitude "
+                        "must be 1"
+                    )
+                events.append(("n", 1 if now[k] > 0 else 0))
+        i = 0
+        while i < len(events):
+            j = i
+            run = 0
+            while events[j][0] != "n":
+                if events[j][0] == "z":
+                    run += 1
+                j += 1
+            while run > 15:
+                code, ln = tab[0xF0]  # ZRL: consumes 16 zero-history slots
+                writer.write(code, ln)
+                zcnt = 0
+                while zcnt < 16:
+                    kind, bit = events[i]
+                    i += 1
+                    if kind == "z":
+                        zcnt += 1
+                    else:  # 'c' — read by the decoder's run walk
+                        writer.write(bit, 1)
+                run -= 16
+            code, ln = tab[(run << 4) | 1]
+            writer.write(code, ln)
+            writer.write(events[j][1], 1)  # sign bit
+            while i <= j:  # correction bits the placement walk consumes
+                kind, bit = events[i]
+                i += 1
+                if kind == "c":
+                    writer.write(bit, 1)
+        if last_new < len(raw) - 1:  # band tail joins an EOB run
+            eob_blocks.append(
+                [abs(now[k]) & 1
+                 for k in range(last_new + 1, len(raw)) if prev[k] != 0]
+            )
+    flush()
+
+
+def jpeg_encode_progressive(
+    rgb: np.ndarray,
+    script: tuple[tuple[tuple[int, ...], int, int, int, int], ...]
+    | None = None,
+) -> bytes:
+    """Encode ``uint8 (h, w, 3)`` RGB (h, w multiples of 8) as a
+    PROGRESSIVE 4:4:4 JPEG (SOF2) with the Annex K tables and the
+    14-scan spectral-selection + successive-approximation script in
+    ``_PROG_SCRIPT`` (or a caller-supplied spec-legal ``script`` — the
+    tests drive alternative scripts through the same decoder).  The
+    quantized coefficients are identical to :func:`jpeg_encode`'s —
+    progressive is a different ENTROPY CODING of the same data, so
+    decoding either stream must yield the same pixels (the cross-check
+    the tests pin)."""
+    a = _validated_rgb(rgb, "jpeg_encode_progressive")
+    h, w = a.shape[0], a.shape[1]
+    zz_all = _quantized_zigzag(_rgb_to_ycbcr(a))
+    dc_tabs, _ = _encode_tabs()
+
+    prog_ac = _build_encode_table(_AC_PROG_BITS, _AC_PROG_VALS)
+    out = bytearray(_headers(h, w, 0xFFC2))
+    out += _dht_segment(1, 2, _AC_PROG_BITS, _AC_PROG_VALS)
+    for comp_idxs, ss, se, ah, al in (script or _PROG_SCRIPT):
+        writer = _BitWriter()
+        if ss == 0:
+            out += _sos(comp_idxs, ss, se, ah, al)
+            if ah == 0:
+                _encode_dc_first(writer, zz_all, comp_idxs, al, dc_tabs)
+            else:
+                _encode_dc_refine(writer, zz_all, comp_idxs, al)
+        else:
+            if len(comp_idxs) != 1:
+                raise ValueError(
+                    "progressive AC scan must be single-component"
+                )
+            out += _sos(comp_idxs, ss, se, ah, al, ac_tid=2)
+            (c,) = comp_idxs
+            if ah == 0:
+                _encode_ac_first(writer, zz_all[c], ss, se, al, prog_ac)
+            else:
+                _encode_ac_refine(writer, zz_all[c], ss, se, al, prog_ac)
+        out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -412,10 +715,216 @@ def jpeg_encode(rgb: np.ndarray) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+def _entropy_end(data: bytes, start: int) -> int:
+    """Offset of the marker terminating the entropy-coded segment that
+    begins at ``start``: the first 0xFF not followed by a stuffed 0x00
+    (fill 0xFF bytes before a marker also terminate the scan)."""
+    p = start
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            return p
+        p += 2 if data[p] == 0xFF else 1
+    raise ValueError("JPEG scan not terminated by a marker")
+
+
+def _tbl(tables: dict, key: int, kind: str):
+    try:
+        return tables[key]
+    except KeyError:
+        raise ValueError(
+            f"JPEG scan references undefined {kind} table {key}"
+        ) from None
+
+
+def _decode_baseline_scan(reader: _BitReader,
+                          scomps: list[tuple[int, int, int]],
+                          cid_to_idx: dict[int, int],
+                          coefs: list[np.ndarray],
+                          dc_tables: dict, ac_tables: dict) -> None:
+    pred = [0] * len(scomps)
+    for bi in range(coefs[0].shape[0]):
+        for si, (cid, dc_tid, ac_tid) in enumerate(scomps):
+            zz = coefs[_tbl(cid_to_idx, cid, "component")][bi]
+            size = reader.read_symbol(_tbl(dc_tables, dc_tid, "DC"))
+            if size > 15:
+                raise ValueError("bad JPEG DC size category")
+            diff = _decode_magnitude(reader.read_bits(size), size)
+            pred[si] += diff
+            zz[0] = pred[si]
+            ac = _tbl(ac_tables, ac_tid, "AC")
+            i = 1
+            while i < 64:
+                sym = reader.read_symbol(ac)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("bad JPEG AC symbol")
+                    i += 16  # ZRL
+                    continue
+                i += run
+                if i > 63:
+                    raise ValueError("JPEG AC run overflows block")
+                zz[i] = _decode_magnitude(reader.read_bits(size), size)
+                i += 1
+
+
+def _decode_progressive_scan(reader: _BitReader,
+                             scomps: list[tuple[int, int, int]],
+                             cid_to_idx: dict[int, int],
+                             coefs: list[np.ndarray],
+                             dc_tables: dict, ac_tables: dict,
+                             ss: int, se: int, ah: int, al: int) -> None:
+    """One progressive scan into the coefficient buffers (ITU T.81
+    Annex G): DC first/refine (interleaved allowed), AC first with EOB
+    runs, AC successive-approximation refinement with correction
+    bits.  Scan geometry is script-driven from the SOS header — any
+    spec-legal script decodes, not just the one our encoder emits."""
+    n_blocks = coefs[0].shape[0]
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ah == 0:
+            pred = [0] * len(scomps)
+            for bi in range(n_blocks):
+                for si, (cid, dc_tid, _ac) in enumerate(scomps):
+                    size = reader.read_symbol(_tbl(dc_tables, dc_tid, "DC"))
+                    if size > 15:
+                        raise ValueError("bad JPEG DC size category")
+                    diff = _decode_magnitude(reader.read_bits(size), size)
+                    pred[si] += diff
+                    coefs[_tbl(cid_to_idx, cid, "component")][bi, 0] = (
+                        pred[si] << al
+                    )
+        else:  # refinement: one raw bit per block, no huffman
+            for bi in range(n_blocks):
+                for cid, _dc, _ac in scomps:
+                    if reader.read_bit():
+                        coefs[_tbl(cid_to_idx, cid, "component")][bi, 0] |= (
+                            1 << al
+                        )
+        return
+    # AC scan: single component only (T.81 G.1.1.1.1)
+    if len(scomps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if not (0 < ss <= se <= 63):
+        raise ValueError("bad progressive spectral band")
+    cid, _dc_tid, ac_tid = scomps[0]
+    cf = coefs[_tbl(cid_to_idx, cid, "component")]
+    tab = _tbl(ac_tables, ac_tid, "AC")
+    eobrun = 0
+    if ah == 0:  # first scan of this band at this Al
+        for bi in range(n_blocks):
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                sym = reader.read_symbol(tab)
+                r, s = sym >> 4, sym & 0x0F
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << r) - 1  # run includes this block
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("JPEG AC run overflows band")
+                cf[bi, k] = _decode_magnitude(reader.read_bits(s), s) << al
+                k += 1
+        return
+    # refinement scan (G.1.2.3): correction bit per already-nonzero
+    # coefficient, run+sign for newly-significant (magnitude 1 at this
+    # bit), EOB runs still consume correction bits for every block
+    p1 = 1 << al
+    for bi in range(n_blocks):
+        row = cf[bi]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = reader.read_symbol(tab)
+                r, s = sym >> 4, sym & 0x0F
+                newval = 0
+                if s == 0:
+                    if r < 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    # r == 15: ZRL — skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("bad JPEG refine AC symbol")
+                    newval = p1 if reader.read_bit() else -p1
+                while k <= se:
+                    if row[k] != 0:
+                        if reader.read_bit() and (row[k] & p1) == 0:
+                            row[k] += p1 if row[k] > 0 else -p1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval:
+                    if k > se:
+                        raise ValueError("JPEG refine run overflows band")
+                    row[k] = newval
+                k += 1
+        if eobrun > 0:  # tail of this block + whole following blocks
+            while k <= se:
+                if row[k] != 0:
+                    if reader.read_bit() and (row[k] & p1) == 0:
+                        row[k] += p1 if row[k] > 0 else -p1
+                k += 1
+            eobrun -= 1
+
+
+def _reconstruct(coefs: list[np.ndarray], comps: list[tuple[int, int]],
+                 quant: dict[int, np.ndarray], h: int, w: int) -> np.ndarray:
+    planes = np.zeros((h, w, 3), dtype=np.int32)
+    nbx = w // 8
+    for ci, (_cid, tq) in enumerate(comps):
+        qt = _tbl(quant, tq, "quantization")
+        for bi in range(coefs[ci].shape[0]):
+            zz = coefs[ci][bi]
+            by, bx = (bi // nbx) * 8, (bi % nbx) * 8
+            coeffs = np.zeros(64, dtype=np.float64)
+            coeffs[_ZIGZAG] = zz
+            block = coeffs.reshape(8, 8) * qt
+            if not np.any(zz[1:]):
+                # DC-only fast path (the standard reduced-IDCT
+                # optimization, cf. libjpeg's scaled IDCTs): a
+                # DC-only block is uniform at DC/8 + 128, and this
+                # dyadic form is EXACT in IEEE double where the
+                # general cos-product basis is off by 1 ulp at
+                # half-boundaries — so it is both faster and the
+                # reason constant-tile decodes are closed-form
+                # verifiable (measured: 2 of 512 DC values round
+                # differently through the general basis).
+                val = _round_half_up(np.float64(block[0, 0]) / 8.0 + 128.0)
+                planes[by : by + 8, bx : bx + 8, ci] = int(
+                    np.clip(val, 0, 255)
+                )
+            else:
+                pixels = _DCT_C.T @ block @ _DCT_C + 128.0
+                planes[by : by + 8, bx : bx + 8, ci] = np.clip(
+                    _round_half_up(pixels), 0, 255
+                ).astype(np.int32)
+    return _ycbcr_to_rgb(planes)
+
+
 def _jpeg_decode_inner(data: bytes) -> np.ndarray:
-    """Decode a baseline sequential 4:4:4 8-bit JPEG to ``uint8
-    (h, w, 3)`` RGB.  Raises ``ValueError`` on progressive streams,
-    subsampled chroma, restart intervals, or structural corruption."""
+    """Decode a baseline-sequential OR progressive (SOF0/SOF2) 4:4:4
+    8-bit JPEG to ``uint8 (h, w, 3)`` RGB.  Both codings fill the same
+    per-component coefficient buffers (progressive across its whole
+    scan script), then share one dequant+IDCT reconstruction — so a
+    progressive stream of the same quantized coefficients decodes to
+    bit-identical pixels.  Raises ``ValueError`` on subsampled chroma,
+    restart intervals, arithmetic coding, or structural corruption."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2
@@ -423,9 +932,11 @@ def _jpeg_decode_inner(data: bytes) -> np.ndarray:
     dc_tables: dict[int, dict[tuple[int, int], int]] = {}
     ac_tables: dict[int, dict[tuple[int, int], int]] = {}
     h = w = -1
+    progressive = False
     comps: list[tuple[int, int]] = []  # (component id, quant table id)
-    scan_comps: list[tuple[int, int, int]] = []  # (cid, dc tid, ac tid)
-    scan_data: bytes | None = None
+    coefs: list[np.ndarray] | None = None
+    cid_to_idx: dict[int, int] = {}
+    got_scan = False
 
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -454,7 +965,8 @@ def _jpeg_decode_inner(data: bytes) -> np.ndarray:
                 tbl[_ZIGZAG] = zz
                 quant[tq] = tbl.reshape(8, 8)
                 p += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             _prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
             if _prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -465,8 +977,12 @@ def _jpeg_decode_inner(data: bytes) -> np.ndarray:
                 if sampling != 0x11:
                     raise ValueError("subsampled JPEG (non-4:4:4) not supported")
                 comps.append((cid, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError(f"non-baseline JPEG (SOF{marker & 0x0F}) not supported")
+            cid_to_idx = {cid: i for i, (cid, _tq) in enumerate(comps)}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                f"unsupported JPEG coding (SOF{marker & 0x0F}); only "
+                "baseline (SOF0) and progressive (SOF2) huffman decode"
+            )
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(payload):
@@ -484,71 +1000,54 @@ def _jpeg_decode_inner(data: bytes) -> np.ndarray:
         elif marker == 0xDD:
             raise ValueError("restart intervals not supported")
         elif marker == 0xDA:  # SOS
+            if h < 0 or not comps:
+                raise ValueError("JPEG SOS before SOF")
+            if coefs is None:
+                if h % 8 or w % 8:
+                    raise ValueError(
+                        "dimensions not multiples of 8 (padding not supported)"
+                    )
+                coefs = [
+                    np.zeros((h // 8 * (w // 8), 64), dtype=np.int64)
+                    for _ in comps
+                ]
             ns = payload[0]
+            if len(payload) < 4 + 2 * ns:
+                raise ValueError("truncated JPEG SOS header")
+            scomps = []
             for i in range(ns):
                 cid = payload[1 + 2 * i]
                 tabs = payload[2 + 2 * i]
-                scan_comps.append((cid, tabs >> 4, tabs & 0x0F))
-            scan_data = data[pos + seg_len :]
-            break
+                scomps.append((cid, tabs >> 4, tabs & 0x0F))
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ahal = payload[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            entropy_start = pos + seg_len
+            end = _entropy_end(data, entropy_start)
+            reader = _BitReader(data[entropy_start:end])
+            if progressive:
+                _decode_progressive_scan(
+                    reader, scomps, cid_to_idx, coefs, dc_tables,
+                    ac_tables, ss, se, ah, al,
+                )
+            else:
+                if ss != 0 or se != 63 or ah != 0 or al != 0:
+                    raise ValueError("baseline JPEG scan must cover 0..63")
+                if ns != len(comps):
+                    raise ValueError(
+                        "baseline JPEG expects one interleaved scan"
+                    )
+                _decode_baseline_scan(
+                    reader, scomps, cid_to_idx, coefs, dc_tables, ac_tables
+                )
+            got_scan = True
+            pos = end
+            continue
         pos += seg_len
 
-    if scan_data is None or h < 0 or not comps:
+    if not got_scan or coefs is None:
         raise ValueError("JPEG missing SOF/SOS")
-    if h % 8 or w % 8:
-        raise ValueError("dimensions not multiples of 8 (padding not supported)")
-
-    reader = _BitReader(scan_data)
-    planes = np.zeros((h, w, 3), dtype=np.int32)
-    pred = [0, 0, 0]
-    comp_tq = {cid: tq for cid, tq in comps}
-    for by in range(0, h, 8):
-        for bx in range(0, w, 8):
-            for ci, (cid, dc_tid, ac_tid) in enumerate(scan_comps):
-                zz = np.zeros(64, dtype=np.int64)
-                size = reader.read_symbol(dc_tables[dc_tid])
-                diff = _decode_magnitude(reader.read_bits(size), size)
-                pred[ci] += diff
-                zz[0] = pred[ci]
-                i = 1
-                while i < 64:
-                    sym = reader.read_symbol(ac_tables[ac_tid])
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0x0F
-                    if size == 0:
-                        if run != 15:
-                            raise ValueError("bad JPEG AC symbol")
-                        i += 16  # ZRL
-                        continue
-                    i += run
-                    if i > 63:
-                        raise ValueError("JPEG AC run overflows block")
-                    zz[i] = _decode_magnitude(reader.read_bits(size), size)
-                    i += 1
-                coeffs = np.zeros(64, dtype=np.float64)
-                coeffs[_ZIGZAG] = zz
-                block = coeffs.reshape(8, 8) * quant[comp_tq[cid]]
-                if not np.any(zz[1:]):
-                    # DC-only fast path (the standard reduced-IDCT
-                    # optimization, cf. libjpeg's scaled IDCTs): a
-                    # DC-only block is uniform at DC/8 + 128, and this
-                    # dyadic form is EXACT in IEEE double where the
-                    # general cos-product basis is off by 1 ulp at
-                    # half-boundaries — so it is both faster and the
-                    # reason constant-tile decodes are closed-form
-                    # verifiable (measured: 2 of 512 DC values round
-                    # differently through the general basis).
-                    val = _round_half_up(np.float64(block[0, 0]) / 8.0 + 128.0)
-                    planes[by : by + 8, bx : bx + 8, ci] = int(
-                        np.clip(val, 0, 255)
-                    )
-                else:
-                    pixels = _DCT_C.T @ block @ _DCT_C + 128.0
-                    planes[by : by + 8, bx : bx + 8, ci] = np.clip(
-                        _round_half_up(pixels), 0, 255
-                    ).astype(np.int32)
-    return _ycbcr_to_rgb(planes)
+    return _reconstruct(coefs, comps, quant, h, w)
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
@@ -606,6 +1105,29 @@ def synth_jpeg_corpus(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for batch in batches:
             ids = batch["doc_id"].astype("int64")
             payloads = [jpeg_encode(_synth_tile_rgb(int(d))) for d in ids]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return src.mapInPandas(run, schema="doc_id long, payload binary")
+
+
+def synth_progressive_jpeg_corpus(docs: DataFrame,
+                                  id_col: str = "doc_id") -> DataFrame:
+    """One real PROGRESSIVE JPEG per document — the same constant
+    8x8 tiles as :func:`synth_jpeg_corpus`, entropy-coded through the
+    14-scan SA+spectral script, so the decoder must walk every
+    progressive coding mode to recover the same pixels.
+    Schema: (doc_id long, payload binary)."""
+    from .media import _scatter_ids
+
+    src = _scatter_ids(docs, id_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = batch["doc_id"].astype("int64")
+            payloads = [
+                jpeg_encode_progressive(_synth_tile_rgb(int(d)))
+                for d in ids
+            ]
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     return src.mapInPandas(run, schema="doc_id long, payload binary")

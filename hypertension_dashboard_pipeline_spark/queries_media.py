@@ -286,6 +286,25 @@ def media_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg.jpeg_stats(corpus)
 
 
+@register("media_jpeg_progressive_stats", oracle=_JPEG_ORACLE)
+def media_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive JPEG decode (SOF2, ITU T.81 Annex G): the same
+    constant-tile images as media_jpeg_decode_stats, entropy-coded
+    through the 14-scan spectral-selection + successive-approximation
+    script — DC first/refine, AC first with EOB runs, AC refinement
+    with correction bits — so the decoder must reassemble every
+    coefficient across scans to reproduce the pixels.  Progressive is
+    a different entropy coding of the SAME quantized coefficients,
+    hence the shared oracle: both queries must land on identical
+    closed-form sums, and the baseline/progressive decode-equality is
+    additionally pinned bit-exactly in tests/test_jpeg.py."""
+    from .operators import jpeg
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = jpeg.synth_progressive_jpeg_corpus(docs)
+    return jpeg.jpeg_stats(corpus)
+
+
 # ---------------------------------------------------------------------------
 # Perceptual-hash media dedup (operators/phash.py) — the LAION-style
 # corpus-dedup read over DECODED pixels.  Same zero-byte oracle design:

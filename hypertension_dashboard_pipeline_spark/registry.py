@@ -547,7 +547,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      media_png_interlaced_stats (Adam7 decode verified by
 #      position-weighted sums), media_hamming_calibration (precision/
 #      recall sweep of dHash Hamming thresholds vs family truth),
-#      text_hybrid_weighted_rrf (weighted reciprocal-rank fusion).
+#      text_hybrid_weighted_rrf (weighted reciprocal-rank fusion),
+#      media_jpeg_progressive_stats (SOF2 Annex G decode — DC
+#      first/refine, AC first with EOB runs, AC refinement — shares
+#      the baseline oracle, since progressive is a different entropy
+#      coding of the same quantized coefficients).
 #      STILL ON r6 EVIDENCE after this round (first picks for r13):
 #      a20_grouped_regression, a21_histogram_totalprice,
 #      a23_incremental_rollup, a24_key_skew_profile,
@@ -555,7 +559,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      cust_rfm_segments, dq_drift_kl, emb_gram_matrix,
 #      emb_label_centroids, events_anomaly_zscore, events_funnel,
 #      events_path_transitions, graph_pagerank_transitions,
-#      j11_range_join, s2_sink_partitioned_roundtrip,
+#      j10_asof_join, j11_range_join, s2_sink_partitioned_roundtrip,
 #      s6_catalog_schema_contract, sim_cosine_near_dup,
 #      sim_pq_adc_topk, sim_semdedup, text_decontaminate,
 #      text_lm_bigram_score, text_quality_score.
@@ -575,9 +579,12 @@ _FRONT: list[str] = [
     "media_dedup_compaction",
     "media_curation_pipeline",
     "text_hybrid_rrf",
-    # --- mechanical drift (Adam7 PNG decoder path) ---
+    # --- mechanical drift (Adam7 PNG decoder path; the progressive
+    # restructure of the JPEG codec drifts media_jpeg_decode_stats,
+    # displacing j10_asof_join to the r13 queue) ---
     "media_image_decode_stats",
     "media_image_resize_nn",
+    "media_jpeg_decode_stats",
     # --- evidence refresh: the six spilled r4 rows ---
     "a10_grouped_distinct",
     "p5_not_null_filter",
@@ -619,7 +626,6 @@ _FRONT: list[str] = [
     "w6_time_range_avg",
     "a15_time_rollup",
     "a17_hll_union_profile",
-    "j10_asof_join",
 ]
 
 # Driver window size (observed: the external gate samples the first 50

@@ -131,10 +131,16 @@ def test_decode_rejections():
     good = J.jpeg_encode(img)
     with pytest.raises(ValueError, match="SOI"):
         J.jpeg_decode(b"\x00\x00" + good)
-    # flip SOF0 into SOF2 (progressive)
+    # flip SOF0 into SOF2: the stream now parses as progressive, and
+    # its full-band interleaved scan violates the progressive scan
+    # rules (a DC scan must have Se=0) — typed error, not a bad decode
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="non-baseline"):
+    with pytest.raises(ValueError, match="Se=0"):
         J.jpeg_decode(prog)
+    # other SOFs (lossless, arithmetic) stay rejected outright
+    lossless = good.replace(b"\xff\xc0", b"\xff\xc3", 1)
+    with pytest.raises(ValueError, match="unsupported JPEG coding"):
+        J.jpeg_decode(lossless)
     with pytest.raises(ValueError):
         J.jpeg_decode(good[: len(good) // 2])
     with pytest.raises(ValueError, match="multiples of 8"):
@@ -182,3 +188,98 @@ def test_jpeg_stats_partition_invariant(spark, sf_smoke):
     one = sorted(map(tuple, J.jpeg_stats(corpus.coalesce(1)).collect()))
     many = sorted(map(tuple, J.jpeg_stats(corpus.repartition(7)).collect()))
     assert one == many
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2, ITU T.81 Annex G)
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_decode_equals_baseline_decode():
+    """Progressive is a different entropy coding of the same quantized
+    coefficients, so both streams must decode to BIT-IDENTICAL pixels —
+    random content exercises DC first/refine, AC first and the
+    successive-approximation refinement (correction bits, newly-
+    significant placements, EOB runs with buffered corrections)."""
+    rng = np.random.default_rng(3)
+    for _ in range(25):
+        h = 8 * int(rng.integers(1, 6))
+        w = 8 * int(rng.integers(1, 6))
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        base = J.jpeg_decode(J.jpeg_encode(arr))
+        prog = J.jpeg_decode(J.jpeg_encode_progressive(arr))
+        assert np.array_equal(base, prog), (h, w)
+
+
+@pytest.mark.parametrize(
+    "script",
+    [
+        # spectral selection only, no successive approximation
+        (((0, 1, 2), 0, 0, 0, 0),
+         ((0,), 1, 63, 0, 0), ((1,), 1, 63, 0, 0), ((2,), 1, 63, 0, 0)),
+        # three-level DC successive approximation
+        (((0, 1, 2), 0, 0, 0, 2), ((0, 1, 2), 0, 0, 2, 1),
+         ((0, 1, 2), 0, 0, 1, 0),
+         ((0,), 1, 63, 0, 0), ((1,), 1, 63, 0, 0), ((2,), 1, 63, 0, 0)),
+        # three-level AC successive approximation
+        (((0, 1, 2), 0, 0, 0, 0),
+         ((0,), 1, 63, 0, 2), ((1,), 1, 63, 0, 2), ((2,), 1, 63, 0, 2),
+         ((0,), 1, 63, 2, 1), ((1,), 1, 63, 2, 1), ((2,), 1, 63, 2, 1),
+         ((0,), 1, 63, 1, 0), ((1,), 1, 63, 1, 0), ((2,), 1, 63, 1, 0)),
+        # many narrow bands, asymmetric across components
+        (((0, 1, 2), 0, 0, 0, 1), ((0, 1, 2), 0, 0, 1, 0),
+         ((0,), 1, 2, 0, 0), ((0,), 3, 9, 0, 0), ((0,), 10, 63, 0, 0),
+         ((1,), 1, 20, 0, 0), ((1,), 21, 63, 0, 0),
+         ((2,), 1, 63, 0, 0)),
+    ],
+    ids=["no-sa", "deep-dc-sa", "deep-ac-sa", "many-bands"],
+)
+def test_progressive_alternative_scripts_decode(script):
+    """The decoder is scan-script-driven from the SOS headers — any
+    spec-legal script must reassemble the same coefficients."""
+    rng = np.random.default_rng(17)
+    for _ in range(8):
+        h = 8 * int(rng.integers(1, 5))
+        w = 8 * int(rng.integers(1, 5))
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        base = J.jpeg_decode(J.jpeg_encode(arr))
+        prog = J.jpeg_decode(J.jpeg_encode_progressive(arr, script=script))
+        assert np.array_equal(base, prog), (h, w)
+
+
+def test_progressive_long_eob_runs():
+    """A large constant image makes every AC scan a single EOB run
+    spanning hundreds of blocks (>255 forces multi-bit EOBn extra
+    fields), and the refinement scans must still consume one run slot
+    per block."""
+    big = np.full((160, 160, 3), 200, dtype=np.uint8)
+    base = J.jpeg_decode(J.jpeg_encode(big))
+    prog = J.jpeg_decode(J.jpeg_encode_progressive(big))
+    assert np.array_equal(base, prog)
+    assert (base == base[0, 0]).all()  # constant image stays constant
+
+
+def test_progressive_constant_tiles_hit_the_closed_form():
+    """The oracle corpus shape: progressive decode of constant tiles
+    must land on the same DC-only closed form the baseline query is
+    externally verified against."""
+    for k in (0, 5, 777, -3):
+        src = J._synth_tile_rgb(k)
+        prog = J.jpeg_decode(J.jpeg_encode_progressive(src))
+        assert np.array_equal(prog, J.jpeg_decode(J.jpeg_encode(src)))
+        for j in range(src.shape[0] // 8):
+            for i in range(src.shape[1] // 8):
+                tile = prog[j * 8 : j * 8 + 8, i * 8 : i * 8 + 8]
+                assert (tile == tile[0, 0]).all()
+                assert tuple(tile[0, 0]) == _closed_form(src[j * 8, i * 8])
+
+
+def test_progressive_rejections():
+    arr = np.zeros((8, 8, 3), np.uint8)
+    blob = J.jpeg_encode_progressive(arr)
+    # truncating mid-scan is a typed error
+    with pytest.raises(ValueError):
+        J.jpeg_decode(blob[: len(blob) * 2 // 3])
+    # an AC scan over multiple components is illegal in progressive
+    with pytest.raises(ValueError, match="single-component"):
+        J.jpeg_encode_progressive(arr, script=(((0, 1), 1, 5, 0, 0),))

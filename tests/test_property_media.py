@@ -145,7 +145,9 @@ def test_corrupted_payloads_raise_only_valueerror(data):
     from hypertension_dashboard_pipeline_spark.operators import jpeg as J
 
     kind = data.draw(
-        st.sampled_from(["png", "png_ilace", "bmp", "wav", "gif", "jpeg"])
+        st.sampled_from(
+            ["png", "png_ilace", "bmp", "wav", "gif", "jpeg", "jpeg_prog"]
+        )
     )
     if kind == "png":
         blob = m.png_encode(np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
@@ -167,10 +169,16 @@ def test_corrupted_payloads_raise_only_valueerror(data):
         frame = (np.arange(30, dtype=np.uint8) % 256).reshape(5, 6)
         blob = g.gif_encode([frame, frame + 1], g._PALETTE)
         decode = g.gif_decode
-    else:
+    elif kind == "jpeg":
         blob = J.jpeg_encode(
             (np.arange(8 * 8 * 3, dtype=np.int64) % 256)
             .astype(np.uint8).reshape(8, 8, 3)
+        )
+        decode = J.jpeg_decode
+    else:
+        blob = J.jpeg_encode_progressive(
+            (np.arange(16 * 16 * 3, dtype=np.int64) % 256)
+            .astype(np.uint8).reshape(16, 16, 3)
         )
         decode = J.jpeg_decode
     mode = data.draw(st.sampled_from(["truncate", "flip", "both"]))
