@@ -179,6 +179,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark, sf_dir):
         "curation_dsir_sample",  # inherits dsir_weights' declared 1-row token-totals product
         "graph_bfs_levels",  # round-1 frontier is a 1-row literal seed (constant-folded join key)
         "dedup_corpus_overlap_hll",  # |sources|² pair stage over the ~20-row KB-sized sketch relation, by design (no row data crosses it)
+        "media_hamming_calibration",  # 7-row threshold list × <=7-row per-hamming histogram inequality join + 1-row truth total — corpus work ends at the histogram aggregate (plan-asserted in scripts/scaling_probe_r12.py)
     }
     offenders = []
     for name, fn in registry.QUERIES.items():
@@ -245,6 +246,12 @@ def test_no_registered_query_uses_row_python_eval(spark, sf_dir):
         "media_phash_dedup_groups",
         "media_dedup_compaction",
         "media_curation_pipeline",
+        # r12 media extensions: Adam7 decode, progressive JPEG decode,
+        # and the calibration query's signature stage — same Arrow
+        # decode contract, plans pinned in scripts/scaling_probe_r12.py
+        "media_png_interlaced_stats",
+        "media_jpeg_progressive_stats",
+        "media_hamming_calibration",
     }
     ARROW_NODES = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
     row_eval, undeclared_arrow = [], []
