@@ -215,10 +215,21 @@ class _BitWriter:
             self.n -= 8
         self.acc &= (1 << self.n) - 1
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (the pre-marker fill)."""
         if self.n:
             pad = 8 - self.n
-            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+            self.write((1 << pad) - 1, pad)
+
+    def append_marker(self, code: int) -> None:
+        """Emit a raw marker (0xFF <code>) into the entropy stream —
+        NOT through write(), which would stuff the 0xFF."""
+        self.align()
+        self.out.append(0xFF)
+        self.out.append(code)
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -242,11 +253,29 @@ class _BitReader:
                 self.pos += 1  # stuffed byte
             else:
                 raise ValueError(
-                    f"unexpected marker 0xFF{marker:02X} inside scan "
-                    "(restart intervals not supported)"
+                    f"unexpected marker 0xFF{marker:02X} inside an "
+                    "entropy-coded interval"
                 )
         self.acc = (self.acc << 8) | b
         self.n += 8
+
+    def sync_restart(self, expected: int) -> None:
+        """Consume an RSTn marker at a restart boundary: discard the
+        pad bits of the finished interval, then require the cyclically
+        expected 0xFFD0+n at the byte position (ITU T.81 E.1.4 — a
+        wrong or missing RSTn means the stream lost sync)."""
+        self.acc = 0
+        self.n = 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError("JPEG stream truncated at restart boundary")
+        if self.data[self.pos] != 0xFF or (
+            self.data[self.pos + 1] != 0xD0 + expected
+        ):
+            raise ValueError(
+                f"JPEG restart marker RST{expected} missing at byte "
+                f"{self.pos}"
+            )
+        self.pos += 2
 
     def read_bit(self) -> int:
         if self.n == 0:
@@ -434,17 +463,27 @@ def _sos(comp_idxs: tuple[int, ...], ss: int, se: int,
     return out + bytes([ss, se, (ah << 4) | al])
 
 
-def jpeg_encode(rgb: np.ndarray) -> bytes:
+def jpeg_encode(rgb: np.ndarray, restart_interval: int = 0) -> bytes:
     """Encode ``uint8 (h, w, 3)`` RGB (h, w multiples of 8) as a
-    baseline sequential 4:4:4 JPEG with the Annex K tables."""
+    baseline sequential 4:4:4 JPEG with the Annex K tables.
+    ``restart_interval`` > 0 emits a DRI segment and the cyclic RSTn
+    markers every that many MCUs (byte-aligned, DC prediction reset —
+    T.81 E.1.4), the resync structure real camera JPEGs carry."""
     a = _validated_rgb(rgb, "jpeg_encode")
     h, w = a.shape[0], a.shape[1]
+    if not 0 <= restart_interval <= 65535:
+        raise ValueError("restart interval must fit in 16 bits")
     zz_all = _quantized_zigzag(_rgb_to_ycbcr(a))
     dc_tabs, ac_tabs = _encode_tabs()
 
     writer = _BitWriter()
     pred = [0, 0, 0]
+    rst = 0
     for bi in range(zz_all[0].shape[0]):
+        if restart_interval and bi and bi % restart_interval == 0:
+            writer.append_marker(0xD0 + rst)
+            rst = (rst + 1) & 7
+            pred = [0, 0, 0]
         for comp in range(3):
             tsel = 0 if comp == 0 else 1
             zz = zz_all[comp][bi]
@@ -477,6 +516,8 @@ def jpeg_encode(rgb: np.ndarray) -> bytes:
                 writer.write(code, ln)
 
     out = bytearray(_headers(h, w, 0xFFC0))
+    if restart_interval:
+        out += struct.pack(">HHH", 0xFFDD, 4, restart_interval)
     out += _sos((0, 1, 2), 0, 63, 0, 0)
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
@@ -718,10 +759,13 @@ def jpeg_encode_progressive(
 def _entropy_end(data: bytes, start: int) -> int:
     """Offset of the marker terminating the entropy-coded segment that
     begins at ``start``: the first 0xFF not followed by a stuffed 0x00
-    (fill 0xFF bytes before a marker also terminate the scan)."""
+    or an RSTn code (restart markers are INSIDE the segment, T.81
+    B.2.5; fill 0xFF bytes before a real marker terminate the scan)."""
     p = start
     while p + 1 < len(data):
-        if data[p] == 0xFF and data[p + 1] != 0x00:
+        if data[p] == 0xFF and data[p + 1] != 0x00 and not (
+            0xD0 <= data[p + 1] <= 0xD7
+        ):
             return p
         p += 2 if data[p] == 0xFF else 1
     raise ValueError("JPEG scan not terminated by a marker")
@@ -740,9 +784,17 @@ def _decode_baseline_scan(reader: _BitReader,
                           scomps: list[tuple[int, int, int]],
                           cid_to_idx: dict[int, int],
                           coefs: list[np.ndarray],
-                          dc_tables: dict, ac_tables: dict) -> None:
+                          dc_tables: dict, ac_tables: dict,
+                          restart_interval: int = 0) -> None:
     pred = [0] * len(scomps)
+    rst = 0
     for bi in range(coefs[0].shape[0]):
+        if restart_interval and bi and bi % restart_interval == 0:
+            # byte-align, require the cyclic RSTn, reset DC prediction
+            # (T.81 E.1.4 / F.2.1.3.1)
+            reader.sync_restart(rst)
+            rst = (rst + 1) & 7
+            pred = [0] * len(scomps)
         for si, (cid, dc_tid, ac_tid) in enumerate(scomps):
             zz = coefs[_tbl(cid_to_idx, cid, "component")][bi]
             size = reader.read_symbol(_tbl(dc_tables, dc_tid, "DC"))
@@ -933,6 +985,7 @@ def _jpeg_decode_inner(data: bytes) -> np.ndarray:
     ac_tables: dict[int, dict[tuple[int, int], int]] = {}
     h = w = -1
     progressive = False
+    restart_interval = 0
     comps: list[tuple[int, int]] = []  # (component id, quant table id)
     coefs: list[np.ndarray] | None = None
     cid_to_idx: dict[int, int] = {}
@@ -997,8 +1050,10 @@ def _jpeg_decode_inner(data: bytes) -> np.ndarray:
                 tab = _build_decode_table(bits, vals)
                 (dc_tables if cls == 0 else ac_tables)[tid] = tab
                 p += 17 + nvals
-        elif marker == 0xDD:
-            raise ValueError("restart intervals not supported")
+        elif marker == 0xDD:  # DRI
+            if seg_len != 4:
+                raise ValueError("bad JPEG DRI segment length")
+            (restart_interval,) = struct.unpack_from(">H", payload, 0)
         elif marker == 0xDA:  # SOS
             if h < 0 or not comps:
                 raise ValueError("JPEG SOS before SOF")
@@ -1026,6 +1081,10 @@ def _jpeg_decode_inner(data: bytes) -> np.ndarray:
             end = _entropy_end(data, entropy_start)
             reader = _BitReader(data[entropy_start:end])
             if progressive:
+                if restart_interval:
+                    raise ValueError(
+                        "restart intervals in progressive JPEG not supported"
+                    )
                 _decode_progressive_scan(
                     reader, scomps, cid_to_idx, coefs, dc_tables,
                     ac_tables, ss, se, ah, al,
@@ -1038,7 +1097,8 @@ def _jpeg_decode_inner(data: bytes) -> np.ndarray:
                         "baseline JPEG expects one interleaved scan"
                     )
                 _decode_baseline_scan(
-                    reader, scomps, cid_to_idx, coefs, dc_tables, ac_tables
+                    reader, scomps, cid_to_idx, coefs, dc_tables,
+                    ac_tables, restart_interval,
                 )
             got_scan = True
             pos = end
@@ -1105,6 +1165,32 @@ def synth_jpeg_corpus(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for batch in batches:
             ids = batch["doc_id"].astype("int64")
             payloads = [jpeg_encode(_synth_tile_rgb(int(d))) for d in ids]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return src.mapInPandas(run, schema="doc_id long, payload binary")
+
+
+def synth_restart_jpeg_corpus(docs: DataFrame,
+                              id_col: str = "doc_id") -> DataFrame:
+    """One baseline JPEG per document WITH restart intervals — the
+    same constant tiles as :func:`synth_jpeg_corpus`, DRI = k%4+1 MCUs
+    so the decoder resyncs at varying cadences (including every MCU)
+    and resets DC prediction mid-image.
+    Schema: (doc_id long, payload binary)."""
+    from .media import _key, _scatter_ids
+
+    src = _scatter_ids(docs, id_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = batch["doc_id"].astype("int64")
+            payloads = [
+                jpeg_encode(
+                    _synth_tile_rgb(int(d)),
+                    restart_interval=_key(int(d)) % 4 + 1,
+                )
+                for d in ids
+            ]
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     return src.mapInPandas(run, schema="doc_id long, payload binary")

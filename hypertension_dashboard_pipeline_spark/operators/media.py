@@ -181,26 +181,112 @@ def _unfilter(mat: np.ndarray, bpp: int) -> np.ndarray:
     return out
 
 
+def png_encode_palette(indices: np.ndarray, palette: np.ndarray,
+                       depth: int = 8, interlace: bool = False) -> bytes:
+    """Encode a ``(h, w)`` index array + ``(n, 3)`` RGB palette as a
+    color-type-3 PNG at bit depth 1/2/4/8 (sub-byte rows packed
+    MSB-first with zero tail padding, filter 0 scanlines, optional
+    Adam7) — the fixture/corpus producer for the paletted decode
+    path."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if idx.ndim != 2:
+        raise ValueError(f"png_encode_palette wants (h, w) indices, got {idx.shape}")
+    if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= pal.shape[0] <= 256:
+        raise ValueError("palette must be (n, 3) with 1 <= n <= 256")
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"bad palette bit depth {depth}")
+    if pal.shape[0] > (1 << depth):
+        raise ValueError("palette too large for bit depth")
+    if idx.size and int(idx.max()) >= pal.shape[0]:
+        raise ValueError("palette index out of range")
+    h, w = idx.shape
+
+    def pack_rows(a: np.ndarray) -> bytearray:
+        out = bytearray()
+        for row in a:
+            if depth == 8:
+                rb = row.tobytes()
+            else:
+                bits = np.unpackbits(row[:, None], axis=1)[:, 8 - depth :]
+                flat = bits.reshape(-1)
+                pad = (-len(flat)) % 8
+                if pad:
+                    flat = np.concatenate(
+                        [flat, np.zeros(pad, dtype=np.uint8)]
+                    )
+                rb = np.packbits(flat).tobytes()
+            out.append(0)  # filter type 0 (None)
+            out += rb
+        return out
+
+    raw = bytearray()
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = idx[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raw += pack_rows(sub)
+    else:
+        raw += pack_rows(idx)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0,
+                       1 if interlace else 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_subimage(buf: bytes, ph: int, pw: int, depth: int,
+                     channels: int) -> np.ndarray:
+    """Unfilter + unpack one (sub-)image of ``ph`` scanlines of ``pw``
+    pixels at ``depth`` bits per sample: filters operate on BYTES with
+    bpp = max(1, depth*channels/8) per spec; sub-byte depths then
+    unpack MSB-first with scanline-tail padding discarded.  Returns
+    ``(ph, pw, channels)`` uint8 (palette indices for channels=1 at
+    sub-byte depth)."""
+    stride = (pw * depth * channels + 7) // 8
+    mat = np.frombuffer(buf, dtype=np.uint8).reshape(ph, stride + 1)
+    rows = _unfilter(mat, max(1, (depth * channels) // 8))
+    if depth == 8:
+        return rows.reshape(ph, pw, channels)
+    bits = np.unpackbits(rows, axis=1)  # MSB-first per spec
+    vals = bits.reshape(ph, stride * 8 // depth, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    idx = (vals * weights).sum(axis=2).astype(np.uint8)
+    return idx[:, :pw].reshape(ph, pw, 1)
+
+
+def _subimage_len(pw: int, ph: int, depth: int, channels: int) -> int:
+    return ph * ((pw * depth * channels + 7) // 8 + 1)
+
+
 def _png_decode_inner(data: bytes) -> np.ndarray:
     """Decode a PNG to a ``uint8`` array of shape ``(h, w, channels)``.
 
-    Supports bit depth 8, color types 0 (grey), 2 (RGB), 6 (RGBA),
-    sequential OR Adam7-interlaced — the subset every synthetic-corpus
-    and fixture producer in this repo emits, and the overwhelming
-    majority of real-world PNG by volume.  All five spec filter types
-    are implemented (the tests hand-craft scanlines for each); the
-    interlaced path reconstructs each of the seven passes as an
-    independent sub-image (its own scanline filtering, empty passes
-    absent) and scatters it onto the strided output lattice.  Raises
-    ``ValueError`` with a specific message on anything else rather
-    than guessing.
+    Supports color types 0 (grey), 2 (RGB), 6 (RGBA) at bit depth 8
+    and color type 3 (paletted) at depths 1/2/4/8 (PLTE lookup, indices
+    expanded to RGB on return), sequential OR Adam7-interlaced — the
+    subset every synthetic-corpus and fixture producer in this repo
+    emits, and the overwhelming majority of real-world PNG by volume.
+    All five spec filter types are implemented (the tests hand-craft
+    scanlines for each); the interlaced path reconstructs each of the
+    seven passes as an independent sub-image (its own scanline
+    filtering, empty passes absent) and scatters it onto the strided
+    output lattice.  Raises ``ValueError`` with a specific message on
+    anything else rather than guessing.
     """
     if len(data) < 8 or data[:8] != PNG_SIG:
         raise ValueError("not a PNG: bad signature")
     pos = 8
     width = height = -1
     channels = 0
+    ctype = -1
+    depth = 8
     ilace = 0
+    palette: np.ndarray | None = None
     idat = bytearray()
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -212,16 +298,25 @@ def _png_decode_inner(data: bytes) -> np.ndarray:
             width, height, depth, ctype, comp, filt, ilace = struct.unpack(
                 ">IIBBBBB", payload
             )
-            if depth != 8:
+            if ctype == 3:
+                if depth not in (1, 2, 4, 8):
+                    raise ValueError(
+                        f"unsupported paletted PNG bit depth {depth}"
+                    )
+            elif depth != 8:
                 raise ValueError(f"unsupported PNG bit depth {depth}")
             if ilace not in (0, 1):
                 raise ValueError(f"unsupported PNG interlace method {ilace}")
             if comp != 0 or filt != 0:
                 raise ValueError("nonstandard PNG compression/filter method")
             try:
-                channels = {0: 1, 2: 3, 6: 4}[ctype]
+                channels = {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
             except KeyError:
                 raise ValueError(f"unsupported PNG color type {ctype}") from None
+        elif tag == b"PLTE":
+            if length % 3 or not 3 <= length <= 768:
+                raise ValueError("bad PNG PLTE chunk length")
+            palette = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
@@ -233,35 +328,38 @@ def _png_decode_inner(data: bytes) -> np.ndarray:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG pixel data: {exc}") from None
-    bpp = channels  # bytes per pixel at depth 8
     if ilace == 0:
-        stride = width * channels
-        if len(raw) != (stride + 1) * height:
+        if len(raw) != _subimage_len(width, height, depth, channels):
             raise ValueError("PNG pixel data length mismatch")
-        mat = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
-        return _unfilter(mat, bpp).reshape(height, width, channels)
-    # Adam7: consume the pass sub-images in spec order; each pass is
-    # filtered against its OWN previous scanline (never a neighboring
-    # pass), then scattered onto the strided (dy, dx) lattice.
-    out = np.zeros((height, width, channels), dtype=np.uint8)
-    consumed = 0
-    for x0, y0, dx, dy in _ADAM7:
-        pw = (width - x0 + dx - 1) // dx if width > x0 else 0
-        ph = (height - y0 + dy - 1) // dy if height > y0 else 0
-        if pw == 0 or ph == 0:
-            continue
-        pstride = pw * channels
-        need = ph * (pstride + 1)
-        if consumed + need > len(raw):
+        out = _decode_subimage(raw, height, width, depth, channels)
+    else:
+        # Adam7: consume the pass sub-images in spec order; each pass
+        # is filtered against its OWN previous scanline (never a
+        # neighboring pass), then scattered onto the (dy, dx) lattice.
+        out = np.zeros((height, width, channels), dtype=np.uint8)
+        consumed = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+            ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            need = _subimage_len(pw, ph, depth, channels)
+            if consumed + need > len(raw):
+                raise ValueError("PNG pixel data length mismatch")
+            out[y0::dy, x0::dx] = _decode_subimage(
+                raw[consumed : consumed + need], ph, pw, depth, channels
+            )
+            consumed += need
+        if consumed != len(raw):
             raise ValueError("PNG pixel data length mismatch")
-        mat = np.frombuffer(
-            raw[consumed : consumed + need], dtype=np.uint8
-        ).reshape(ph, pstride + 1)
-        out[y0::dy, x0::dx] = _unfilter(mat, bpp).reshape(ph, pw, channels)
-        consumed += need
-    if consumed != len(raw):
-        raise ValueError("PNG pixel data length mismatch")
-    return out
+    if ctype != 3:
+        return out
+    if palette is None:
+        raise ValueError("paletted PNG missing PLTE chunk")
+    idx = out[:, :, 0]
+    if idx.size and int(idx.max()) >= palette.shape[0]:
+        raise ValueError("PNG palette index out of range")
+    return palette[idx]
 
 
 def png_decode(data: bytes) -> np.ndarray:
@@ -537,6 +635,51 @@ def synth_interlaced_image_corpus(docs: DataFrame,
                 png_encode(_synth_pixels(int(d)), interlace=True)
                 for d in ids
             ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return src.mapInPandas(run, schema="doc_id long, payload binary")
+
+
+PAL_N = 16  # palette entries per synthetic image (depth-4 packing)
+
+
+def _synth_palette(doc_id: int) -> tuple[np.ndarray, np.ndarray]:
+    """(indices, palette) for the paletted corpus: same geometry as
+    _synth_pixels, 16-entry palette and index lattice in closed form
+    (keep in sync with the media_png_palette_stats oracle)."""
+    k = _key(doc_id)
+    w = k % IMG_W_MOD + IMG_W_MIN
+    h = k % IMG_H_MOD + IMG_H_MIN
+    y, x = np.mgrid[0:h, 0:w]
+    idx = ((x * 3 + y * 5 + k) % PAL_N).astype(np.uint8)
+    i = np.arange(PAL_N, dtype=np.int64)
+    pal = np.stack(
+        [(i * 37 + k) % 256, (i * 59 + 2 * k) % 256, (i * 83 + 3 * k) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    return idx, pal
+
+
+def synth_palette_image_corpus(docs: DataFrame,
+                               id_col: str = "doc_id") -> DataFrame:
+    """One color-type-3 PNG per document at bit depth 4 (sub-byte
+    packing with scanline tail padding), Adam7-interlaced for even
+    keys — composing the palette and interlace paths through one
+    column.  Schema: (doc_id long, payload binary)."""
+    src = _scatter_ids(docs, id_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = batch["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                idx, pal = _synth_palette(int(d))
+                payloads.append(
+                    png_encode_palette(
+                        idx, pal, depth=4,
+                        interlace=_key(int(d)) % 2 == 0,
+                    )
+                )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     return src.mapInPandas(run, schema="doc_id long, payload binary")

@@ -132,6 +132,36 @@ def media_png_interlaced_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_png_palette_stats",
+    oracle=f"""
+    SELECT d.doc_id,
+           CAST({_W} AS INT) AS width,
+           CAST({_H} AS INT) AS height,
+           CAST(SUM(x * ((((x * 3 + y * 5 + d.k) % 16) * 37 + d.k) % 256))
+                AS BIGINT) AS sum_xr,
+           CAST(SUM(y * ((((x * 3 + y * 5 + d.k) % 16) * 59 + 2 * d.k)
+                         % 256)) AS BIGINT) AS sum_yg,
+           CAST(SUM((((x * 3 + y * 5 + d.k) % 16) * 83 + 3 * d.k) % 256)
+                AS BIGINT) AS sum_b
+    FROM {_KEYED_DOCS}, range(0, 32) t(x), range(0, 19) s(y)
+    WHERE x < {_W} AND y < {_H}
+    GROUP BY d.doc_id, d.k
+    """,
+)
+def media_png_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Color-type-3 (paletted) PNG decode at bit depth 4: sub-byte
+    MSB-first unpacking with scanline tail padding, PLTE lookup, and
+    (for even keys) the Adam7 seven-pass path COMPOSED with the
+    palette path — position-weighted sums of the EXPANDED RGB verify
+    both the index geometry and the palette mapping.  The oracle
+    substitutes the index formula into the palette formulas and never
+    builds a palette at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = media.synth_palette_image_corpus(docs)
+    return media.image_position_stats(corpus)
+
+
+@register(
     "media_audio_decode_stats",
     oracle=f"""
     WITH pcm AS (
@@ -283,6 +313,22 @@ def media_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     corpus = jpeg.synth_jpeg_corpus(docs)
+    return jpeg.jpeg_stats(corpus)
+
+
+@register("media_jpeg_restart_stats", oracle=_JPEG_ORACLE)
+def media_jpeg_restart_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG decode WITH restart intervals (DRI + cyclic RSTn,
+    ITU T.81 E.1.4): every document's stream resyncs every k%4+1 MCUs
+    — byte-aligned marker consumption, cyclic RSTn order enforcement,
+    and mid-image DC prediction resets.  Restart markers change the
+    entropy framing, not the coefficients, hence the shared baseline
+    oracle; plain-vs-restart decode equality is pinned bit-exactly in
+    tests/test_jpeg.py."""
+    from .operators import jpeg
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = jpeg.synth_restart_jpeg_corpus(docs)
     return jpeg.jpeg_stats(corpus)
 
 

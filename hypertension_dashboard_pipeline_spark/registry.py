@@ -551,7 +551,13 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      media_jpeg_progressive_stats (SOF2 Annex G decode — DC
 #      first/refine, AC first with EOB runs, AC refinement — shares
 #      the baseline oracle, since progressive is a different entropy
-#      coding of the same quantized coefficients).
+#      coding of the same quantized coefficients),
+#      media_png_palette_stats (color-type-3 PLTE decode at bit depth
+#      4: sub-byte MSB-first unpacking composed with Adam7 for even
+#      keys; position-weighted sums of the EXPANDED RGB), and
+#      media_jpeg_restart_stats (DRI + cyclic RSTn resync with DC
+#      prediction resets; framing-only change, shares the baseline
+#      oracle).
 #      STILL ON r6 EVIDENCE after this round (first picks for r13):
 #      a20_grouped_regression, a21_histogram_totalprice,
 #      a23_incremental_rollup, a24_key_skew_profile,

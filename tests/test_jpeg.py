@@ -283,3 +283,55 @@ def test_progressive_rejections():
     # an AC scan over multiple components is illegal in progressive
     with pytest.raises(ValueError, match="single-component"):
         J.jpeg_encode_progressive(arr, script=(((0, 1), 1, 5, 0, 0),))
+
+
+# ---------------------------------------------------------------------------
+# Restart intervals (DRI + RSTn, T.81 E.1.4)
+# ---------------------------------------------------------------------------
+
+
+def test_restart_decode_equals_plain_decode():
+    """Restart markers change the entropy FRAMING, not the
+    coefficients: a stream with any DRI cadence must decode to pixels
+    bit-identical to the plain encoding."""
+    rng = np.random.default_rng(23)
+    for _ in range(15):
+        h = 8 * int(rng.integers(1, 6))
+        w = 8 * int(rng.integers(1, 6))
+        ri = int(rng.choice([1, 2, 3, 5, 7, 16]))
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        plain = J.jpeg_decode(J.jpeg_encode(arr))
+        withr = J.jpeg_decode(J.jpeg_encode(arr, restart_interval=ri))
+        assert np.array_equal(plain, withr), (h, w, ri)
+
+
+def test_restart_markers_cycle_past_rst7():
+    """A 20-MCU row at DRI=1 wraps the cyclic RST index (RST0..RST7
+    then RST0 again) — 19 markers, all consumed in order."""
+    rng = np.random.default_rng(29)
+    big = rng.integers(0, 256, (8, 8 * 20, 3), np.uint8)
+    blob = J.jpeg_encode(big, restart_interval=1)
+    n_markers = sum(blob.count(bytes([0xFF, 0xD0 + i])) for i in range(8))
+    assert n_markers == 19 and b"\xff\xd7" in blob
+    assert np.array_equal(J.jpeg_decode(blob),
+                          J.jpeg_decode(J.jpeg_encode(big)))
+
+
+def test_restart_out_of_order_is_typed_error():
+    """A wrong RSTn code at a boundary means lost sync — typed error,
+    never a silent mis-decode."""
+    rng = np.random.default_rng(31)
+    big = rng.integers(0, 256, (8, 8 * 20, 3), np.uint8)
+    blob = J.jpeg_encode(big, restart_interval=1)
+    i = blob.index(b"\xff\xd1")
+    bad = blob[:i] + b"\xff\xd5" + blob[i + 2 :]
+    with pytest.raises(ValueError, match="restart marker"):
+        J.jpeg_decode(bad)
+
+
+def test_restart_in_progressive_is_rejected():
+    arr = np.zeros((16, 16, 3), np.uint8)
+    p = J.jpeg_encode_progressive(arr)
+    with_dri = p[:2] + b"\xff\xdd\x00\x04\x00\x02" + p[2:]
+    with pytest.raises(ValueError, match="progressive"):
+        J.jpeg_decode(with_dri)

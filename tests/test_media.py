@@ -237,8 +237,12 @@ def test_png_interlaced_truncated_or_padded_stream_is_typed_error():
         (b"\x88PNG\r\n\x1a\n" + b"\x00" * 32, "bad signature"),
         (m.PNG_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)),
          "bit depth"),
-        (m.PNG_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)),
+        (m.PNG_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 4, 0, 0, 0)),
          "color type"),
+        (m.PNG_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)),
+         "bit depth"),
+        (m.PNG_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)),
+         "paletted PNG bit depth"),
         (m.PNG_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 2)),
          "interlace method"),
     ],
@@ -406,3 +410,59 @@ def test_image_stats_partition_invariant(spark, sf_smoke):
     one = sorted(map(tuple, m.image_stats(corpus.coalesce(1)).collect()))
     many = sorted(map(tuple, m.image_stats(corpus.repartition(7)).collect()))
     assert one == many
+
+
+def test_png_palette_roundtrip_all_depths():
+    """Color type 3 at depths 1/2/4/8: sub-byte MSB-first packing with
+    scanline tail padding, PLTE lookup, sequential and Adam7 — decode
+    returns the palette-expanded RGB."""
+    rng = _rng()
+    for depth in (1, 2, 4, 8):
+        for h, w in [(1, 1), (3, 5), (7, 9), (10, 13)]:
+            n = int(rng.integers(1, (1 << depth) + 1))
+            pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+            idx = rng.integers(0, n, (h, w), dtype=np.uint8)
+            for il in (False, True):
+                dec = m.png_decode(
+                    m.png_encode_palette(idx, pal, depth=depth, interlace=il)
+                )
+                assert dec.shape == (h, w, 3)
+                assert (dec == pal[idx]).all(), (depth, h, w, il)
+
+
+def test_png_palette_subbyte_padding_is_per_scanline():
+    """Widths that don't fill the last byte exercise the per-scanline
+    tail padding: a 2-bit, 5-wide image uses 2 bytes/row with 6 junk
+    bits that must be discarded, not read into the next row."""
+    idx = np.arange(15, dtype=np.uint8).reshape(3, 5) % 4
+    pal = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    dec = m.png_decode(m.png_encode_palette(idx, pal, depth=2))
+    assert (dec == pal[idx]).all()
+
+
+def test_png_palette_rejections():
+    idx = np.zeros((2, 2), np.uint8)
+    pal = np.zeros((4, 3), np.uint8)
+    with pytest.raises(ValueError, match="bit depth"):
+        m.png_encode_palette(idx, pal, depth=3)
+    with pytest.raises(ValueError, match="too large"):
+        m.png_encode_palette(idx, np.zeros((5, 3), np.uint8), depth=2)
+    with pytest.raises(ValueError, match="index out of range"):
+        m.png_encode_palette(np.full((2, 2), 9, np.uint8), pal)
+    # decoder: missing PLTE
+    blob = m.png_encode_palette(idx, pal)
+    i = blob.index(b"PLTE")
+    # excise the whole PLTE chunk (4 len + 4 tag + 12 payload + 4 crc)
+    no_plte = blob[: i - 4] + blob[i + 4 + 12 + 4 :]
+    with pytest.raises(ValueError, match="missing PLTE"):
+        m.png_decode(no_plte)
+    # decoder: index beyond palette — rebuild with a 2-entry palette
+    blob2 = m.png_encode_palette(np.full((2, 2), 3, np.uint8), pal)
+    j = blob2.index(b"PLTE")
+    rebuilt = (
+        blob2[: j - 4]
+        + m._png_chunk(b"PLTE", bytes(6))
+        + blob2[j + 4 + 12 + 4 :]
+    )
+    with pytest.raises(ValueError, match="index out of range"):
+        m.png_decode(rebuilt)

@@ -252,6 +252,8 @@ def test_no_registered_query_uses_row_python_eval(spark, sf_dir):
         "media_png_interlaced_stats",
         "media_jpeg_progressive_stats",
         "media_hamming_calibration",
+        "media_png_palette_stats",
+        "media_jpeg_restart_stats",
     }
     ARROW_NODES = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
     row_eval, undeclared_arrow = [], []

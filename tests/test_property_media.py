@@ -146,7 +146,8 @@ def test_corrupted_payloads_raise_only_valueerror(data):
 
     kind = data.draw(
         st.sampled_from(
-            ["png", "png_ilace", "bmp", "wav", "gif", "jpeg", "jpeg_prog"]
+            ["png", "png_ilace", "png_pal", "bmp", "wav", "gif",
+             "jpeg", "jpeg_prog", "jpeg_rst"]
         )
     )
     if kind == "png":
@@ -157,6 +158,15 @@ def test_corrupted_payloads_raise_only_valueerror(data):
             (np.arange(10 * 12 * 3, dtype=np.int64) % 256)
             .astype(np.uint8).reshape(10, 12, 3),
             interlace=True,
+        )
+        decode = m.png_decode
+    elif kind == "png_pal":
+        blob = m.png_encode_palette(
+            (np.arange(9 * 11, dtype=np.int64) % 16)
+            .astype(np.uint8).reshape(9, 11),
+            (np.arange(48, dtype=np.int64) % 256)
+            .astype(np.uint8).reshape(16, 3),
+            depth=4, interlace=True,
         )
         decode = m.png_decode
     elif kind == "bmp":
@@ -175,10 +185,17 @@ def test_corrupted_payloads_raise_only_valueerror(data):
             .astype(np.uint8).reshape(8, 8, 3)
         )
         decode = J.jpeg_decode
-    else:
+    elif kind == "jpeg_prog":
         blob = J.jpeg_encode_progressive(
             (np.arange(16 * 16 * 3, dtype=np.int64) % 256)
             .astype(np.uint8).reshape(16, 16, 3)
+        )
+        decode = J.jpeg_decode
+    else:
+        blob = J.jpeg_encode(
+            (np.arange(8 * 32 * 3, dtype=np.int64) % 256)
+            .astype(np.uint8).reshape(8, 32, 3),
+            restart_interval=2,
         )
         decode = J.jpeg_decode
     mode = data.draw(st.sampled_from(["truncate", "flip", "both"]))
