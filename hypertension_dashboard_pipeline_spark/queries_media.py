@@ -747,6 +747,72 @@ def media_hamming_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_ahash_calibration",
+    oracle=_AHASH_CTE + """
+    , fam AS (
+        SELECT doc_id,
+               ((doc_id % 2147483648) + 2147483648) % 2147483648 % 20
+                   AS family
+        FROM documents
+    ), ap AS (
+        SELECT CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER)
+                   AS hamming,
+               CASE WHEN fa.family = fb.family THEN 1 ELSE 0 END
+                   AS same_fam
+        FROM asig a JOIN asig b ON a.doc_id < b.doc_id
+        JOIN fam fa ON fa.doc_id = a.doc_id
+        JOIN fam fb ON fb.doc_id = b.doc_id
+    ), tr AS (
+        SELECT CAST(COUNT(CASE WHEN same_fam = 1 THEN 1 END) AS BIGINT)
+                   AS n_truth
+        FROM ap
+    )
+    SELECT CAST(th.t AS INT) AS max_hamming,
+           CAST(COUNT(ap.hamming) AS BIGINT) AS n_pairs,
+           CAST(COUNT(CASE WHEN ap.same_fam = 1 THEN 1 END) AS BIGINT)
+               AS n_hit,
+           MIN(tr.n_truth) AS n_truth,
+           CASE WHEN COUNT(ap.hamming) > 0 THEN
+               FLOOR(COUNT(CASE WHEN ap.same_fam = 1 THEN 1 END)::DOUBLE
+                     / COUNT(ap.hamming) * 1000000.0 + 0.5) / 1000000.0
+           END AS precision,
+           CASE WHEN MIN(tr.n_truth) > 0 THEN
+               FLOOR(COUNT(CASE WHEN ap.same_fam = 1 THEN 1 END)::DOUBLE
+                     / MIN(tr.n_truth) * 1000000.0 + 0.5) / 1000000.0
+           END AS recall
+    FROM range(0, 7) th(t) CROSS JOIN tr
+    LEFT JOIN ap ON ap.hamming <= th.t
+    GROUP BY th.t
+    """,
+)
+def media_ahash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The aHash twin of media_hamming_calibration: the same
+    precision/recall threshold sweep over AVERAGE-hash signatures, so
+    a pipeline owner reads the two curves side by side before picking
+    which perceptual hash (and which cutoff) to trust for
+    phash_dedup_groups — average-hash thresholds against the global
+    mean are more brightness-stable but less edge-sensitive than
+    dHash's gradient bits, and this pair of queries quantifies that
+    trade on the same corpus and truth labeling.  Identical scale
+    shape: one blocked candidate generation folded to a <=7-row
+    histogram, broadcast threshold sweep."""
+    from .operators import phash
+
+    sigs = _ph_corpus_sigs(spark, sf_dir)
+    km = 2147483648
+    fam = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            (((F.col("doc_id") % km) + km) % km % 20).alias("family"),
+        )
+    )
+    return phash.hamming_calibration(
+        sigs, fam, thresholds=(0, 1, 2, 3, 4, 5, 6), sig_col="ahash"
+    )
+
+
+@register(
     "media_dhash_hamming_pairs",
     oracle=_DHASH_CTE + """
     , usig AS (SELECT DISTINCT dhash FROM dsig),

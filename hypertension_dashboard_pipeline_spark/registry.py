@@ -557,7 +557,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      keys; position-weighted sums of the EXPANDED RGB), and
 #      media_jpeg_restart_stats (DRI + cyclic RSTn resync with DC
 #      prediction resets; framing-only change, shares the baseline
-#      oracle).
+#      oracle), and media_ahash_calibration (the aHash twin of the
+#      dHash threshold sweep — the two curves read side by side).
 #      STILL ON r6 EVIDENCE after this round (first picks for r13):
 #      a20_grouped_regression, a21_histogram_totalprice,
 #      a23_incremental_rollup, a24_key_skew_profile,

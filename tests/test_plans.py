@@ -179,6 +179,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark, sf_dir):
         "curation_dsir_sample",  # inherits dsir_weights' declared 1-row token-totals product
         "graph_bfs_levels",  # round-1 frontier is a 1-row literal seed (constant-folded join key)
         "dedup_corpus_overlap_hll",  # |sources|² pair stage over the ~20-row KB-sized sketch relation, by design (no row data crosses it)
+        "media_ahash_calibration",  # same shape as media_hamming_calibration below
         "media_hamming_calibration",  # 7-row threshold list × <=7-row per-hamming histogram inequality join + 1-row truth total — corpus work ends at the histogram aggregate (plan-asserted in scripts/scaling_probe_r12.py)
     }
     offenders = []
@@ -254,6 +255,7 @@ def test_no_registered_query_uses_row_python_eval(spark, sf_dir):
         "media_hamming_calibration",
         "media_png_palette_stats",
         "media_jpeg_restart_stats",
+        "media_ahash_calibration",
     }
     ARROW_NODES = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
     row_eval, undeclared_arrow = [], []
