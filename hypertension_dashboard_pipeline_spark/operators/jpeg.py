@@ -263,9 +263,16 @@ class _BitReader:
         """Consume an RSTn marker at a restart boundary: discard the
         pad bits of the finished interval, then require the cyclically
         expected 0xFFD0+n at the byte position (ITU T.81 E.1.4 — a
-        wrong or missing RSTn means the stream lost sync)."""
+        wrong or missing RSTn means the stream lost sync).  Fill 0xFF
+        bytes before the marker (T.81 B.1.1.2) are consumed."""
         self.acc = 0
         self.n = 0
+        while (
+            self.pos + 2 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and self.data[self.pos + 1] == 0xFF
+        ):
+            self.pos += 1  # fill byte before the restart marker
         if self.pos + 2 > len(self.data):
             raise ValueError("JPEG stream truncated at restart boundary")
         if self.data[self.pos] != 0xFF or (
@@ -358,48 +365,151 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _validated_rgb(rgb: np.ndarray, who: str) -> np.ndarray:
+def _validated_rgb(rgb: np.ndarray, who: str,
+                   hy: int = 1, vy: int = 1) -> np.ndarray:
     a = np.asarray(rgb, dtype=np.uint8)
     if a.ndim != 3 or a.shape[2] != 3:
         raise ValueError(f"{who} wants (h, w, 3), got {rgb.shape}")
-    if a.shape[0] % 8 or a.shape[1] % 8:
-        raise ValueError(f"{who} wants dimensions that are multiples of 8")
+    if a.shape[0] % (8 * vy) or a.shape[1] % (8 * hy):
+        raise ValueError(
+            f"{who} wants dimensions that are multiples of the MCU "
+            f"size ({8 * hy}x{8 * vy})"
+        )
     return a
 
 
-def _quantized_zigzag(ycc: np.ndarray) -> list[np.ndarray]:
-    """FDCT + quantize + zigzag every 8x8 block of each component:
-    returns one ``(n_blocks, 64)`` int64 array per component, blocks
-    in raster order — the coefficient domain BOTH entropy codings
-    (baseline sequential and progressive) transport losslessly, so the
-    two encoders share this exactly."""
-    h, w = ycc.shape[0], ycc.shape[1]
-    out = []
-    for comp in range(3):
-        tsel = 0 if comp == 0 else 1
-        quant = QUANT_LUMA if tsel == 0 else QUANT_CHROMA
-        blocks = np.zeros((h // 8 * (w // 8), 64), dtype=np.int64)
-        bi = 0
-        for by in range(0, h, 8):
-            for bx in range(0, w, 8):
-                block = (
-                    ycc[by : by + 8, bx : bx + 8, comp].astype(np.float64)
-                    - 128.0
-                )
-                coeffs = _DCT_C @ block @ _DCT_C.T
-                # The DC basis is constant 1/(2*sqrt(2)), so DC is
-                # exactly sum(block)/8 — a dyadic value IEEE doubles
-                # represent exactly, where the cos-product form is off
-                # by 1 ulp.  That ulp matters: luma q00=16 puts odd
-                # sums exactly ON the quantizer's half boundary, and
-                # the quantized DC must round the way exact arithmetic
-                # does for decodes to be closed-form verifiable.
-                coeffs[0, 0] = block.sum() / 8.0
-                q = _round_half_up(coeffs / quant).astype(np.int64)
-                blocks[bi] = q.reshape(-1)[_ZIGZAG]
-                bi += 1
-        out.append(blocks)
-    return out
+# Luma sampling factors per sampling mode; chroma is always 1x1.
+# "422" halves chroma horizontally, "420" halves it both ways — the
+# two subsampled layouts that dominate real-world JPEG.
+_SAMPLINGS: dict[str, tuple[int, int]] = {
+    "444": (1, 1),
+    "422": (2, 1),
+    "420": (2, 2),
+}
+
+
+def _sampling_factors(sampling: str) -> tuple[int, int]:
+    try:
+        return _SAMPLINGS[sampling]
+    except KeyError:
+        raise ValueError(
+            f"unsupported JPEG sampling {sampling!r} "
+            f"(one of {sorted(_SAMPLINGS)})"
+        ) from None
+
+
+def _scan_order(
+    comp_idxs: tuple[int, ...],
+    geo: list[tuple[int, int, int, int]],
+    mcx: int, mcy: int,
+) -> list[tuple[int, int, int]]:
+    """(scan_slot, component, block_index) sequence of one scan.
+    Interleaved scans follow T.81 A.2.3: per MCU, each component
+    contributes its hc x vc blocks raster-first within the MCU.
+    Non-interleaved (single-component) scans are pure raster order
+    over that component's own block array."""
+    if len(comp_idxs) == 1:
+        (c,) = comp_idxs
+        _hc, _vc, bw, bh = geo[c]
+        return [(0, c, bi) for bi in range(bw * bh)]
+    order = []
+    for mi in range(mcx * mcy):
+        my, mx = divmod(mi, mcx)
+        for si, c in enumerate(comp_idxs):
+            hc, vc, bw, _bh = geo[c]
+            for v in range(vc):
+                for hh in range(hc):
+                    order.append(
+                        (si, c, (my * vc + v) * bw + (mx * hc + hh))
+                    )
+    return order
+
+
+def _quantized_plane(plane: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """FDCT + quantize + zigzag every 8x8 block of one component
+    plane: returns ``(n_blocks, 64)`` int64, blocks in raster order —
+    the coefficient domain BOTH entropy codings (baseline sequential
+    and progressive) transport losslessly, so the two encoders share
+    this exactly."""
+    h, w = plane.shape
+    blocks = np.zeros((h // 8 * (w // 8), 64), dtype=np.int64)
+    bi = 0
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            block = plane[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
+            coeffs = _DCT_C @ block @ _DCT_C.T
+            # The DC basis is constant 1/(2*sqrt(2)), so DC is
+            # exactly sum(block)/8 — a dyadic value IEEE doubles
+            # represent exactly, where the cos-product form is off
+            # by 1 ulp.  That ulp matters: luma q00=16 puts odd
+            # sums exactly ON the quantizer's half boundary, and
+            # the quantized DC must round the way exact arithmetic
+            # does for decodes to be closed-form verifiable.
+            coeffs[0, 0] = block.sum() / 8.0
+            q = _round_half_up(coeffs / quant).astype(np.int64)
+            blocks[bi] = q.reshape(-1)[_ZIGZAG]
+            bi += 1
+    return blocks
+
+
+def _downsample(plane: np.ndarray, fh: int, fv: int) -> np.ndarray:
+    """Box-mean chroma downsample by (fh, fv) with the codec's single
+    rounding (floor(x+0.5)) — exact on regions constant within each
+    fh x fv box, which is what keeps MCU-constant tiles closed-form
+    verifiable through the subsampled path."""
+    if fh == 1 and fv == 1:
+        return plane
+    h, w = plane.shape
+    a = plane.astype(np.float64).reshape(h // fv, fv, w // fh, fh)
+    return np.clip(
+        _round_half_up(a.mean(axis=(1, 3))), 0, 255
+    ).astype(np.int32)
+
+
+def _component_planes(ycc: np.ndarray, hy: int, vy: int) -> list[np.ndarray]:
+    """Y at full resolution, Cb/Cr downsampled by the luma factors
+    (chroma sampling is 1x1, so the ratio to Y is hy x vy)."""
+    return [ycc[:, :, 0]] + [
+        _downsample(ycc[:, :, c], hy, vy) for c in (1, 2)
+    ]
+
+
+def _quantized_zigzag(ycc: np.ndarray,
+                      hy: int = 1, vy: int = 1) -> list[np.ndarray]:
+    """Per-component quantized-zigzag blocks (chroma downsampled by
+    the luma sampling factors first)."""
+    planes = _component_planes(ycc, hy, vy)
+    return [
+        _quantized_plane(planes[c],
+                         QUANT_LUMA if c == 0 else QUANT_CHROMA)
+        for c in range(3)
+    ]
+
+
+def _mcu_geometry(
+    sfactors: list[tuple[int, int]], w: int, h: int
+) -> tuple[int, int, list[tuple[int, int, int, int]]]:
+    """MCU grid (mcus across, mcus down) and per-component
+    ``(hc, vc, blocks_across, blocks_down)`` for an interleaved scan.
+    Requires integer sampling ratios and MCU-aligned dimensions (this
+    codec does not implement partial-MCU edge padding — honest subset,
+    typed error otherwise)."""
+    hmax = max(hc for hc, _vc in sfactors)
+    vmax = max(vc for _hc, vc in sfactors)
+    if w % (8 * hmax) or h % (8 * vmax):
+        raise ValueError(
+            f"JPEG dimensions not multiples of the MCU size "
+            f"({8 * hmax}x{8 * vmax}; padding not supported)"
+        )
+    geo = []
+    for hc, vc in sfactors:
+        if hmax % hc or vmax % vc:
+            raise ValueError(
+                f"non-integer JPEG sampling ratio ({hc}x{vc} vs max "
+                f"{hmax}x{vmax}) not supported"
+            )
+        geo.append((hc, vc, w * hc // (hmax * 8), h * vc // (vmax * 8)))
+    return w // (8 * hmax), h // (8 * vmax), geo
 
 
 _ENC_DC_TABS = None
@@ -426,9 +536,11 @@ def _dht_segment(cls: int, tid: int, bits: list[int],
     return struct.pack(">HH", 0xFFC4, 2 + len(payload)) + payload
 
 
-def _headers(h: int, w: int, sof_marker: int) -> bytes:
+def _headers(h: int, w: int, sof_marker: int,
+             hy: int = 1, vy: int = 1) -> bytes:
     """SOI + DQT/SOF/DHT segments shared by both encoders; only the
-    SOF marker differs (0xFFC0 baseline, 0xFFC2 progressive)."""
+    SOF marker differs (0xFFC0 baseline, 0xFFC2 progressive).
+    ``hy``/``vy`` are the luma sampling factors (chroma is 1x1)."""
 
     def dqt(tq: int, table: np.ndarray) -> bytes:
         zz = table.reshape(-1)[_ZIGZAG].astype(np.uint8)
@@ -437,10 +549,10 @@ def _headers(h: int, w: int, sof_marker: int) -> bytes:
     out = bytearray(b"\xff\xd8")  # SOI
     out += dqt(0, QUANT_LUMA)
     out += dqt(1, QUANT_CHROMA)
-    # SOF: 8-bit, 3 components, 4:4:4 (sampling 1x1 each)
+    # SOF: 8-bit, 3 components, luma at (hy, vy), chroma 1x1
     out += struct.pack(">HHBHHB", sof_marker, 17, 8, h, w, 3)
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        out += bytes([cid, 0x11, tq])
+    for cid, samp, tq in ((1, (hy << 4) | vy, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        out += bytes([cid, samp, tq])
     out += _dht_segment(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
     out += _dht_segment(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
     out += _dht_segment(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
@@ -458,64 +570,91 @@ def _sos(comp_idxs: tuple[int, ...], ss: int, se: int,
                       len(comp_idxs))
     for c in comp_idxs:
         tsel = 0 if c == 0 else 1
-        atid = tsel if ac_tid is None else ac_tid
+        # T.81 Table B.3: Ta shall be 0 when Ss = Se = 0 (a DC scan
+        # uses no AC table) — lenient decoders ignore Ta there, but
+        # strict validators reject a nonzero selector.  Baseline's
+        # interleaved scan is Ss=0, Se=63 and DOES use its AC selector.
+        atid = (
+            0 if ss == 0 and se == 0
+            else (tsel if ac_tid is None else ac_tid)
+        )
         out += bytes([c + 1, (tsel << 4) | atid])
     return out + bytes([ss, se, (ah << 4) | al])
 
 
-def jpeg_encode(rgb: np.ndarray, restart_interval: int = 0) -> bytes:
-    """Encode ``uint8 (h, w, 3)`` RGB (h, w multiples of 8) as a
-    baseline sequential 4:4:4 JPEG with the Annex K tables.
+def _encode_block(writer: _BitWriter, zz: np.ndarray, pred: int,
+                  dc_tab: dict, ac_tab: dict) -> int:
+    """Baseline entropy coding of one quantized-zigzag block; returns
+    the new DC prediction."""
+    diff = int(zz[0]) - pred
+    size = _magnitude_category(diff)
+    code, ln = dc_tab[size]
+    writer.write(code, ln)
+    if size:
+        writer.write(_encode_magnitude(diff, size), size)
+    run = 0
+    for i in range(1, 64):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]  # ZRL
+            writer.write(code, ln)
+            run -= 16
+        size = _magnitude_category(v)
+        code, ln = ac_tab[(run << 4) | size]
+        writer.write(code, ln)
+        writer.write(_encode_magnitude(v, size), size)
+        run = 0
+    if run:
+        code, ln = ac_tab[0x00]  # EOB
+        writer.write(code, ln)
+    return int(zz[0])
+
+
+def jpeg_encode(rgb: np.ndarray, restart_interval: int = 0,
+                sampling: str = "444") -> bytes:
+    """Encode ``uint8 (h, w, 3)`` RGB (h, w multiples of the MCU size)
+    as a baseline sequential JPEG with the Annex K tables.
     ``restart_interval`` > 0 emits a DRI segment and the cyclic RSTn
     markers every that many MCUs (byte-aligned, DC prediction reset —
-    T.81 E.1.4), the resync structure real camera JPEGs carry."""
-    a = _validated_rgb(rgb, "jpeg_encode")
+    T.81 E.1.4), the resync structure real camera JPEGs carry.
+    ``sampling`` picks the chroma layout: "444" (1x1 MCUs, the
+    historical default), "422" (chroma halved horizontally, 16x8
+    MCUs), or "420" (halved both ways, 16x16 MCUs) — MCUs interleave
+    the luma blocks raster-first within each MCU per T.81 A.2.3."""
+    hy, vy = _sampling_factors(sampling)
+    a = _validated_rgb(rgb, "jpeg_encode", hy, vy)
     h, w = a.shape[0], a.shape[1]
     if not 0 <= restart_interval <= 65535:
         raise ValueError("restart interval must fit in 16 bits")
-    zz_all = _quantized_zigzag(_rgb_to_ycbcr(a))
+    zz_all = _quantized_zigzag(_rgb_to_ycbcr(a), hy, vy)
     dc_tabs, ac_tabs = _encode_tabs()
+    sfactors = [(hy, vy), (1, 1), (1, 1)]
+    mcx, mcy, geo = _mcu_geometry(sfactors, w, h)
 
     writer = _BitWriter()
     pred = [0, 0, 0]
     rst = 0
-    for bi in range(zz_all[0].shape[0]):
-        if restart_interval and bi and bi % restart_interval == 0:
+    for mi in range(mcx * mcy):
+        if restart_interval and mi and mi % restart_interval == 0:
             writer.append_marker(0xD0 + rst)
             rst = (rst + 1) & 7
             pred = [0, 0, 0]
+        my, mx = divmod(mi, mcx)
         for comp in range(3):
             tsel = 0 if comp == 0 else 1
-            zz = zz_all[comp][bi]
-            # DC
-            diff = int(zz[0]) - pred[comp]
-            pred[comp] = int(zz[0])
-            size = _magnitude_category(diff)
-            code, ln = dc_tabs[tsel][size]
-            writer.write(code, ln)
-            if size:
-                writer.write(_encode_magnitude(diff, size), size)
-            # AC
-            run = 0
-            for i in range(1, 64):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_tabs[tsel][0xF0]  # ZRL
-                    writer.write(code, ln)
-                    run -= 16
-                size = _magnitude_category(v)
-                code, ln = ac_tabs[tsel][(run << 4) | size]
-                writer.write(code, ln)
-                writer.write(_encode_magnitude(v, size), size)
-                run = 0
-            if run:
-                code, ln = ac_tabs[tsel][0x00]  # EOB
-                writer.write(code, ln)
+            hc, vc, bw, _bh = geo[comp]
+            for v in range(vc):
+                for hh in range(hc):
+                    bi = (my * vc + v) * bw + (mx * hc + hh)
+                    pred[comp] = _encode_block(
+                        writer, zz_all[comp][bi], pred[comp],
+                        dc_tabs[tsel], ac_tabs[tsel],
+                    )
 
-    out = bytearray(_headers(h, w, 0xFFC0))
+    out = bytearray(_headers(h, w, 0xFFC0, hy, vy))
     if restart_interval:
         out += struct.pack(">HHH", 0xFFDD, 4, restart_interval)
     out += _sos((0, 1, 2), 0, 63, 0, 0)
@@ -548,27 +687,25 @@ def _pt_ac(v: int, al: int) -> int:
 
 
 def _encode_dc_first(writer: _BitWriter, zz_all: list[np.ndarray],
-                     comp_idxs: tuple[int, ...], al: int,
-                     dc_tabs: list[dict]) -> None:
-    pred = [0] * len(comp_idxs)
-    for bi in range(zz_all[0].shape[0]):
-        for si, c in enumerate(comp_idxs):
-            tsel = 0 if c == 0 else 1
-            v = int(zz_all[c][bi, 0]) >> al  # DC point transform: shift
-            diff = v - pred[si]
-            pred[si] = v
-            size = _magnitude_category(diff)
-            code, ln = dc_tabs[tsel][size]
-            writer.write(code, ln)
-            if size:
-                writer.write(_encode_magnitude(diff, size), size)
+                     n_scomps: int, al: int, dc_tabs: list[dict],
+                     order: list[tuple[int, int, int]]) -> None:
+    pred = [0] * n_scomps
+    for si, c, bi in order:
+        tsel = 0 if c == 0 else 1
+        v = int(zz_all[c][bi, 0]) >> al  # DC point transform: shift
+        diff = v - pred[si]
+        pred[si] = v
+        size = _magnitude_category(diff)
+        code, ln = dc_tabs[tsel][size]
+        writer.write(code, ln)
+        if size:
+            writer.write(_encode_magnitude(diff, size), size)
 
 
 def _encode_dc_refine(writer: _BitWriter, zz_all: list[np.ndarray],
-                      comp_idxs: tuple[int, ...], al: int) -> None:
-    for bi in range(zz_all[0].shape[0]):
-        for c in comp_idxs:
-            writer.write((int(zz_all[c][bi, 0]) >> al) & 1, 1)
+                      al: int, order: list[tuple[int, int, int]]) -> None:
+    for _si, c, bi in order:
+        writer.write((int(zz_all[c][bi, 0]) >> al) & 1, 1)
 
 
 def _emit_eobn(writer: _BitWriter, tab: dict, length: int) -> None:
@@ -709,32 +846,40 @@ def jpeg_encode_progressive(
     rgb: np.ndarray,
     script: tuple[tuple[tuple[int, ...], int, int, int, int], ...]
     | None = None,
+    sampling: str = "444",
 ) -> bytes:
-    """Encode ``uint8 (h, w, 3)`` RGB (h, w multiples of 8) as a
-    PROGRESSIVE 4:4:4 JPEG (SOF2) with the Annex K tables and the
+    """Encode ``uint8 (h, w, 3)`` RGB (h, w multiples of the MCU size)
+    as a PROGRESSIVE JPEG (SOF2) with the Annex K tables and the
     14-scan spectral-selection + successive-approximation script in
     ``_PROG_SCRIPT`` (or a caller-supplied spec-legal ``script`` — the
     tests drive alternative scripts through the same decoder).  The
-    quantized coefficients are identical to :func:`jpeg_encode`'s —
-    progressive is a different ENTROPY CODING of the same data, so
-    decoding either stream must yield the same pixels (the cross-check
-    the tests pin)."""
-    a = _validated_rgb(rgb, "jpeg_encode_progressive")
+    quantized coefficients are identical to :func:`jpeg_encode`'s at
+    the same ``sampling`` — progressive is a different ENTROPY CODING
+    of the same data, so decoding either stream must yield the same
+    pixels (the cross-check the tests pin).  Interleaved (DC) scans of
+    a subsampled image follow MCU order per T.81 A.2.3; AC scans are
+    per-component raster (G.1.1.1.1)."""
+    hy, vy = _sampling_factors(sampling)
+    a = _validated_rgb(rgb, "jpeg_encode_progressive", hy, vy)
     h, w = a.shape[0], a.shape[1]
-    zz_all = _quantized_zigzag(_rgb_to_ycbcr(a))
+    zz_all = _quantized_zigzag(_rgb_to_ycbcr(a), hy, vy)
     dc_tabs, _ = _encode_tabs()
+    sfactors = [(hy, vy), (1, 1), (1, 1)]
+    mcx, mcy, geo = _mcu_geometry(sfactors, w, h)
 
     prog_ac = _build_encode_table(_AC_PROG_BITS, _AC_PROG_VALS)
-    out = bytearray(_headers(h, w, 0xFFC2))
+    out = bytearray(_headers(h, w, 0xFFC2, hy, vy))
     out += _dht_segment(1, 2, _AC_PROG_BITS, _AC_PROG_VALS)
     for comp_idxs, ss, se, ah, al in (script or _PROG_SCRIPT):
         writer = _BitWriter()
         if ss == 0:
+            order = _scan_order(comp_idxs, geo, mcx, mcy)
             out += _sos(comp_idxs, ss, se, ah, al)
             if ah == 0:
-                _encode_dc_first(writer, zz_all, comp_idxs, al, dc_tabs)
+                _encode_dc_first(writer, zz_all, len(comp_idxs), al,
+                                 dc_tabs, order)
             else:
-                _encode_dc_refine(writer, zz_all, comp_idxs, al)
+                _encode_dc_refine(writer, zz_all, al, order)
         else:
             if len(comp_idxs) != 1:
                 raise ValueError(
@@ -758,16 +903,28 @@ def jpeg_encode_progressive(
 
 def _entropy_end(data: bytes, start: int) -> int:
     """Offset of the marker terminating the entropy-coded segment that
-    begins at ``start``: the first 0xFF not followed by a stuffed 0x00
-    or an RSTn code (restart markers are INSIDE the segment, T.81
-    B.2.5; fill 0xFF bytes before a real marker terminate the scan)."""
+    begins at ``start``.  Restart markers and stuffed 0x00 bytes are
+    INSIDE the segment (T.81 B.2.5); spec-legal fill 0xFF bytes may
+    precede ANY marker, including an in-scan RSTn (B.1.1.2), so a run
+    of 0xFF is classified by its first non-0xFF byte: continue past a
+    stuffed 0x00 or an RSTn (consuming the fill), terminate on
+    anything else — returning the offset of the first 0xFF of the run
+    (the marker walk upstream skips the fill itself)."""
     p = start
     while p + 1 < len(data):
-        if data[p] == 0xFF and data[p + 1] != 0x00 and not (
-            0xD0 <= data[p + 1] <= 0xD7
-        ):
+        if data[p] != 0xFF:
+            p += 1
+            continue
+        q = p
+        while q + 1 < len(data) and data[q + 1] == 0xFF:
+            q += 1  # fill bytes
+        if q + 1 >= len(data):
+            break
+        nxt = data[q + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            p = q + 2  # stuffed byte / restart marker: still in-scan
+        else:
             return p
-        p += 2 if data[p] == 0xFF else 1
     raise ValueError("JPEG scan not terminated by a marker")
 
 
@@ -782,44 +939,51 @@ def _tbl(tables: dict, key: int, kind: str):
 
 def _decode_baseline_scan(reader: _BitReader,
                           scomps: list[tuple[int, int, int]],
-                          cid_to_idx: dict[int, int],
                           coefs: list[np.ndarray],
                           dc_tables: dict, ac_tables: dict,
+                          order: list[tuple[int, int, int]],
+                          blocks_per_mcu: int,
                           restart_interval: int = 0) -> None:
+    """Baseline entropy decode in the (scan_slot, component, block)
+    sequence of ``order`` (MCU-interleaved per T.81 A.2.3 — for
+    subsampled streams each MCU carries hc x vc luma blocks).  Restart
+    boundaries fall every ``restart_interval`` MCUs, i.e. every
+    ``restart_interval * blocks_per_mcu`` entries of the order."""
     pred = [0] * len(scomps)
     rst = 0
-    for bi in range(coefs[0].shape[0]):
-        if restart_interval and bi and bi % restart_interval == 0:
+    rst_every = restart_interval * blocks_per_mcu
+    for oi, (si, c, bi) in enumerate(order):
+        if rst_every and oi and oi % rst_every == 0:
             # byte-align, require the cyclic RSTn, reset DC prediction
             # (T.81 E.1.4 / F.2.1.3.1)
             reader.sync_restart(rst)
             rst = (rst + 1) & 7
             pred = [0] * len(scomps)
-        for si, (cid, dc_tid, ac_tid) in enumerate(scomps):
-            zz = coefs[_tbl(cid_to_idx, cid, "component")][bi]
-            size = reader.read_symbol(_tbl(dc_tables, dc_tid, "DC"))
-            if size > 15:
-                raise ValueError("bad JPEG DC size category")
-            diff = _decode_magnitude(reader.read_bits(size), size)
-            pred[si] += diff
-            zz[0] = pred[si]
-            ac = _tbl(ac_tables, ac_tid, "AC")
-            i = 1
-            while i < 64:
-                sym = reader.read_symbol(ac)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if size == 0:
-                    if run != 15:
-                        raise ValueError("bad JPEG AC symbol")
-                    i += 16  # ZRL
-                    continue
-                i += run
-                if i > 63:
-                    raise ValueError("JPEG AC run overflows block")
-                zz[i] = _decode_magnitude(reader.read_bits(size), size)
-                i += 1
+        _cid, dc_tid, ac_tid = scomps[si]
+        zz = coefs[c][bi]
+        size = reader.read_symbol(_tbl(dc_tables, dc_tid, "DC"))
+        if size > 15:
+            raise ValueError("bad JPEG DC size category")
+        diff = _decode_magnitude(reader.read_bits(size), size)
+        pred[si] += diff
+        zz[0] = pred[si]
+        ac = _tbl(ac_tables, ac_tid, "AC")
+        i = 1
+        while i < 64:
+            sym = reader.read_symbol(ac)
+            if sym == 0x00:  # EOB
+                break
+            run, size = sym >> 4, sym & 0x0F
+            if size == 0:
+                if run != 15:
+                    raise ValueError("bad JPEG AC symbol")
+                i += 16  # ZRL
+                continue
+            i += run
+            if i > 63:
+                raise ValueError("JPEG AC run overflows block")
+            zz[i] = _decode_magnitude(reader.read_bits(size), size)
+            i += 1
 
 
 def _decode_progressive_scan(reader: _BitReader,
@@ -827,35 +991,31 @@ def _decode_progressive_scan(reader: _BitReader,
                              cid_to_idx: dict[int, int],
                              coefs: list[np.ndarray],
                              dc_tables: dict, ac_tables: dict,
-                             ss: int, se: int, ah: int, al: int) -> None:
+                             ss: int, se: int, ah: int, al: int,
+                             order: list[tuple[int, int, int]]) -> None:
     """One progressive scan into the coefficient buffers (ITU T.81
-    Annex G): DC first/refine (interleaved allowed), AC first with EOB
-    runs, AC successive-approximation refinement with correction
-    bits.  Scan geometry is script-driven from the SOS header — any
+    Annex G): DC first/refine (interleaved allowed, MCU-ordered via
+    ``order`` so subsampled streams decode), AC first with EOB runs,
+    AC successive-approximation refinement with correction bits.
+    Scan geometry is script-driven from the SOS header — any
     spec-legal script decodes, not just the one our encoder emits."""
-    n_blocks = coefs[0].shape[0]
     if ss == 0:  # DC scan
         if se != 0:
             raise ValueError("progressive DC scan must have Se=0")
         if ah == 0:
             pred = [0] * len(scomps)
-            for bi in range(n_blocks):
-                for si, (cid, dc_tid, _ac) in enumerate(scomps):
-                    size = reader.read_symbol(_tbl(dc_tables, dc_tid, "DC"))
-                    if size > 15:
-                        raise ValueError("bad JPEG DC size category")
-                    diff = _decode_magnitude(reader.read_bits(size), size)
-                    pred[si] += diff
-                    coefs[_tbl(cid_to_idx, cid, "component")][bi, 0] = (
-                        pred[si] << al
-                    )
+            for si, c, bi in order:
+                _cid, dc_tid, _ac = scomps[si]
+                size = reader.read_symbol(_tbl(dc_tables, dc_tid, "DC"))
+                if size > 15:
+                    raise ValueError("bad JPEG DC size category")
+                diff = _decode_magnitude(reader.read_bits(size), size)
+                pred[si] += diff
+                coefs[c][bi, 0] = pred[si] << al
         else:  # refinement: one raw bit per block, no huffman
-            for bi in range(n_blocks):
-                for cid, _dc, _ac in scomps:
-                    if reader.read_bit():
-                        coefs[_tbl(cid_to_idx, cid, "component")][bi, 0] |= (
-                            1 << al
-                        )
+            for _si, c, bi in order:
+                if reader.read_bit():
+                    coefs[c][bi, 0] |= 1 << al
         return
     # AC scan: single component only (T.81 G.1.1.1.1)
     if len(scomps) != 1:
@@ -864,6 +1024,7 @@ def _decode_progressive_scan(reader: _BitReader,
         raise ValueError("bad progressive spectral band")
     cid, _dc_tid, ac_tid = scomps[0]
     cf = coefs[_tbl(cid_to_idx, cid, "component")]
+    n_blocks = cf.shape[0]
     tab = _tbl(ac_tables, ac_tid, "AC")
     eobrun = 0
     if ah == 0:  # first scan of this band at this Al
@@ -935,12 +1096,21 @@ def _decode_progressive_scan(reader: _BitReader,
             eobrun -= 1
 
 
-def _reconstruct(coefs: list[np.ndarray], comps: list[tuple[int, int]],
-                 quant: dict[int, np.ndarray], h: int, w: int) -> np.ndarray:
+def _reconstruct(coefs: list[np.ndarray], comps: list[tuple[int, int, int, int]],
+                 quant: dict[int, np.ndarray], h: int, w: int,
+                 geo: list[tuple[int, int, int, int]]) -> np.ndarray:
+    """Dequant + IDCT each component at its OWN sampled resolution,
+    then box-replicate chroma up to full size (the inverse of the
+    encoder's box-mean decimation — exact on regions constant within
+    each sampling box, which is what keeps MCU-constant tiles
+    closed-form verifiable through the subsampled path)."""
+    hmax = max(hc for hc, _vc, _bw, _bh in geo)
+    vmax = max(vc for _hc, vc, _bw, _bh in geo)
     planes = np.zeros((h, w, 3), dtype=np.int32)
-    nbx = w // 8
-    for ci, (_cid, tq) in enumerate(comps):
+    for ci, (_cid, tq, _hc, _vc) in enumerate(comps):
         qt = _tbl(quant, tq, "quantization")
+        hc, vc, nbx, nby = geo[ci]
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.int32)
         for bi in range(coefs[ci].shape[0]):
             zz = coefs[ci][bi]
             by, bx = (bi // nbx) * 8, (bi % nbx) * 8
@@ -958,25 +1128,30 @@ def _reconstruct(coefs: list[np.ndarray], comps: list[tuple[int, int]],
                 # verifiable (measured: 2 of 512 DC values round
                 # differently through the general basis).
                 val = _round_half_up(np.float64(block[0, 0]) / 8.0 + 128.0)
-                planes[by : by + 8, bx : bx + 8, ci] = int(
-                    np.clip(val, 0, 255)
-                )
+                plane[by : by + 8, bx : bx + 8] = int(np.clip(val, 0, 255))
             else:
                 pixels = _DCT_C.T @ block @ _DCT_C + 128.0
-                planes[by : by + 8, bx : bx + 8, ci] = np.clip(
+                plane[by : by + 8, bx : bx + 8] = np.clip(
                     _round_half_up(pixels), 0, 255
                 ).astype(np.int32)
+        fy, fx = vmax // vc, hmax // hc
+        if fy > 1 or fx > 1:
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
+        planes[:, :, ci] = plane[:h, :w]
     return _ycbcr_to_rgb(planes)
 
 
 def _jpeg_decode_inner(data: bytes) -> np.ndarray:
-    """Decode a baseline-sequential OR progressive (SOF0/SOF2) 4:4:4
-    8-bit JPEG to ``uint8 (h, w, 3)`` RGB.  Both codings fill the same
-    per-component coefficient buffers (progressive across its whole
-    scan script), then share one dequant+IDCT reconstruction — so a
-    progressive stream of the same quantized coefficients decodes to
-    bit-identical pixels.  Raises ``ValueError`` on subsampled chroma,
-    restart intervals, arithmetic coding, or structural corruption."""
+    """Decode a baseline-sequential OR progressive (SOF0/SOF2) 8-bit
+    JPEG — 4:4:4, 4:2:2, 4:2:0, or any other integer-ratio sampling
+    with MCU-aligned dimensions — to ``uint8 (h, w, 3)`` RGB.  Both
+    codings fill the same per-component coefficient buffers
+    (progressive across its whole scan script), then share one
+    dequant+IDCT+chroma-upsample reconstruction — so a progressive
+    stream of the same quantized coefficients decodes to bit-identical
+    pixels.  Raises ``ValueError`` on arithmetic coding, partial-MCU
+    padding, restart intervals inside progressive streams, or
+    structural corruption."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2
@@ -986,9 +1161,12 @@ def _jpeg_decode_inner(data: bytes) -> np.ndarray:
     h = w = -1
     progressive = False
     restart_interval = 0
-    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    # (component id, quant table id, h sampling, v sampling)
+    comps: list[tuple[int, int, int, int]] = []
     coefs: list[np.ndarray] | None = None
     cid_to_idx: dict[int, int] = {}
+    geo: list[tuple[int, int, int, int]] = []
+    mcx = mcy = 0
     got_scan = False
 
     while pos + 4 <= len(data):
@@ -1027,10 +1205,19 @@ def _jpeg_decode_inner(data: bytes) -> np.ndarray:
                 raise ValueError("only 3-component JPEG supported")
             for i in range(ncomp):
                 cid, sampling, tq = payload[6 + 3 * i : 9 + 3 * i]
-                if sampling != 0x11:
-                    raise ValueError("subsampled JPEG (non-4:4:4) not supported")
-                comps.append((cid, tq))
-            cid_to_idx = {cid: i for i, (cid, _tq) in enumerate(comps)}
+                hc, vc = sampling >> 4, sampling & 0x0F
+                if not (1 <= hc <= 4 and 1 <= vc <= 4):
+                    raise ValueError(
+                        f"bad JPEG sampling factors {hc}x{vc} (T.81 "
+                        "allows 1..4)"
+                    )
+                comps.append((cid, tq, hc, vc))
+            cid_to_idx = {c[0]: i for i, c in enumerate(comps)}
+            # MCU grid + per-component block geometry (typed error on
+            # non-integer ratios or non-MCU-aligned dimensions)
+            mcx, mcy, geo = _mcu_geometry(
+                [(hc, vc) for _cid, _tq, hc, vc in comps], w, h
+            )
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(
                 f"unsupported JPEG coding (SOF{marker & 0x0F}); only "
@@ -1058,13 +1245,9 @@ def _jpeg_decode_inner(data: bytes) -> np.ndarray:
             if h < 0 or not comps:
                 raise ValueError("JPEG SOS before SOF")
             if coefs is None:
-                if h % 8 or w % 8:
-                    raise ValueError(
-                        "dimensions not multiples of 8 (padding not supported)"
-                    )
                 coefs = [
-                    np.zeros((h // 8 * (w // 8), 64), dtype=np.int64)
-                    for _ in comps
+                    np.zeros((bw * bh, 64), dtype=np.int64)
+                    for _hc, _vc, bw, bh in geo
                 ]
             ns = payload[0]
             if len(payload) < 4 + 2 * ns:
@@ -1074,6 +1257,11 @@ def _jpeg_decode_inner(data: bytes) -> np.ndarray:
                 cid = payload[1 + 2 * i]
                 tabs = payload[2 + 2 * i]
                 scomps.append((cid, tabs >> 4, tabs & 0x0F))
+            comp_idxs = tuple(
+                _tbl(cid_to_idx, cid, "component")
+                for cid, _dc, _ac in scomps
+            )
+            order = _scan_order(comp_idxs, geo, mcx, mcy)
             ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
             ahal = payload[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F
@@ -1087,7 +1275,7 @@ def _jpeg_decode_inner(data: bytes) -> np.ndarray:
                     )
                 _decode_progressive_scan(
                     reader, scomps, cid_to_idx, coefs, dc_tables,
-                    ac_tables, ss, se, ah, al,
+                    ac_tables, ss, se, ah, al, order,
                 )
             else:
                 if ss != 0 or se != 63 or ah != 0 or al != 0:
@@ -1096,9 +1284,12 @@ def _jpeg_decode_inner(data: bytes) -> np.ndarray:
                     raise ValueError(
                         "baseline JPEG expects one interleaved scan"
                     )
+                blocks_per_mcu = sum(
+                    geo[c][0] * geo[c][1] for c in comp_idxs
+                )
                 _decode_baseline_scan(
-                    reader, scomps, cid_to_idx, coefs, dc_tables,
-                    ac_tables, restart_interval,
+                    reader, scomps, coefs, dc_tables, ac_tables,
+                    order, blocks_per_mcu, restart_interval,
                 )
             got_scan = True
             pos = end
@@ -1107,7 +1298,7 @@ def _jpeg_decode_inner(data: bytes) -> np.ndarray:
 
     if not got_scan or coefs is None:
         raise ValueError("JPEG missing SOF/SOS")
-    return _reconstruct(coefs, comps, quant, h, w)
+    return _reconstruct(coefs, comps, quant, h, w, geo)
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
@@ -1134,16 +1325,15 @@ JPEG_TX_MOD, JPEG_TX_MIN = 4, 1  # tiles across = k % 4 + 1  (1..4)
 JPEG_TY_MOD, JPEG_TY_MIN = 3, 1  # tiles down   = k % 3 + 1  (1..3)
 
 
-def _synth_tile_rgb(doc_id: int) -> np.ndarray:
-    from .media import _key
-
-    k = _key(doc_id)
+def _tile_colors(k: int) -> np.ndarray:
+    """The (ty, tx, 3) uint8 tile-color lattice of document key ``k``
+    (the closed-form formulas the SQL oracles recompute)."""
     tx = k % JPEG_TX_MOD + JPEG_TX_MIN
     ty = k % JPEG_TY_MOD + JPEG_TY_MIN
     j, i = np.mgrid[0:ty, 0:tx]
     i = i.astype(np.int64)
     j = j.astype(np.int64)
-    tiles = np.stack(
+    return np.stack(
         [
             (i * 31 + j * 17 + k) % 256,
             (i * 13 + j * 7 + 2 * k) % 256,
@@ -1151,7 +1341,28 @@ def _synth_tile_rgb(doc_id: int) -> np.ndarray:
         ],
         axis=-1,
     ).astype(np.uint8)
+
+
+def _synth_tile_rgb(doc_id: int) -> np.ndarray:
+    from .media import _key
+
+    tiles = _tile_colors(_key(doc_id))
     return np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+
+
+def _synth_mcu_tile_rgb(doc_id: int) -> tuple[np.ndarray, str]:
+    """MCU-sized constant tiles + the per-document sampling mode: even
+    keys get 4:2:0 (16x16 MCUs), odd keys 4:2:2 (16x8 MCUs).  A tile
+    constant over a whole MCU survives the chroma box-mean decimation
+    EXACTLY, so the decoded colors follow the same closed form as the
+    4:4:4 corpus — the subsampled-stats oracle's verifiability trick."""
+    from .media import _key
+
+    k = _key(doc_id)
+    sampling = "420" if k % 2 == 0 else "422"
+    mh = 16 if sampling == "420" else 8
+    tiles = _tile_colors(k)
+    return np.repeat(np.repeat(tiles, mh, axis=0), 16, axis=1), sampling
 
 
 def synth_jpeg_corpus(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1191,6 +1402,30 @@ def synth_restart_jpeg_corpus(docs: DataFrame,
                 )
                 for d in ids
             ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return src.mapInPandas(run, schema="doc_id long, payload binary")
+
+
+def synth_subsampled_jpeg_corpus(docs: DataFrame,
+                                 id_col: str = "doc_id") -> DataFrame:
+    """One chroma-subsampled baseline JPEG per document — constant
+    MCU-sized tiles, 4:2:0 for even keys and 4:2:2 for odd keys, so
+    one corpus exercises both dominant real-world sampling layouts
+    (MCU-interleaved multi-block entropy order, chroma decimation,
+    and the decoder's per-component geometry + upsample path).
+    Schema: (doc_id long, payload binary)."""
+    from .media import _scatter_ids
+
+    src = _scatter_ids(docs, id_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = batch["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                rgb, sampling = _synth_mcu_tile_rgb(int(d))
+                payloads.append(jpeg_encode(rgb, sampling=sampling))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     return src.mapInPandas(run, schema="doc_id long, payload binary")

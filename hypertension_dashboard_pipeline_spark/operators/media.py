@@ -708,6 +708,10 @@ def image_position_stats(df: DataFrame, id_col: str = "doc_id",
             rows = []
             for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
                 arr = png_decode(bytes(payload)).astype(np.int64)
+                if arr.shape[2] == 1:
+                    # grayscale: replicate so the channel indexing below
+                    # is always valid (same convention as image_stats)
+                    arr = np.repeat(arr, 3, axis=2)
                 h, w = arr.shape[0], arr.shape[1]
                 xs = np.arange(w, dtype=np.int64)[None, :]
                 ys = np.arange(h, dtype=np.int64)[:, None]

@@ -579,6 +579,65 @@ def hamming_calibration(sigs: DataFrame, families: DataFrame,
     )
 
 
+def calibration_operating_point(curve: DataFrame,
+                                key_cols: tuple[str, ...] = (),
+                                precision_floor: float | None = None,
+                                ) -> DataFrame:
+    """Turn a :func:`hamming_calibration` curve into the operating
+    threshold :func:`phash_dedup_groups` consumes — one row per
+    ``key_cols`` group (e.g. per hash kind when two curves are stacked
+    side by side).
+
+    Default policy is **argmax-F1** with the tightest-threshold
+    tie-break (equal F1 -> smaller ``max_hamming``, i.e. the
+    higher-precision operating point).  F1 is computed EXACTLY from
+    the integer curve columns — ``2*n_hit / (n_pairs + n_truth)`` is
+    the harmonic mean of precision and recall without touching their
+    rounded presentations — then 6dp-fixed for output.  With
+    ``precision_floor`` the policy becomes max-recall-at-precision-
+    floor: among thresholds whose precision meets the floor (exact
+    integer-ppm comparison, no float equality), pick the highest
+    ``n_hit`` (recall shares the constant ``n_truth`` denominator),
+    same tie-break.
+
+    Scale shape: a calibration curve is BOUNDED (one row per swept
+    threshold per key — <= 7 per hash kind here), so the row_number
+    window over it is a constant-size operation regardless of corpus
+    size; all corpus-sized work already happened inside the
+    calibration sweep."""
+    from pyspark.sql.window import Window
+
+    denom = F.col("n_pairs") + F.col("n_truth")
+    scored = curve.withColumn(
+        "f1",
+        F.when(
+            denom > 0,
+            round_fixed(
+                F.lit(2.0) * F.col("n_hit").cast("double")
+                / denom.cast("double"),
+                6,
+            ),
+        ),
+    )
+    if precision_floor is not None:
+        if not 0.0 <= precision_floor <= 1.0:
+            raise ValueError("precision_floor must be within [0, 1]")
+        ppm = int(round(precision_floor * 1_000_000))
+        scored = scored.where(
+            (F.col("n_pairs") > 0)
+            & (F.col("n_hit") * 1_000_000 >= F.lit(ppm) * F.col("n_pairs"))
+        )
+        order = [F.col("n_hit").desc(), F.col("max_hamming").asc()]
+    else:
+        order = [F.col("f1").desc_nulls_last(), F.col("max_hamming").asc()]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 def phash_dedup_groups(sigs: DataFrame, sig_col: str = "dhash",
                        max_hamming: int = 6, max_iterations: int = 20,
                        persist: bool = True,

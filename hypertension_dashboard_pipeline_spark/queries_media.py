@@ -351,6 +351,78 @@ def media_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg.jpeg_stats(corpus)
 
 
+# Chroma-subsampled variant of the closed-form oracle: the tile color
+# lattice is identical, but tiles are MCU-sized — 16x16 for 4:2:0
+# (even keys), 16x8 for 4:2:2 (odd keys) — so the per-tile pixel count
+# and the image height depend on the key's parity.  A tile constant
+# over a whole MCU survives the chroma box-mean decimation exactly
+# (the mean of a constant box is the constant and floor(x+0.5) is the
+# identity on integers), so the decoded color is the SAME DC-only
+# closed form as the 4:4:4 oracle.
+_JPEG_SUBSAMPLED_ORACLE = f"""
+    WITH tiles AS (
+        SELECT d.doc_id, d.k, i, j,
+               CAST((i * 31 + j * 17 + d.k) % 256 AS DOUBLE) AS r0,
+               CAST((i * 13 + j * 7 + 2 * d.k) % 256 AS DOUBLE) AS g0,
+               CAST((i * 3 + j * 29 + 3 * d.k) % 256 AS DOUBLE) AS b0
+        FROM {{keyed}}, range(0, 4) t(i), range(0, 3) s(j)
+        WHERE i < d.k % 4 + 1 AND j < d.k % 3 + 1
+    ), ycc AS (
+        SELECT doc_id, k,
+               {_cl_rhu("0.299::DOUBLE * r0 + 0.587::DOUBLE * g0"
+                        " + 0.114::DOUBLE * b0")} AS y,
+               {_cl_rhu("-0.168736::DOUBLE * r0 - 0.331264::DOUBLE * g0"
+                        " + 0.5::DOUBLE * b0 + 128.0::DOUBLE")} AS cb,
+               {_cl_rhu("0.5::DOUBLE * r0 - 0.418688::DOUBLE * g0"
+                        " - 0.081312::DOUBLE * b0 + 128.0::DOUBLE")} AS cr
+        FROM tiles
+    ), rec AS (
+        SELECT doc_id, k,
+               {_dc_chain('y', 16)} AS yd,
+               {_dc_chain('cb', 17)} AS cbd,
+               {_dc_chain('cr', 17)} AS crd
+        FROM ycc
+    ), rgb AS (
+        SELECT doc_id, k,
+               CASE WHEN k % 2 = 0 THEN 256 ELSE 128 END AS tile_px,
+               {_cl_rhu("yd + 1.402::DOUBLE * (crd - 128.0::DOUBLE)")} AS rr,
+               {_cl_rhu("yd - 0.344136::DOUBLE * (cbd - 128.0::DOUBLE)"
+                        " - 0.714136::DOUBLE * (crd - 128.0::DOUBLE)")} AS gg,
+               {_cl_rhu("yd + 1.772::DOUBLE * (cbd - 128.0::DOUBLE)")} AS bb
+        FROM rec
+    )
+    SELECT doc_id,
+           CAST((k % 4 + 1) * 16 AS INT) AS width,
+           CAST((k % 3 + 1) * CASE WHEN k % 2 = 0 THEN 16 ELSE 8 END
+                AS INT) AS height,
+           CAST(SUM(rr * tile_px) AS BIGINT) AS sum_r,
+           CAST(SUM(gg * tile_px) AS BIGINT) AS sum_g,
+           CAST(SUM(bb * tile_px) AS BIGINT) AS sum_b
+    FROM rgb
+    GROUP BY doc_id, k
+""".format(keyed=_KEYED_DOCS)
+
+
+@register("media_jpeg_subsampled_stats", oracle=_JPEG_SUBSAMPLED_ORACLE)
+def media_jpeg_subsampled_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL chroma-subsampled JPEG decode — the sampling layouts that
+    dominate real-world corpora: even keys carry 4:2:0 streams (16x16
+    MCUs, four luma blocks interleaved per MCU), odd keys 4:2:2 (16x8
+    MCUs).  The decoder must parse the SOF sampling factors, walk the
+    T.81 A.2.3 MCU-interleaved block order, reconstruct each component
+    at its own resolution, and box-replicate chroma back to full size.
+    Tiles are constant per MCU, so chroma decimation is exact and the
+    oracle recomputes the same DC-only closed form as the 4:4:4
+    queries (scaled by the MCU pixel count); 420/422 cross-coding
+    bit-identity vs progressive and restart framings is pinned in
+    tests/test_jpeg.py."""
+    from .operators import jpeg
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = jpeg.synth_subsampled_jpeg_corpus(docs)
+    return jpeg.jpeg_stats(corpus)
+
+
 # ---------------------------------------------------------------------------
 # Perceptual-hash media dedup (operators/phash.py) — the LAION-style
 # corpus-dedup read over DECODED pixels.  Same zero-byte oracle design:
@@ -680,20 +752,22 @@ def media_phash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash.phash_dedup_groups(sigs, sig_col="dhash", max_hamming=6)
 
 
-@register(
-    "media_hamming_calibration",
-    oracle=_DHASH_CTE + """
+def _calib_sweep_sql(cte: str, tbl: str, sig: str) -> str:
+    """The precision/recall threshold-sweep oracle over one signature
+    CTE (``dsig``/``dhash`` or ``asig``/``ahash``) — the all-pairs
+    form the lossless chunk-pair blocking provably equals."""
+    return cte + f"""
     , fam AS (
         SELECT doc_id,
                ((doc_id % 2147483648) + 2147483648) % 2147483648 % 20
                    AS family
         FROM documents
     ), ap AS (
-        SELECT CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER)
+        SELECT CAST(bit_count(xor(a.{sig}, b.{sig})) AS INTEGER)
                    AS hamming,
                CASE WHEN fa.family = fb.family THEN 1 ELSE 0 END
                    AS same_fam
-        FROM dsig a JOIN dsig b ON a.doc_id < b.doc_id
+        FROM {tbl} a JOIN {tbl} b ON a.doc_id < b.doc_id
         JOIN fam fa ON fa.doc_id = a.doc_id
         JOIN fam fb ON fb.doc_id = b.doc_id
     ), tr AS (
@@ -717,8 +791,14 @@ def media_phash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM range(0, 7) th(t) CROSS JOIN tr
     LEFT JOIN ap ON ap.hamming <= th.t
     GROUP BY th.t
-    """,
-)
+    """
+
+
+_DHASH_SWEEP_SQL = _calib_sweep_sql(_DHASH_CTE, "dsig", "dhash")
+_AHASH_SWEEP_SQL = _calib_sweep_sql(_AHASH_CTE, "asig", "ahash")
+
+
+@register("media_hamming_calibration", oracle=_DHASH_SWEEP_SQL)
 def media_hamming_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold calibration for the perceptual-hash dedup family:
     precision/recall of dHash Hamming cutoffs 0..6 against the
@@ -746,45 +826,7 @@ def media_hamming_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "media_ahash_calibration",
-    oracle=_AHASH_CTE + """
-    , fam AS (
-        SELECT doc_id,
-               ((doc_id % 2147483648) + 2147483648) % 2147483648 % 20
-                   AS family
-        FROM documents
-    ), ap AS (
-        SELECT CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER)
-                   AS hamming,
-               CASE WHEN fa.family = fb.family THEN 1 ELSE 0 END
-                   AS same_fam
-        FROM asig a JOIN asig b ON a.doc_id < b.doc_id
-        JOIN fam fa ON fa.doc_id = a.doc_id
-        JOIN fam fb ON fb.doc_id = b.doc_id
-    ), tr AS (
-        SELECT CAST(COUNT(CASE WHEN same_fam = 1 THEN 1 END) AS BIGINT)
-                   AS n_truth
-        FROM ap
-    )
-    SELECT CAST(th.t AS INT) AS max_hamming,
-           CAST(COUNT(ap.hamming) AS BIGINT) AS n_pairs,
-           CAST(COUNT(CASE WHEN ap.same_fam = 1 THEN 1 END) AS BIGINT)
-               AS n_hit,
-           MIN(tr.n_truth) AS n_truth,
-           CASE WHEN COUNT(ap.hamming) > 0 THEN
-               FLOOR(COUNT(CASE WHEN ap.same_fam = 1 THEN 1 END)::DOUBLE
-                     / COUNT(ap.hamming) * 1000000.0 + 0.5) / 1000000.0
-           END AS precision,
-           CASE WHEN MIN(tr.n_truth) > 0 THEN
-               FLOOR(COUNT(CASE WHEN ap.same_fam = 1 THEN 1 END)::DOUBLE
-                     / MIN(tr.n_truth) * 1000000.0 + 0.5) / 1000000.0
-           END AS recall
-    FROM range(0, 7) th(t) CROSS JOIN tr
-    LEFT JOIN ap ON ap.hamming <= th.t
-    GROUP BY th.t
-    """,
-)
+@register("media_ahash_calibration", oracle=_AHASH_SWEEP_SQL)
 def media_ahash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The aHash twin of media_hamming_calibration: the same
     precision/recall threshold sweep over AVERAGE-hash signatures, so
@@ -809,6 +851,68 @@ def media_ahash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return phash.hamming_calibration(
         sigs, fam, thresholds=(0, 1, 2, 3, 4, 5, 6), sig_col="ahash"
+    )
+
+
+@register(
+    "media_calibration_select",
+    oracle=f"""
+    WITH u AS (
+        SELECT 'dhash' AS hash_kind, dc.* FROM ({_DHASH_SWEEP_SQL}) dc
+        UNION ALL
+        SELECT 'ahash' AS hash_kind, ac.* FROM ({_AHASH_SWEEP_SQL}) ac
+    ), scored AS (
+        SELECT hash_kind, max_hamming, n_pairs, n_hit, n_truth,
+               precision, recall,
+               CASE WHEN n_pairs + n_truth > 0 THEN
+                   FLOOR(2.0::DOUBLE * n_hit / (n_pairs + n_truth)
+                         * 1000000.0 + 0.5) / 1000000.0
+               END AS f1
+        FROM u
+    )
+    SELECT hash_kind, max_hamming, n_pairs, n_hit, n_truth,
+           precision, recall, f1
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY hash_kind
+        ORDER BY f1 DESC, max_hamming ASC
+    ) = 1
+    """,
+)
+def media_calibration_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration -> selection: reads BOTH perceptual-hash
+    calibration curves (dHash + aHash precision/recall sweeps) and
+    emits each hash's operating threshold — argmax exact F1
+    (``2*n_hit/(n_pairs+n_truth)``, the harmonic mean computed from
+    the integer curve columns) with the tighter-threshold tie-break.
+    This is the 1-row-per-hash actionable knob phash_dedup_groups
+    consumes, closing the measure->choose->run loop of the
+    minhash_calibration methodology.  All corpus-sized work happens
+    inside the two sweeps (one blocked candidate generation each,
+    folded to <=7-row histograms); the selection itself is a
+    row_number window over a bounded 14-row frame."""
+    from .operators import phash
+
+    sigs = _ph_corpus_sigs(spark, sf_dir)
+    km = 2147483648
+    fam = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            (((F.col("doc_id") % km) + km) % km % 20).alias("family"),
+        )
+    )
+    curves = None
+    for kind in ("dhash", "ahash"):
+        c = phash.hamming_calibration(
+            sigs, fam, thresholds=(0, 1, 2, 3, 4, 5, 6), sig_col=kind
+        ).withColumn("hash_kind", F.lit(kind))
+        curves = c if curves is None else curves.unionByName(c)
+    return phash.calibration_operating_point(
+        curves, key_cols=("hash_kind",)
+    ).select(
+        "hash_kind", "max_hamming", "n_pairs", "n_hit", "n_truth",
+        "precision", "recall", "f1",
     )
 
 

@@ -143,7 +143,7 @@ def test_decode_rejections():
         J.jpeg_decode(lossless)
     with pytest.raises(ValueError):
         J.jpeg_decode(good[: len(good) // 2])
-    with pytest.raises(ValueError, match="multiples of 8"):
+    with pytest.raises(ValueError, match="multiples of the MCU"):
         J.jpeg_encode(np.zeros((7, 8, 3), np.uint8))
 
 
@@ -335,3 +335,153 @@ def test_restart_in_progressive_is_rejected():
     with_dri = p[:2] + b"\xff\xdd\x00\x04\x00\x02" + p[2:]
     with pytest.raises(ValueError, match="progressive"):
         J.jpeg_decode(with_dri)
+
+
+def test_fill_bytes_before_restart_markers_decode():
+    """T.81 B.1.1.2: fill 0xFF bytes may precede ANY marker, including
+    an in-scan RSTn.  Injecting a fill byte before every restart
+    marker must not change the decode (the r12 advice case: the old
+    _entropy_end treated FF FF Dn as the scan terminator and lost the
+    rest of the scan)."""
+    rng = np.random.default_rng(37)
+    arr = rng.integers(0, 256, (16, 8 * 5, 3), np.uint8)
+    blob = J.jpeg_encode(arr, restart_interval=2)
+    filled = bytearray()
+    i = 0
+    sos = blob.index(b"\xff\xda")
+    while i < len(blob):
+        if (
+            i > sos
+            and blob[i] == 0xFF
+            and i + 1 < len(blob)
+            and 0xD0 <= blob[i + 1] <= 0xD7
+        ):
+            filled += b"\xff"  # fill byte before the RSTn
+        filled.append(blob[i])
+        i += 1
+    assert len(filled) > len(blob)  # fill actually injected
+    assert np.array_equal(J.jpeg_decode(bytes(filled)), J.jpeg_decode(blob))
+
+
+def test_progressive_dc_scan_emits_ac_selector_zero():
+    """T.81 Table B.3: Ta shall be 0 when Ss = Se = 0.  Walk every SOS
+    of an emitted progressive stream and check the DC scans."""
+    arr = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    blob = J.jpeg_encode_progressive(arr)
+    found_dc = 0
+    pos = 2
+    import struct as _struct
+
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = blob[pos + 1]
+        if marker == 0xDA:
+            (seg_len,) = _struct.unpack_from(">H", blob, pos + 2)
+            payload = blob[pos + 4 : pos + 2 + seg_len]
+            ns = payload[0]
+            ss = payload[1 + 2 * ns]
+            if ss == 0:  # DC scan
+                found_dc += 1
+                for i in range(ns):
+                    assert payload[2 + 2 * i] & 0x0F == 0, "Ta != 0 on DC scan"
+            pos += 2 + seg_len
+        elif marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+        else:
+            (seg_len,) = _struct.unpack_from(">H", blob, pos + 2)
+            pos += 2 + seg_len
+    assert found_dc == 2  # DC first + DC refine scans both checked
+
+
+# ---------------------------------------------------------------------------
+# Chroma subsampling (4:2:2 / 4:2:0)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sampling,mw,mh", [("422", 16, 8), ("420", 16, 16)])
+def test_subsampled_constant_mcu_tiles_decode_to_the_closed_form(
+    sampling, mw, mh
+):
+    """A tile constant over a whole MCU survives chroma subsampling
+    EXACTLY (the box mean of a constant box is the constant, and
+    floor(x+0.5) is the identity on integers), so the decoded color is
+    the SAME closed form as 4:4:4 — the law the subsampled-stats SQL
+    oracle relies on."""
+    colors = [(r, g, b)
+              for r in range(0, 256, 34)
+              for g in range(0, 256, 42)
+              for b in range(0, 256, 46)]
+    colors += [(238, 238, 238), (133, 133, 133), (0, 0, 0), (255, 255, 255)]
+    cols = 8
+    rows = (len(colors) + cols - 1) // cols
+    img = np.zeros((rows * mh, cols * mw, 3), np.uint8)
+    for idx, c in enumerate(colors):
+        j, i = divmod(idx, cols)
+        img[j * mh : (j + 1) * mh, i * mw : (i + 1) * mw] = c
+    dec = J.jpeg_decode(J.jpeg_encode(img, sampling=sampling))
+    for idx, c in enumerate(colors):
+        j, i = divmod(idx, cols)
+        tile = dec[j * mh : (j + 1) * mh, i * mw : (i + 1) * mw]
+        assert (tile == tile[0, 0]).all(), c
+        assert tuple(int(v) for v in tile[0, 0]) == _closed_form(c), c
+
+
+@pytest.mark.parametrize("sampling", ["422", "420"])
+def test_subsampled_cross_coding_bit_identity(sampling):
+    """Baseline, baseline+restart, and progressive are three entropy
+    codings of the SAME quantized subsampled coefficients — all three
+    must decode bit-identically, on general (non-constant) content."""
+    rng = _rng()
+    img = rng.integers(0, 256, (32, 48, 3), np.uint8)
+    base = J.jpeg_decode(J.jpeg_encode(img, sampling=sampling))
+    rst = J.jpeg_decode(
+        J.jpeg_encode(img, restart_interval=2, sampling=sampling)
+    )
+    prog = J.jpeg_decode(J.jpeg_encode_progressive(img, sampling=sampling))
+    assert np.array_equal(base, rst)
+    assert np.array_equal(base, prog)
+    assert base.shape == img.shape and base.dtype == np.uint8
+
+
+def test_subsampled_sof_declares_the_sampling_and_shrinks_the_stream():
+    """The emitted SOF must carry luma 2x2 / chroma 1x1 for 420, and
+    coding 3/8 as many chroma blocks must actually shrink the payload
+    on chroma-detailed content."""
+    rng = _rng()
+    img = rng.integers(0, 256, (32, 32, 3), np.uint8)
+    b444 = J.jpeg_encode(img)
+    b420 = J.jpeg_encode(img, sampling="420")
+    sof = b420.index(b"\xff\xc0")
+    # SOF payload: len(2) prec(1) h(2) w(2) ncomp(1), then cid/samp/tq
+    assert b420[sof + 11] == 0x22  # luma 2x2
+    assert b420[sof + 14] == 0x11 and b420[sof + 17] == 0x11  # chroma 1x1
+    assert len(b420) < len(b444)
+
+
+def test_subsampled_dimension_and_ratio_rejections():
+    # encode: dims must be MCU-aligned
+    with pytest.raises(ValueError, match="multiples of the MCU"):
+        J.jpeg_encode(np.zeros((8, 16, 3), np.uint8), sampling="420")
+    with pytest.raises(ValueError, match="multiples of the MCU"):
+        J.jpeg_encode(np.zeros((8, 8, 3), np.uint8), sampling="422")
+    with pytest.raises(ValueError, match="unsupported JPEG sampling"):
+        J.jpeg_encode(np.zeros((16, 16, 3), np.uint8), sampling="411")
+    # decode: non-integer sampling ratio (3x1 luma, 2x1 chroma) is a
+    # typed error, as is a partial-MCU foreign stream
+    good = J.jpeg_encode(np.zeros((16, 48, 3), np.uint8), sampling="420")
+    sof = good.index(b"\xff\xc0")
+    bad = bytearray(good)
+    bad[sof + 11] = 0x32  # luma 3x2: chroma ratio 3/1... 3%1==0; use 0x33
+    bad[sof + 14] = 0x21  # chroma 2x1 -> hmax=3, 3 % 2 != 0
+    with pytest.raises(ValueError, match="non-integer JPEG sampling"):
+        J.jpeg_decode(bytes(bad))
+    bad2 = bytearray(good)
+    bad2[sof + 11] = 0x24  # luma 2x4 -> MCU 16x32, h=16 not aligned
+    with pytest.raises(ValueError, match="multiples of the MCU"):
+        J.jpeg_decode(bytes(bad2))
+    bad3 = bytearray(good)
+    bad3[sof + 11] = 0x52  # sampling factor 5 out of T.81 range
+    with pytest.raises(ValueError, match="bad JPEG sampling factors"):
+        J.jpeg_decode(bytes(bad3))

@@ -466,3 +466,22 @@ def test_png_palette_rejections():
     )
     with pytest.raises(ValueError, match="index out of range"):
         m.png_decode(rebuilt)
+
+
+def test_position_stats_grayscale_replicates_channels(spark):
+    """A grayscale (color-type-0) PNG through image_position_stats must
+    replicate the single channel across r/g/b (image_stats convention)
+    instead of crashing the Arrow worker on arr[:, :, 1] — the r12
+    advice case."""
+    gray = (np.arange(5 * 7, dtype=np.uint8) * 11 % 256).reshape(5, 7)
+    payload = m.png_encode(gray)
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "doc_id long, payload binary")
+    row = m.image_position_stats(df).collect()[0]
+    g = gray.astype(np.int64)
+    xs = np.arange(7, dtype=np.int64)[None, :]
+    ys = np.arange(5, dtype=np.int64)[:, None]
+    assert (row.width, row.height) == (7, 5)
+    assert row.sum_xr == int((xs * g).sum())
+    assert row.sum_yg == int((ys * g).sum())
+    assert row.sum_b == int(g.sum())

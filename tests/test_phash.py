@@ -347,3 +347,73 @@ def test_frame_dup_groups_span_documents_and_positions(spark, sf_smoke):
     assert any(g.n_docs >= 2 for g in groups)
     # only 10 possible frame contents exist
     assert len({g.fp for g in groups}) <= ph.GFD_FC_MOD
+
+
+# ---------------------------------------------------------------------------
+# Calibration -> selection (calibration_operating_point)
+# ---------------------------------------------------------------------------
+
+
+def _curve_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "hash_kind string, max_hamming int, n_pairs long, n_hit long, "
+        "n_truth long",
+    )
+
+
+def test_operating_point_argmax_f1_with_tight_tiebreak(spark):
+    """F1 = 2*n_hit/(n_pairs+n_truth) exactly; equal F1 picks the
+    SMALLER max_hamming (higher-precision operating point)."""
+    rows = [
+        # kind A: t=2 strictly best (f1 = 2*8/(10+10) = 0.8)
+        ("a", 0, 4, 4, 10), ("a", 1, 6, 6, 10), ("a", 2, 10, 8, 10),
+        ("a", 3, 40, 9, 10),
+        # kind B: t=1 and t=3 tie at f1 — tie-break to t=1
+        ("b", 1, 10, 8, 10), ("b", 3, 10, 8, 10), ("b", 5, 100, 10, 10),
+    ]
+    got = {
+        r.hash_kind: r
+        for r in ph.calibration_operating_point(
+            _curve_df(spark, rows), key_cols=("hash_kind",)
+        ).collect()
+    }
+    assert got["a"].max_hamming == 2 and got["a"].f1 == 0.8
+    # b: t=5 has f1 = 20/110 ≈ 0.1818; t=1/t=3 have 16/20 = 0.8
+    assert got["b"].max_hamming == 1
+
+
+def test_operating_point_precision_floor_mode(spark):
+    """max-recall-at-precision-floor: thresholds below the floor are
+    excluded (exact integer-ppm comparison), then highest n_hit wins,
+    tie-break to the smaller threshold."""
+    rows = [
+        ("a", 0, 10, 9, 20),   # precision .9
+        ("a", 1, 20, 16, 20),  # precision .8  <- floor cut
+        ("a", 2, 40, 18, 20),  # precision .45
+    ]
+    got = ph.calibration_operating_point(
+        _curve_df(spark, rows), key_cols=("hash_kind",),
+        precision_floor=0.85,
+    ).collect()
+    assert len(got) == 1 and got[0].max_hamming == 0 and got[0].n_hit == 9
+    # floor exactly met (>= is inclusive): 16/20 = 0.8 passes floor 0.8
+    got2 = ph.calibration_operating_point(
+        _curve_df(spark, rows), key_cols=("hash_kind",),
+        precision_floor=0.8,
+    ).collect()
+    assert got2[0].max_hamming == 1  # recall 16 beats 9
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="precision_floor"):
+        ph.calibration_operating_point(
+            _curve_df(spark, rows), precision_floor=1.5
+        )
+
+
+def test_operating_point_zero_denominator_f1_is_null_and_loses(spark):
+    rows = [("a", 0, 0, 0, 0), ("a", 1, 10, 5, 10)]
+    got = ph.calibration_operating_point(
+        _curve_df(spark, rows), key_cols=("hash_kind",)
+    ).collect()
+    assert len(got) == 1 and got[0].max_hamming == 1

@@ -147,7 +147,7 @@ def test_corrupted_payloads_raise_only_valueerror(data):
     kind = data.draw(
         st.sampled_from(
             ["png", "png_ilace", "png_pal", "bmp", "wav", "gif",
-             "jpeg", "jpeg_prog", "jpeg_rst"]
+             "jpeg", "jpeg_prog", "jpeg_rst", "jpeg_420", "jpeg_prog_422"]
         )
     )
     if kind == "png":
@@ -189,6 +189,20 @@ def test_corrupted_payloads_raise_only_valueerror(data):
         blob = J.jpeg_encode_progressive(
             (np.arange(16 * 16 * 3, dtype=np.int64) % 256)
             .astype(np.uint8).reshape(16, 16, 3)
+        )
+        decode = J.jpeg_decode
+    elif kind == "jpeg_420":
+        blob = J.jpeg_encode(
+            (np.arange(16 * 32 * 3, dtype=np.int64) % 256)
+            .astype(np.uint8).reshape(16, 32, 3),
+            restart_interval=1, sampling="420",
+        )
+        decode = J.jpeg_decode
+    elif kind == "jpeg_prog_422":
+        blob = J.jpeg_encode_progressive(
+            (np.arange(16 * 32 * 3, dtype=np.int64) % 256)
+            .astype(np.uint8).reshape(16, 32, 3),
+            sampling="422",
         )
         decode = J.jpeg_decode
     else:
