@@ -74,18 +74,27 @@ _ADAM7 = (
 )
 
 
-def png_encode(arr: np.ndarray, interlace: bool = False) -> bytes:
-    """Encode an 8-bit image array as a PNG (filter 0 scanlines).
+def png_encode(arr: np.ndarray, interlace: bool = False,
+               trns: tuple[int, ...] | int | None = None) -> bytes:
+    """Encode an image array as a PNG (filter 0 scanlines).
 
-    ``arr`` is ``uint8`` with shape ``(h, w)`` (greyscale), ``(h, w,
-    3)`` (RGB) or ``(h, w, 4)`` (RGBA).  Filter type 0 on every row —
-    valid PNG always; compression ratio is not this encoder's job
-    (fixtures and synthetic corpora are), decode correctness is.
-    ``interlace=True`` writes the Adam7 pass sequence (each pass an
-    independently-filtered sub-image, empty passes absent), exercising
-    the decoder's interlaced path with spec-shaped input.
+    ``arr`` has shape ``(h, w)`` (greyscale), ``(h, w, 3)`` (RGB) or
+    ``(h, w, 4)`` (RGBA); dtype ``uint16`` selects bit depth 16
+    (big-endian samples per spec — greyscale/RGB only), anything else
+    is encoded as 8-bit.  Filter type 0 on every row — valid PNG
+    always; compression ratio is not this encoder's job (fixtures and
+    synthetic corpora are), decode correctness is.  ``interlace=True``
+    writes the Adam7 pass sequence (each pass an independently-
+    filtered sub-image, empty passes absent), exercising the decoder's
+    interlaced path with spec-shaped input.  ``trns`` writes a tRNS
+    chunk (PNG 1.2 §4.2.1.1): a single grey sample for color type 0 or
+    an (r, g, b) triple for color type 2 — that exact pixel value
+    decodes as fully transparent; 16-bit chunk fields per spec at
+    every depth.  Alpha images (color type 6) reject ``trns``.
     """
-    a = np.asarray(arr, dtype=np.uint8)
+    src = np.asarray(arr)
+    depth = 16 if src.dtype == np.uint16 else 8
+    a = src if depth == 16 else src.astype(np.uint8)
     if a.ndim == 2:
         color_type, channels = 0, 1
         a = a[:, :, None]
@@ -95,8 +104,26 @@ def png_encode(arr: np.ndarray, interlace: bool = False) -> bytes:
         color_type, channels = 6, 4
     else:
         raise ValueError(f"unsupported array shape {arr.shape}")
+    if depth == 16 and color_type == 6:
+        raise ValueError("16-bit RGBA encode not supported")
+    if depth == 16:
+        a = a.astype(">u2")  # big-endian sample order per spec
     h, w = a.shape[0], a.shape[1]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0)
+    trns_chunk = b""
+    if trns is not None:
+        if color_type == 0:
+            key = (int(trns) if np.isscalar(trns) else int(np.ravel(trns)[0]),)
+        elif color_type == 2:
+            key = tuple(int(v) for v in trns)
+            if len(key) != 3:
+                raise ValueError("RGB tRNS wants an (r, g, b) triple")
+        else:
+            raise ValueError("tRNS is invalid for alpha color types")
+        if any(not 0 <= v < (1 << depth) for v in key):
+            raise ValueError("tRNS sample out of range for bit depth")
+        trns_chunk = _png_chunk(b"tRNS", struct.pack(f">{len(key)}H", *key))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0,
+                       1 if interlace else 0)
     raw = bytearray()
     if interlace:
         for x0, y0, dx, dy in _ADAM7:
@@ -113,6 +140,7 @@ def png_encode(arr: np.ndarray, interlace: bool = False) -> bytes:
     return (
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
+        + trns_chunk
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
         + _png_chunk(b"IEND", b"")
     )
@@ -182,12 +210,15 @@ def _unfilter(mat: np.ndarray, bpp: int) -> np.ndarray:
 
 
 def png_encode_palette(indices: np.ndarray, palette: np.ndarray,
-                       depth: int = 8, interlace: bool = False) -> bytes:
+                       depth: int = 8, interlace: bool = False,
+                       trns: np.ndarray | None = None) -> bytes:
     """Encode a ``(h, w)`` index array + ``(n, 3)`` RGB palette as a
     color-type-3 PNG at bit depth 1/2/4/8 (sub-byte rows packed
     MSB-first with zero tail padding, filter 0 scanlines, optional
     Adam7) — the fixture/corpus producer for the paletted decode
-    path."""
+    path.  ``trns`` is an optional per-palette-entry alpha byte array
+    (length <= palette entries, PNG 1.2 §4.2.1.1: trailing entries
+    default to 255/opaque) written as a tRNS chunk after PLTE."""
     idx = np.asarray(indices, dtype=np.uint8)
     pal = np.asarray(palette, dtype=np.uint8)
     if idx.ndim != 2:
@@ -200,6 +231,12 @@ def png_encode_palette(indices: np.ndarray, palette: np.ndarray,
         raise ValueError("palette too large for bit depth")
     if idx.size and int(idx.max()) >= pal.shape[0]:
         raise ValueError("palette index out of range")
+    trns_chunk = b""
+    if trns is not None:
+        alpha = np.asarray(trns, dtype=np.uint8)
+        if alpha.ndim != 1 or not 1 <= alpha.shape[0] <= pal.shape[0]:
+            raise ValueError("tRNS must be (n,) with 1 <= n <= palette size")
+        trns_chunk = _png_chunk(b"tRNS", alpha.tobytes())
     h, w = idx.shape
 
     def pack_rows(a: np.ndarray) -> bytearray:
@@ -234,6 +271,7 @@ def png_encode_palette(indices: np.ndarray, palette: np.ndarray,
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"PLTE", pal.tobytes())
+        + trns_chunk
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
         + _png_chunk(b"IEND", b"")
     )
@@ -245,13 +283,18 @@ def _decode_subimage(buf: bytes, ph: int, pw: int, depth: int,
     pixels at ``depth`` bits per sample: filters operate on BYTES with
     bpp = max(1, depth*channels/8) per spec; sub-byte depths then
     unpack MSB-first with scanline-tail padding discarded.  Returns
-    ``(ph, pw, channels)`` uint8 (palette indices for channels=1 at
+    ``(ph, pw, channels)`` — uint16 for depth 16 (big-endian sample
+    pairs recombined AFTER byte-level unfiltering, the spec's order of
+    operations), else uint8 (palette indices for channels=1 at
     sub-byte depth)."""
     stride = (pw * depth * channels + 7) // 8
     mat = np.frombuffer(buf, dtype=np.uint8).reshape(ph, stride + 1)
     rows = _unfilter(mat, max(1, (depth * channels) // 8))
     if depth == 8:
         return rows.reshape(ph, pw, channels)
+    if depth == 16:
+        pairs = rows.reshape(ph, pw, channels, 2).astype(np.uint16)
+        return (pairs[..., 0] << 8) | pairs[..., 1]
     bits = np.unpackbits(rows, axis=1)  # MSB-first per spec
     vals = bits.reshape(ph, stride * 8 // depth, depth)
     weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
@@ -264,19 +307,26 @@ def _subimage_len(pw: int, ph: int, depth: int, channels: int) -> int:
 
 
 def _png_decode_inner(data: bytes) -> np.ndarray:
-    """Decode a PNG to a ``uint8`` array of shape ``(h, w, channels)``.
+    """Decode a PNG to an array of shape ``(h, w, channels)``.
 
     Supports color types 0 (grey), 2 (RGB), 6 (RGBA) at bit depth 8
-    and color type 3 (paletted) at depths 1/2/4/8 (PLTE lookup, indices
-    expanded to RGB on return), sequential OR Adam7-interlaced — the
-    subset every synthetic-corpus and fixture producer in this repo
-    emits, and the overwhelming majority of real-world PNG by volume.
-    All five spec filter types are implemented (the tests hand-craft
-    scanlines for each); the interlaced path reconstructs each of the
-    seven passes as an independent sub-image (its own scanline
-    filtering, empty passes absent) and scatters it onto the strided
-    output lattice.  Raises ``ValueError`` with a specific message on
-    anything else rather than guessing.
+    or 16 (16-bit returns ``uint16``; big-endian sample pairs, byte-
+    level filtering) and color type 3 (paletted) at depths 1/2/4/8
+    (PLTE lookup, indices expanded to RGB on return), sequential OR
+    Adam7-interlaced — the subset every synthetic-corpus and fixture
+    producer in this repo emits, and the overwhelming majority of
+    real-world PNG by volume.  A tRNS chunk (PNG 1.2 §4.2.1.1) is
+    honored: paletted images expand to RGBA with per-entry alpha
+    (missing trailing entries opaque); grey/RGB images grow an alpha
+    channel that is 0 exactly where the pixel equals the transparency
+    key and fully opaque elsewhere — so channels on return reflects
+    the tRNS, not just the IHDR color type.  All five spec filter
+    types are implemented (the tests hand-craft scanlines for each);
+    the interlaced path reconstructs each of the seven passes as an
+    independent sub-image (its own scanline filtering, empty passes
+    absent) and scatters it onto the strided output lattice.  Raises
+    ``ValueError`` with a specific message on anything else rather
+    than guessing.
     """
     if len(data) < 8 or data[:8] != PNG_SIG:
         raise ValueError("not a PNG: bad signature")
@@ -287,6 +337,7 @@ def _png_decode_inner(data: bytes) -> np.ndarray:
     depth = 8
     ilace = 0
     palette: np.ndarray | None = None
+    trns: bytes | None = None
     idat = bytearray()
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -303,7 +354,7 @@ def _png_decode_inner(data: bytes) -> np.ndarray:
                     raise ValueError(
                         f"unsupported paletted PNG bit depth {depth}"
                     )
-            elif depth != 8:
+            elif depth not in (8, 16):
                 raise ValueError(f"unsupported PNG bit depth {depth}")
             if ilace not in (0, 1):
                 raise ValueError(f"unsupported PNG interlace method {ilace}")
@@ -317,6 +368,8 @@ def _png_decode_inner(data: bytes) -> np.ndarray:
             if length % 3 or not 3 <= length <= 768:
                 raise ValueError("bad PNG PLTE chunk length")
             palette = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = payload
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
@@ -336,7 +389,10 @@ def _png_decode_inner(data: bytes) -> np.ndarray:
         # Adam7: consume the pass sub-images in spec order; each pass
         # is filtered against its OWN previous scanline (never a
         # neighboring pass), then scattered onto the (dy, dx) lattice.
-        out = np.zeros((height, width, channels), dtype=np.uint8)
+        out = np.zeros(
+            (height, width, channels),
+            dtype=np.uint16 if depth == 16 else np.uint8,
+        )
         consumed = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (width - x0 + dx - 1) // dx if width > x0 else 0
@@ -353,13 +409,40 @@ def _png_decode_inner(data: bytes) -> np.ndarray:
         if consumed != len(raw):
             raise ValueError("PNG pixel data length mismatch")
     if ctype != 3:
-        return out
+        if trns is None:
+            return out
+        # Color-key transparency (tRNS on grey/RGB): 16-bit chunk
+        # fields at every depth, value range bounded by the bit depth;
+        # pixels equal to the key become alpha 0, all others fully
+        # opaque (PNG 1.2 §4.2.1.1).
+        if ctype == 6:
+            raise ValueError("tRNS is invalid for alpha color types")
+        if len(trns) != 2 * channels:
+            raise ValueError("bad PNG tRNS chunk length")
+        key = np.frombuffer(trns, dtype=">u2").astype(out.dtype if depth == 16
+                                                      else np.uint16)
+        if int(key.max()) >= (1 << depth):
+            raise ValueError("PNG tRNS sample out of range for bit depth")
+        opaque = (1 << depth) - 1
+        alpha = np.where(
+            (out == key.astype(out.dtype)).all(axis=2), 0, opaque
+        ).astype(out.dtype)
+        return np.concatenate([out, alpha[:, :, None]], axis=2)
     if palette is None:
         raise ValueError("paletted PNG missing PLTE chunk")
     idx = out[:, :, 0]
     if idx.size and int(idx.max()) >= palette.shape[0]:
         raise ValueError("PNG palette index out of range")
-    return palette[idx]
+    rgb = palette[idx]
+    if trns is None:
+        return rgb
+    # Per-palette-entry alpha: tRNS may be shorter than PLTE; trailing
+    # entries default to opaque (PNG 1.2 §4.2.1.1).
+    if not 1 <= len(trns) <= palette.shape[0]:
+        raise ValueError("bad PNG tRNS chunk length")
+    alpha_tab = np.full(palette.shape[0], 255, dtype=np.uint8)
+    alpha_tab[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+    return np.concatenate([rgb, alpha_tab[idx][:, :, None]], axis=2)
 
 
 def png_decode(data: bytes) -> np.ndarray:
@@ -685,6 +768,90 @@ def synth_palette_image_corpus(docs: DataFrame,
     return src.mapInPandas(run, schema="doc_id long, payload binary")
 
 
+def _synth_pixels16(doc_id: int) -> np.ndarray:
+    """16-bit lattice: RGB for even keys, greyscale for odd (keep in
+    sync with the media_png_16bit_stats oracle — full 0..65535 sample
+    range so an 8-bit truncation anywhere in the pipe fails parity)."""
+    k = _key(doc_id)
+    w = k % IMG_W_MOD + IMG_W_MIN
+    h = k % IMG_H_MOD + IMG_H_MIN
+    y, x = np.mgrid[0:h, 0:w]
+    x = x.astype(np.int64)
+    y = y.astype(np.int64)
+    if k % 2 == 0:
+        return np.stack(
+            [
+                (x * 257 + y * 1031 + k * 3) % 65536,
+                (x * 101 + y * 577 + k * 5) % 65536,
+                (x * 29 + y * 47 + k * 7) % 65536,
+            ],
+            axis=-1,
+        ).astype(np.uint16)
+    return ((x * 521 + y * 769 + k * 11) % 65536).astype(np.uint16)
+
+
+def synth_16bit_image_corpus(docs: DataFrame,
+                             id_col: str = "doc_id") -> DataFrame:
+    """One bit-depth-16 PNG per document: RGB for even keys, greyscale
+    for odd, Adam7-interlaced when ``k % 3 == 0`` — composing 16-bit
+    samples with both channel layouts and the seven-pass path.
+    Schema: (doc_id long, payload binary)."""
+    src = _scatter_ids(docs, id_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = batch["doc_id"].astype("int64")
+            payloads = [
+                png_encode(
+                    _synth_pixels16(int(d)),
+                    interlace=_key(int(d)) % 3 == 0,
+                )
+                for d in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return src.mapInPandas(run, schema="doc_id long, payload binary")
+
+
+def synth_trns_image_corpus(docs: DataFrame,
+                            id_col: str = "doc_id") -> DataFrame:
+    """One tRNS-bearing PNG per document, covering both spec forms of
+    the chunk: even keys are depth-4 paletted images (the
+    :func:`_synth_palette` lattice) with a per-entry alpha table of
+    length ``k % 16 + 1`` — deliberately SHORTER than the palette for
+    most keys, so the trailing-entries-opaque rule is load-bearing;
+    odd keys are 8-bit RGB (the :func:`_synth_pixels` lattice) with a
+    color-key tRNS equal to the pixel at (0, 0) — exactly one pixel of
+    every such image decodes transparent.  Schema:
+    (doc_id long, payload binary)."""
+    src = _scatter_ids(docs, id_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = batch["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                k = _key(int(d))
+                if k % 2 == 0:
+                    idx, pal = _synth_palette(int(d))
+                    i = np.arange(k % 16 + 1, dtype=np.int64)
+                    alpha = ((i * 19 + 5 * k) % 256).astype(np.uint8)
+                    payloads.append(
+                        png_encode_palette(
+                            idx, pal, depth=4,
+                            interlace=k % 3 == 0, trns=alpha,
+                        )
+                    )
+                else:
+                    px = _synth_pixels(int(d))
+                    payloads.append(
+                        png_encode(px, trns=tuple(int(v) for v in px[0, 0]))
+                    )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return src.mapInPandas(run, schema="doc_id long, payload binary")
+
+
 POSITION_STATS_SCHEMA = (
     "doc_id long, width int, height int, "
     "sum_xr long, sum_yg long, sum_b long"
@@ -708,10 +875,11 @@ def image_position_stats(df: DataFrame, id_col: str = "doc_id",
             rows = []
             for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
                 arr = png_decode(bytes(payload)).astype(np.int64)
-                if arr.shape[2] == 1:
-                    # grayscale: replicate so the channel indexing below
-                    # is always valid (same convention as image_stats)
-                    arr = np.repeat(arr, 3, axis=2)
+                if arr.shape[2] <= 2:
+                    # grayscale (w/ or w/o tRNS alpha): replicate the
+                    # grey plane so the channel indexing below is
+                    # always valid (same convention as image_stats)
+                    arr = np.repeat(arr[:, :, :1], 3, axis=2)
                 h, w = arr.shape[0], arr.shape[1]
                 xs = np.arange(w, dtype=np.int64)[None, :]
                 ys = np.arange(h, dtype=np.int64)[:, None]
@@ -728,6 +896,53 @@ def image_position_stats(df: DataFrame, id_col: str = "doc_id",
             )
 
     return src.mapInPandas(run, schema=POSITION_STATS_SCHEMA)
+
+
+ALPHA_STATS_SCHEMA = (
+    "doc_id long, width int, height int, "
+    "sum_xa long, sum_ya long, n_transparent long"
+)
+
+
+def image_alpha_stats(df: DataFrame, id_col: str = "doc_id",
+                      payload_col: str = "payload") -> DataFrame:
+    """Decode every payload and emit POSITION-WEIGHTED alpha sums
+    (sum(x·a), sum(y·a)) plus the fully-transparent pixel count.  The
+    coordinate weights make the result sensitive to WHERE tRNS
+    transparency lands, not just how much of it there is — a decoder
+    that looked up the right alpha table through the wrong index
+    lattice still fails parity.  Images that decode without an alpha
+    channel count as fully opaque at their bit depth.  Exact int64 on
+    both engines; same exchange-free mapInPandas shape as the other
+    media stats."""
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                arr = png_decode(bytes(payload))
+                h, w = arr.shape[0], arr.shape[1]
+                if arr.shape[2] in (2, 4):
+                    a = arr[:, :, -1].astype(np.int64)
+                else:
+                    opaque = 65535 if arr.dtype == np.uint16 else 255
+                    a = np.full((h, w), opaque, dtype=np.int64)
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                rows.append(
+                    (int(doc_id), w, h,
+                     int((xs * a).sum()), int((ys * a).sum()),
+                     int((a == 0).sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height",
+                         "sum_xa", "sum_ya", "n_transparent"],
+            )
+
+    return src.mapInPandas(run, schema=ALPHA_STATS_SCHEMA)
 
 
 def synth_audio_corpus(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:

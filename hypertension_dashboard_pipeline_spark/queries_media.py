@@ -162,6 +162,90 @@ def media_png_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_png_16bit_stats",
+    oracle=f"""
+    SELECT d.doc_id,
+           CAST({_W} AS INT) AS width,
+           CAST({_H} AS INT) AS height,
+           CAST(SUM(x * (CASE WHEN d.k % 2 = 0
+                         THEN (x * 257 + y * 1031 + d.k * 3) % 65536
+                         ELSE (x * 521 + y * 769 + d.k * 11) % 65536 END))
+                AS BIGINT) AS sum_xr,
+           CAST(SUM(y * (CASE WHEN d.k % 2 = 0
+                         THEN (x * 101 + y * 577 + d.k * 5) % 65536
+                         ELSE (x * 521 + y * 769 + d.k * 11) % 65536 END))
+                AS BIGINT) AS sum_yg,
+           CAST(SUM(CASE WHEN d.k % 2 = 0
+                    THEN (x * 29 + y * 47 + d.k * 7) % 65536
+                    ELSE (x * 521 + y * 769 + d.k * 11) % 65536 END)
+                AS BIGINT) AS sum_b
+    FROM {_KEYED_DOCS}, range(0, 32) t(x), range(0, 19) s(y)
+    WHERE x < {_W} AND y < {_H}
+    GROUP BY d.doc_id, d.k
+    """,
+)
+def media_png_16bit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-depth-16 PNG decode (big-endian sample pairs, byte-level
+    filtering, uint16 reconstruction) over a mixed 16-bit RGB/greyscale
+    corpus, Adam7-composed for every third key — position-weighted
+    sums over the FULL 0..65535 sample range, so an 8-bit truncation,
+    a byte-swap, or a hi/lo recombination error anywhere in the path
+    fails parity.  Greyscale rows exercise the replicate convention of
+    image_position_stats (oracle: the grey formula appears in all
+    three sums)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = media.synth_16bit_image_corpus(docs)
+    return media.image_position_stats(corpus)
+
+
+@register(
+    "media_png_trns_stats",
+    oracle=f"""
+    SELECT d.doc_id,
+           CAST({_W} AS INT) AS width,
+           CAST({_H} AS INT) AS height,
+           CAST(SUM(x * (CASE WHEN d.k % 2 = 0 THEN
+                    CASE WHEN ((x * 3 + y * 5 + d.k) % 16) < d.k % 16 + 1
+                         THEN (((x * 3 + y * 5 + d.k) % 16) * 19 + 5 * d.k)
+                              % 256
+                         ELSE 255 END
+               ELSE CASE WHEN x = 0 AND y = 0 THEN 0 ELSE 255 END END))
+                AS BIGINT) AS sum_xa,
+           CAST(SUM(y * (CASE WHEN d.k % 2 = 0 THEN
+                    CASE WHEN ((x * 3 + y * 5 + d.k) % 16) < d.k % 16 + 1
+                         THEN (((x * 3 + y * 5 + d.k) % 16) * 19 + 5 * d.k)
+                              % 256
+                         ELSE 255 END
+               ELSE CASE WHEN x = 0 AND y = 0 THEN 0 ELSE 255 END END))
+                AS BIGINT) AS sum_ya,
+           CAST(SUM(CASE WHEN (CASE WHEN d.k % 2 = 0 THEN
+                    CASE WHEN ((x * 3 + y * 5 + d.k) % 16) < d.k % 16 + 1
+                         THEN (((x * 3 + y * 5 + d.k) % 16) * 19 + 5 * d.k)
+                              % 256
+                         ELSE 255 END
+               ELSE CASE WHEN x = 0 AND y = 0 THEN 0 ELSE 255 END END) = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_transparent
+    FROM {_KEYED_DOCS}, range(0, 32) t(x), range(0, 19) s(y)
+    WHERE x < {_W} AND y < {_H}
+    GROUP BY d.doc_id, d.k
+    """,
+)
+def media_png_trns_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tRNS transparency decode over both spec forms of the chunk:
+    even keys are paletted images whose alpha table is SHORTER than
+    the palette (trailing entries must default to opaque), composed
+    with Adam7 for every third key; odd keys are RGB images with a
+    color-key tRNS matching exactly one lattice pixel.  Alpha sums are
+    position-weighted (operators/media.py:image_alpha_stats) so the
+    alpha must land on the right pixels, and the oracle substitutes
+    the index formula into the alpha-table formula without ever
+    building a palette."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = media.synth_trns_image_corpus(docs)
+    return media.image_alpha_stats(corpus)
+
+
+@register(
     "media_audio_decode_stats",
     oracle=f"""
     WITH pcm AS (

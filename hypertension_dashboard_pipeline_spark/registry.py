@@ -570,69 +570,89 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      s6_catalog_schema_contract, sim_cosine_near_dup,
 #      sim_pq_adc_topk, sim_semdedup, text_decontaminate,
 #      text_lm_bigram_score, text_quality_score.
+#
+#   r13 window (this round): CORRECTNESS_r12 was 50/50 green, so the
+#      window executes the written r12→r13 plan — the seven r12
+#      debuts take their first external rows (cumulative external
+#      coverage closes at 293/293, full-catalog closure for the
+#      second time), and this round's drift rides along:
+#        * chroma-subsampled JPEG (4:2:0/4:2:2) restructured both
+#          entropy codings to MCU-interleaved block order
+#          (operators/jpeg.py), drifting every jpeg-consuming query;
+#          the three ADVICE r12 fixes (DC-scan Ta=0, fill-before-RSTn
+#          tolerance, grayscale replicate in image_position_stats)
+#          land WITH this rotation per the fix-on-rotation rule.
+#        * PNG bit depth 16 (big-endian sample pairs, uint16
+#          reconstruction) + tRNS transparency (palette alpha table
+#          AND grey/RGB color-key forms) extend png_encode/
+#          _png_decode_inner, drifting every png-consuming query —
+#          all already seated as debuts or drift riders.
+#      NEW THIS ROUND — seated INSIDE the window (slots were free, so
+#      these take their external row immediately instead of queuing
+#      for r14): media_jpeg_subsampled_stats (mixed 420/422 corpus,
+#      closed-form chroma-decimation oracle), media_calibration_select
+#      (argmax-F1 / recall-at-precision-floor operating point over
+#      both calibration curves), media_png_16bit_stats (full-range
+#      16-bit decode, position-weighted), media_png_trns_stats (both
+#      tRNS forms, position-weighted alpha).
+#      Evidence refresh fills the rest: the full 25-name r6 queue
+#      (above) — j10_asof_join finally rotates after two
+#      displacements.
 _FRONT: list[str] = [
     # flagship + headline extension pipeline (always externally gated)
     "flagship_cohort_pipeline",
     "curation_pipeline",
-    # --- r12 debuts: the eight media-dedup queries + hybrid RRF (the
-    # only names without an external row in any round; six of the
-    # eight also carry this round's Adam7 decoder drift) ---
+    # --- r13 debuts: the seven r12-registered queries (the only
+    # names without an external row in any prior round) ---
+    "media_png_interlaced_stats",
+    "media_png_palette_stats",
+    "media_jpeg_progressive_stats",
+    "media_jpeg_restart_stats",
+    "media_hamming_calibration",
+    "media_ahash_calibration",
+    "text_hybrid_weighted_rrf",
+    # --- mechanical drift riders (jpeg.py subsampling restructure +
+    # media.py 16-bit/tRNS decode path) ---
     "media_pixel_dup_groups",
     "media_ahash_dedup_groups",
     "media_dhash_hamming_pairs",
     "media_phash_dedup_groups",
-    "media_audio_dup_groups",
-    "media_gif_frame_dup_groups",
     "media_dedup_compaction",
     "media_curation_pipeline",
-    "text_hybrid_rrf",
-    # --- mechanical drift (Adam7 PNG decoder path; the progressive
-    # restructure of the JPEG codec drifts media_jpeg_decode_stats,
-    # displacing j10_asof_join to the r13 queue) ---
     "media_image_decode_stats",
     "media_image_resize_nn",
     "media_jpeg_decode_stats",
-    # --- evidence refresh: the six spilled r4 rows ---
-    "a10_grouped_distinct",
-    "p5_not_null_filter",
-    "p6_p7_range_conjunction",
-    "p9_codelist_isin",
-    "p10_year_filter",
-    "p12_plausibility_band",
-    # --- evidence refresh: the entire r5 cohort (17) ---
-    "a18_cube_agg",
-    "a19_pivot_priority",
-    "a26_equidepth_histogram",
-    "dq_expectations",
-    "emb_pq_codes",
-    "events_concurrency_peak",
-    "events_funnel_windowed",
-    "events_retention",
-    "events_rolling_wau",
-    "events_sessionize",
-    "sample_global_shuffle",
-    "sample_weighted_topk",
-    "streaming_stream_stream_join",
-    "streaming_stream_stream_outer_join",
-    "text_segment_boilerplate",
-    "ts_gap_fill_locf",
-    "w7_scd2_intervals",
-    # --- evidence refresh: 14 of the 38 r6 rows (OMOP pair first,
-    # then the streaming five, the window family, a15/a17/j10;
-    # the other 24 are the r13 queue) ---
-    "omop_pipeline_e2e",
-    "omop_phenotype_stats",
-    "streaming_daily_window",
-    "streaming_dedup",
-    "streaming_incremental_rollup",
-    "streaming_session_window",
-    "streaming_stateful_counters",
-    "w3_moving_avg",
-    "w4_lag_delta",
-    "w5_ntile_quartiles",
-    "w6_time_range_avg",
-    "a15_time_rollup",
-    "a17_hll_union_profile",
+    # --- r13-registered queries, seated in-window immediately ---
+    "media_jpeg_subsampled_stats",
+    "media_calibration_select",
+    "media_png_16bit_stats",
+    "media_png_trns_stats",
+    # --- evidence refresh: the entire 25-name r6 queue ---
+    "a20_grouped_regression",
+    "a21_histogram_totalprice",
+    "a23_incremental_rollup",
+    "a24_key_skew_profile",
+    "a25_winsorized_stats",
+    "a27_pricing_summary",
+    "a28_unpivot_priority",
+    "cust_rfm_segments",
+    "dq_drift_kl",
+    "emb_gram_matrix",
+    "emb_label_centroids",
+    "events_anomaly_zscore",
+    "events_funnel",
+    "events_path_transitions",
+    "graph_pagerank_transitions",
+    "j10_asof_join",
+    "j11_range_join",
+    "s2_sink_partitioned_roundtrip",
+    "s6_catalog_schema_contract",
+    "sim_cosine_near_dup",
+    "sim_pq_adc_topk",
+    "sim_semdedup",
+    "text_decontaminate",
+    "text_lm_bigram_score",
+    "text_quality_score",
 ]
 
 # Driver window size (observed: the external gate samples the first 50

@@ -235,7 +235,7 @@ def test_png_interlaced_truncated_or_padded_stream_is_typed_error():
     "mutant,msg",
     [
         (b"\x88PNG\r\n\x1a\n" + b"\x00" * 32, "bad signature"),
-        (m.PNG_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)),
+        (m.PNG_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 32, 2, 0, 0, 0)),
          "bit depth"),
         (m.PNG_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 4, 0, 0, 0)),
          "color type"),
@@ -485,3 +485,157 @@ def test_position_stats_grayscale_replicates_channels(spark):
     assert row.sum_xr == int((xs * g).sum())
     assert row.sum_yg == int((ys * g).sum())
     assert row.sum_b == int(g.sum())
+
+
+# ------------------------------------------------------- 16-bit + tRNS (r13)
+
+
+def test_png_16bit_roundtrip_grey_and_rgb_both_codings():
+    rgb = ((np.arange(6 * 9 * 3, dtype=np.int64) * 9973) % 65536).astype(
+        np.uint16
+    ).reshape(6, 9, 3)
+    grey = rgb[:, :, 0]
+    for il in (False, True):
+        out = m.png_decode(m.png_encode(rgb, interlace=il))
+        assert out.dtype == np.uint16 and (out == rgb).all()
+        out = m.png_decode(m.png_encode(grey, interlace=il))
+        assert out.shape == (6, 9, 1) and (out[:, :, 0] == grey).all()
+
+
+def test_png_16bit_filtered_scanlines_decode():
+    """Filters operate on BYTES with bpp = 2 (16-bit grey): hand-craft
+    Sub/Up-filtered scanlines and pin the reconstruction — a decoder
+    that filtered on 16-bit SAMPLES would differ whenever a carry
+    crosses the hi/lo byte boundary."""
+    # target pixels: row0 = [0x0102, 0x0305], row1 = [0x0103, 0x0306]
+    # raw bytes row0: 01 02 03 05 ; row1: 01 03 03 06
+    # Sub on row0 (bpp=2): keep first pixel, later bytes minus the byte
+    # 2 back: 01 02 (03-01)=02 (05-02)=03
+    # Up on row1: byte-wise delta vs row0: 00 01 00 01
+    raw = bytes([1, 0x01, 0x02, 0x02, 0x03,  # filter 1 (Sub)
+                 2, 0x00, 0x01, 0x00, 0x01])  # filter 2 (Up)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    blob = (
+        m.PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    out = m.png_decode(blob)
+    assert out.dtype == np.uint16
+    assert out[:, :, 0].tolist() == [[0x0102, 0x0305], [0x0103, 0x0306]]
+
+
+def test_png_trns_palette_short_table_defaults_opaque():
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+    pal = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    for il in (False, True):
+        blob = m.png_encode_palette(
+            idx, pal, depth=2, interlace=il,
+            trns=np.array([10, 0], dtype=np.uint8),
+        )
+        out = m.png_decode(blob)
+        assert out.shape == (2, 4, 4)
+        assert (out[:, :, :3] == pal[idx]).all()
+        alpha = np.array([10, 0, 255, 255], dtype=np.uint8)[idx]
+        assert (out[:, :, 3] == alpha).all()
+
+
+def test_png_trns_colorkey_grey_rgb_and_16bit():
+    g8 = np.array([[1, 2], [3, 1]], dtype=np.uint8)
+    out = m.png_decode(m.png_encode(g8, trns=1))
+    assert out.shape == (2, 2, 2)
+    assert out[:, :, 1].tolist() == [[0, 255], [255, 0]]
+    rgb8 = np.zeros((3, 3, 3), np.uint8)
+    rgb8[1, 1] = [9, 8, 7]
+    out = m.png_decode(m.png_encode(rgb8, trns=(9, 8, 7)))
+    assert out.shape == (3, 3, 4)
+    assert out[1, 1, 3] == 0 and out[0, 0, 3] == 255
+    g16 = ((np.arange(12, dtype=np.int64) * 5003) % 65536).astype(
+        np.uint16
+    ).reshape(3, 4)
+    out = m.png_decode(m.png_encode(g16, trns=int(g16[2, 1])))
+    assert out.dtype == np.uint16 and out.shape == (3, 4, 2)
+    assert out[2, 1, 1] == 0
+    assert (out[:, :, 1][g16 != g16[2, 1]] == 65535).all()
+
+
+def test_png_trns_rejections():
+    rgba = np.zeros((2, 2, 4), np.uint8)
+    with pytest.raises(ValueError, match="alpha color types"):
+        m.png_encode(rgba, trns=(1, 2, 3))
+    with pytest.raises(ValueError, match="out of range"):
+        m.png_encode(np.zeros((2, 2), np.uint8), trns=300)
+    with pytest.raises(ValueError, match="triple"):
+        m.png_encode(np.zeros((2, 2, 3), np.uint8), trns=(1, 2))
+    with pytest.raises(ValueError, match="palette size"):
+        m.png_encode_palette(
+            np.zeros((2, 2), np.uint8), np.zeros((4, 3), np.uint8),
+            trns=np.zeros(5, np.uint8),
+        )
+    # decoder: tRNS on an alpha color type is a typed error
+    blob = m.png_encode(rgba)
+    i = blob.index(b"IDAT")
+    hostile = (
+        blob[: i - 4]
+        + m._png_chunk(b"tRNS", struct.pack(">3H", 1, 2, 3))
+        + blob[i - 4 :]
+    )
+    with pytest.raises(ValueError, match="alpha color types"):
+        m.png_decode(hostile)
+    # decoder: key out of range for the declared bit depth
+    blob = m.png_encode(np.zeros((2, 2), np.uint8))
+    i = blob.index(b"IDAT")
+    hostile = (
+        blob[: i - 4]
+        + m._png_chunk(b"tRNS", struct.pack(">H", 256))
+        + blob[i - 4 :]
+    )
+    with pytest.raises(ValueError, match="out of range"):
+        m.png_decode(hostile)
+    # decoder: wrong chunk length for the color type
+    blob = m.png_encode(np.zeros((2, 2, 3), np.uint8))
+    i = blob.index(b"IDAT")
+    hostile = (
+        blob[: i - 4]
+        + m._png_chunk(b"tRNS", struct.pack(">H", 0))
+        + blob[i - 4 :]
+    )
+    with pytest.raises(ValueError, match="tRNS chunk length"):
+        m.png_decode(hostile)
+
+
+def test_png_16bit_rgba_encode_rejected():
+    with pytest.raises(ValueError, match="16-bit RGBA"):
+        m.png_encode(np.zeros((2, 2, 4), np.uint16))
+
+
+def test_alpha_stats_matches_direct_numpy(spark):
+    """image_alpha_stats over one payload of each corpus form equals a
+    direct numpy computation on the decoded array."""
+    idx = (np.arange(5 * 6, dtype=np.int64) % 4).astype(np.uint8).reshape(5, 6)
+    pal = (np.arange(12, dtype=np.int64) * 7 % 256).astype(np.uint8).reshape(4, 3)
+    pal_blob = m.png_encode_palette(
+        idx, pal, depth=4, trns=np.array([0, 128], dtype=np.uint8)
+    )
+    rgb = (np.arange(4 * 5 * 3, dtype=np.int64) % 256).astype(np.uint8).reshape(4, 5, 3)
+    key_blob = m.png_encode(rgb, trns=tuple(int(v) for v in rgb[2, 3]))
+    plain_blob = m.png_encode(rgb)  # no alpha: fully opaque at depth 8
+    df = spark.createDataFrame(
+        [(1, bytearray(pal_blob)), (2, bytearray(key_blob)),
+         (3, bytearray(plain_blob))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in m.image_alpha_stats(df).collect()}
+    for doc_id, blob in ((1, pal_blob), (2, key_blob), (3, plain_blob)):
+        arr = m.png_decode(blob)
+        h, w = arr.shape[:2]
+        a = (arr[:, :, -1].astype(np.int64) if arr.shape[2] in (2, 4)
+             else np.full((h, w), 255, dtype=np.int64))
+        xs = np.arange(w, dtype=np.int64)[None, :]
+        ys = np.arange(h, dtype=np.int64)[:, None]
+        r = rows[doc_id]
+        assert (r.width, r.height) == (w, h)
+        assert r.sum_xa == int((xs * a).sum())
+        assert r.sum_ya == int((ys * a).sum())
+        assert r.n_transparent == int((a == 0).sum())

@@ -32,6 +32,54 @@ def test_png_roundtrip_arbitrary_rgb(data):
 
 @settings(max_examples=25, deadline=None)
 @given(st.data())
+def test_png_16bit_roundtrip_arbitrary(data):
+    """Depth-16 encode/decode is the identity on arbitrary uint16
+    pixels, grey and RGB, sequential and Adam7."""
+    h = data.draw(st.integers(1, 10))
+    w = data.draw(st.integers(1, 10))
+    ch = data.draw(st.sampled_from([1, 3]))
+    il = data.draw(st.booleans())
+    px = data.draw(
+        st.lists(st.integers(0, 65535),
+                 min_size=h * w * ch, max_size=h * w * ch)
+    )
+    arr = np.array(px, dtype=np.uint16).reshape(h, w, ch)
+    src = arr[:, :, 0] if ch == 1 else arr
+    out = m.png_decode(m.png_encode(src, interlace=il))
+    assert out.dtype == np.uint16
+    assert (out == arr).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_png_trns_colorkey_marks_exactly_matching_pixels(data):
+    """tRNS color-key decode: alpha is 0 on precisely the pixels equal
+    to the key and fully opaque elsewhere, for grey and RGB at both
+    depths."""
+    h = data.draw(st.integers(1, 8))
+    w = data.draw(st.integers(1, 8))
+    ch = data.draw(st.sampled_from([1, 3]))
+    depth16 = data.draw(st.booleans())
+    hi = 65535 if depth16 else 255
+    dt_ = np.uint16 if depth16 else np.uint8
+    px = data.draw(
+        st.lists(st.integers(0, hi), min_size=h * w * ch,
+                 max_size=h * w * ch)
+    )
+    arr = np.array(px, dtype=dt_).reshape(h, w, ch)
+    key = tuple(int(v) for v in arr[data.draw(st.integers(0, h - 1)),
+                                    data.draw(st.integers(0, w - 1))])
+    src = arr[:, :, 0] if ch == 1 else arr
+    out = m.png_decode(m.png_encode(src, trns=key if ch == 3 else key[0]))
+    assert out.shape == (h, w, ch + 1)
+    expect_trans = (arr == np.array(key, dtype=dt_)).all(axis=2)
+    assert ((out[:, :, -1] == 0) == expect_trans).all()
+    assert (out[:, :, -1][~expect_trans] == hi).all()
+    assert (out[:, :, :ch] == arr).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
 def test_png_interlaced_roundtrip_arbitrary_rgb(data):
     """Adam7 seven-pass encode/decode is the identity on arbitrary
     pixels and geometries — small dims exercise absent passes."""
@@ -146,12 +194,36 @@ def test_corrupted_payloads_raise_only_valueerror(data):
 
     kind = data.draw(
         st.sampled_from(
-            ["png", "png_ilace", "png_pal", "bmp", "wav", "gif",
+            ["png", "png_ilace", "png_pal", "png_16", "png_trns",
+             "png_pal_trns", "bmp", "wav", "gif",
              "jpeg", "jpeg_prog", "jpeg_rst", "jpeg_420", "jpeg_prog_422"]
         )
     )
     if kind == "png":
         blob = m.png_encode(np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
+        decode = m.png_decode
+    elif kind == "png_16":
+        blob = m.png_encode(
+            ((np.arange(5 * 7 * 3, dtype=np.int64) * 9973) % 65536)
+            .astype(np.uint16).reshape(5, 7, 3),
+            interlace=True,
+        )
+        decode = m.png_decode
+    elif kind == "png_trns":
+        blob = m.png_encode(
+            (np.arange(36, dtype=np.int64) % 256)
+            .astype(np.uint8).reshape(3, 4, 3),
+            trns=(0, 1, 2),
+        )
+        decode = m.png_decode
+    elif kind == "png_pal_trns":
+        blob = m.png_encode_palette(
+            (np.arange(6 * 5, dtype=np.int64) % 4)
+            .astype(np.uint8).reshape(6, 5),
+            (np.arange(12, dtype=np.int64) % 256)
+            .astype(np.uint8).reshape(4, 3),
+            depth=2, trns=np.array([7, 0], dtype=np.uint8),
+        )
         decode = m.png_decode
     elif kind == "png_ilace":
         blob = m.png_encode(
