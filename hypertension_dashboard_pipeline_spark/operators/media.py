@@ -75,14 +75,19 @@ _ADAM7 = (
 
 
 def png_encode(arr: np.ndarray, interlace: bool = False,
-               trns: tuple[int, ...] | int | None = None) -> bytes:
+               trns: tuple[int, ...] | int | None = None,
+               depth: int | None = None) -> bytes:
     """Encode an image array as a PNG (filter 0 scanlines).
 
-    ``arr`` has shape ``(h, w)`` (greyscale), ``(h, w, 3)`` (RGB) or
-    ``(h, w, 4)`` (RGBA); dtype ``uint16`` selects bit depth 16
-    (big-endian samples per spec — greyscale/RGB only), anything else
-    is encoded as 8-bit.  Filter type 0 on every row — valid PNG
-    always; compression ratio is not this encoder's job (fixtures and
+    ``arr`` has shape ``(h, w)`` (greyscale), ``(h, w, 2)``
+    (grey+alpha), ``(h, w, 3)`` (RGB) or ``(h, w, 4)`` (RGBA); dtype
+    ``uint16`` selects bit depth 16 (big-endian samples per spec),
+    anything else is encoded as 8-bit.  ``depth`` of 1/2/4 selects
+    sub-byte greyscale (2-D uint8 input with samples < 2**depth,
+    packed MSB-first with zero tail padding) — with it the full
+    IHDR matrix of spec-legal (color type, bit depth) pairs is
+    producible.  Filter type 0 on every row — valid PNG always;
+    compression ratio is not this encoder's job (fixtures and
     synthetic corpora are), decode correctness is.  ``interlace=True``
     writes the Adam7 pass sequence (each pass an independently-
     filtered sub-image, empty passes absent), exercising the decoder's
@@ -90,22 +95,33 @@ def png_encode(arr: np.ndarray, interlace: bool = False,
     chunk (PNG 1.2 §4.2.1.1): a single grey sample for color type 0 or
     an (r, g, b) triple for color type 2 — that exact pixel value
     decodes as fully transparent; 16-bit chunk fields per spec at
-    every depth.  Alpha images (color type 6) reject ``trns``.
+    every depth, sample values bounded by the bit depth.  Alpha images
+    (color types 4/6) reject ``trns``.
     """
     src = np.asarray(arr)
+    if depth is not None:
+        if depth not in (1, 2, 4):
+            raise ValueError(f"explicit encode depth must be 1/2/4, "
+                             f"got {depth}")
+        if src.ndim != 2:
+            raise ValueError("sub-byte PNG encode wants a (h, w) grey array")
+        a = src.astype(np.uint8)
+        if a.size and int(a.max()) >= (1 << depth):
+            raise ValueError("grey sample out of range for bit depth")
+        return _png_encode_grey_subbyte(a, depth, interlace, trns)
     depth = 16 if src.dtype == np.uint16 else 8
     a = src if depth == 16 else src.astype(np.uint8)
     if a.ndim == 2:
         color_type, channels = 0, 1
         a = a[:, :, None]
+    elif a.ndim == 3 and a.shape[2] == 2:
+        color_type, channels = 4, 2
     elif a.ndim == 3 and a.shape[2] == 3:
         color_type, channels = 2, 3
     elif a.ndim == 3 and a.shape[2] == 4:
         color_type, channels = 6, 4
     else:
         raise ValueError(f"unsupported array shape {arr.shape}")
-    if depth == 16 and color_type == 6:
-        raise ValueError("16-bit RGBA encode not supported")
     if depth == 16:
         a = a.astype(">u2")  # big-endian sample order per spec
     h, w = a.shape[0], a.shape[1]
@@ -209,6 +225,55 @@ def _unfilter(mat: np.ndarray, bpp: int) -> np.ndarray:
     return out
 
 
+def _pack_subbyte_rows(a: np.ndarray, depth: int) -> bytearray:
+    """Filter-0 scanlines of a (rows, w) sample array at bit depth
+    1/2/4/8: sub-byte samples packed MSB-first with zero tail padding
+    per spec (shared by the paletted and sub-byte-grey encoders)."""
+    out = bytearray()
+    for row in a:
+        if depth == 8:
+            rb = row.tobytes()
+        else:
+            bits = np.unpackbits(row[:, None], axis=1)[:, 8 - depth:]
+            flat = bits.reshape(-1)
+            pad = (-len(flat)) % 8
+            if pad:
+                flat = np.concatenate([flat, np.zeros(pad, dtype=np.uint8)])
+            rb = np.packbits(flat).tobytes()
+        out.append(0)  # filter type 0 (None)
+        out += rb
+    return out
+
+
+def _png_encode_grey_subbyte(a: np.ndarray, depth: int, interlace: bool,
+                             trns: tuple[int, ...] | int | None) -> bytes:
+    """Color-type-0 PNG at bit depth 1/2/4 (see :func:`png_encode`)."""
+    h, w = a.shape
+    trns_chunk = b""
+    if trns is not None:
+        key = int(trns) if np.isscalar(trns) else int(np.ravel(trns)[0])
+        if not 0 <= key < (1 << depth):
+            raise ValueError("tRNS sample out of range for bit depth")
+        trns_chunk = _png_chunk(b"tRNS", struct.pack(">H", key))
+    raw = bytearray()
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = a[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raw += _pack_subbyte_rows(sub, depth)
+    else:
+        raw += _pack_subbyte_rows(a, depth)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0,
+                       1 if interlace else 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + trns_chunk
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def png_encode_palette(indices: np.ndarray, palette: np.ndarray,
                        depth: int = 8, interlace: bool = False,
                        trns: np.ndarray | None = None) -> bytes:
@@ -238,33 +303,14 @@ def png_encode_palette(indices: np.ndarray, palette: np.ndarray,
             raise ValueError("tRNS must be (n,) with 1 <= n <= palette size")
         trns_chunk = _png_chunk(b"tRNS", alpha.tobytes())
     h, w = idx.shape
-
-    def pack_rows(a: np.ndarray) -> bytearray:
-        out = bytearray()
-        for row in a:
-            if depth == 8:
-                rb = row.tobytes()
-            else:
-                bits = np.unpackbits(row[:, None], axis=1)[:, 8 - depth :]
-                flat = bits.reshape(-1)
-                pad = (-len(flat)) % 8
-                if pad:
-                    flat = np.concatenate(
-                        [flat, np.zeros(pad, dtype=np.uint8)]
-                    )
-                rb = np.packbits(flat).tobytes()
-            out.append(0)  # filter type 0 (None)
-            out += rb
-        return out
-
     raw = bytearray()
     if interlace:
         for x0, y0, dx, dy in _ADAM7:
             sub = idx[y0::dy, x0::dx]
             if sub.shape[0] and sub.shape[1]:
-                raw += pack_rows(sub)
+                raw += _pack_subbyte_rows(sub, depth)
     else:
-        raw += pack_rows(idx)
+        raw += _pack_subbyte_rows(idx, depth)
     ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0,
                        1 if interlace else 0)
     return (
@@ -309,13 +355,13 @@ def _subimage_len(pw: int, ph: int, depth: int, channels: int) -> int:
 def _png_decode_inner(data: bytes) -> np.ndarray:
     """Decode a PNG to an array of shape ``(h, w, channels)``.
 
-    Supports color types 0 (grey), 2 (RGB), 6 (RGBA) at bit depth 8
-    or 16 (16-bit returns ``uint16``; big-endian sample pairs, byte-
-    level filtering) and color type 3 (paletted) at depths 1/2/4/8
-    (PLTE lookup, indices expanded to RGB on return), sequential OR
-    Adam7-interlaced — the subset every synthetic-corpus and fixture
-    producer in this repo emits, and the overwhelming majority of
-    real-world PNG by volume.  A tRNS chunk (PNG 1.2 §4.2.1.1) is
+    Supports the FULL spec-legal IHDR matrix (PNG 1.2 table 11.1):
+    color type 0 (grey) at depths 1/2/4/8/16 (sub-byte samples scaled
+    to the 8-bit range — 255/(2**depth - 1) is exact), types 2 (RGB),
+    4 (grey+alpha) and 6 (RGBA) at 8/16 (16-bit returns ``uint16``;
+    big-endian sample pairs, byte-level filtering), and type 3
+    (paletted) at 1/2/4/8 (PLTE lookup, indices expanded to RGB on
+    return), each sequential OR Adam7-interlaced.  A tRNS chunk (PNG 1.2 §4.2.1.1) is
     honored: paletted images expand to RGBA with per-entry alpha
     (missing trailing entries opaque); grey/RGB images grow an alpha
     channel that is 0 exactly where the pixel equals the transparency
@@ -354,6 +400,9 @@ def _png_decode_inner(data: bytes) -> np.ndarray:
                     raise ValueError(
                         f"unsupported paletted PNG bit depth {depth}"
                     )
+            elif ctype == 0:
+                if depth not in (1, 2, 4, 8, 16):
+                    raise ValueError(f"unsupported PNG bit depth {depth}")
             elif depth not in (8, 16):
                 raise ValueError(f"unsupported PNG bit depth {depth}")
             if ilace not in (0, 1):
@@ -361,7 +410,7 @@ def _png_decode_inner(data: bytes) -> np.ndarray:
             if comp != 0 or filt != 0:
                 raise ValueError("nonstandard PNG compression/filter method")
             try:
-                channels = {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
+                channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
             except KeyError:
                 raise ValueError(f"unsupported PNG color type {ctype}") from None
         elif tag == b"PLTE":
@@ -409,23 +458,29 @@ def _png_decode_inner(data: bytes) -> np.ndarray:
         if consumed != len(raw):
             raise ValueError("PNG pixel data length mismatch")
     if ctype != 3:
+        # Sub-byte greyscale: scale samples to the 8-bit range (255 /
+        # (2**depth - 1) is exact for depths 1/2/4 — 255/85/17), the
+        # standard presentation of low-depth grey.
+        scale = 255 // ((1 << depth) - 1) if ctype == 0 and depth < 8 else 1
+        if scale != 1:
+            out = (out * scale).astype(np.uint8)
         if trns is None:
             return out
         # Color-key transparency (tRNS on grey/RGB): 16-bit chunk
         # fields at every depth, value range bounded by the bit depth;
         # pixels equal to the key become alpha 0, all others fully
         # opaque (PNG 1.2 §4.2.1.1).
-        if ctype == 6:
+        if ctype in (4, 6):
             raise ValueError("tRNS is invalid for alpha color types")
         if len(trns) != 2 * channels:
             raise ValueError("bad PNG tRNS chunk length")
-        key = np.frombuffer(trns, dtype=">u2").astype(out.dtype if depth == 16
-                                                      else np.uint16)
+        key = np.frombuffer(trns, dtype=">u2")
         if int(key.max()) >= (1 << depth):
             raise ValueError("PNG tRNS sample out of range for bit depth")
-        opaque = (1 << depth) - 1
+        opaque = 65535 if depth == 16 else 255
+        keyv = (key.astype(np.int64) * scale).astype(out.dtype)
         alpha = np.where(
-            (out == key.astype(out.dtype)).all(axis=2), 0, opaque
+            (out == keyv).all(axis=2), 0, opaque
         ).astype(out.dtype)
         return np.concatenate([out, alpha[:, :, None]], axis=2)
     if palette is None:
@@ -526,11 +581,15 @@ def bmp_decode(data: bytes) -> np.ndarray:
 
 
 def _wav_decode_inner(data: bytes) -> tuple[int, np.ndarray]:
-    """Decode a RIFF/WAVE file to ``(sample_rate, int16 samples)``.
+    """Decode a RIFF/WAVE file to ``(sample_rate, samples)``.
 
     Walks the chunk list with ``struct`` (fmt chunks longer than 16
-    bytes — e.g. cbSize-bearing PCM — are accepted; non-PCM or
-    non-16-bit raise).  Multi-channel audio comes back shaped
+    bytes — e.g. cbSize-bearing PCM — are accepted; non-PCM raises).
+    Integer PCM at the four real-world widths: 8-bit (unsigned per
+    spec, returned widened to ``int16`` as ``(v - 128) * 256`` — the
+    standard presentation), 16-bit (``int16``), 24-bit (3-byte
+    little-endian two's complement, sign-extended to ``int32``) and
+    32-bit (``int32``).  Multi-channel audio comes back shaped
     ``(n_frames, n_channels)``; mono as a flat ``(n_frames,)``.
     """
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -538,6 +597,7 @@ def _wav_decode_inner(data: bytes) -> tuple[int, np.ndarray]:
     pos = 12
     rate = None
     n_channels = 0
+    bits = 16
     pcm: bytes | None = None
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
@@ -548,14 +608,27 @@ def _wav_decode_inner(data: bytes) -> tuple[int, np.ndarray]:
             (bits,) = struct.unpack_from("<H", payload, 14)
             if fmt_code != 1:
                 raise ValueError(f"unsupported WAV format code {fmt_code} (PCM only)")
-            if bits != 16:
+            if bits not in (8, 16, 24, 32):
                 raise ValueError(f"unsupported WAV bit depth {bits}")
         elif tag == b"data":
             pcm = payload
         pos += 8 + length + (length & 1)  # chunks are word-aligned
     if rate is None or pcm is None:
         raise ValueError("WAV missing fmt/data chunk")
-    samples = np.frombuffer(pcm, dtype="<i2")
+    if len(pcm) % (bits // 8):
+        raise ValueError("WAV data length not a multiple of the sample size")
+    if bits == 8:
+        samples = (
+            (np.frombuffer(pcm, dtype=np.uint8).astype(np.int16) - 128) * 256
+        )
+    elif bits == 16:
+        samples = np.frombuffer(pcm, dtype="<i2")
+    elif bits == 24:
+        b = np.frombuffer(pcm, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        u = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        samples = (u ^ 0x800000) - 0x800000  # sign-extend bit 23
+    else:
+        samples = np.frombuffer(pcm, dtype="<i4")
     if n_channels > 1:
         samples = samples.reshape(-1, n_channels)
     return rate, samples
@@ -572,20 +645,37 @@ def wav_decode(data: bytes) -> tuple[int, np.ndarray]:
         raise ValueError(f"corrupt WAV structure: {exc}") from None
 
 
-def wav_encode(rate: int, samples: np.ndarray) -> bytes:
-    """Encode mono ``int16`` samples as a PCM WAV via the stdlib
-    ``wave`` module — a codec implementation INDEPENDENT of
-    :func:`wav_decode`'s manual parser, which is exactly why the
-    round-trip test is meaningful."""
+def wav_encode(rate: int, samples: np.ndarray, bits: int = 16) -> bytes:
+    """Encode mono PCM samples as a WAV via the stdlib ``wave`` module
+    — a codec implementation INDEPENDENT of :func:`wav_decode`'s
+    manual parser, which is exactly why the round-trip test is
+    meaningful.  ``samples`` are RAW wire values for the chosen width:
+    unsigned 0..255 at ``bits=8``, signed int16/int24/int32 at
+    16/24/32 (24-bit packed 3-byte little-endian two's complement)."""
     import io
     import wave
 
+    a = np.asarray(samples)
+    if bits == 8:
+        raw = a.astype(np.uint8).tobytes()
+    elif bits == 16:
+        raw = a.astype("<i2").tobytes()
+    elif bits == 24:
+        u = (a.astype(np.int64) & 0xFFFFFF).astype(np.uint32)
+        b3 = np.stack(
+            [u & 0xFF, (u >> 8) & 0xFF, (u >> 16) & 0xFF], axis=-1
+        ).astype(np.uint8)
+        raw = b3.tobytes()
+    elif bits == 32:
+        raw = a.astype("<i4").tobytes()
+    else:
+        raise ValueError(f"unsupported WAV encode bit depth {bits}")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as wv:
         wv.setnchannels(1)
-        wv.setsampwidth(2)
+        wv.setsampwidth(bits // 8)
         wv.setframerate(rate)
-        wv.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+        wv.writeframes(raw)
     return buf.getvalue()
 
 
@@ -852,6 +942,72 @@ def synth_trns_image_corpus(docs: DataFrame,
     return src.mapInPandas(run, schema="doc_id long, payload binary")
 
 
+def synth_graya_image_corpus(docs: DataFrame,
+                             id_col: str = "doc_id") -> DataFrame:
+    """One color-type-4 (grey+alpha) PNG per document — bit depth 16
+    for even keys, 8 for odd, Adam7-interlaced when ``k % 3 == 0``.
+    The alpha plane carries its own position-dependent formula (keep
+    in sync with the media_png_graya_stats oracle), so a channel-
+    interleave error in the 2-channel layout shows up in the alpha
+    sums.  Schema: (doc_id long, payload binary)."""
+    src = _scatter_ids(docs, id_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = batch["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                k = _key(int(d))
+                w = k % IMG_W_MOD + IMG_W_MIN
+                h = k % IMG_H_MOD + IMG_H_MIN
+                y, x = np.mgrid[0:h, 0:w]
+                x = x.astype(np.int64)
+                y = y.astype(np.int64)
+                hi = 65536 if k % 2 == 0 else 256
+                dt_ = np.uint16 if k % 2 == 0 else np.uint8
+                ga = np.stack(
+                    [
+                        (x * 37 + y * 53 + 7 * k) % hi,
+                        (x * 13 + y * 29 + 11 * k) % hi,
+                    ],
+                    axis=-1,
+                ).astype(dt_)
+                payloads.append(png_encode(ga, interlace=k % 3 == 0))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return src.mapInPandas(run, schema="doc_id long, payload binary")
+
+
+def synth_subbyte_image_corpus(docs: DataFrame,
+                               id_col: str = "doc_id") -> DataFrame:
+    """One sub-byte greyscale PNG per document — bit depth 1/2/4 by
+    ``k % 3``, Adam7-interlaced for even keys.  Decoded samples scale
+    to the 8-bit range (×255/85/17 — exact), which the
+    media_png_subbyte_stats oracle restates in closed form.  Schema:
+    (doc_id long, payload binary)."""
+    src = _scatter_ids(docs, id_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = batch["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                k = _key(int(d))
+                depth = (1, 2, 4)[k % 3]
+                w = k % IMG_W_MOD + IMG_W_MIN
+                h = k % IMG_H_MOD + IMG_H_MIN
+                y, x = np.mgrid[0:h, 0:w]
+                samples = ((x * 3 + y * 5 + k) % (1 << depth)).astype(
+                    np.uint8
+                )
+                payloads.append(
+                    png_encode(samples, depth=depth, interlace=k % 2 == 0)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return src.mapInPandas(run, schema="doc_id long, payload binary")
+
+
 POSITION_STATS_SCHEMA = (
     "doc_id long, width int, height int, "
     "sum_xr long, sum_yg long, sum_b long"
@@ -957,6 +1113,40 @@ def synth_audio_corpus(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 wav_encode(8000 + _key(int(d)) % 3 * 4000, _synth_samples(int(d)))
                 for d in ids
             ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return src.mapInPandas(run, schema="doc_id long, payload binary")
+
+
+def synth_audio_depth_corpus(docs: DataFrame,
+                             id_col: str = "doc_id") -> DataFrame:
+    """One PCM WAV per document cycling through ALL FOUR integer
+    sample widths by ``k % 4`` (8-bit unsigned, 16/24/32-bit signed) —
+    the wire formats a real ingest corpus mixes.  32-bit payloads keep
+    24-bit-range values so the downstream energy sum stays in exact
+    int64 on both engines (a corpus choice, not a decoder limit).
+    Schema: (doc_id long, payload binary)."""
+    src = _scatter_ids(docs, id_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = batch["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                k = _key(int(d))
+                n = k % AUD_N_MOD + AUD_N_MIN
+                i = np.arange(n, dtype=np.int64)
+                r = i * i * 37 + i * 1009 + k * 31
+                bits = (8, 16, 24, 32)[k % 4]
+                if bits == 8:
+                    stored = r % 256
+                elif bits == 16:
+                    stored = r % 65536 - 32768
+                else:
+                    stored = r % 16777216 - 8388608
+                payloads.append(
+                    wav_encode(8000 + k % 3 * 4000, stored, bits=bits)
+                )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     return src.mapInPandas(run, schema="doc_id long, payload binary")

@@ -246,6 +246,77 @@ def media_png_trns_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_png_graya_stats",
+    oracle=f"""
+    SELECT d.doc_id,
+           CAST({_W} AS INT) AS width,
+           CAST({_H} AS INT) AS height,
+           CAST(SUM(x * ((x * 13 + y * 29 + 11 * d.k)
+                         % (CASE WHEN d.k % 2 = 0 THEN 65536 ELSE 256 END)))
+                AS BIGINT) AS sum_xa,
+           CAST(SUM(y * ((x * 13 + y * 29 + 11 * d.k)
+                         % (CASE WHEN d.k % 2 = 0 THEN 65536 ELSE 256 END)))
+                AS BIGINT) AS sum_ya,
+           CAST(SUM(CASE WHEN (x * 13 + y * 29 + 11 * d.k)
+                         % (CASE WHEN d.k % 2 = 0 THEN 65536 ELSE 256 END)
+                         = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_transparent
+    FROM {_KEYED_DOCS}, range(0, 32) t(x), range(0, 19) s(y)
+    WHERE x < {_W} AND y < {_H}
+    GROUP BY d.doc_id, d.k
+    """,
+)
+def media_png_graya_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Color-type-4 (grey+alpha) PNG decode over a mixed 8/16-bit
+    corpus, Adam7-composed for every third key — the alpha plane's
+    position-weighted sums verify the 2-channel sample interleave
+    (a grey/alpha swap or a stride error moves alpha to the wrong
+    pixels and fails parity).  Completes the IHDR color-type matrix
+    alongside the grey/RGB/RGBA/palette queries."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = media.synth_graya_image_corpus(docs)
+    return media.image_alpha_stats(corpus)
+
+
+@register(
+    "media_png_subbyte_stats",
+    oracle=f"""
+    SELECT d.doc_id,
+           CAST({_W} AS INT) AS width,
+           CAST({_H} AS INT) AS height,
+           CAST(SUM(x * ((x * 3 + y * 5 + d.k)
+                         % (CASE d.k % 3 WHEN 0 THEN 2 WHEN 1 THEN 4
+                            ELSE 16 END))
+                      * (CASE d.k % 3 WHEN 0 THEN 255 WHEN 1 THEN 85
+                         ELSE 17 END)) AS BIGINT) AS sum_xr,
+           CAST(SUM(y * ((x * 3 + y * 5 + d.k)
+                         % (CASE d.k % 3 WHEN 0 THEN 2 WHEN 1 THEN 4
+                            ELSE 16 END))
+                      * (CASE d.k % 3 WHEN 0 THEN 255 WHEN 1 THEN 85
+                         ELSE 17 END)) AS BIGINT) AS sum_yg,
+           CAST(SUM(((x * 3 + y * 5 + d.k)
+                     % (CASE d.k % 3 WHEN 0 THEN 2 WHEN 1 THEN 4
+                        ELSE 16 END))
+                    * (CASE d.k % 3 WHEN 0 THEN 255 WHEN 1 THEN 85
+                       ELSE 17 END)) AS BIGINT) AS sum_b
+    FROM {_KEYED_DOCS}, range(0, 32) t(x), range(0, 19) s(y)
+    WHERE x < {_W} AND y < {_H}
+    GROUP BY d.doc_id, d.k
+    """,
+)
+def media_png_subbyte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-byte GREYSCALE decode (bit depths 1/2/4, color type 0):
+    MSB-first unpacking with scanline tail padding — the same packing
+    machinery as the palette path but through the sample-scaling
+    branch (255/85/17, exact) instead of a PLTE lookup, Adam7-composed
+    for even keys.  Position-weighted sums catch a bit-order or
+    padding error at any depth; the oracle restates the scale factors
+    in closed form."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = media.synth_subbyte_image_corpus(docs)
+    return media.image_position_stats(corpus)
+
+
+@register(
     "media_audio_decode_stats",
     oracle=f"""
     WITH pcm AS (
@@ -287,6 +358,52 @@ def media_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # h = k%7+2, n_frames = k%5+2; palette entry i = (i, 3i%256, 7i%256);
 # frame f pixel index = (x*5 + y*9 + f*13 + k) % 256.
 _GIF_IDX = "((x * 5 + y * 9 + f * 13 + d.k) % 256)"
+
+
+@register(
+    "media_audio_depth_stats",
+    oracle=f"""
+    WITH pcm AS (
+        SELECT d.doc_id,
+               d.k,
+               i,
+               CASE d.k % 4
+                 WHEN 0 THEN ((i * i * 37 + i * 1009 + d.k * 31) % 256 - 128)
+                             * 256
+                 WHEN 1 THEN (i * i * 37 + i * 1009 + d.k * 31) % 65536
+                             - 32768
+                 ELSE (i * i * 37 + i * 1009 + d.k * 31) % 16777216
+                      - 8388608
+               END AS s
+        FROM {_KEYED_DOCS}, range(0, 113) t(i)
+        WHERE i < {_N}
+    )
+    SELECT doc_id,
+           CAST(8000 + (k % 3) * 4000 AS INT) AS sample_rate,
+           CAST(k % 97 + 16 AS BIGINT) AS n_samples,
+           CAST(SUM(s) AS BIGINT) AS sum_sample,
+           CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+           CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+           CAST(SUM(CASE WHEN i > 0 AND ((lag_s >= 0) != (s >= 0))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sign_flips
+    FROM (
+        SELECT doc_id, k, i, s,
+               LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS lag_s
+        FROM pcm
+    )
+    GROUP BY doc_id, k
+    """,
+)
+def media_audio_depth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV decode across ALL FOUR integer PCM widths (8-bit unsigned
+    widened ``(v-128)*256``, 16-bit, 24-bit sign-extended 3-byte, and
+    32-bit), cycling by key — the exact-integer energy/sign-flip
+    statistics catch a sign-extension error (bit 23), a width
+    misparse, or the wrong 8-bit midpoint, none of which the 16-bit
+    query can see.  Same exchange-free decode shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = media.synth_audio_depth_corpus(docs)
+    return media.audio_stats(corpus)
 
 
 @register(

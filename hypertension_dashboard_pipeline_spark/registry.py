@@ -594,7 +594,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #      (argmax-F1 / recall-at-precision-floor operating point over
 #      both calibration curves), media_png_16bit_stats (full-range
 #      16-bit decode, position-weighted), media_png_trns_stats (both
-#      tRNS forms, position-weighted alpha).
+#      tRNS forms, position-weighted alpha), media_png_graya_stats
+#      (color type 4, mixed 8/16-bit — completes the IHDR color-type
+#      matrix), media_png_subbyte_stats (depth-1/2/4 greyscale with
+#      exact ×255/85/17 sample scaling — completes the bit-depth
+#      matrix).
 #      Evidence refresh fills the rest: the full 25-name r6 queue
 #      (above) — j10_asof_join finally rotates after two
 #      displacements.
@@ -627,6 +631,13 @@ _FRONT: list[str] = [
     "media_calibration_select",
     "media_png_16bit_stats",
     "media_png_trns_stats",
+    "media_png_graya_stats",
+    "media_png_subbyte_stats",
+    "media_audio_depth_stats",
+    # --- drift riders: the WAV 8/24/32-bit decode extension touches
+    # wav_encode/wav_decode, shared by both audio queries ---
+    "media_audio_decode_stats",
+    "media_audio_dup_groups",
     # --- evidence refresh: the entire 25-name r6 queue ---
     "a20_grouped_regression",
     "a21_histogram_totalprice",
@@ -650,8 +661,8 @@ _FRONT: list[str] = [
     "sim_cosine_near_dup",
     "sim_pq_adc_topk",
     "sim_semdedup",
-    "text_decontaminate",
-    "text_lm_bigram_score",
+    # (text_decontaminate, text_lm_bigram_score spill to the r14
+    # refresh queue — displaced by the WAV-depth drift riders)
     "text_quality_score",
 ]
 

@@ -47,7 +47,8 @@ def main() -> None:
     # 1./2. the three new decode+stats queries: one exchange (the
     # documented ids-only generation scatter), nothing else
     for name in ("media_jpeg_subsampled_stats", "media_png_16bit_stats",
-                 "media_png_trns_stats"):
+                 "media_png_trns_stats", "media_png_graya_stats",
+                 "media_png_subbyte_stats", "media_audio_depth_stats"):
         df = registry.QUERIES[name](spark, SF)
         n_ex = _plan(df).count("Exchange")
         assert n_ex == 1, f"{name}: expected only the id scatter, got {n_ex}"

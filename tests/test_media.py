@@ -237,9 +237,9 @@ def test_png_interlaced_truncated_or_padded_stream_is_typed_error():
         (b"\x88PNG\r\n\x1a\n" + b"\x00" * 32, "bad signature"),
         (m.PNG_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 32, 2, 0, 0, 0)),
          "bit depth"),
-        (m.PNG_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 4, 0, 0, 0)),
+        (m.PNG_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 5, 0, 0, 0)),
          "color type"),
-        (m.PNG_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)),
+        (m.PNG_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)),
          "bit depth"),
         (m.PNG_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)),
          "paletted PNG bit depth"),
@@ -343,11 +343,42 @@ def test_wav_decode_stereo_shape_and_rejections():
         wv.setnchannels(1)
         wv.setsampwidth(1)
         wv.setframerate(16000)
-        wv.writeframes(b"\x00\x01\x02")
+        wv.writeframes(b"\x00\x80\xff")
+    rate, got = m.wav_decode(buf8.getvalue())
+    # 8-bit is unsigned midpoint-128, widened (v - 128) * 256
+    assert got.dtype == np.int16
+    assert got.tolist() == [-32768, 0, 32512]
+    # a 12-bit depth is still a typed rejection: patch the fmt chunk's
+    # wBitsPerSample field in a valid 16-bit stream
+    blob = bytearray(m.wav_encode(8000, np.arange(4, dtype=np.int16)))
+    i = blob.index(b"fmt ")
+    struct.pack_into("<H", blob, i + 8 + 14, 12)
     with pytest.raises(ValueError, match="bit depth"):
-        m.wav_decode(buf8.getvalue())
+        m.wav_decode(bytes(blob))
     with pytest.raises(ValueError, match="RIFF"):
         m.wav_decode(b"not audio at all")
+
+
+def test_wav_24_and_32_bit_decode_sign_extension():
+    """24-bit: 3-byte little-endian two's complement, bit 23 the sign;
+    32-bit: plain int32 — both against the independent stdlib-wave
+    encoder path in wav_encode."""
+    vals24 = np.array([0, 1, -1, 8388607, -8388608, -42], dtype=np.int64)
+    rate, got = m.wav_decode(m.wav_encode(44100, vals24, bits=24))
+    assert rate == 44100 and got.dtype == np.int32
+    assert got.tolist() == vals24.tolist()
+    vals32 = np.array([0, 2**31 - 1, -(2**31), 123456789], dtype=np.int64)
+    rate, got = m.wav_decode(m.wav_encode(22050, vals32, bits=32))
+    assert got.dtype == np.int32
+    assert got.tolist() == vals32.tolist()
+    # data length not a multiple of the sample size is typed
+    blob = m.wav_encode(8000, vals24, bits=24)
+    i = blob.rindex(b"data")
+    cut = blob[: i + 8 + 4]  # 4 bytes of 3-byte samples
+    patched = bytearray(cut)
+    struct.pack_into("<I", patched, i + 4, 4)
+    with pytest.raises(ValueError, match="multiple of the sample size"):
+        m.wav_decode(bytes(patched))
 
 
 # ---------------------------------------------------------------------------
@@ -605,9 +636,42 @@ def test_png_trns_rejections():
         m.png_decode(hostile)
 
 
-def test_png_16bit_rgba_encode_rejected():
-    with pytest.raises(ValueError, match="16-bit RGBA"):
-        m.png_encode(np.zeros((2, 2, 4), np.uint16))
+def test_png_full_ihdr_matrix_roundtrip():
+    """Every spec-legal (color type, bit depth) pair from PNG 1.2
+    table 11.1 encodes and decodes as the identity (sub-byte grey up
+    to the exact ×255/85/17 sample scaling), sequential and Adam7."""
+    rng = _rng()
+    for il in (False, True):
+        for d in (1, 2, 4):  # ctype 0 sub-byte
+            a = rng.integers(0, 1 << d, size=(9, 13), dtype=np.uint8)
+            out = m.png_decode(m.png_encode(a, interlace=il, depth=d))
+            assert (out[:, :, 0] == a * (255 // ((1 << d) - 1))).all()
+        for ch in (1, 2, 3, 4):  # ctypes 0/4/2/6 at 8 and 16
+            for dt_ in (np.uint8, np.uint16):
+                hi = 256 if dt_ == np.uint8 else 65536
+                shape = (7, 5) if ch == 1 else (7, 5, ch)
+                a = rng.integers(0, hi, size=shape, dtype=dt_)
+                out = m.png_decode(m.png_encode(a, interlace=il))
+                exp = a[:, :, None] if ch == 1 else a
+                assert out.dtype == dt_ and (out == exp).all(), (ch, dt_, il)
+
+
+def test_png_subbyte_grey_trns_and_rejections():
+    a = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+    out = m.png_decode(m.png_encode(a, depth=2, trns=2))
+    assert out.shape == (2, 4, 2)
+    assert (out[:, :, 0] == a * 85).all()
+    assert (out[:, :, 1] == np.where(a == 2, 0, 255)).all()
+    with pytest.raises(ValueError, match="alpha color types"):
+        m.png_encode(np.zeros((2, 2, 2), np.uint8), trns=1)
+    with pytest.raises(ValueError, match="out of range"):
+        m.png_encode(np.full((2, 2), 4, np.uint8), depth=2)
+    with pytest.raises(ValueError, match="grey array"):
+        m.png_encode(np.zeros((2, 2, 3), np.uint8), depth=4)
+    with pytest.raises(ValueError, match="1/2/4"):
+        m.png_encode(np.zeros((2, 2), np.uint8), depth=3)
+    with pytest.raises(ValueError, match="out of range"):
+        m.png_encode(np.zeros((2, 2), np.uint8), depth=2, trns=4)
 
 
 def test_alpha_stats_matches_direct_numpy(spark):

@@ -37,7 +37,7 @@ def test_png_16bit_roundtrip_arbitrary(data):
     pixels, grey and RGB, sequential and Adam7."""
     h = data.draw(st.integers(1, 10))
     w = data.draw(st.integers(1, 10))
-    ch = data.draw(st.sampled_from([1, 3]))
+    ch = data.draw(st.sampled_from([1, 2, 3, 4]))
     il = data.draw(st.booleans())
     px = data.draw(
         st.lists(st.integers(0, 65535),
@@ -48,6 +48,24 @@ def test_png_16bit_roundtrip_arbitrary(data):
     out = m.png_decode(m.png_encode(src, interlace=il))
     assert out.dtype == np.uint16
     assert (out == arr).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_png_subbyte_grey_roundtrip_arbitrary(data):
+    """Depth-1/2/4 greyscale encode/decode is the exact ×255/85/17
+    scaling of arbitrary sub-byte samples, sequential and Adam7."""
+    h = data.draw(st.integers(1, 10))
+    w = data.draw(st.integers(1, 10))
+    d = data.draw(st.sampled_from([1, 2, 4]))
+    il = data.draw(st.booleans())
+    px = data.draw(
+        st.lists(st.integers(0, (1 << d) - 1),
+                 min_size=h * w, max_size=h * w)
+    )
+    arr = np.array(px, dtype=np.uint8).reshape(h, w)
+    out = m.png_decode(m.png_encode(arr, interlace=il, depth=d))
+    assert (out[:, :, 0] == arr * (255 // ((1 << d) - 1))).all()
 
 
 @settings(max_examples=25, deadline=None)
@@ -131,6 +149,25 @@ def test_wav_roundtrip_arbitrary_pcm(rate, samples):
     assert (got == arr).all()
 
 
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_wav_depth_roundtrip_arbitrary_pcm(data):
+    """8/24/32-bit PCM wire forms roundtrip through the independent
+    stdlib-wave encoder: 8-bit widens (v-128)*256, 24-bit sign-extends
+    bit 23, 32-bit is the identity."""
+    bits = data.draw(st.sampled_from([8, 24, 32]))
+    n = data.draw(st.integers(1, 40))
+    lo, hi = {8: (0, 255), 24: (-(2**23), 2**23 - 1),
+              32: (-(2**31), 2**31 - 1)}[bits]
+    vals = np.array(
+        data.draw(st.lists(st.integers(lo, hi), min_size=n, max_size=n)),
+        dtype=np.int64,
+    )
+    rate, got = m.wav_decode(m.wav_encode(16000, vals, bits=bits))
+    exp = (vals - 128) * 256 if bits == 8 else vals
+    assert got.tolist() == exp.tolist()
+
+
 @settings(max_examples=40, deadline=None)
 @given(bits=st.lists(st.booleans(), min_size=64, max_size=64))
 def test_bits_to_i64_is_twos_complement(bits):
@@ -195,8 +232,9 @@ def test_corrupted_payloads_raise_only_valueerror(data):
     kind = data.draw(
         st.sampled_from(
             ["png", "png_ilace", "png_pal", "png_16", "png_trns",
-             "png_pal_trns", "bmp", "wav", "gif",
-             "jpeg", "jpeg_prog", "jpeg_rst", "jpeg_420", "jpeg_prog_422"]
+             "png_pal_trns", "png_graya", "png_subbyte", "bmp", "wav",
+             "wav_8", "wav_24", "gif", "jpeg", "jpeg_prog", "jpeg_rst",
+             "jpeg_420", "jpeg_prog_422"]
         )
     )
     if kind == "png":
@@ -241,11 +279,31 @@ def test_corrupted_payloads_raise_only_valueerror(data):
             depth=4, interlace=True,
         )
         decode = m.png_decode
+    elif kind == "png_graya":
+        blob = m.png_encode(
+            ((np.arange(4 * 6 * 2, dtype=np.int64) * 7717) % 65536)
+            .astype(np.uint16).reshape(4, 6, 2),
+            interlace=True,
+        )
+        decode = m.png_decode
+    elif kind == "png_subbyte":
+        blob = m.png_encode(
+            (np.arange(9 * 7, dtype=np.int64) % 4)
+            .astype(np.uint8).reshape(9, 7),
+            depth=2, interlace=True,
+        )
+        decode = m.png_decode
     elif kind == "bmp":
         blob = m.bmp_encode(np.arange(45, dtype=np.uint8).reshape(3, 5, 3))
         decode = m.bmp_decode
     elif kind == "wav":
         blob = m.wav_encode(8000, np.arange(-8, 9, dtype=np.int16))
+        decode = m.wav_decode
+    elif kind == "wav_8":
+        blob = m.wav_encode(8000, np.arange(0, 250, 10), bits=8)
+        decode = m.wav_decode
+    elif kind == "wav_24":
+        blob = m.wav_encode(8000, np.arange(-9, 9) * 100000, bits=24)
         decode = m.wav_decode
     elif kind == "gif":
         frame = (np.arange(30, dtype=np.uint8) % 256).reshape(5, 6)
