@@ -516,31 +516,89 @@ def png_decode(data: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def bmp_encode(arr: np.ndarray) -> bytes:
-    """Encode a ``uint8 (h, w, 3)`` RGB array as a 24-bit BMP
-    (bottom-up rows, BGR byte order, rows padded to 4 bytes)."""
+def bmp_encode(arr: np.ndarray, topdown: bool = False) -> bytes:
+    """Encode a ``uint8`` array as an uncompressed BMP: ``(h, w, 3)``
+    -> 24-bit BGR, ``(h, w, 4)`` -> 32-bit BGRX (the 4th input channel
+    lands in the pad byte the decoder drops), rows padded to 4 bytes.
+    ``topdown=True`` writes a negative-height header with rows in
+    natural order — the spec's other row direction, exercised so the
+    bottom-up flip is verified rather than assumed."""
     a = np.asarray(arr, dtype=np.uint8)
-    if a.ndim != 3 or a.shape[2] != 3:
-        raise ValueError(f"bmp_encode wants (h, w, 3), got {arr.shape}")
-    h, w = a.shape[0], a.shape[1]
-    row = w * 3
+    if a.ndim != 3 or a.shape[2] not in (3, 4):
+        raise ValueError(f"bmp_encode wants (h, w, 3|4), got {arr.shape}")
+    h, w, ch = a.shape
+    depth = ch * 8
+    row = w * ch
     pad = (-row) % 4
     body = bytearray()
-    for y in range(h - 1, -1, -1):  # bottom-up
-        body += a[y, :, ::-1].tobytes()  # RGB -> BGR
+    ys = range(h) if topdown else range(h - 1, -1, -1)
+    for y in ys:
+        if ch == 3:
+            body += a[y, :, ::-1].tobytes()  # RGB -> BGR
+        else:
+            body += a[y][:, [2, 1, 0, 3]].tobytes()  # RGBX -> BGRX
         body += b"\x00" * pad
     pixel_off = 14 + 40
     header = struct.pack(
         "<2sIHHI", b"BM", pixel_off + len(body), 0, 0, pixel_off
-    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    ) + struct.pack("<IiiHHIIiiII", 40, w, -h if topdown else h, 1, depth,
+                    0, len(body), 2835, 2835, 0, 0)
     return bytes(header) + bytes(body)
 
 
-def _bmp_decode_inner(data: bytes) -> np.ndarray:
-    """Decode a 24-bit uncompressed BMP to ``uint8 (h, w, 3)`` RGB.
+def bmp_encode_palette(indices: np.ndarray, palette: np.ndarray,
+                       depth: int = 8, topdown: bool = False) -> bytes:
+    """Encode a ``(h, w)`` index array + ``(n, 3)`` RGB palette as a
+    paletted BMP at bit depth 1/4/8 (BGRX color table, sub-byte pixels
+    packed MSB-first, rows 4-byte-aligned) — the fixture/corpus
+    producer for the paletted BMP decode path."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if idx.ndim != 2:
+        raise ValueError(f"bmp_encode_palette wants (h, w) indices, got {idx.shape}")
+    if depth not in (1, 4, 8):
+        raise ValueError(f"bad BMP palette bit depth {depth}")
+    if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= pal.shape[0] <= (1 << depth):
+        raise ValueError("palette must be (n, 3) with 1 <= n <= 2**depth")
+    if idx.size and int(idx.max()) >= pal.shape[0]:
+        raise ValueError("palette index out of range")
+    h, w = idx.shape
+    stride = ((w * depth + 31) // 32) * 4
+    body = bytearray()
+    ys = range(h) if topdown else range(h - 1, -1, -1)
+    for y in ys:
+        row = idx[y]
+        if depth == 8:
+            rb = row.tobytes()
+        else:
+            bits = np.unpackbits(row[:, None], axis=1)[:, 8 - depth:]
+            flat = bits.reshape(-1)
+            pad_bits = stride * 8 - len(flat)
+            flat = np.concatenate(
+                [flat, np.zeros(pad_bits, dtype=np.uint8)]
+            )
+            rb = np.packbits(flat).tobytes()
+        body += rb.ljust(stride, b"\x00")[:stride]
+    table = np.zeros((pal.shape[0], 4), dtype=np.uint8)
+    table[:, :3] = pal[:, ::-1]  # RGB -> BGR, X byte zero
+    pixel_off = 14 + 40 + table.size
+    header = struct.pack(
+        "<2sIHHI", b"BM", pixel_off + len(body), 0, 0, pixel_off
+    ) + struct.pack("<IiiHHIIiiII", 40, w, -h if topdown else h, 1, depth,
+                    0, len(body), 2835, 2835, pal.shape[0], 0)
+    return bytes(header) + table.tobytes() + bytes(body)
 
-    Handles both bottom-up (positive height, the common case) and
-    top-down (negative height) row order and the 4-byte row padding.
+
+def _bmp_decode_inner(data: bytes) -> np.ndarray:
+    """Decode an uncompressed (BI_RGB) BMP to ``uint8 (h, w, 3)`` RGB.
+
+    Bit depths 1/4/8 (paletted: BGRX color table after the info
+    header, ``biClrUsed`` entries or the full 2**depth when zero,
+    sub-byte pixels packed MSB-first, indices expanded to RGB on
+    return), 24 (BGR triples) and 32 (BGRX quads, the pad byte
+    dropped).  Handles both bottom-up (positive height, the common
+    case) and top-down (negative height) row order and the 4-byte row
+    alignment at every depth.
     """
     if len(data) < 54 or data[:2] != b"BM":
         raise ValueError("not a BMP: bad magic")
@@ -549,19 +607,42 @@ def _bmp_decode_inner(data: bytes) -> np.ndarray:
     if hdr_size < 40:
         raise ValueError(f"unsupported BMP header size {hdr_size}")
     planes, depth, compression = struct.unpack_from("<HHI", data, 26)
-    if depth != 24 or compression != 0:
+    if compression != 0 or depth not in (1, 4, 8, 24, 32):
         raise ValueError(f"unsupported BMP: depth={depth} compression={compression}")
     h = abs(h_signed)
-    row = w * 3
-    stride = row + ((-row) % 4)
+    row_bits = w * depth
+    stride = ((row_bits + 31) // 32) * 4  # rows 4-byte-aligned per spec
     need = pixel_off + stride * h
     if len(data) < need:
         raise ValueError("truncated BMP pixel data")
-    rows = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=pixel_off)
-    rows = rows.reshape(h, stride)[:, :row].reshape(h, w, 3)
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * h,
+                         offset=pixel_off).reshape(h, stride)
+    if depth <= 8:
+        (clr_used,) = struct.unpack_from("<I", data, 46)
+        n_pal = clr_used or (1 << depth)
+        pal_off = 14 + hdr_size
+        if pal_off + n_pal * 4 > pixel_off or n_pal > (1 << depth):
+            raise ValueError("bad BMP color table")
+        pal = np.frombuffer(
+            data, dtype=np.uint8, count=n_pal * 4, offset=pal_off
+        ).reshape(-1, 4)[:, 2::-1]  # BGRX -> RGB
+        if depth == 8:
+            idx = rows[:, :w]
+        else:
+            bits = np.unpackbits(rows, axis=1)  # MSB-first per spec
+            vals = bits.reshape(h, stride * 8 // depth, depth)
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+            idx = (vals * weights).sum(axis=2).astype(np.uint8)[:, :w]
+        if idx.size and int(idx.max()) >= n_pal:
+            raise ValueError("BMP palette index out of range")
+        out = pal[idx]
+    elif depth == 24:
+        out = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    else:
+        out = rows[:, : w * 4].reshape(h, w, 4)[:, :, 2::-1]  # BGRX -> RGB
     if h_signed > 0:
-        rows = rows[::-1]  # stored bottom-up
-    return rows[:, :, ::-1].copy()  # BGR -> RGB
+        out = out[::-1]  # stored bottom-up
+    return np.ascontiguousarray(out)
 
 
 def bmp_decode(data: bytes) -> np.ndarray:
@@ -1016,11 +1097,12 @@ POSITION_STATS_SCHEMA = (
 
 def image_position_stats(df: DataFrame, id_col: str = "doc_id",
                          payload_col: str = "payload") -> DataFrame:
-    """Decode every payload and emit POSITION-WEIGHTED integer channel
-    sums: sum(x·r), sum(y·g), sum(b).  A plain channel sum is
-    permutation-invariant — a decoder that scattered interlace passes
-    onto the wrong lattice positions would still match it — so the
-    coordinate weights are what make this query verify the Adam7
+    """Decode every payload (PNG or BMP, dispatched on magic bytes)
+    and emit POSITION-WEIGHTED integer channel sums: sum(x·r),
+    sum(y·g), sum(b).  A plain channel sum is permutation-invariant —
+    a decoder that scattered interlace passes onto the wrong lattice
+    positions, or skipped the BMP bottom-up flip, would still match it
+    — so the coordinate weights are what make this query verify the
     geometry, not just the byte inventory.  Exact int64 on both
     engines."""
     src = df.select(F.col(id_col).alias("doc_id"),
@@ -1030,7 +1112,9 @@ def image_position_stats(df: DataFrame, id_col: str = "doc_id",
         for batch in batches:
             rows = []
             for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
-                arr = png_decode(bytes(payload)).astype(np.int64)
+                blob = bytes(payload)
+                dec = bmp_decode if blob[:2] == b"BM" else png_decode
+                arr = dec(blob).astype(np.int64)
                 if arr.shape[2] <= 2:
                     # grayscale (w/ or w/o tRNS alpha): replicate the
                     # grey plane so the channel indexing below is
@@ -1113,6 +1197,46 @@ def synth_audio_corpus(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 wav_encode(8000 + _key(int(d)) % 3 * 4000, _synth_samples(int(d)))
                 for d in ids
             ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return src.mapInPandas(run, schema="doc_id long, payload binary")
+
+
+def synth_bmp_variant_corpus(docs: DataFrame,
+                             id_col: str = "doc_id") -> DataFrame:
+    """One BMP per document cycling through the real-world variant
+    matrix by ``k % 4``: 8-bit paletted, 4-bit paletted TOP-DOWN,
+    32-bit BGRX (pad byte carries a formula the decoder must drop),
+    and 24-bit top-down — verifying the color table, sub-byte packing,
+    pad-byte drop and BOTH row orders through one column (keep in
+    sync with the media_bmp_variant_stats oracle; palette lattice
+    shared with :func:`_synth_palette`).  Schema:
+    (doc_id long, payload binary)."""
+    src = _scatter_ids(docs, id_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = batch["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                k = _key(int(d))
+                form = k % 4
+                if form in (0, 1):
+                    idx, pal = _synth_palette(int(d))
+                    payloads.append(
+                        bmp_encode_palette(
+                            idx, pal, depth=8 if form == 0 else 4,
+                            topdown=form == 1,
+                        )
+                    )
+                else:
+                    px = _synth_pixels(int(d))
+                    if form == 2:
+                        h, w = px.shape[:2]
+                        y, x = np.mgrid[0:h, 0:w]
+                        pad = ((x + 7 * k) % 256).astype(np.uint8)
+                        px = np.dstack([px, pad])
+                    payloads.append(bmp_encode(px, topdown=form == 3))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     return src.mapInPandas(run, schema="doc_id long, payload binary")

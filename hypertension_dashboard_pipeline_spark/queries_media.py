@@ -361,6 +361,44 @@ _GIF_IDX = "((x * 5 + y * 9 + f * 13 + d.k) % 256)"
 
 
 @register(
+    "media_bmp_variant_stats",
+    oracle=f"""
+    SELECT d.doc_id,
+           CAST({_W} AS INT) AS width,
+           CAST({_H} AS INT) AS height,
+           CAST(SUM(x * (CASE WHEN d.k % 4 IN (0, 1)
+                         THEN (((x * 3 + y * 5 + d.k) % 16) * 37 + d.k) % 256
+                         ELSE (x * 7 + y * 11 + d.k) % 256 END))
+                AS BIGINT) AS sum_xr,
+           CAST(SUM(y * (CASE WHEN d.k % 4 IN (0, 1)
+                         THEN (((x * 3 + y * 5 + d.k) % 16) * 59 + 2 * d.k)
+                              % 256
+                         ELSE (x * 3 + y * 5 + 2 * d.k) % 256 END))
+                AS BIGINT) AS sum_yg,
+           CAST(SUM(CASE WHEN d.k % 4 IN (0, 1)
+                    THEN (((x * 3 + y * 5 + d.k) % 16) * 83 + 3 * d.k) % 256
+                    ELSE (x + y + 3 * d.k) % 256 END)
+                AS BIGINT) AS sum_b
+    FROM {_KEYED_DOCS}, range(0, 32) t(x), range(0, 19) s(y)
+    WHERE x < {_W} AND y < {_H}
+    GROUP BY d.doc_id, d.k
+    """,
+)
+def media_bmp_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP decode across the real-world variant matrix — 8-bit
+    paletted, 4-bit paletted top-down, 32-bit BGRX (the pad byte
+    carries a deliberate non-pixel formula the decoder must DROP), and
+    24-bit top-down.  The y-weighted sums catch a bottom-up/top-down
+    mix-up at any depth; the x-weighted sums catch sub-byte bit order
+    and the BGR(X) channel order.  Same exchange-free decode shape;
+    the oracle substitutes the index formula into the color-table
+    formulas for the paletted forms."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = media.synth_bmp_variant_corpus(docs)
+    return media.image_position_stats(corpus)
+
+
+@register(
     "media_audio_depth_stats",
     oracle=f"""
     WITH pcm AS (

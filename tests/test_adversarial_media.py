@@ -37,6 +37,22 @@ MEDIA_QUERIES = [
     "media_phash_dedup_groups",
     "media_dedup_compaction",
     "media_curation_pipeline",
+    # r12 codec-matrix debuts
+    "media_png_interlaced_stats",
+    "media_png_palette_stats",
+    "media_jpeg_progressive_stats",
+    "media_jpeg_restart_stats",
+    "media_hamming_calibration",
+    "media_ahash_calibration",
+    # r13 codec-matrix debuts
+    "media_jpeg_subsampled_stats",
+    "media_calibration_select",
+    "media_png_16bit_stats",
+    "media_png_trns_stats",
+    "media_png_graya_stats",
+    "media_png_subbyte_stats",
+    "media_audio_depth_stats",
+    "media_bmp_variant_stats",
 ]
 
 # negative, zero, huge, and 2^31-straddling ids; enough ids in a small

@@ -703,3 +703,58 @@ def test_alpha_stats_matches_direct_numpy(spark):
         assert r.sum_xa == int((xs * a).sum())
         assert r.sum_ya == int((ys * a).sum())
         assert r.n_transparent == int((a == 0).sum())
+
+
+# -------------------------------------------------------- BMP variants (r13)
+
+
+def test_bmp_paletted_roundtrip_all_depths_and_orders():
+    rng = _rng()
+    for d in (1, 4, 8):
+        n = (1 << d) if d < 8 else 200
+        pal = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+        for w in (1, 3, 7, 9):
+            for td in (False, True):
+                idx = rng.integers(0, n, size=(5, w), dtype=np.uint8)
+                blob = m.bmp_encode_palette(idx, pal, depth=d, topdown=td)
+                assert (m.bmp_decode(blob) == pal[idx]).all(), (d, w, td)
+
+
+def test_bmp_32bit_drops_pad_byte_and_row_orders():
+    rng = _rng()
+    for w in (1, 2, 5):
+        for td in (False, True):
+            a = rng.integers(0, 256, size=(4, w, 4), dtype=np.uint8)
+            out = m.bmp_decode(m.bmp_encode(a, topdown=td))
+            assert out.shape == (4, w, 3)
+            assert (out == a[:, :, :3]).all(), (w, td)
+
+
+def test_bmp_variant_rejections():
+    with pytest.raises(ValueError, match="wants"):
+        m.bmp_encode(np.zeros((2, 2), np.uint8))
+    with pytest.raises(ValueError, match="index out of range"):
+        m.bmp_encode_palette(
+            np.full((2, 2), 2, np.uint8), np.zeros((2, 3), np.uint8)
+        )
+    with pytest.raises(ValueError, match="1 <= n <= 2"):
+        m.bmp_encode_palette(
+            np.zeros((2, 2), np.uint8), np.zeros((3, 3), np.uint8), depth=1
+        )
+    with pytest.raises(ValueError, match="bit depth"):
+        m.bmp_encode_palette(
+            np.zeros((2, 2), np.uint8), np.zeros((4, 3), np.uint8), depth=2
+        )
+    # decoder: foreign stream with a pixel index beyond the color table
+    blob = bytearray(
+        m.bmp_encode_palette(np.zeros((2, 2), np.uint8),
+                             np.zeros((2, 3), np.uint8))
+    )
+    blob[-4] = 5  # first pixel byte of the last stored row
+    with pytest.raises(ValueError, match="index out of range"):
+        m.bmp_decode(bytes(blob))
+    # decoder: 16-bit depth stays a typed rejection
+    blob = bytearray(m.bmp_encode(np.zeros((2, 2, 3), np.uint8)))
+    struct.pack_into("<H", blob, 28, 16)
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        m.bmp_decode(bytes(blob))

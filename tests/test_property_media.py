@@ -232,9 +232,10 @@ def test_corrupted_payloads_raise_only_valueerror(data):
     kind = data.draw(
         st.sampled_from(
             ["png", "png_ilace", "png_pal", "png_16", "png_trns",
-             "png_pal_trns", "png_graya", "png_subbyte", "bmp", "wav",
-             "wav_8", "wav_24", "gif", "jpeg", "jpeg_prog", "jpeg_rst",
-             "jpeg_420", "jpeg_prog_422"]
+             "png_pal_trns", "png_graya", "png_subbyte", "bmp",
+             "bmp_pal", "bmp_32", "wav", "wav_8", "wav_24", "gif",
+             "jpeg", "jpeg_prog", "jpeg_rst", "jpeg_420",
+             "jpeg_prog_422"]
         )
     )
     if kind == "png":
@@ -295,6 +296,21 @@ def test_corrupted_payloads_raise_only_valueerror(data):
         decode = m.png_decode
     elif kind == "bmp":
         blob = m.bmp_encode(np.arange(45, dtype=np.uint8).reshape(3, 5, 3))
+        decode = m.bmp_decode
+    elif kind == "bmp_pal":
+        blob = m.bmp_encode_palette(
+            (np.arange(6 * 7, dtype=np.int64) % 16)
+            .astype(np.uint8).reshape(6, 7),
+            (np.arange(48, dtype=np.int64) % 256)
+            .astype(np.uint8).reshape(16, 3),
+            depth=4, topdown=True,
+        )
+        decode = m.bmp_decode
+    elif kind == "bmp_32":
+        blob = m.bmp_encode(
+            (np.arange(3 * 4 * 4, dtype=np.int64) % 256)
+            .astype(np.uint8).reshape(3, 4, 4)
+        )
         decode = m.bmp_decode
     elif kind == "wav":
         blob = m.wav_encode(8000, np.arange(-8, 9, dtype=np.int16))
