@@ -166,17 +166,23 @@ def _interlace_rows(h: int) -> list[int]:
 
 
 def gif_encode(frames: list[np.ndarray], palette: np.ndarray,
-               interlace: bool = False) -> bytes:
+               interlace: bool = False,
+               transparent_idx: int | None = None) -> bytes:
     """Encode palette-indexed frames as an (animated) GIF89a.
 
     ``frames``: list of ``uint8 (h, w)`` index arrays, all full-size.
     ``palette``: ``uint8 (256, 3)`` RGB global color table.
+    ``transparent_idx`` sets the graphic-control-extension transparent
+    color flag + index (GIF89a §23) on every frame — that palette slot
+    decodes with alpha 0.
     """
     if not frames:
         raise ValueError("gif_encode needs at least one frame")
     pal = np.asarray(palette, dtype=np.uint8)
     if pal.shape != (256, 3):
         raise ValueError(f"palette must be (256, 3), got {pal.shape}")
+    if transparent_idx is not None and not 0 <= transparent_idx <= 255:
+        raise ValueError("transparent index out of range")
     h, w = frames[0].shape
     out = bytearray(b"GIF89a")
     # logical screen descriptor: GCT present, 8 bits/channel, 256 entries
@@ -186,8 +192,13 @@ def gif_encode(frames: list[np.ndarray], palette: np.ndarray,
         a = np.asarray(idx_arr, dtype=np.uint8)
         if a.shape != (h, w):
             raise ValueError("all frames must share the logical screen size")
-        # graphic control extension (delay 10cs, no transparency)
-        out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+        # graphic control extension (delay 10cs)
+        if transparent_idx is None:
+            out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+        else:
+            out += b"\x21\xf9\x04\x01\x0a\x00" + bytes(
+                [transparent_idx]
+            ) + b"\x00"
         packed = 0x40 if interlace else 0x00
         out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, packed)
         rows = a[_interlace_rows(h)] if interlace else a
@@ -198,7 +209,10 @@ def gif_encode(frames: list[np.ndarray], palette: np.ndarray,
 
 
 def _gif_decode_inner(data: bytes) -> list[np.ndarray]:
-    """Decode every frame of a GIF to ``uint8 (h, w, 3)`` RGB arrays.
+    """Decode every frame of a GIF to ``uint8`` arrays — ``(h, w, 3)``
+    RGB, or ``(h, w, 4)`` RGBA when the frame's graphic control
+    extension declares a transparent color index (GIF89a §23: the flag
+    applies to the single image that follows, then resets).
 
     Frames smaller than the logical screen are returned at their own
     size (no disposal compositing — decode, not rendering).  Raises
@@ -214,13 +228,21 @@ def _gif_decode_inner(data: bytes) -> list[np.ndarray]:
         gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
     frames: list[np.ndarray] = []
+    pending_tidx: int | None = None
     while pos < len(data):
         block = data[pos]
         pos += 1
         if block == 0x3B:  # trailer
             break
-        if block == 0x21:  # extension: label + sub-blocks, skip
+        if block == 0x21:  # extension: label + sub-blocks
+            label = data[pos]
             pos += 1
+            # GCE (0xF9): parse the transparent-color flag + index;
+            # everything else is skipped as before
+            if (label == 0xF9 and pos < len(data) and data[pos] >= 4
+                    and pos + 4 < len(data)):
+                if data[pos + 1] & 0x01:
+                    pending_tidx = data[pos + 4]
             while pos < len(data) and data[pos] != 0:
                 pos += 1 + data[pos]
             pos += 1
@@ -251,7 +273,14 @@ def _gif_decode_inner(data: bytes) -> list[np.ndarray]:
                 deinterlaced = np.empty_like(idx)
                 deinterlaced[order] = idx
                 idx = deinterlaced
-            frames.append(pal[idx])
+            rgb = pal[idx]
+            if pending_tidx is not None:
+                alpha = np.where(idx == pending_tidx, 0, 255).astype(
+                    np.uint8
+                )
+                rgb = np.concatenate([rgb, alpha[:, :, None]], axis=2)
+                pending_tidx = None  # the GCE governs one image only
+            frames.append(rgb)
         else:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
     if not frames:
@@ -327,6 +356,84 @@ def synth_gif_corpus(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     return src.mapInPandas(run, schema="doc_id long, payload binary")
+
+
+def synth_gif_trns_corpus(docs: DataFrame,
+                          id_col: str = "doc_id") -> DataFrame:
+    """One animated GIF per document with a GCE transparent color
+    index: frame indices run over a 16-slot sub-palette
+    ``(x*5 + y*9 + f*13 + k) % 16`` and the transparent slot is
+    ``k % 16``, so each frame carries a DIFFERENT transparency mask
+    (the set of lattice points hitting the slot shifts with f) —
+    interlaced for every third doc, composing transparency with the
+    4-pass row order.  Schema: (doc_id long, payload binary)."""
+    from .media import _key, _scatter_ids
+
+    src = _scatter_ids(docs, id_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = batch["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                k = _key(int(d))
+                w = k % GIF_W_MOD + GIF_W_MIN
+                h = k % GIF_H_MOD + GIF_H_MIN
+                n_frames = k % GIF_F_MOD + GIF_F_MIN
+                y, x = np.mgrid[0:h, 0:w]
+                frames = [
+                    ((x * 5 + y * 9 + f * 13 + k) % 16).astype(np.uint8)
+                    for f in range(n_frames)
+                ]
+                payloads.append(
+                    gif_encode(
+                        frames, _PALETTE, interlace=k % 3 == 0,
+                        transparent_idx=k % 16,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return src.mapInPandas(run, schema="doc_id long, payload binary")
+
+
+ALPHA_FRAME_STATS_SCHEMA = (
+    "doc_id long, frame_idx int, width int, height int, "
+    "sum_xa long, n_transparent long"
+)
+
+
+def gif_alpha_stats(df: DataFrame, id_col: str = "doc_id",
+                    payload_col: str = "payload") -> DataFrame:
+    """Per-frame POSITION-WEIGHTED alpha sums + transparent-pixel
+    counts over decoded GIF frames — x-weighting makes the result
+    sensitive to WHERE the transparent slot lands after de-interlace,
+    not just how many pixels hit it.  Frames decoded without an alpha
+    channel count as fully opaque."""
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                for f_idx, frame in enumerate(gif_decode(bytes(payload))):
+                    h, w = frame.shape[0], frame.shape[1]
+                    if frame.shape[2] == 4:
+                        a = frame[:, :, 3].astype(np.int64)
+                    else:
+                        a = np.full((h, w), 255, dtype=np.int64)
+                    xs = np.arange(w, dtype=np.int64)[None, :]
+                    rows.append(
+                        (int(doc_id), f_idx, w, h,
+                         int((xs * a).sum()), int((a == 0).sum()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "width", "height",
+                         "sum_xa", "n_transparent"],
+            )
+
+    return src.mapInPandas(run, schema=ALPHA_FRAME_STATS_SCHEMA)
 
 
 FRAME_STATS_SCHEMA = (

@@ -361,6 +361,37 @@ _GIF_IDX = "((x * 5 + y * 9 + f * 13 + d.k) % 256)"
 
 
 @register(
+    "media_gif_transparency_stats",
+    oracle=f"""
+    SELECT d.doc_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(d.k % 11 + 2 AS INT) AS width,
+           CAST(d.k % 7 + 2 AS INT) AS height,
+           CAST(SUM(x * CASE WHEN (x * 5 + y * 9 + f * 13) % 16 = 0
+                             THEN 0 ELSE 255 END) AS BIGINT) AS sum_xa,
+           CAST(SUM(CASE WHEN (x * 5 + y * 9 + f * 13) % 16 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_transparent
+    FROM {_KEYED_DOCS},
+         range(0, 12) t(x), range(0, 8) s(y), range(0, 6) u(f)
+    WHERE x < d.k % 11 + 2 AND y < d.k % 7 + 2 AND f < d.k % 5 + 2
+    GROUP BY d.doc_id, d.k, f
+    """,
+)
+def media_gif_transparency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF89a graphic-control-extension transparency: every frame
+    declares transparent slot ``k % 16`` and the index lattice runs
+    mod 16, so the transparency mask SHIFTS per frame; interlaced for
+    every third doc — x-weighted alpha sums verify the mask lands on
+    the right pixels after de-interlace.  The oracle reduces
+    ``(idx formula) % 16 == k % 16`` to the k-free residue test."""
+    from .operators import gif
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = gif.synth_gif_trns_corpus(docs)
+    return gif.gif_alpha_stats(corpus)
+
+
+@register(
     "media_bmp_variant_stats",
     oracle=f"""
     SELECT d.doc_id,
@@ -1129,10 +1160,15 @@ def media_calibration_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash_calibration methodology.  All corpus-sized work happens
     inside the two sweeps (one blocked candidate generation each,
     folded to <=7-row histograms); the selection itself is a
-    row_number window over a bounded 14-row frame."""
+    row_number window over a bounded 14-row frame.  The signature
+    relation feeds BOTH sweeps, so it is persisted once (the standing
+    _maybe_persist/release contract) — the decode+hash stage runs one
+    corpus pass instead of two."""
     from .operators import phash
+    from .operators.dedup import _maybe_persist, release_persisted
 
-    sigs = _ph_corpus_sigs(spark, sf_dir)
+    release_persisted()
+    sigs = _maybe_persist(_ph_corpus_sigs(spark, sf_dir), True)
     km = 2147483648
     fam = (
         load_table(spark, sf_dir, "documents")
@@ -1144,7 +1180,8 @@ def media_calibration_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     curves = None
     for kind in ("dhash", "ahash"):
         c = phash.hamming_calibration(
-            sigs, fam, thresholds=(0, 1, 2, 3, 4, 5, 6), sig_col=kind
+            sigs, fam, thresholds=(0, 1, 2, 3, 4, 5, 6), sig_col=kind,
+            release=False,
         ).withColumn("hash_kind", F.lit(kind))
         curves = c if curves is None else curves.unionByName(c)
     return phash.calibration_operating_point(

@@ -635,9 +635,13 @@ _FRONT: list[str] = [
     "media_png_subbyte_stats",
     "media_audio_depth_stats",
     # --- drift riders: the WAV 8/24/32-bit decode extension touches
-    # wav_encode/wav_decode, shared by both audio queries ---
+    # wav_encode/wav_decode, shared by both audio queries; the GIF
+    # GCE-transparency decode touches gif_decode, shared by both GIF
+    # queries ---
     "media_audio_decode_stats",
     "media_audio_dup_groups",
+    "media_gif_frame_stats",
+    "media_gif_frame_dup_groups",
     # --- evidence refresh: the entire 25-name r6 queue ---
     "a20_grouped_regression",
     "a21_histogram_totalprice",
@@ -659,11 +663,10 @@ _FRONT: list[str] = [
     "s2_sink_partitioned_roundtrip",
     "s6_catalog_schema_contract",
     "sim_cosine_near_dup",
-    "sim_pq_adc_topk",
-    "sim_semdedup",
-    # (text_decontaminate, text_lm_bigram_score spill to the r14
-    # refresh queue — displaced by the WAV-depth drift riders)
     "text_quality_score",
+    # (text_decontaminate, text_lm_bigram_score, sim_pq_adc_topk,
+    # sim_semdedup spill to the r14 refresh queue — displaced by the
+    # WAV-depth and GIF-transparency drift riders)
 ]
 
 # Driver window size (observed: the external gate samples the first 50

@@ -53,6 +53,7 @@ MEDIA_QUERIES = [
     "media_png_subbyte_stats",
     "media_audio_depth_stats",
     "media_bmp_variant_stats",
+    "media_gif_transparency_stats",
 ]
 
 # negative, zero, huge, and 2^31-straddling ids; enough ids in a small

@@ -147,3 +147,37 @@ def test_gif_frame_stats_matches_direct_numpy(spark, sf_smoke):
         s = rgb.sum(axis=(0, 1))
         assert (r.sum_r, r.sum_g, r.sum_b) == (s[0], s[1], s[2])
         assert (r.width, r.height) == (frames[0].shape[1], frames[0].shape[0])
+
+
+def test_gif_transparency_marks_exactly_the_declared_slot():
+    """GCE transparent index: alpha 0 precisely where the frame's
+    index equals the slot, opaque elsewhere; the flag governs one
+    image then resets (GIF89a §23)."""
+    from hypertension_dashboard_pipeline_spark.operators import gif as g
+
+    idx = (np.arange(5 * 6, dtype=np.int64) % 7).astype(np.uint8).reshape(5, 6)
+    frames = [idx, (idx + 1) % 7]
+    for il in (False, True):
+        blob = g.gif_encode(frames, g._PALETTE, interlace=il,
+                            transparent_idx=3)
+        out = g.gif_decode(blob)
+        assert len(out) == 2
+        for f, src in zip(out, frames):
+            assert f.shape == (5, 6, 4)
+            assert ((f[:, :, 3] == 0) == (src == 3)).all()
+            assert (f[:, :, :3] == g._PALETTE[src]).all()
+    # no transparent_idx -> plain RGB frames (shape unchanged)
+    out = g.gif_decode(g.gif_encode(frames, g._PALETTE))
+    assert all(f.shape == (5, 6, 3) for f in out)
+    # hand-built stream: GCE on the FIRST image only — second frame
+    # must decode opaque (the flag resets per image)
+    blob = bytearray(g.gif_encode(frames, g._PALETTE, transparent_idx=3))
+    # flip the second GCE's transparency flag off
+    first = blob.index(b"\x21\xf9\x04\x01")
+    second = blob.index(b"\x21\xf9\x04\x01", first + 1)
+    blob[second + 3] = 0x00
+    out = g.gif_decode(bytes(blob))
+    assert out[0].shape[2] == 4 and out[1].shape[2] == 3
+    # encoder rejects an out-of-range slot
+    with pytest.raises(ValueError, match="transparent index"):
+        g.gif_encode(frames, g._PALETTE, transparent_idx=256)

@@ -234,7 +234,7 @@ def test_corrupted_payloads_raise_only_valueerror(data):
             ["png", "png_ilace", "png_pal", "png_16", "png_trns",
              "png_pal_trns", "png_graya", "png_subbyte", "bmp",
              "bmp_pal", "bmp_32", "wav", "wav_8", "wav_24", "gif",
-             "jpeg", "jpeg_prog", "jpeg_rst", "jpeg_420",
+             "gif_trns", "jpeg", "jpeg_prog", "jpeg_rst", "jpeg_420",
              "jpeg_prog_422"]
         )
     )
@@ -324,6 +324,11 @@ def test_corrupted_payloads_raise_only_valueerror(data):
     elif kind == "gif":
         frame = (np.arange(30, dtype=np.uint8) % 256).reshape(5, 6)
         blob = g.gif_encode([frame, frame + 1], g._PALETTE)
+        decode = g.gif_decode
+    elif kind == "gif_trns":
+        frame = (np.arange(30, dtype=np.uint8) % 16).reshape(5, 6)
+        blob = g.gif_encode([frame, frame], g._PALETTE, interlace=True,
+                            transparent_idx=7)
         decode = g.gif_decode
     elif kind == "jpeg":
         blob = J.jpeg_encode(
