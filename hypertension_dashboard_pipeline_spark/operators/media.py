@@ -727,16 +727,19 @@ def wav_decode(data: bytes) -> tuple[int, np.ndarray]:
 
 
 def wav_encode(rate: int, samples: np.ndarray, bits: int = 16) -> bytes:
-    """Encode mono PCM samples as a WAV via the stdlib ``wave`` module
-    — a codec implementation INDEPENDENT of :func:`wav_decode`'s
-    manual parser, which is exactly why the round-trip test is
-    meaningful.  ``samples`` are RAW wire values for the chosen width:
-    unsigned 0..255 at ``bits=8``, signed int16/int24/int32 at
-    16/24/32 (24-bit packed 3-byte little-endian two's complement)."""
+    """Encode PCM samples as a WAV via the stdlib ``wave`` module — a
+    codec implementation INDEPENDENT of :func:`wav_decode`'s manual
+    parser, which is exactly why the round-trip test is meaningful.
+    ``samples`` are RAW wire values for the chosen width: unsigned
+    0..255 at ``bits=8``, signed int16/int24/int32 at 16/24/32
+    (24-bit packed 3-byte little-endian two's complement).  A
+    ``(n_frames, n_channels)`` input writes interleaved multi-channel
+    frames; 1-D input is mono."""
     import io
     import wave
 
     a = np.asarray(samples)
+    n_channels = a.shape[1] if a.ndim == 2 else 1
     if bits == 8:
         raw = a.astype(np.uint8).tobytes()
     elif bits == 16:
@@ -753,7 +756,7 @@ def wav_encode(rate: int, samples: np.ndarray, bits: int = 16) -> bytes:
         raise ValueError(f"unsupported WAV encode bit depth {bits}")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as wv:
-        wv.setnchannels(1)
+        wv.setnchannels(n_channels)
         wv.setsampwidth(bits // 8)
         wv.setframerate(rate)
         wv.writeframes(raw)
@@ -1274,6 +1277,70 @@ def synth_audio_depth_corpus(docs: DataFrame,
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     return src.mapInPandas(run, schema="doc_id long, payload binary")
+
+
+def synth_stereo_audio_corpus(docs: DataFrame,
+                              id_col: str = "doc_id") -> DataFrame:
+    """One STEREO PCM WAV per document — left and right channels carry
+    DIFFERENT closed-form signals (keep in sync with the
+    media_audio_stereo_stats oracle), so a channel de-interleave error
+    (swap, stride, off-by-one) breaks per-channel parity while leaving
+    whole-stream sums intact.  Schema: (doc_id long, payload binary)."""
+    src = _scatter_ids(docs, id_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = batch["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                k = _key(int(d))
+                n = k % AUD_N_MOD + AUD_N_MIN
+                i = np.arange(n, dtype=np.int64)
+                left = (i * i * 37 + i * 1009 + k * 31) % 65536 - 32768
+                right = (i * i * 41 + i * 787 + k * 17) % 65536 - 32768
+                frames = np.stack([left, right], axis=1)
+                payloads.append(wav_encode(8000 + k % 3 * 4000, frames))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return src.mapInPandas(run, schema="doc_id long, payload binary")
+
+
+CHANNEL_STATS_SCHEMA = (
+    "doc_id long, sample_rate int, channel int, n_frames long, "
+    "sum_sample long, sum_sq long"
+)
+
+
+def audio_channel_stats(df: DataFrame, id_col: str = "doc_id",
+                        payload_col: str = "payload") -> DataFrame:
+    """Decode WAV payloads and fan out ONE ROW PER CHANNEL with exact
+    integer per-channel sums and energies — the statistics that verify
+    interleaved frame layout channel by channel (mono payloads emit a
+    single channel-0 row)."""
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                rate, s = wav_decode(bytes(payload))
+                if s.ndim == 1:
+                    s = s[:, None]
+                s64 = s.astype(np.int64)
+                for ch in range(s64.shape[1]):
+                    col = s64[:, ch]
+                    rows.append(
+                        (int(doc_id), int(rate), ch, len(col),
+                         int(col.sum()), int((col * col).sum()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "channel", "n_frames",
+                         "sum_sample", "sum_sq"],
+            )
+
+    return src.mapInPandas(run, schema=CHANNEL_STATS_SCHEMA)
 
 
 IMAGE_STATS_SCHEMA = (

@@ -476,6 +476,39 @@ def media_audio_depth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_audio_stereo_stats",
+    oracle=f"""
+    WITH pcm AS (
+        SELECT d.doc_id, d.k, i, ch,
+               CASE WHEN ch = 0
+                    THEN (i * i * 37 + i * 1009 + d.k * 31) % 65536 - 32768
+                    ELSE (i * i * 41 + i * 787 + d.k * 17) % 65536 - 32768
+               END AS s
+        FROM {_KEYED_DOCS}, range(0, 113) t(i), range(0, 2) c(ch)
+        WHERE i < {_N}
+    )
+    SELECT doc_id,
+           CAST(8000 + (k % 3) * 4000 AS INT) AS sample_rate,
+           CAST(ch AS INT) AS channel,
+           CAST(k % 97 + 16 AS BIGINT) AS n_frames,
+           CAST(SUM(s) AS BIGINT) AS sum_sample,
+           CAST(SUM(s * s) AS BIGINT) AS sum_sq
+    FROM pcm
+    GROUP BY doc_id, k, ch
+    """,
+)
+def media_audio_stereo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEREO WAV decode with per-channel fan-out: left and right
+    carry different closed-form signals, so the per-channel sums and
+    energies verify the interleaved frame layout exactly — a channel
+    swap or stride error fails parity even though whole-stream totals
+    would still match.  Same exchange-free decode shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = media.synth_stereo_audio_corpus(docs)
+    return media.audio_channel_stats(corpus)
+
+
+@register(
     "media_gif_frame_stats",
     oracle=f"""
     SELECT d.doc_id,

@@ -49,7 +49,8 @@ def main() -> None:
     for name in ("media_jpeg_subsampled_stats", "media_png_16bit_stats",
                  "media_png_trns_stats", "media_png_graya_stats",
                  "media_png_subbyte_stats", "media_audio_depth_stats",
-                 "media_bmp_variant_stats", "media_gif_transparency_stats"):
+                 "media_bmp_variant_stats", "media_gif_transparency_stats",
+                 "media_audio_stereo_stats"):
         df = registry.QUERIES[name](spark, SF)
         n_ex = _plan(df).count("Exchange")
         assert n_ex == 1, f"{name}: expected only the id scatter, got {n_ex}"

@@ -54,6 +54,7 @@ MEDIA_QUERIES = [
     "media_audio_depth_stats",
     "media_bmp_variant_stats",
     "media_gif_transparency_stats",
+    "media_audio_stereo_stats",
 ]
 
 # negative, zero, huge, and 2^31-straddling ids; enough ids in a small

@@ -758,3 +758,20 @@ def test_bmp_variant_rejections():
     struct.pack_into("<H", blob, 28, 16)
     with pytest.raises(ValueError, match="unsupported BMP"):
         m.bmp_decode(bytes(blob))
+
+
+def test_wav_multichannel_roundtrip_all_depths():
+    """Interleaved multi-channel frames roundtrip at every width; the
+    decoder reshapes to (n_frames, n_channels)."""
+    rng = _rng()
+    for ch in (2, 3):
+        frames = rng.integers(-30000, 30000, size=(11, ch)).astype(np.int64)
+        for bits in (16, 24, 32):
+            rate, got = m.wav_decode(
+                m.wav_encode(22050, frames, bits=bits)
+            )
+            assert got.shape == (11, ch), (ch, bits)
+            assert got.tolist() == frames.tolist(), (ch, bits)
+        raw8 = rng.integers(0, 256, size=(7, ch)).astype(np.int64)
+        rate, got = m.wav_decode(m.wav_encode(8000, raw8, bits=8))
+        assert got.tolist() == ((raw8 - 128) * 256).tolist(), ch

@@ -181,6 +181,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark, sf_dir):
         "dedup_corpus_overlap_hll",  # |sources|² pair stage over the ~20-row KB-sized sketch relation, by design (no row data crosses it)
         "media_ahash_calibration",  # same shape as media_hamming_calibration below
         "media_hamming_calibration",  # 7-row threshold list × <=7-row per-hamming histogram inequality join + 1-row truth total — corpus work ends at the histogram aggregate (plan-asserted in scripts/scaling_probe_r12.py)
+        "media_calibration_select",  # the union of the two calibration sweeps above — inherits their declared bounded inequality joins; the selection itself is a window over the <=14-row stacked curve (plan-asserted in scripts/scaling_probe_r13.py)
     }
     offenders = []
     for name, fn in registry.QUERIES.items():
@@ -256,6 +257,22 @@ def test_no_registered_query_uses_row_python_eval(spark, sf_dir):
         "media_png_palette_stats",
         "media_jpeg_restart_stats",
         "media_ahash_calibration",
+        # r13 media extensions: chroma-subsampled JPEG, the PNG IHDR
+        # matrix (16-bit, tRNS, grey+alpha, sub-byte), WAV depth/
+        # stereo, BMP variants, GIF transparency, and the calibration
+        # selection (its corpus work is the two sweeps' signature
+        # stage) — same Arrow decode contract, plans pinned in
+        # scripts/scaling_probe_r13.py
+        "media_jpeg_subsampled_stats",
+        "media_calibration_select",
+        "media_png_16bit_stats",
+        "media_png_trns_stats",
+        "media_png_graya_stats",
+        "media_png_subbyte_stats",
+        "media_audio_depth_stats",
+        "media_bmp_variant_stats",
+        "media_gif_transparency_stats",
+        "media_audio_stereo_stats",
     }
     ARROW_NODES = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
     row_eval, undeclared_arrow = [], []
