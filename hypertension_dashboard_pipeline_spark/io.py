@@ -88,18 +88,98 @@ def normalize_events_ts(df: DataFrame, raw_nanos: bool) -> DataFrame:
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def _arrow_to_spark_type(t) -> T.DataType | None:
+    """Map an Arrow type to the Spark type parquet inference would
+    produce, for the bounded type surface the engine's tables use.
+    Returns None for anything outside it (caller falls back to Spark's
+    own inference) — including nanosecond timestamps, which Spark
+    rejects without a legacy conf (the events reader handles those
+    explicitly, :func:`events_read_plan`)."""
+    import pyarrow as pa
+
+    if pa.types.is_int64(t):
+        return T.LongType()
+    if pa.types.is_int32(t):
+        return T.IntegerType()
+    if pa.types.is_float64(t):
+        return T.DoubleType()
+    if pa.types.is_float32(t):
+        return T.FloatType()
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return T.StringType()
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return T.BinaryType()
+    if pa.types.is_boolean(t):
+        return T.BooleanType()
+    if pa.types.is_date32(t):
+        return T.DateType()
+    if pa.types.is_timestamp(t):
+        if t.unit == "ns":
+            return None
+        return T.TimestampType() if t.tz else T.TimestampNTZType()
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        inner = _arrow_to_spark_type(t.value_type)
+        return T.ArrayType(inner) if inner is not None else None
+    return None
+
+
+def footer_schema(path: str) -> T.StructType | None:
+    """Explicit reader schema from the parquet footer, or None.
+
+    ``spark.read.parquet(path)`` runs a schema-inference Spark JOB per
+    call — measured ~0.05-0.2 s of driver/job overhead per table per
+    query construction, paid again on every run (guide §1: measure what
+    the timer actually times; §6: metadata work scales with file count
+    at 100 TB).  A pyarrow footer read is a ~1 ms local metadata fetch
+    yielding the IDENTICAL schema (asserted for every testdata table at
+    every sf in tests/test_reader_schema.py), so readers pass it
+    explicitly and skip the inference job.  Any surprise — unknown
+    type, unreadable footer, empty directory — returns None and the
+    caller uses Spark inference, preserving exact current behavior.
+    """
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        try:
+            parts = sorted(
+                n for n in os.listdir(path) if n.endswith(".parquet")
+            )
+        except OSError:
+            return None
+        if not parts:
+            return None
+        path = os.path.join(path, parts[0])
+    try:
+        sch = pq.read_schema(path)
+    except Exception:
+        return None
+    fields = []
+    for f in sch:
+        st = _arrow_to_spark_type(f.type)
+        if st is None:
+            return None
+        fields.append(T.StructField(f.name, st))
+    return T.StructType(fields)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md).
 
     The events table needs timestamp normalization (see
     :func:`events_read_plan` — the physical form of ``ts`` has varied
-    across driver rounds); everything else is a plain columnar scan.
+    across driver rounds); everything else is a columnar scan with the
+    reader schema taken from the parquet footer (one local metadata
+    read instead of a per-call schema-inference job — see
+    :func:`footer_schema`).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         schema, raw_nanos = events_read_plan(sf_dir)
         df = spark.read.schema(schema).parquet(path)
         return normalize_events_ts(df, raw_nanos)
+    sniffed = footer_schema(path)
+    if sniffed is not None:
+        return spark.read.schema(sniffed).parquet(path)
     return spark.read.parquet(path)
 
 

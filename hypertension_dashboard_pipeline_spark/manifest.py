@@ -294,6 +294,29 @@ def fingerprint(fn: types.FunctionType, oracle: str | None) -> str:
     return h.hexdigest()
 
 
+def own_fingerprint(fn: types.FunctionType, oracle: str | None) -> str:
+    """Hash of the query function's OWN source + oracle text only — no
+    transitive callee closure.
+
+    Companion to :func:`fingerprint` for the optimization rounds: a
+    shared-operator optimization (io reader, join shape, expression
+    construction) drifts the TRANSITIVE fingerprint of every consumer
+    at once — far more queries than any driver window holds — while
+    changing no query's own definition.  The window contract
+    (tests/test_registry_contract.py) therefore distinguishes the two:
+    own-source/oracle drift must be externally gated (inside the
+    window); pure shared-callee drift is admissible outside it, because
+    the local full-catalog parity sweep value-verifies every query
+    against its oracle on every run and the optimization-round external
+    gate re-verifies the full catalog."""
+    h = hashlib.sha256()
+    src = _source_of(fn) or "<no-source>"
+    h.update(re.sub(r" at 0x[0-9a-f]+", " at 0xADDR", src).encode())
+    h.update(b"\x00ORACLE\x00")
+    h.update((oracle or "<none>").encode())
+    return h.hexdigest()
+
+
 def query_fingerprints() -> dict[str, str]:
     """Fingerprint every registered query (loads the registry)."""
     from . import registry
@@ -301,5 +324,17 @@ def query_fingerprints() -> dict[str, str]:
     registry.load_all()
     return {
         name: fingerprint(fn, registry.ORACLES.get(name))
+        for name, fn in registry.QUERIES.items()
+    }
+
+
+def query_own_fingerprints() -> dict[str, str]:
+    """Own-source fingerprint of every registered query (see
+    :func:`own_fingerprint`)."""
+    from . import registry
+
+    registry.load_all()
+    return {
+        name: own_fingerprint(fn, registry.ORACLES.get(name))
         for name, fn in registry.QUERIES.items()
     }

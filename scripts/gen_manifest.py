@@ -24,7 +24,10 @@ def main() -> None:
     ap.add_argument("--verified-at", default="WORKING-TREE")
     args = ap.parse_args()
 
-    from hypertension_dashboard_pipeline_spark.manifest import query_fingerprints
+    from hypertension_dashboard_pipeline_spark.manifest import (
+        query_fingerprints,
+        query_own_fingerprints,
+    )
 
     doc = {
         "_meta": {
@@ -34,11 +37,17 @@ def main() -> None:
                 "externally-verified tree. Queries whose current "
                 "fingerprint drifts from this snapshot (or that are "
                 "absent from it) MUST be inside the driver window "
-                "(registry._FRONT). Regenerate only at a round "
+                "(registry._FRONT), UNLESS the drift is purely "
+                "transitive (shared-callee optimization): 'own' holds "
+                "the own-source+oracle fingerprints, and a query whose "
+                "own fingerprint is unchanged may drift outside the "
+                "window (tests/test_registry_contract.py documents "
+                "why this is sound). Regenerate only at a round "
                 "boundary from the tree CORRECTNESS_r{N} verified."
             ),
         },
         "queries": query_fingerprints(),
+        "own": query_own_fingerprints(),
     }
     out = pathlib.Path(args.out)
     out.write_text(json.dumps(doc, indent=1, sort_keys=True) + "\n")
