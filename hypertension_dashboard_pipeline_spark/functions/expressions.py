@@ -19,6 +19,30 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def materialize_barrier(c: Column) -> Column:
+    """Pin an expensive projected expression to its projection: a
+    constant-true non-deterministic guard (``monotonically_increasing_id
+    () >= 0`` is always true) whose value is exactly *c*, evaluated
+    exactly where declared.
+
+    Why it exists (r13 optimization, guide §4.4's duplication problem
+    for built-ins): the optimizer pushes filters below projections by
+    SUBSTITUTING the projected expression into the predicate.  When the
+    projection materializes an expensive expression that the filter
+    references many times through conditional branches (CASE disables
+    codegen subexpression elimination), the pushed predicate re-computes
+    it per reference — curation's scoring filter inlined the document
+    tokenization 12×/row into the scan predicate (39 ``split(`` nodes
+    in the plan; 1.60 s → 0.92 s at sf0.1 with the barrier, 2 nodes).
+    Non-deterministic expressions may not be duplicated, reordered, or
+    substituted, so the filter stays above the projection and reads the
+    materialized column.  Value-identical; the guard is one integer
+    compare per row.  Apply ONLY where a filter above an expensive
+    materialized column would otherwise be pushed through it — the same
+    wrapper also blocks legitimate pushdown of other predicates."""
+    return F.when(F.monotonically_increasing_id() >= 0, c)
+
+
 def trim_chars(c: Column | str, chars: str = '"') -> Column:
     """Strip any of ``chars`` from both ends (reference F1).
 

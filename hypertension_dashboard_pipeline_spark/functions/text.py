@@ -61,13 +61,25 @@ STOPWORDS_EN = (
 )
 
 
+def stopword_ratio_raw_from(ltoks: Column,
+                            stopwords: str | None = None) -> Column:
+    """``stopword_ratio_raw`` over a PRE-TOKENIZED lowercased token
+    array — callers that materialize the array once per row (a prior
+    projection) pay ONE regex split instead of one per reference:
+    the scoring expressions sit inside conditional branches
+    (CASE WHEN), where codegen's subexpression elimination does not
+    apply, so the inline form re-splits the document per branch
+    (r13 optimization — measured 1.31 s → 0.81 s for the combined
+    lang+quality scan at sf0.1)."""
+    words = (stopwords or STOPWORDS_EN[0]).split()
+    n = F.size(ltoks)
+    hits = F.size(F.filter(ltoks, lambda t: t.isin(words)))
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
 def stopword_ratio_raw(c: Column | str, stopwords: str | None = None) -> Column:
     """Fraction of tokens that are (English) stopwords (unrounded)."""
-    words = (stopwords or STOPWORDS_EN[0]).split()
-    toks = tokens(F.lower(_col(c)))
-    n = F.size(toks)
-    hits = F.size(F.filter(toks, lambda t: t.isin(words)))
-    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+    return stopword_ratio_raw_from(tokens(F.lower(_col(c))), stopwords)
 
 
 def stopword_ratio(c: Column | str, stopwords: str | None = None,
@@ -77,6 +89,24 @@ def stopword_ratio(c: Column | str, stopwords: str | None = None,
     return round_fixed(stopword_ratio_raw(c, stopwords), scale)
 
 
+def quality_score_from(toks: Column, ltoks: Column, c: Column | str,
+                       scale: int = 6) -> Column:
+    """``quality_score`` over PRE-TOKENIZED arrays (``toks`` =
+    tokens(text), ``ltoks`` = tokens(lower(text))); the punctuation
+    signal still reads the raw text.  Same expression tree as the
+    inline form with the two token subtrees swapped for column
+    references — values bit-identical (see ``stopword_ratio_raw_from``
+    for why callers materialize)."""
+    from .expressions import round_fixed
+
+    col = _col(c)
+    n_tok = F.size(toks).cast("double")
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio_raw_from(ltoks) * 4, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio_raw(col) * 5)
+    return round_fixed((len_score + stop_score + punct_pen) / 3, scale)
+
+
 def quality_score(c: Column | str, scale: int = 6) -> Column:
     """Composite quality heuristic in [0,1]: rewards mid-length docs and
     stopword presence, penalizes punctuation soup. Deterministic
@@ -84,14 +114,8 @@ def quality_score(c: Column | str, scale: int = 6) -> Column:
     (``functions.expressions.round_fixed``) — oracles pair with
     ``FLOOR(score * 10^scale + 0.5) / 10^scale``, never engine
     ROUND."""
-    from .expressions import round_fixed
-
     col = _col(c)
-    n_tok = token_count(col).cast("double")
-    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
-    stop_score = F.least(stopword_ratio_raw(col) * 4, F.lit(1.0))
-    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio_raw(col) * 5)
-    return round_fixed((len_score + stop_score + punct_pen) / 3, scale)
+    return quality_score_from(tokens(col), tokens(F.lower(col)), col, scale)
 
 
 # language-ID marker words per language (synthetic-friendly: common
@@ -104,23 +128,42 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+def _marker_isin(words: list[str]):
+    # factory, not a closure-default lambda: a 2-arg lambda would
+    # receive the array INDEX as its second argument
+    return lambda t: t.isin(words)
+
+
+def lang_marker_hits_from(ltoks: Column, lang: str) -> Column:
+    """Marker-word hits over a PRE-TOKENIZED lowercased token array
+    (see ``stopword_ratio_raw_from`` for the materialization
+    rationale)."""
+    return F.size(F.filter(ltoks, _marker_isin(list(LANG_MARKERS[lang]))))
+
+
 def lang_marker_hits(c: Column | str, lang: str) -> Column:
     """Number of tokens matching the language's marker-word set."""
-    toks = tokens(F.lower(_col(c)))
-    words = list(LANG_MARKERS[lang])
-    return F.size(F.filter(toks, lambda t: t.isin(words)))
+    return lang_marker_hits_from(tokens(F.lower(_col(c))), lang)
 
 
-def lang_id(c: Column | str) -> Column:
-    """Heuristic language ID: argmax of marker-word hits, 'und' when no
-    marker matches. Fixed evaluation order makes ties deterministic."""
-    col = _col(c)
-    hits = {lang: lang_marker_hits(col, lang) for lang in LANG_MARKERS}
+def lang_id_from(ltoks: Column) -> Column:
+    """``lang_id`` over a PRE-TOKENIZED lowercased token array: the
+    argmax CASE references the hit counts ~3× each, and conditional
+    branches are outside codegen subexpression elimination, so the
+    inline form re-splits the document per reference (see
+    ``stopword_ratio_raw_from``)."""
+    hits = {lang: lang_marker_hits_from(ltoks, lang) for lang in LANG_MARKERS}
     best = F.greatest(*hits.values())
     expr = F.when(best == 0, F.lit("und"))
     for lang in LANG_MARKERS:  # first max wins (insertion order)
         expr = expr.when(hits[lang] == best, F.lit(lang))
     return expr
+
+
+def lang_id(c: Column | str) -> Column:
+    """Heuristic language ID: argmax of marker-word hits, 'und' when no
+    marker matches. Fixed evaluation order makes ties deterministic."""
+    return lang_id_from(tokens(F.lower(_col(c))))
 
 
 def fingerprint(c: Column | str) -> Column:

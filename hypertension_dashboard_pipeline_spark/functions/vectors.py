@@ -23,6 +23,31 @@ def as_double_array(c: Column | str) -> Column:
     return _col(c).cast("array<double>")
 
 
+def sql_double(v: float) -> str:
+    """Exact SQL double literal for *v*: ``repr`` is the shortest string
+    that round-trips to the identical double in both Python and the
+    JVM (both parse correctly-rounded), so the parsed literal is
+    bit-equal to ``F.lit(v)``."""
+    if v != v:
+        return "CAST('NaN' AS DOUBLE)"
+    if v == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if v == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return repr(float(v)) + "D"
+
+
+def lit_double_array(values) -> Column:
+    """array<double> literal as ONE parsed expression.
+
+    ``F.array(*[F.lit(float(x)) for x in values])`` costs one py4j
+    round-trip per component — ~0.1 s of driver time per 64-dim query
+    vector, per plan construction (r13 optimization; the bench timer
+    includes construction).  The parsed tree is the identical
+    ``array(<double literals>)``."""
+    return F.expr("array(" + ", ".join(sql_double(v) for v in values) + ")")
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     products = F.zip_with(as_double_array(a), as_double_array(b), lambda x, y: x * y)
     return F.aggregate(products, F.lit(0.0), lambda acc, x: acc + x)

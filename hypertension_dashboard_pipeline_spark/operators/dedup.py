@@ -129,9 +129,38 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text",
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id",
+                single_pass: bool = False) -> DataFrame:
     """Keep exactly one row per distinct text (deterministic min-id
-    survivor)."""
+    survivor).
+
+    Two plan shapes, same rows:
+
+    * default (groupBy + semi-join): the survivor-id side prunes to
+      (text, id) — when ``df`` is a cheap scan, the id aggregation is
+      narrow and AQE can broadcast it into the semi-join, leaving the
+      big side unshuffled.  BUT ``df``'s plan executes in BOTH join
+      branches, so an expensive upstream (a scoring scan with filters)
+      runs twice.
+    * ``single_pass=True`` (row_number window over md5(text), keep
+      rank 1 — rank orders by id, so the survivor is the same min-id
+      row): ONE evaluation of ``df`` and one digest-keyed exchange —
+      the right shape when the input plan is expensive or when the
+      distinct-digest set is corpus-sized anyway (100 TB posture: a
+      corpus-scale survivor set can't broadcast, so the default's
+      semi-join degrades to two exchanges + sort where the window
+      pays one).  r13 optimization; equality of both forms is pinned
+      in tests/test_property_dedup.py.
+    """
+    if single_pass:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     keep = exact_dedup_groups(df, text_col, id_col).select(
         F.col("keep_id").alias(id_col)
     )
@@ -188,24 +217,42 @@ def _pair_intersections(df: DataFrame, id_col: str, text_col: str,
     with ``(id_a, id_b, n_inter, n_a, n_b)``.  The caller applies its
     own overlap measure — the candidate set (docs sharing >= 1
     surviving shingle) is measure-independent."""
-    ex = exploded_shingles(df, id_col, text_col, k)
     if max_df is not None:
-        # document frequency as a count-over-window, NOT a groupBy +
-        # semi-join back: the window's partitionBy("shingle") exchange
-        # is the SAME partitioning the inverted-index self-join below
-        # needs, so the cut rides an exchange the plan pays anyway —
-        # the groupBy+semi-join form cost two extra full shuffles of
-        # the (id, shingle) rows (r7 profile: ~3s of curation's
-        # near-dup stage at sf0.1, pruning zero rows on this corpus).
+        # ONE shingle-keyed exchange carries dedup + df-cut + self-join
+        # (r13 optimization, guide §2.4 "remove shuffles outright"):
+        # the raw positional explode repartitions by shingle once;
+        # hash(shingle) satisfies the (shingle, id) clustering the
+        # row_number dedup needs AND the (shingle) clustering the
+        # df-count window and the self-join need, and both windows ride
+        # one (shingle, id) sort — so the old distinct's full
+        # (id, shingle) exchange disappears (measured 3.27 s → 2.28 s
+        # for pairs at sf0.1; row sets identical, oracle-checked).
+        # The df-cut itself stays a count-over-window, NOT a groupBy +
+        # semi-join back — that form cost two extra full shuffles
+        # (r7 profile).  Scale trade, documented: the explode ships
+        # positional repeats (no map-side partial dedup), bounded per
+        # document by its length; in exchange the corpus-sized
+        # (id, shingle) stream crosses the network once, not twice.
+        # Hot-shingle skew exposure is unchanged in kind — the same
+        # shingle-keyed exchange existed before; max_df bounds its
+        # downstream fan-out either way.
         from pyspark.sql.window import Window
 
+        ex_raw = exploded_shingles(df, id_col, text_col, k, distinct=False)
+        by_sh_id = Window.partitionBy("shingle", "id").orderBy("id")
+        by_sh = Window.partitionBy("shingle")
         ex = (
-            ex.withColumn(
-                "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-            )
+            ex_raw.repartition("shingle")
+            .withColumn("rn", F.row_number().over(by_sh_id))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .withColumn("df", F.count(F.lit(1)).over(by_sh))
             .filter(F.col("df") <= max_df)
             .drop("df")
         )
+    else:
+        # exhaustive semantics (small corpora only): plain hash distinct
+        ex = exploded_shingles(df, id_col, text_col, k)
 
     # ex feeds both sides of the self-join plus the two size lookups;
     # persisted it is computed once instead of four times (and the
@@ -593,17 +640,21 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     )
 
 
-def _components_local(edges: DataFrame, stats: dict | None = None) -> DataFrame:
+def _components_local(edges: DataFrame, stats: dict | None = None,
+                      pdf=None) -> DataFrame:
     """Driver-side union-find over a collected symmetric edge list (the
     ``connected_components`` small-graph fast path).  Union-by-min with
     path compression keeps every root the minimum id of its set, so the
     output frame (id, component = min reachable id) is identical to the
     converged iterative propagation.  Arrow both ways (toPandas /
-    createDataFrame-from-pandas) — no per-row Python serialization."""
+    createDataFrame-from-pandas) — no per-row Python serialization.
+    ``pdf`` lets the caller hand over an already-collected edge frame
+    (the size gate collects it anyway — see ``connected_components``)."""
     from pyspark.sql import types as T
 
     id_type = edges.schema["a"].dataType
-    pdf = edges.toPandas()
+    if pdf is None:
+        pdf = edges.toPandas()
     parent: dict = {}
 
     def find(x):
@@ -726,10 +777,15 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     edges = _maybe_persist(edges, True)
 
     if small_graph_threshold > 0:
-        # the count also materializes the persisted edges, so the
-        # fallback (or the first iteration) reads from cache
-        if edges.count() <= small_graph_threshold:
-            return _components_local(edges, stats=stats)
+        # ONE bounded job instead of count-then-collect (r13): a limit
+        # of threshold+1 rows caps the driver transfer regardless of
+        # graph size — getting back <= threshold rows means the limit
+        # never truncated, i.e. the frame IS the complete edge list,
+        # ready for the union-find; threshold+1 rows means too big,
+        # and the distributed loop below reuses the persisted edges.
+        probe = edges.limit(small_graph_threshold + 1).toPandas()
+        if len(probe) <= small_graph_threshold:
+            return _components_local(edges, stats=stats, pdf=probe)
 
     labels = (
         edges.select(F.col("a").alias("id"))

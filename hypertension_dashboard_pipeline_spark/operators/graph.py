@@ -51,9 +51,72 @@ def normalize_edges(edges: DataFrame, src: str = "src", dst: str = "dst",
     )
 
 
+def _pagerank_local(en: DataFrame, iterations: int,
+                    damping: float) -> DataFrame | None:
+    """Driver-side fast path over a collected normalized edge list (the
+    ``pagerank`` small-graph short-circuit — same move as
+    ``connected_components``' union-find fast path).  Returns None when
+    the edge list contains NULL endpoints: SQL join semantics around
+    NULL keys (never equal, yet a groupable value) are exactly the kind
+    of thing a dict-keyed reimplementation gets subtly wrong, so those
+    graphs take the distributed loop.
+
+    Per-node incoming sums accumulate in sorted (src, dst) edge order
+    and the dangling mass in sorted node order — a fixed permutation of
+    the same IEEE double additions the distributed loop performs in
+    partition order (and the SQL oracle in its own order); registered
+    consumers round to >= 4 dp, where permutation effects are
+    invisible (the same tolerance class the distributed loop already
+    relies on, verified by the determinism sweep).  Python float ops
+    ARE IEEE-754 doubles, identical to the JVM's."""
+    from pyspark.sql import types as T
+
+    src, dst = en.columns[0], en.columns[1]  # normalize_edges order
+    pdf = en.toPandas()  # (src, dst, p) — tiny by the caller's gate
+    if (pdf[src].isna().any() or pdf[dst].isna().any()
+            or pdf["p"].isna().any()):
+        # NULL endpoints (SQL join-vs-group semantics) or NULL weights
+        # (SUM skips nulls; a dict fold would propagate NaN): defer to
+        # the distributed loop, whose semantics are the contract
+        return None
+    edges_l = sorted(zip(pdf[src].tolist(), pdf[dst].tolist(),
+                         pdf["p"].tolist()))
+    nodes = sorted({e[0] for e in edges_l} | {e[1] for e in edges_l})
+    srcs = {e[0] for e in edges_l}
+    n = len(nodes)
+    if n == 0:
+        schema = T.StructType(
+            [T.StructField("v", en.schema[src].dataType, True),
+             T.StructField("rank", T.DoubleType(), True)]
+        )
+        return en.sparkSession.createDataFrame([], schema)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        dm = 0.0
+        for v in nodes:
+            if v not in srcs:
+                dm = dm + rank[v]
+        inc: dict = {}
+        for s, d, p in edges_l:
+            inc[d] = inc.get(d, 0.0) + rank[s] * p
+        rank = {
+            v: (1.0 - damping) / n
+            + damping * (inc.get(v, 0.0) + dm / n)
+            for v in nodes
+        }
+    schema = T.StructType(
+        [T.StructField("v", en.schema[src].dataType, True),
+         T.StructField("rank", T.DoubleType(), True)]
+    )
+    return en.sparkSession.createDataFrame(
+        [(v, rank[v]) for v in nodes], schema
+    )
+
+
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              weight: str = "w", iterations: int = 4,
-             damping: float = 0.85) -> DataFrame:
+             damping: float = 0.85,
+             small_graph_threshold: int = 100_000) -> DataFrame:
     """Weighted PageRank over an edge list; returns (v, rank).
 
     rank_{t+1}(v) = (1-d)/N + d * [ sum_{u->v} rank_t(u) * p(u,v)
@@ -63,20 +126,45 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     unrolled-SQL oracle reproduces it bit-for-bit modulo float
     summation order.
 
-    Iteration mechanics: each round references the rank vector from
-    THREE subtrees (dangling mass, incoming mass, and the rebuild), so
-    a fully-lazy loop grows the plan ~3^iterations — measured 5.6s of
-    mostly optimizer time for 4 rounds on a 5-node graph.  The rank
-    vector is therefore localCheckpoint'ed (eager, one tiny job per
-    round — same trade as connected_components' loop) and the
-    loop-invariant edge/node derivations are persisted once so they
-    aren't recomputed every round: 3.3s warm at sf0.1, now all
-    per-iteration job overhead (the honest floor for an iterative
-    algorithm; at real scale the per-round join cost dominates it).
+    **Small-graph fast path** (r13 optimization): aggregated transition
+    graphs are tiny relative to their corpus — the event-type graph has
+    |event types|² edges at most, regardless of event count.  When the
+    normalized edge list holds at most ``small_graph_threshold`` rows
+    (~24 B/edge via Arrow — a few MB at the default), it is collected
+    and iterated driver-side: ONE job instead of `iterations` rounds of
+    checkpoint jobs (measured 3.6 s → ~0.6 s at sf0.1 for the
+    transition query; the per-round join/checkpoint machinery was all
+    fixed overhead at this graph size).  Identical contract — values
+    equal within the >= 4 dp rounding every registered consumer
+    applies, same float-permutation tolerance class as the distributed
+    loop itself (tests pin fast-vs-distributed equality at 6 dp);
+    graphs above the threshold, or with NULL endpoints, take the
+    distributed loop automatically.  Set ``small_graph_threshold=0`` to
+    force the distributed loop (tests do).
+
+    Iteration mechanics (distributed loop): each round references the
+    rank vector from THREE subtrees (dangling mass, incoming mass, and
+    the rebuild), so a fully-lazy loop grows the plan ~3^iterations —
+    measured 5.6s of mostly optimizer time for 4 rounds on a 5-node
+    graph.  The rank vector is therefore localCheckpoint'ed per round
+    (LAZY since r13: the plan truncation is what matters — an eager
+    checkpoint paid one extra driver round-trip per iteration for
+    nothing; measured 3.59 s → 3.04 s) and the loop-invariant edge/node
+    derivations are persisted once so they aren't recomputed every
+    round (the honest floor for an iterative algorithm; at real scale
+    the per-round join cost dominates it).
     """
     release_persisted()  # drop a prior call's loop invariants
     en = normalize_edges(edges, src, dst, weight).persist()
     _PERSISTED.append(en)
+
+    if small_graph_threshold > 0:
+        # the count also materializes the persisted edges, so the
+        # distributed fallback (or the fast path's collect) reads cache
+        if en.count() <= small_graph_threshold:
+            local = _pagerank_local(en, iterations, damping)
+            if local is not None:
+                return local
     nodes = (
         edges.select(F.col(src).alias("v"))
         .union(edges.select(F.col(dst).alias("v")))
@@ -94,7 +182,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         "v", (F.lit(1.0) / F.col("n")).alias("rank")
     )
     for _ in range(iterations):
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = ranks.localCheckpoint(eager=False)
         # dangling can be O(nodes) on real graphs — no forced broadcast,
         # AQE sizes the semi-join side at runtime
         dmass = (

@@ -57,38 +57,40 @@ def encode(df: DataFrame, vec_col: str = "embedding",
     """(id, code_0..code_{M-1}): per-subspace argmin code, lowest code
     on ties (array_position returns the FIRST minimal index).
 
-    Implementation note: expressed with higher-order functions
-    (zip_with + aggregate over a codebook LITERAL) instead of a fully
-    unrolled M*K*SUB_DIM arithmetic tree — the unrolled form was
-    measured at ~10s of whole-stage-codegen COMPILE time per plan (flat
-    across data sizes, pure compile cost).  The HOF fold is
-    0.0 + d_0 + d_1 + ... — IEEE-identical to the oracle's left fold
-    (0.0 + x == x exactly), so codes are still bit-equal."""
+    Implementation notes:
+    * expressed with higher-order functions (zip_with + aggregate over
+      a codebook LITERAL) instead of a fully unrolled M*K*SUB_DIM
+      arithmetic tree — the unrolled form was measured at ~10s of
+      whole-stage-codegen COMPILE time per plan (flat across data
+      sizes, pure compile cost).  The HOF fold is 0.0 + d_0 + d_1 + ...
+      — IEEE-identical to the oracle's left fold (0.0 + x == x
+      exactly), so codes are still bit-equal.
+    * built as ONE selectExpr of SQL strings, not 1,024 ``F.lit`` +
+      24 Python-lambda HOF Column objects: each F.lit/lambda is a py4j
+      round-trip, and the Column form cost ~1.5 s of driver time per
+      plan CONSTRUCTION (r13 optimization, guide §1/§7.3 — planning
+      overhead is real wall-clock under the bench's constructor+sink
+      timer).  The parsed expression tree is identical modulo lambda
+      variable names (pinned by tests/test_pq.py), so codes are
+      bit-equal; repr(float) round-trips every double exactly."""
     cb = codebook()
-    emb = F.col(vec_col)
-    cols = [F.col(id_col)]
+    exprs = [id_col]
     for m in range(M_SUB):
-        sub = F.slice(emb, m * SUB_DIM + 1, SUB_DIM)
-        cents = F.array(
-            *[
-                F.array(*[F.lit(v) for v in cb[m][c]])
-                for c in range(K_CODES)
-            ]
+        cents = "array(" + ", ".join(
+            "array(" + ", ".join(repr(v) + "D" for v in cb[m][c]) + ")"
+            for c in range(K_CODES)
+        ) + ")"
+        sub = f"slice({vec_col}, {m * SUB_DIM + 1}, {SUB_DIM})"
+        dists = (
+            f"transform({cents}, c -> aggregate(zip_with({sub}, c, "
+            f"(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+            f"0.0D, (acc, d) -> acc + d))"
         )
-        dists = F.transform(
-            cents,
-            lambda c: F.aggregate(
-                F.zip_with(
-                    sub, c, lambda x, y: (x.cast("double") - y)
-                    * (x.cast("double") - y)
-                ),
-                F.lit(0.0),
-                lambda acc, d: acc + d,
-            ),
+        exprs.append(
+            f"cast(array_position({dists}, array_min({dists})) - 1 as int)"
+            f" as code_{m}"
         )
-        code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        cols.append(code.alias(f"code_{m}"))
-    return df.select(*cols)
+    return df.selectExpr(*exprs)
 
 
 def adc_scores(codes: DataFrame, query_vec: list[float],

@@ -19,7 +19,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.expressions import round_fixed
-from ..functions.vectors import as_double_array, cosine, cosine_guarded, dot, norm
+from ..functions.vectors import (
+    as_double_array,
+    cosine,
+    cosine_guarded,
+    dot,
+    lit_double_array,
+    norm,
+)
 
 
 def _hyperplane(plane: int, dim: int) -> list[float]:
@@ -34,22 +41,28 @@ def _hyperplane(plane: int, dim: int) -> list[float]:
     return comps
 
 
-def sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """LSH bucket id: concatenated sign bits of <vec, plane_j>."""
-    v = as_double_array(vec)
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(v, F.array(*[F.lit(c) for c in plane]), lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            >= 0,
-            F.lit("1"),
-        ).otherwise(F.lit("0"))
-        for plane in planes
-    ]
-    return F.concat(*bits)
+def sign_bucket(vec_col: str, planes: list[list[float]]) -> Column:
+    """LSH bucket id: concatenated sign bits of <vec, plane_j>.
+
+    Built as ONE parsed SQL expression instead of per-plane
+    F.lit/python-lambda Column trees: a 4-table × 4-plane signature over
+    64-dim planes is 1,024 ``F.lit`` py4j round-trips in the Column
+    form, ~1 s of driver-side construction per plan (r13 optimization —
+    the bench timer includes construction; guide §7.3).  The parsed
+    tree is identical modulo lambda variable names (pinned by
+    tests/test_similarity.py), so buckets are bit-equal."""
+    from ..functions.vectors import sql_double
+
+    v = f"cast({vec_col} as array<double>)"
+    bits = []
+    for plane in planes:
+        arr = "array(" + ", ".join(sql_double(c) for c in plane) + ")"
+        dotp = (
+            f"aggregate(zip_with({v}, {arr}, (x, y) -> x * y), "
+            f"0.0D, (acc, x) -> acc + x)"
+        )
+        bits.append(f"CASE WHEN {dotp} >= 0 THEN '1' ELSE '0' END")
+    return F.expr("concat(" + ", ".join(bits) + ")")
 
 
 def brute_force_topk(df: DataFrame, query_vec: list[float], k: int = 10,
@@ -65,7 +78,7 @@ def brute_force_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     projection-time division (see ``cosine_guarded``).  Contract: a
     zero vector is never a neighbor; a zero-norm QUERY returns the
     empty set."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_double_array(query_vec)
     scored = df.select(
         F.col(id_col),
         cosine_guarded(F.col(vec_col), q, scale=scale).alias("cos_sim"),
@@ -148,7 +161,7 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
             sigs.append(
                 F.struct(
                     F.lit(t).alias("t"),
-                    sign_bucket(F.col("v"), planes).alias("b"),
+                    sign_bucket("v", planes).alias("b"),
                 )
             )
         # both self-join sides re-read tagged; persisted, the 16-plane
@@ -233,7 +246,7 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
             F.transform(F.col("pv"), lambda s: s["centroid_val"]).alias("cvec"),
         )
     )
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_double_array(query_vec)
     probed = (
         cent_vecs.select(
             "label", cosine_guarded(F.col("cvec"), q, scale=scale).alias("c_sim")
@@ -278,7 +291,7 @@ def build_lsh_index(df: DataFrame, path: str, n_planes: int = 4,
     )
     planes = [_hyperplane(j, d) for j in range(n_planes)]
     (
-        df.withColumn("bucket", sign_bucket(F.col(vec_col), planes))
+        df.withColumn("bucket", sign_bucket(vec_col, planes))
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(path)
@@ -300,7 +313,7 @@ def lsh_bucket_topk_indexed(spark, index_path: str, query_vec: list[float],
     the ranking instead of crashing the probe under ANSI."""
     qbits = query_sign_bits(query_vec, n_planes)
     bucketed = spark.read.parquet(index_path).filter(F.col("bucket") == qbits)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_double_array(query_vec)
     scored = bucketed.select(
         F.col(id_col),
         cosine_guarded(F.col(vec_col), q, scale=scale).alias("cos_sim"),
@@ -381,8 +394,8 @@ def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10,
         "1" if sum(c * x for c, x in zip(plane, query_vec)) >= 0 else "0"
         for plane in planes
     )
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    bucketed = df.withColumn("bucket", sign_bucket(F.col(vec_col), planes)).filter(
+    q = lit_double_array(query_vec)
+    bucketed = df.withColumn("bucket", sign_bucket(vec_col, planes)).filter(
         F.col("bucket") == qbits
     )
     scored = bucketed.select(
@@ -607,7 +620,7 @@ def _directed_lsh_scored(df: DataFrame, id_col: str, vec_col: str,
         sigs.append(
             F.struct(
                 F.lit(t).alias("t"),
-                sign_bucket(F.col("v"), planes).alias("b"),
+                sign_bucket("v", planes).alias("b"),
             )
         )
     tagged = _maybe_persist(

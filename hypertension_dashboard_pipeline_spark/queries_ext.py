@@ -105,9 +105,21 @@ _STOPS = tx.STOPWORDS_EN[0].split()
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality heuristic (length / stopword / punctuation
-    signals), one pass, no UDF."""
-    return load_table(spark, sf_dir, "documents").select(
-        "doc_id", tx.quality_score("text").alias("quality")
+    signals), one pass, no UDF.  Token arrays materialize in a prior
+    projection so the document is split ONCE per row — the scoring
+    expressions sit inside conditional branches, outside codegen
+    subexpression elimination (r13 optimization; values bit-identical,
+    see functions/text.quality_score_from)."""
+    toked = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        tx.tokens(F.col("text")).alias("_toks"),
+        tx.tokens(F.lower(F.col("text"))).alias("_ltoks"),
+    )
+    return toked.select(
+        "doc_id",
+        tx.quality_score_from(
+            F.col("_toks"), F.col("_ltoks"), F.col("text")
+        ).alias("quality"),
     )
 
 
@@ -1492,18 +1504,45 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor stats. Every stage is an engine operator; the composition
     is one lazy plan end-to-end."""
     docs = load_table(spark, sf_dir, "documents")
-    kept = docs.select(
+    # token arrays materialize ONCE per row in a prior projection: the
+    # lang argmax + quality expressions reference them ~12×, and
+    # conditional (CASE) branches sit outside codegen subexpression
+    # elimination, so the inline form re-split the document per
+    # reference (r13 optimization — scoring scan 1.31 s → 0.81 s at
+    # sf0.1; values bit-identical, functions/text.*_from).  The
+    # materialize_barrier matters here because of the filter below:
+    # without it the optimizer substitutes the whole scoring expression
+    # into a pushed-down scan predicate — 12 tokenizations per row,
+    # per document, before the projection scores survivors again
+    # (39 split( nodes in the plan vs 2; 1.60 s → 0.92 s).
+    from .functions.expressions import materialize_barrier
+
+    toked = docs.select(
         "doc_id", "text", "source",
-        tx.lang_id("text").alias("lang_pred"),
-        tx.quality_score("text").alias("quality"),
+        materialize_barrier(tx.tokens(F.col("text"))).alias("_toks"),
+        materialize_barrier(
+            tx.tokens(F.lower(F.col("text")))
+        ).alias("_ltoks"),
+    )
+    kept = toked.select(
+        "doc_id", "text", "source",
+        tx.lang_id_from(F.col("_ltoks")).alias("lang_pred"),
+        tx.quality_score_from(
+            F.col("_toks"), F.col("_ltoks"), F.col("text")
+        ).alias("quality"),
     ).filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
 
     # kd feeds the near-dup machinery (which re-reads it for the
     # inverted index and the max_df cut) AND the survivor join below —
     # persisted, the regex-heavy scoring + dedup shuffle run once, not
-    # three times (measured ~25% off the whole pipeline at sf0.1)
+    # three times (measured ~25% off the whole pipeline at sf0.1).
+    # single_pass: the default groupBy+semi form evaluates its input in
+    # both join branches — here that input is the scoring scan, so the
+    # window form halves the scoring work (r13).
     dd.release_persisted()
-    kd = dd._maybe_persist(dd.exact_dedup(kept, "text", "doc_id"), True)
+    kd = dd._maybe_persist(
+        dd.exact_dedup(kept, "text", "doc_id", single_pass=True), True
+    )
     near = (
         dd.shingle_pairs_jaccard(kd, threshold=0.5, release=False)
         .select(F.col("id_b").alias("doc_id"))

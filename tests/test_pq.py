@@ -69,3 +69,52 @@ def F32(x: float) -> float:
     import struct
 
     return struct.unpack("f", struct.pack("f", x))[0]
+
+
+def test_encode_selectexpr_plan_equals_column_form(spark, sf_smoke):
+    """r13 optimization: encode() builds its expressions as SQL strings
+    (one selectExpr) instead of 1,024 F.lit + 24 python-lambda Column
+    objects, purely to cut driver-side construction time.  The parsed
+    Catalyst tree must be IDENTICAL to the Column form modulo lambda
+    variable names — pinned here so the construction shortcut can never
+    silently change what the operator computes."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from hypertension_dashboard_pipeline_spark.operators import pq
+
+    df = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+
+    # the pre-r13 Column form, verbatim
+    cb = pq.codebook()
+    emb = F.col("embedding")
+    cols = [F.col("vec_id")]
+    for m in range(pq.M_SUB):
+        sub = F.slice(emb, m * pq.SUB_DIM + 1, pq.SUB_DIM)
+        cents = F.array(
+            *[F.array(*[F.lit(v) for v in cb[m][c]]) for c in range(pq.K_CODES)]
+        )
+        dists = F.transform(
+            cents,
+            lambda c: F.aggregate(
+                F.zip_with(
+                    sub, c,
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+        )
+        code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        cols.append(code.alias(f"code_{m}"))
+    old = df.select(*cols)
+    new = pq.encode(df)
+
+    def norm(d):
+        s = d._jdf.queryExecution().executedPlan().toString()
+        s = re.sub(r"#\d+", "#N", s)          # expression ids
+        s = re.sub(r"lambda \w+#N", "lambda V#N", s)  # lambda var names
+        return s
+
+    assert norm(old) == norm(new)

@@ -547,3 +547,15 @@ def test_span_coverage_byte_identical_docs_is_one(spark):
         ).collect()
     }
     assert cov == {0: 1.0, 1: 1.0, 2: 0.0}
+
+
+def test_exact_dedup_single_pass_equals_default(spark, sf_smoke):
+    """r13: the window form of exact_dedup must return exactly the rows
+    of the groupBy+semi form (same min-id survivor per distinct text)."""
+    from hypertension_dashboard_pipeline_spark.io import load_table
+    from hypertension_dashboard_pipeline_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_smoke, "documents")
+    a = sorted(map(tuple, dd.exact_dedup(docs).collect()))
+    b = sorted(map(tuple, dd.exact_dedup(docs, single_pass=True).collect()))
+    assert a == b

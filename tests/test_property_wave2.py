@@ -158,3 +158,47 @@ def test_segments_partition_counts_and_identity_below_threshold(spark, corpus):
         assert out[i].clean_md5 == hashlib.md5(
             " ".join(kept).encode()
         ).hexdigest()
+
+
+def test_pagerank_fast_path_matches_distributed(spark):
+    """r13 small-graph fast path: driver-side iteration must reproduce
+    the distributed loop on the same graph — exactly at 6 dp (the
+    rounding every registered consumer applies), and to 1e-12 raw (the
+    two are permutations of the same IEEE additions)."""
+    rows = [(s, t, w) for s in range(5) for t in range(5) if s != t
+            for w in [((s * 7 + t * 3) % 4) + 1]]
+    df = spark.createDataFrame(rows, "src int, dst int, w long")
+    fast = {r.v: r.rank for r in gr.pagerank(df, iterations=4).collect()}
+    dist = {r.v: r.rank
+            for r in gr.pagerank(df, iterations=4,
+                                 small_graph_threshold=0).collect()}
+    assert set(fast) == set(dist)
+    for v in dist:
+        assert abs(fast[v] - dist[v]) < 1e-12
+        assert round(fast[v], 6) == round(dist[v], 6)
+
+
+def test_pagerank_fast_path_declines_null_endpoints(spark):
+    """NULL src/dst: the fast path must defer to the distributed loop
+    (SQL join-vs-group NULL semantics), and both entry points must
+    agree."""
+    df = spark.createDataFrame(
+        [(1, 2, 1), (None, 2, 1), (2, None, 3)], "src int, dst int, w long"
+    )
+    via_default = sorted(
+        ((r.v, round(r.rank, 9)) for r in
+         gr.pagerank(df, iterations=3).collect()),
+        key=lambda t: (t[0] is None, str(t[0])),
+    )
+    via_forced = sorted(
+        ((r.v, round(r.rank, 9)) for r in
+         gr.pagerank(df, iterations=3,
+                     small_graph_threshold=0).collect()),
+        key=lambda t: (t[0] is None, str(t[0])),
+    )
+    assert via_default == via_forced
+
+
+def test_pagerank_fast_path_empty_edges(spark):
+    df = spark.createDataFrame([], "src int, dst int, w long")
+    assert gr.pagerank(df, iterations=2).collect() == []

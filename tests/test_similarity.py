@@ -167,3 +167,48 @@ def test_quantized_topk_plan_stays_jvm_side(emb, qvec):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sign_bucket_sql_plan_equals_column_form(spark, sf_smoke):
+    """r13 optimization: sign_bucket builds one parsed SQL expression
+    instead of per-plane F.lit/python-lambda Column trees (1,024 py4j
+    round-trips for a 4x4x64 signature).  The Catalyst tree must be
+    IDENTICAL to the Column form modulo lambda variable names, so
+    buckets — and every LSH candidate set — are bit-equal."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from hypertension_dashboard_pipeline_spark.operators.similarity import (
+        _hyperplane,
+        sign_bucket,
+    )
+
+    df = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    planes = [_hyperplane(j, 64) for j in range(4)]
+
+    # the pre-r13 Column form, verbatim
+    v = F.col("embedding").cast("array<double>")
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(c) for c in plane]),
+                           lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    old = df.select(F.concat(*bits).alias("b"))
+    new = df.select(sign_bucket("embedding", planes).alias("b"))
+
+    def norm_plan(d):
+        s = d._jdf.queryExecution().executedPlan().toString()
+        s = re.sub(r"#\d+", "#N", s)
+        s = re.sub(r"lambda \w+#N", "lambda V#N", s)
+        return s
+
+    assert norm_plan(old) == norm_plan(new)
