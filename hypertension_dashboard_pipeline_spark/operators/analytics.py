@@ -728,28 +728,37 @@ def merge_rollups(*parts: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+def _sq_dist_sql(vec_sql: str, cent: list[float]) -> str:
+    """SQL text of the squared L2 to a literal center — the same
+    left-to-right IEEE fold as the Column form (see _nearest_centroid
+    for why SQL strings)."""
+    from ..functions.vectors import sql_double
+
+    arr = "array(" + ", ".join(sql_double(float(c)) for c in cent) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, (a, b) -> (a - b) * (a - b)), "
+        f"0.0D, (acc, d) -> acc + d)"
+    )
+
+
+def _nearest_centroid(vec_sql: str, centroids: list[list[float]]) -> Column:
     """Cluster id of the nearest centroid (squared L2; ties -> lowest
     id).  Centroids are literal arrays baked into the expression —
     the broadcast-small-side pattern without even a join: the k x dim
     matrix rides inside the task binary, the scan stays one narrow
-    map."""
-    dists = [
-        F.struct(
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(float(c)) for c in cent]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, d: acc + d,
-            ).alias("dist"),
-            F.lit(cid).alias("cid"),
-        )
+    map.
+
+    Takes the vector as SQL TEXT and builds one parsed expression: the
+    Column form was k × dim ``F.lit`` py4j round-trips per call, built
+    once per Lloyd iteration per consumer — the bulk of
+    sim_cluster_purity's 10 s construction (r13 optimization; the
+    parsed tree is identical modulo lambda variable names, same device
+    as pq.encode / similarity.sign_bucket)."""
+    structs = ", ".join(
+        f"struct({_sq_dist_sql(vec_sql, cent)} as dist, {cid} as cid)"
         for cid, cent in enumerate(centroids)
-    ]
-    return F.array_min(F.array(*dists))["cid"]
+    )
+    return F.expr(f"array_min(array({structs}))")["cid"]
 
 
 def _lloyd_centroids(
@@ -787,9 +796,11 @@ def _lloyd_centroids(
     k_eff = len(centroids)  # k-clamp: < k rows trains k_eff clusters
     if k_eff == 0:
         return []
+    vec_sql = f"cast({vec_col} as array<double>)"
     for _ in range(iterations):
         assigned = emb.select(
-            v.alias("v"), _nearest_centroid(v, centroids).alias("cluster")
+            v.alias("v"),
+            _nearest_centroid(vec_sql, centroids).alias("cluster"),
         )
         new_rows = (
             assigned.groupBy("cluster")
@@ -846,42 +857,23 @@ def kmeans_lloyd(
     finals = [
         F.when(
             F.col("cluster") == cid,
-            F.sqrt(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("v"),
-                        F.array(*[F.lit(float(c)) for c in cent]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, d: acc + d,
-                )
-            ),
+            F.sqrt(F.expr(_sq_dist_sql("v", cent))),
         )
         for cid, cent in enumerate(centroids)
     ]
     return (
-        emb.select(v.alias("v"), _nearest_centroid(v, centroids).alias("cluster"))
+        emb.select(
+            v.alias("v"),
+            _nearest_centroid(
+                f"cast({vec_col} as array<double>)", centroids
+            ).alias("cluster"),
+        )
         .select("cluster", F.coalesce(*finals).alias("d"))
         .groupBy("cluster")
         .agg(
             F.count("*").alias("n_members"),
             round_fixed(F.avg("d"), 4).alias("mean_dist"),
         )
-    )
-
-
-def _sq_dist(vec: Column, cent: list[float]) -> Column:
-    """Squared L2 to a literal center, as the same left-to-right
-    IEEE fold both engines run (see _nearest_centroid)."""
-    return F.aggregate(
-        F.zip_with(
-            vec,
-            F.array(*[F.lit(float(c)) for c in cent]),
-            lambda a, b: (a - b) * (a - b),
-        ),
-        F.lit(0.0),
-        lambda acc, d: acc + d,
     )
 
 
@@ -919,7 +911,7 @@ def kcenter_greedy(
         (first["vec_id"], [float(x) for x in first["v"]])
     ]
     for _ in range(1, k):
-        dists = [_sq_dist(F.col("v"), cent) for _, cent in centers]
+        dists = [F.expr(_sq_dist_sql("v", cent)) for _, cent in centers]
         dmin = dists[0] if len(dists) == 1 else F.least(*dists)
         chosen = [cid for cid, _ in centers]
         pick = (
@@ -931,10 +923,10 @@ def kcenter_greedy(
         )
         centers.append((pick["vec_id"], [float(x) for x in pick["v"]]))
     cent_vecs = [cent for _, cent in centers]
-    step = _nearest_centroid(F.col("v"), cent_vecs)
+    step = _nearest_centroid("v", cent_vecs)
     d_assigned = F.coalesce(
         *[
-            F.when(F.col("sel_step") == i, _sq_dist(F.col("v"), cent))
+            F.when(F.col("sel_step") == i, F.expr(_sq_dist_sql("v", cent)))
             for i, cent in enumerate(cent_vecs)
         ]
     )
@@ -994,5 +986,8 @@ def kmeans_assignments(
             [], f"{id_col} long, cluster int"
         )
     return emb.select(
-        F.col(id_col), _nearest_centroid(v, centroids).alias("cluster")
+        F.col(id_col),
+        _nearest_centroid(
+            f"cast({vec_col} as array<double>)", centroids
+        ).alias("cluster"),
     )

@@ -1267,13 +1267,29 @@ def a14_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx median within 10% of the exact interpolated median).  The
     oracle asserts the flags — the error bound itself is externally
     verified, not just locally (tests/test_scale_ops.py keeps the
-    value-level bounds)."""
-    g = load_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+    value-level bounds).
+
+    Plan shape (r13 optimization): countDistinct must NOT share an
+    aggregation with the imperative sketch aggregates — the planner
+    rewrites a mixed distinct/non-distinct agg through an Expand that
+    doubles the input, and every HLL/QuantileSummaries/Percentile
+    buffer then chews the doubled stream (measured 19.9 s for the
+    four-in-one agg vs 0.92 s split at sf0.1).  The exact distinct is
+    its own explicit two-phase aggregation — groupBy(flag, partkey)
+    then count per flag, the Expand-free form — joined back on the
+    3-row group key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sketches = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.05).alias("__ad"),
         F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10_000)).alias("__am"),
-        F.countDistinct("l_partkey").alias("__ed"),
         F.percentile("l_quantity", F.lit(0.5)).alias("__em"),
     )
+    exact_distinct = (
+        li.groupBy("l_returnflag", "l_partkey").agg(F.lit(1))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("__ed"))
+    )
+    g = sketches.join(exact_distinct, "l_returnflag")
     return g.select(
         "l_returnflag",
         (F.abs(F.col("__ad") - F.col("__ed"))

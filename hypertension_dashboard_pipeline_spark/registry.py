@@ -661,7 +661,13 @@ _FRONT: list[str] = [
     "j10_asof_join",
     "j11_range_join",
     "s2_sink_partitioned_roundtrip",
-    "s6_catalog_schema_contract",
+    # r13-OPTIMIZATION slot: a14's own body changed (the mixed
+    # distinct/sketch aggregation split — OPTIMIZATION_r13.md §7), and
+    # own-source changes must be externally gated; it takes the
+    # refresh slot s6_catalog_schema_contract held (s6 drops to the
+    # r14 refresh queue with the four names below — the optimization
+    # round's external gate re-runs the full catalog anyway).
+    "a14_sketch_profile",
     "sim_cosine_near_dup",
     "text_quality_score",
     # (text_decontaminate, text_lm_bigram_score, sim_pq_adc_topk,
