@@ -5077,7 +5077,20 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-round shuffle as label_propagation); the depth bound makes
     the operator deterministic and oracle-checkable, and at 100 TB
     bounded-hop BFS IS the production form (full BFS diameter sweeps
-    don't terminate on power-law graphs' long tails)."""
+    don't terminate on power-law graphs' long tails).
+
+    The seed probe is shuffle-minimal (r13): ``MIN(a) over edges``
+    equals the min l_partkey over orders carrying >= 2 distinct parts
+    (every part of a multi-part order appears in some within-order
+    pair, and every edge endpoint comes from such an order), so the
+    driver-side seed lookup is ONE aggregation of the distinct
+    (order, part) projection — the eager pair self-join that used to
+    run as its own job just for the 1-row seed is gone from the
+    probe.  Persisting the edge list for the frontier joins was
+    measured STRICTLY SLOWER (median 8.46 s -> 10.68 s at sf0.1,
+    best-of-5 A/B) — the triangle_stats result again: cache build +
+    per-round cache reads cost more than the runtime exchange reuse
+    they replace, so edges deliberately stays unpersisted."""
     li = load_table(spark, sf_dir, "lineitem")
     po = li.select("l_orderkey", "l_partkey").distinct()
     a = po.select(
@@ -5094,7 +5107,16 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("pa").alias("a"), F.col("pb").alias("b")
     ).unionAll(pairs.select(F.col("pb").alias("a"), F.col("pa").alias("b")))
-    seed = edges.agg(F.min("a").alias("s")).first()["s"]
+    seed = (
+        po.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_partkey").alias("mn"),
+        )
+        .filter(F.col("n") >= 2)
+        .agg(F.min("mn").alias("s"))
+        .first()["s"]
+    )
     dist = (
         edges.sparkSession.range(1)
         .select(F.lit(int(seed)).alias("node"), F.lit(0).alias("d"))

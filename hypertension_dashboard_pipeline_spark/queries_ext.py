@@ -5428,18 +5428,42 @@ def curation_attrition_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios are WHEN-guarded (the dedup_lsh_recall treatment) so a
     zero denominator — an empty corpus, or a stage that kills every
     document — yields NULL instead of an ANSI DIVIDE_BY_ZERO; the
-    oracle carries the matching CASE guards."""
+    oracle carries the matching CASE guards.
+
+    Scoring runs over barrier-pinned token arrays (the
+    curation_pipeline treatment, r13: the inline form re-tokenized
+    the document per CASE-branch reference and was additionally
+    substituted into the pushed-down filter — 147 split( nodes in
+    the executed plan vs 4), and the scored frame is persisted: the
+    funnel is the one consumer that scans the scored corpus from TWO
+    branches (the stage-count aggregation and the dedup feed), so
+    one materialization replaces two full scoring passes."""
     from pyspark.sql import Window
 
-    from .functions.expressions import round_fixed
+    from .functions.expressions import materialize_barrier, round_fixed
 
     docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select(
+    toked = docs.select(
         "doc_id",
         "text",
         "source",
-        tx.lang_id("text").alias("lang_pred"),
-        tx.quality_score("text").alias("quality"),
+        materialize_barrier(tx.tokens(F.col("text"))).alias("_toks"),
+        materialize_barrier(
+            tx.tokens(F.lower(F.col("text")))
+        ).alias("_ltoks"),
+    )
+    dd.release_persisted()
+    scored = dd._maybe_persist(
+        toked.select(
+            "doc_id",
+            "text",
+            "source",
+            tx.lang_id_from(F.col("_ltoks")).alias("lang_pred"),
+            tx.quality_score_from(
+                F.col("_toks"), F.col("_ltoks"), F.col("text")
+            ).alias("quality"),
+        ),
+        True,
     )
     en = F.col("lang_pred") == "en"
     qual = en & (F.col("quality") >= 0.5)
@@ -5454,8 +5478,9 @@ def curation_attrition_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     kept = scored.filter(qual)
-    dd.release_persisted()
-    kd = dd._maybe_persist(dd.exact_dedup(kept, "text", "doc_id"), True)
+    kd = dd._maybe_persist(
+        dd.exact_dedup(kept, "text", "doc_id", single_pass=True), True
+    )
     near = (
         dd.shingle_pairs_jaccard(kd, threshold=0.5, release=False)
         .select(F.col("id_b").alias("doc_id"))

@@ -648,8 +648,17 @@ _FRONT: list[str] = [
     "a23_incremental_rollup",
     "a24_key_skew_profile",
     "a25_winsorized_stats",
-    "a27_pricing_summary",
-    "a28_unpivot_priority",
+    # r13-OPTIMIZATION slots (second batch): these two queries' own
+    # bodies changed (curation_attrition_funnel — barrier-pinned
+    # *_from scoring + persisted scored frame + single-pass exact
+    # dedup; graph_bfs_levels — persisted co-purchase edge list; see
+    # OPTIMIZATION_r13.md), and own-source changes must be externally
+    # gated.  They take the refresh slots a27_pricing_summary and
+    # a28_unpivot_priority held (both drop to the r14 refresh queue
+    # with the four names below — the optimization round's external
+    # gate re-runs the full catalog anyway).
+    "curation_attrition_funnel",
+    "graph_bfs_levels",
     "cust_rfm_segments",
     "dq_drift_kl",
     "emb_gram_matrix",
@@ -672,7 +681,9 @@ _FRONT: list[str] = [
     "text_quality_score",
     # (text_decontaminate, text_lm_bigram_score, sim_pq_adc_topk,
     # sim_semdedup spill to the r14 refresh queue — displaced by the
-    # WAV-depth and GIF-transparency drift riders)
+    # WAV-depth and GIF-transparency drift riders; a27_pricing_summary
+    # and a28_unpivot_priority join them, displaced by the two
+    # r13-optimization seats above)
 ]
 
 # Driver window size (observed: the external gate samples the first 50
