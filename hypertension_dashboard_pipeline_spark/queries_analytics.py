@@ -5110,7 +5110,12 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = (
         po.groupBy("l_orderkey")
         .agg(
-            F.count(F.lit(1)).alias("n"),
+            # count(col), not count(*): NULL partkeys must not count
+            # toward the >=2 gate — the edge-based seed this probe
+            # replaces (pa < pb pair join) can never pair a NULL, so
+            # the null-skipping count is what makes the equivalence
+            # hold unconditionally, not just on non-null TPC-H keys
+            F.count("l_partkey").alias("n"),
             F.min("l_partkey").alias("mn"),
         )
         .filter(F.col("n") >= 2)

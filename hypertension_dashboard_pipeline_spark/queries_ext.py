@@ -1285,7 +1285,13 @@ def a14_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_quantity", F.lit(0.5)).alias("__em"),
     )
     exact_distinct = (
-        li.groupBy("l_returnflag", "l_partkey").agg(F.lit(1))
+        # countDistinct ignores NULL keys; the split two-phase form
+        # would count a NULL group — pin the equivalence with an
+        # explicit non-null filter (no-op on TPC-H, where l_partkey is
+        # non-null, but the rewrite must not diverge if a generator
+        # ever emits NULL keys)
+        li.filter(F.col("l_partkey").isNotNull())
+        .groupBy("l_returnflag", "l_partkey").agg(F.lit(1))
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("__ed"))
     )

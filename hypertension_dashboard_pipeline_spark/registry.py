@@ -651,7 +651,10 @@ _FRONT: list[str] = [
     # r13-OPTIMIZATION slots (second batch): these two queries' own
     # bodies changed (curation_attrition_funnel — barrier-pinned
     # *_from scoring + persisted scored frame + single-pass exact
-    # dedup; graph_bfs_levels — persisted co-purchase edge list; see
+    # dedup; graph_bfs_levels — seed probe rewritten as one aggregation
+    # over the distinct (order, part) projection, replacing the eager
+    # pair self-join probe job (the edge-persist variant was measured
+    # SLOWER and rejected); see
     # OPTIMIZATION_r13.md), and own-source changes must be externally
     # gated.  They take the refresh slots a27_pricing_summary and
     # a28_unpivot_priority held (both drop to the r14 refresh queue
